@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{Q, Suite}
+import graft.model.Tables
+
+/** A-suite: the relational substrate every MIE-style operation sits on
+  * (scan/filter/project, broadcast + shuffle joins, aggregation,
+  * window, rollup, top-k). Spark-first: DataFrame API only, so
+  * Catalyst gets full pushdown/pruning/AQE freedom.
+  *
+  * Oracle-determinism: money sums go through decimal(25,6) then back
+  * to double — exact, order-independent, bit-identical to DuckDB
+  * (SURVEY.md §4). Every query ends in a total-order sort mirrored in
+  * its oracle SQL.
+  */
+object RelationalSuite extends Suite {
+
+  private def dec(c: Column): Column = c.cast("decimal(25,6)")
+  /** Exact decimal revenue term: extendedprice * (1 - discount).
+    * Inputs have 2 decimal digits, so the 6-digit decimal casts are
+    * exact and the decimal multiply is exact on both engines. */
+  private def revenue(ep: Column, disc: Column): Column =
+    ep.cast("decimal(18,6)") * (lit(1.0) - disc).cast("decimal(12,6)")
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6))"
+
+  val a1 = Q(
+    "a1_pricing_agg",
+    (s, d) => {
+      val l = Tables.lineitem(s, d).where(col("l_shipdate") <= lit("1998-09-02"))
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("decimal(30,6)").cast("double").as("sum_disc_price"),
+          sum(col("l_extendedprice").cast("decimal(18,6)") *
+              ((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+                .cast("decimal(12,6)"))
+            .cast("decimal(30,6)").cast("double").as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST((1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(12,6))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val a2 = Q(
+    "a2_filter_project",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_quantity") >= 48 && col("l_discount") <= 0.02)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_quantity >= 48 AND l_discount <= 0.02
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  val a3 = Q(
+    "a3_broadcast_join",
+    (s, d) => {
+      // part is a dimension: broadcast it so the fact side never shuffles.
+      val l = Tables.lineitem(s, d)
+      val p = broadcast(Tables.part(s, d))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("decimal(30,6)").cast("double").as("brand_revenue"),
+          count(lit(1)).as("line_count"))
+        .orderBy(col("p_brand"))
+    },
+    Some(s"""
+      SELECT p_brand,
+        CAST(CAST(SUM($revenueSql) AS DECIMAL(30,6)) AS DOUBLE) AS brand_revenue,
+        COUNT(*) AS line_count
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
+  val a4 = Q(
+    "a4_star_join",
+    (s, d) => {
+      // Star join: all dims broadcast; the single shuffle is the final
+      // groupBy on (r_name, n_name).
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = broadcast(Tables.customer(s, d))
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("decimal(30,6)").cast("double").as("revenue"),
+          count(lit(1)).as("line_count"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some(s"""
+      SELECT r_name, n_name,
+        CAST(CAST(SUM($revenueSql) AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+        COUNT(*) AS line_count
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  val a5 = Q(
+    "a5_topk_orders",
+    (s, d) =>
+      // orderBy+limit compiles to TakeOrderedAndProject: per-partition
+      // top-k then a driver-side merge of k*partitions rows — no full sort.
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date")),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10"""))
+
+  val a6 = Q(
+    "a6_window_rank",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rk"))
+    },
+    Some("""
+      SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders) t
+      WHERE rk <= 3
+      ORDER BY o_custkey, rk"""))
+
+  val a7 = Q(
+    "a7_distinct_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  val a8 = Q(
+    "a8_anti_semi_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), lit("no_orders").as("tag"))
+      val withF = c.join(
+          o.where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), lit("has_f_order").as("tag"))
+      without.unionAll(withF).orderBy(col("tag"), col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, 'no_orders' AS tag
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_name, 'has_f_order' AS tag
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY tag, c_custkey"""))
+
+  val a9 = Q(
+    "a9_rollup",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("sum_price"), col("n_orders"))
+        .orderBy(col("priority"), col("status")),
+    Some("""
+      SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        COALESCE(o_orderstatus, 'ALL') AS status,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+        COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      ORDER BY priority, status"""))
+
+  val a10 = Q(
+    "a10_event_bucket",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_bucket"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("hour_bucket"), col("event_type")),
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+        event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_bucket, event_type"""))
+
+  override val queries: Seq[Q] =
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10)
+}

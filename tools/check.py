@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local driver-mimic: compare Verify's parquet dumps against DuckDB
+oracle results on the same sf dir. Usage:
+    python3 tools/check.py <sfDir> <outDir>
+(Verify must have been run first:
+    sbt "runMain graft.Verify <sfDir> <outDir>")
+"""
+import sys, json, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = ok = 0
+for name in sorted(oracle):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fail += 1
+        continue
+    try:
+        got = con.sql(f"SELECT * FROM '{files[0]}'").fetchall()
+        gotcols = [d[0] for d in con.sql(f"SELECT * FROM '{files[0]}' LIMIT 0").description]
+        exp = con.sql(oracle[name]).fetchall()
+        expcols = [d[0] for d in con.sql(f"SELECT * FROM ({oracle[name]}) LIMIT 0").description]
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}")
+        fail += 1
+        continue
+    if sorted(gotcols) != sorted(expcols):
+        print(f"FAIL {name}: cols {gotcols} vs {expcols}")
+        fail += 1
+        continue
+    # align column order by name (driver sorts columns by name)
+    gperm = [gotcols.index(c) for c in sorted(gotcols)]
+    eperm = [expcols.index(c) for c in sorted(expcols)]
+    g = [tuple(r[i] for i in gperm) for r in got]
+    e = [tuple(r[i] for i in eperm) for r in exp]
+    if len(g) != len(e):
+        print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+        fail += 1
+        continue
+    bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b]
+    if bad:
+        i, a, b = bad[0]
+        print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; first at {i}:\n  spark {a}\n  duck  {b}")
+        fail += 1
+    else:
+        print(f"ok   {name} ({len(g)} rows)")
+        ok += 1
+# queries without oracle: rows-only check
+allq = {os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p)}
+for name in sorted(allq - set(oracle)):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    n = con.sql(f"SELECT count(*) FROM '{files[0]}'").fetchone()[0] if files else 0
+    print(f"rows {name}: {n}")
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)
