@@ -8,7 +8,8 @@ import graft.api.Q
   */
 object SparkEntry {
   private def suites: Seq[graft.api.Suite] = Seq(
-    graft.operators.RelationalSuite)
+    graft.operators.RelationalSuite,
+    graft.operators.GraphSuite)
 
   private lazy val all: Seq[Q] = suites.flatMap(_.queries)
 

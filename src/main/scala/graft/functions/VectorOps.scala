@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from
+  * codegen'd Spark builtins (`zip_with`/`aggregate`) — no UDFs, so the
+  * whole computation stays inside whole-stage codegen.
+  *
+  * Determinism contract (SURVEY.md §4): every reduction is a strict
+  * sequential double fold with 0.0 init, which is bit-identical to
+  * DuckDB's `list_reduce` over the same element order. Elements are
+  * cast float→double (exact) before any arithmetic.
+  *
+  * Re-expresses the semantics of mie's HNSW cosine search
+  * (/root/reference/pkg/memory/schema.go:150 HNSW `distance: Cosine`,
+  * /root/reference/pkg/memory/reader.go:38 SemanticSearch) as
+  * scan-level expressions; the ANN index analogue is the LSH bucketing
+  * in [[graft.operators.AnnSuite]].
+  */
+object VectorOps {
+
+  /** Cast array<float> → array<double> (exact, element-wise). */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold sum of an array<double> — matches DuckDB
+    * list_reduce((x,y)->x+y) bit-for-bit. */
+  def foldSum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
+
+  def norm(a: Column): Column = {
+    val d = toDouble(a)
+    sqrt(foldSum(zip_with(d, d, (x, y) => x * y)))
+  }
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine rounded for cross-engine comparison. */
+  def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** DuckDB oracle fragment computing the identical sequential-fold
+    * cosine between list columns `a` and `b` (64-dim float lists). */
+  def cosineSql(a: String, b: String): String = {
+    def dotSql(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x)+1),
+          i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p,q) -> p+q)"""
+    s"""(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
+  }
+
+  def cosine6Sql(a: String, b: String): String =
+    s"round(${cosineSql(a, b)}, 6)"
+}

@@ -1,0 +1,273 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Spark-native re-expression of mie's memory graph
+  * (/root/reference/docs/architecture.md "Data model";
+  * /root/reference/pkg/memory/schema.go): typed nodes and edges are
+  * DataFrames, every traversal is a join, and multi-hop walks are
+  * iterative joins — so the whole surface scales horizontally instead
+  * of walking pointers row-at-a-time like the reference's CozoDB
+  * backend.
+  *
+  * Normalized node schema: (id, ntype, content, attr, score)
+  *   - fact     → content=text,        attr=category
+  *   - decision → content=title,       attr=status
+  *   - entity   → content=name,        attr=kind
+  *   - event    → content=title,       attr=event_date
+  *   - topic    → content=name,        attr='segment'
+  * Edge schema: (etype, src, dst, prop) — prop carries
+  * decision_entity.role / invalidates.reason
+  * (schema.go:102-140 edge tables).
+  *
+  * At cluster scale `nodes`/`edges` would be bucketed by id/src so
+  * traversal joins co-locate; point lookups prune on the id-prefix
+  * partition (ntype) first.
+  */
+final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
+
+  /** GetNodeByID with prefix dispatch
+    * (reader.go:309 GetNodeByID): the ntype filter prunes before the
+    * id equality, mirroring the reference's prefix→table dispatch. */
+  def node(id: String): DataFrame = {
+    val nt = id.split(":", 2)(0) match {
+      case "fact" => "fact"; case "dec" => "decision"; case "ent" => "entity"
+      case "evt" => "event"; case "topic" => "topic"; case _ => ""
+    }
+    nodes.where(col("ntype") === nt && col("id") === id)
+  }
+
+  /** ListNodes: filter + sort + paginate + total_count
+    * (reader.go:187 ListNodes / countNodes). The window count avoids
+    * the reference's second scan. */
+  def list(ntype: String, attrEq: Option[String], sortBy: Column,
+           limit: Int, offset: Int): DataFrame = {
+    val base = attrEq.foldLeft(nodes.where(col("ntype") === ntype))(
+      (df, a) => df.where(col("attr") === a))
+    val w = Window.orderBy(sortBy, col("id"))
+    base
+      .withColumn("pos", row_number().over(w))
+      .withColumn("total_count", count(lit(1)).over(Window.partitionBy()))
+      .where(col("pos") > offset && col("pos") <= offset + limit)
+      .select(col("pos"), col("id"), col("content"), col("attr"),
+        col("score"), col("total_count"))
+  }
+
+  /** ExactSearch: substring match with a per-type limit
+    * (reader.go:122 ExactSearch). */
+  def exactSearch(q: String, ntypes: Seq[String], perType: Int): DataFrame = {
+    val w = Window.partitionBy(col("ntype")).orderBy(col("id"))
+    nodes
+      .where(col("ntype").isin(ntypes: _*))
+      .where(instr(col("content"), q) > 0)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perType)
+      .select(col("ntype"), col("rk"), col("id"), col("content"), col("attr"))
+  }
+
+  /** 1-hop traversal src→dst over one edge type, returning dst nodes
+    * (reader.go:464-614 GetRelatedEntities / GetFactsAboutEntity /
+    * GetDecisionEntities / GetEntityDecisions — all are this join with
+    * src/dst swapped as needed). */
+  def outNeighbors(fromId: String, etype: String): DataFrame =
+    edges.where(col("etype") === etype && col("src") === fromId)
+      .join(nodes, col("dst") === col("id"))
+      .select(col("id"), col("ntype"), col("content"), col("attr"),
+        col("score"), col("prop"))
+
+  def inNeighbors(toId: String, etype: String): DataFrame =
+    edges.where(col("etype") === etype && col("dst") === toId)
+      .join(nodes, col("src") === col("id"))
+      .select(col("id"), col("ntype"), col("content"), col("attr"),
+        col("score"), col("prop"))
+
+  /** Multi-hop walk along one edge type from a start node: iterative
+    * frontier join with early exit (reader.go:548
+    * GetInvalidationChain generalized to arbitrary depth). Each hop is
+    * one distributed join; for the linear `invalidates` chains the
+    * window-based shortcut in GraphSuite.b6 oracle shows the closed
+    * form, but this version works for any DAG. */
+  def walk(startId: String, etype: String, maxHops: Int): DataFrame = {
+    val e = edges.where(col("etype") === etype)
+      .select(col("src"), col("dst"), col("prop")).cache()
+    var frontier = e.sparkSession.range(1).select(
+      lit(startId).as("id"), lit(0).as("step"))
+    var acc: DataFrame = null
+    var hop = 0
+    var go = true
+    while (go && hop < maxHops) {
+      val next = frontier.join(e, col("id") === col("src"))
+        .select(col("src"), col("dst"), col("prop"),
+          (col("step") + 1).as("step"))
+        .localCheckpoint(true) // truncate lineage; keeps each hop O(1)
+      if (next.isEmpty) go = false
+      else {
+        acc = if (acc == null) next else acc.unionAll(next)
+        frontier = next.select(col("dst").as("id"), col("step"))
+        hop += 1
+      }
+    }
+    if (acc == null)
+      frontier.where(lit(false)).select(col("step"), col("id").as("src"),
+        col("id").as("dst"), lit("").as("prop"))
+    else acc.select(col("step"), col("src"), col("dst"), col("prop"))
+  }
+
+  /** GetStats (reader.go:617): one row per node/edge-type metric. */
+  def stats(): DataFrame = {
+    val n = nodes.groupBy(col("ntype")).agg(count(lit(1)).as("n"))
+      .select(concat(lit("nodes_"), col("ntype")).as("metric"), col("n"))
+    val e = edges.groupBy(col("etype")).agg(count(lit(1)).as("n"))
+      .select(concat(lit("edges_"), col("etype")).as("metric"), col("n"))
+    n.unionAll(e).orderBy(col("metric"))
+  }
+
+  /** ExportGraph (reader.go:707): the full typed dump, stably ordered. */
+  def export(): DataFrame =
+    nodes.orderBy(col("ntype"), col("id"))
+}
+
+object MemoryGraph {
+
+  /** Bind the memory graph to the driver-generated tables:
+    * fact≈documents, decision≈orders, entity≈customer∪supplier∪part,
+    * event≈events, topic≈distinct mktsegment; edges from the FKs plus
+    * two deterministic modular links (fact_entity, event_decision) and
+    * the lag-derived `invalidates` chain (successive events of the
+    * same (user, type) — newest invalidates previous, like mie's fact
+    * revisions, schema.go:104 mie_invalidates). */
+  def fromTables(s: SparkSession, dir: String): MemoryGraph = {
+    def str(c: Column) = c.cast("string")
+    val cust = Tables.customer(s, dir)
+    val supp = Tables.supplier(s, dir)
+    val part = Tables.part(s, dir)
+    val ord = Tables.orders(s, dir)
+    val doc = Tables.documents(s, dir)
+    val ev = Tables.events(s, dir)
+
+    val nodes =
+      doc.select(concat(lit("fact:"), str(col("doc_id"))).as("id"),
+          lit("fact").as("ntype"), col("text").as("content"),
+          col("lang").as("attr"), col("n_chars").cast("double").as("score"))
+      .unionAll(ord.select(concat(lit("dec:"), str(col("o_orderkey"))).as("id"),
+          lit("decision").as("ntype"), col("o_orderpriority").as("content"),
+          col("o_orderstatus").as("attr"), col("o_totalprice").as("score")))
+      .unionAll(cust.select(concat(lit("ent:c:"), str(col("c_custkey"))).as("id"),
+          lit("entity").as("ntype"), col("c_name").as("content"),
+          lit("customer").as("attr"), col("c_acctbal").as("score")))
+      .unionAll(supp.select(concat(lit("ent:s:"), str(col("s_suppkey"))).as("id"),
+          lit("entity").as("ntype"), col("s_name").as("content"),
+          lit("supplier").as("attr"), col("s_acctbal").as("score")))
+      .unionAll(part.select(concat(lit("ent:p:"), str(col("p_partkey"))).as("id"),
+          lit("entity").as("ntype"), col("p_name").as("content"),
+          lit("part").as("attr"), col("p_retailprice").as("score")))
+      .unionAll(ev.select(concat(lit("evt:"), str(col("event_id"))).as("id"),
+          lit("event").as("ntype"), col("event_type").as("content"),
+          date_format(col("ts"), "yyyy-MM-dd").as("attr"),
+          col("value").as("score")))
+      .unionAll(cust.select(col("c_mktsegment")).distinct()
+        .select(concat(lit("topic:"), col("c_mktsegment")).as("id"),
+          lit("topic").as("ntype"), col("c_mktsegment").as("content"),
+          lit("segment").as("attr"), lit(0.0).as("score")))
+
+    val nCust = broadcast(cust.agg(count(lit(1)).as("n_cust")))
+    val nOrd = broadcast(ord.agg(count(lit(1)).as("n_ord")))
+    val lagW = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+
+    val edges =
+      ord.select(lit("decision_entity").as("etype"),
+          concat(lit("dec:"), str(col("o_orderkey"))).as("src"),
+          concat(lit("ent:c:"), str(col("o_custkey"))).as("dst"),
+          lit("customer").as("prop"))
+      .unionAll(Tables.lineitem(s, dir)
+        .select(lit("decision_entity").as("etype"),
+          concat(lit("dec:"), str(col("l_orderkey"))).as("src"),
+          concat(lit("ent:p:"), str(col("l_partkey"))).as("dst"),
+          lit("part").as("prop")))
+      .unionAll(cust.select(lit("entity_topic").as("etype"),
+          concat(lit("ent:c:"), str(col("c_custkey"))).as("src"),
+          concat(lit("topic:"), col("c_mktsegment")).as("dst"),
+          lit("").as("prop")))
+      .unionAll(doc.crossJoin(nCust)
+        .select(lit("fact_entity").as("etype"),
+          concat(lit("fact:"), str(col("doc_id"))).as("src"),
+          concat(lit("ent:c:"), str(col("doc_id") % col("n_cust"))).as("dst"),
+          lit("").as("prop")))
+      .unionAll(ev.crossJoin(nOrd)
+        .select(lit("event_decision").as("etype"),
+          concat(lit("evt:"), str(col("event_id"))).as("src"),
+          concat(lit("dec:"), str(col("event_id") % col("n_ord"))).as("dst"),
+          lit("").as("prop")))
+      .unionAll(ev
+        .withColumn("prev_id", lag(col("event_id"), 1).over(lagW))
+        .where(col("prev_id").isNotNull)
+        .select(lit("invalidates").as("etype"),
+          concat(lit("evt:"), str(col("event_id"))).as("src"),
+          concat(lit("evt:"), str(col("prev_id"))).as("dst"),
+          col("event_type").as("prop")))
+
+    new MemoryGraph(nodes, edges)
+  }
+
+  /** Oracle-side mirrors of the node/edge construction, for embedding
+    * in GraphSuite oracle SQL (DuckDB dialect). Kept adjacent to
+    * fromTables so the two stay in lockstep. */
+  object Sql {
+    val nodes: String = """
+      SELECT 'fact:' || CAST(doc_id AS VARCHAR) AS id, 'fact' AS ntype,
+             text AS content, lang AS attr, CAST(n_chars AS DOUBLE) AS score
+      FROM documents
+      UNION ALL
+      SELECT 'dec:' || CAST(o_orderkey AS VARCHAR), 'decision',
+             o_orderpriority, o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT 'ent:c:' || CAST(c_custkey AS VARCHAR), 'entity',
+             c_name, 'customer', c_acctbal FROM customer
+      UNION ALL
+      SELECT 'ent:s:' || CAST(s_suppkey AS VARCHAR), 'entity',
+             s_name, 'supplier', s_acctbal FROM supplier
+      UNION ALL
+      SELECT 'ent:p:' || CAST(p_partkey AS VARCHAR), 'entity',
+             p_name, 'part', p_retailprice FROM part
+      UNION ALL
+      SELECT 'evt:' || CAST(event_id AS VARCHAR), 'event',
+             event_type, strftime(ts, '%Y-%m-%d'), value FROM events
+      UNION ALL
+      SELECT DISTINCT 'topic:' || c_mktsegment, 'topic',
+             c_mktsegment, 'segment', 0.0 FROM customer"""
+
+    val edges: String = """
+      SELECT 'decision_entity' AS etype,
+             'dec:' || CAST(o_orderkey AS VARCHAR) AS src,
+             'ent:c:' || CAST(o_custkey AS VARCHAR) AS dst,
+             'customer' AS prop
+      FROM orders
+      UNION ALL
+      SELECT 'decision_entity', 'dec:' || CAST(l_orderkey AS VARCHAR),
+             'ent:p:' || CAST(l_partkey AS VARCHAR), 'part' FROM lineitem
+      UNION ALL
+      SELECT 'entity_topic', 'ent:c:' || CAST(c_custkey AS VARCHAR),
+             'topic:' || c_mktsegment, '' FROM customer
+      UNION ALL
+      SELECT 'fact_entity', 'fact:' || CAST(doc_id AS VARCHAR),
+             'ent:c:' || CAST(doc_id % (SELECT COUNT(*) FROM customer) AS VARCHAR),
+             '' FROM documents
+      UNION ALL
+      SELECT 'event_decision', 'evt:' || CAST(event_id AS VARCHAR),
+             'dec:' || CAST(event_id % (SELECT COUNT(*) FROM orders) AS VARCHAR),
+             '' FROM events
+      UNION ALL
+      SELECT 'invalidates', 'evt:' || CAST(event_id AS VARCHAR),
+             'evt:' || CAST(prev_id AS VARCHAR), event_type
+      FROM (SELECT event_id, event_type,
+              LAG(event_id) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS prev_id
+            FROM events) t
+      WHERE prev_id IS NOT NULL"""
+  }
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.api.{Q, Suite}
+import graft.graph.MemoryGraph
+import graft.functions.VectorOps
+import graft.model.Tables
+
+/** B-suite: mie's query surface re-expressed over [[MemoryGraph]]
+  * (see SURVEY.md §2B for the reference-method ↔ query mapping).
+  * Every traversal is a join; the only driver-side action is the
+  * point-lookup of a chain head (b6), mirroring the reference API
+  * that takes a node id.
+  */
+object GraphSuite extends Suite {
+
+  private val N = MemoryGraph.Sql.nodes
+  private val E = MemoryGraph.Sql.edges
+
+  val b1 = Q(
+    "b1_node_lookup",
+    (s, d) => {
+      val g = MemoryGraph.fromTables(s, d)
+      Seq("ent:c:42", "fact:7", "dec:100", "evt:999", "topic:BUILDING")
+        .map(g.node)
+        .reduce(_ unionAll _)
+        .orderBy(col("id"))
+    },
+    Some(s"""
+      WITH nodes AS ($N)
+      SELECT id, ntype, content, attr, score FROM nodes
+      WHERE id IN ('ent:c:42','fact:7','dec:100','evt:999','topic:BUILDING')
+      ORDER BY id"""))
+
+  val b2 = Q(
+    "b2_list_nodes",
+    (s, d) => MemoryGraph.fromTables(s, d)
+      .list("fact", Some("en"), col("score").desc, limit = 20, offset = 10),
+    Some(s"""
+      WITH nodes AS ($N)
+      SELECT pos, id, content, attr, score, total_count FROM (
+        SELECT *,
+          ROW_NUMBER() OVER (ORDER BY score DESC, id) AS pos,
+          COUNT(*) OVER () AS total_count
+        FROM nodes WHERE ntype = 'fact' AND attr = 'en') t
+      WHERE pos > 10 AND pos <= 30
+      ORDER BY pos"""))
+
+  val b3 = Q(
+    "b3_exact_search",
+    (s, d) => MemoryGraph.fromTables(s, d)
+      .exactSearch("1", Seq("decision", "entity"), perType = 15)
+      .orderBy(col("ntype"), col("rk")),
+    Some(s"""
+      WITH nodes AS ($N)
+      SELECT ntype, rk, id, content, attr FROM (
+        SELECT ntype, id, content, attr,
+          ROW_NUMBER() OVER (PARTITION BY ntype ORDER BY id) AS rk
+        FROM nodes
+        WHERE ntype IN ('decision','entity') AND position('1' IN content) > 0) t
+      WHERE rk <= 15
+      ORDER BY ntype, rk"""))
+
+  val b4 = Q(
+    "b4_graph_1hop",
+    (s, d) => MemoryGraph.fromTables(s, d)
+      .inNeighbors("ent:c:42", "fact_entity")
+      .select(col("id"), col("content"), col("attr"), col("score"))
+      .orderBy(col("id")),
+    Some("""
+      SELECT 'fact:' || CAST(doc_id AS VARCHAR) AS id, text AS content,
+             lang AS attr, CAST(n_chars AS DOUBLE) AS score
+      FROM documents
+      WHERE doc_id % (SELECT COUNT(*) FROM customer) = 42
+      ORDER BY id"""))
+
+  val b5 = Q(
+    "b5_graph_2hop",
+    (s, d) => {
+      val g = MemoryGraph.fromTables(s, d)
+      val de = g.edges.where(col("etype") === "decision_entity")
+      val toCust = de.where(col("dst") === "ent:c:42")
+        .select(col("src").as("dec_id"))
+      val toPart = de.where(col("prop") === "part")
+        .select(col("src").as("dec_id2"), col("dst").as("part_id"))
+      toCust.join(toPart, col("dec_id") === col("dec_id2"))
+        .select(col("part_id")).distinct()
+        .join(g.nodes, col("part_id") === col("id"))
+        .select(col("id"), col("content"), col("attr"), col("score"))
+        .orderBy(col("id"))
+    },
+    Some("""
+      SELECT DISTINCT 'ent:p:' || CAST(p_partkey AS VARCHAR) AS id,
+             p_name AS content, 'part' AS attr, p_retailprice AS score
+      FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN part ON p_partkey = l_partkey
+      WHERE o_custkey = 42
+      ORDER BY id"""))
+
+  val b6 = Q(
+    "b6_invalidation_chain",
+    (s, d) => {
+      val g = MemoryGraph.fromTables(s, d)
+      val startId = Tables.events(s, d)
+        .where(col("user_id") === 7 && col("event_type") === "view")
+        .agg(max(col("event_id"))).first().getLong(0)
+      g.walk(s"evt:$startId", "invalidates", maxHops = 200)
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH RECURSIVE inv AS (
+        SELECT 'evt:' || CAST(event_id AS VARCHAR) AS src,
+               'evt:' || CAST(prev_id AS VARCHAR) AS dst,
+               event_type AS prop
+        FROM (SELECT event_id, event_type,
+                LAG(event_id) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS prev_id
+              FROM events) t
+        WHERE prev_id IS NOT NULL
+      ), chain AS (
+        SELECT 1 AS step, e.src, e.dst, e.prop FROM inv e
+        WHERE e.src = (SELECT 'evt:' || CAST(MAX(event_id) AS VARCHAR)
+                       FROM events WHERE user_id = 7 AND event_type = 'view')
+        UNION ALL
+        SELECT c.step + 1, e.src, e.dst, e.prop
+        FROM inv e JOIN chain c ON e.src = c.dst
+      )
+      SELECT step, src, dst, prop FROM chain ORDER BY step"""))
+
+  val b7 = Q(
+    "b7_conflict_detect",
+    (s, d) => {
+      // mie DetectConflicts (conflicts.go:34): similar-enough fact
+      // pairs within a category. Here: same-label cosine >= 0.30.
+      // Self-join keyed on label keeps candidate pairs bounded; the
+      // unblocked scale path is AnnSuite's LSH bucketing.
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("label"),
+        col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"),
+        col("label").as("label_b"), col("embedding").as("emb_b"))
+      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+        .withColumn("sim", VectorOps.cosine6(col("emb_a"), col("emb_b")))
+        .where(col("sim") >= 0.30)
+        .select(col("id_a"), col("id_b"), col("label"), col("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+             ${VectorOps.cosine6Sql("a.embedding", "b.embedding")} AS sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${VectorOps.cosine6Sql("a.embedding", "b.embedding")} >= 0.30
+      ORDER BY id_a, id_b"""))
+
+  val b8 = Q(
+    "b8_semantic_topk",
+    (s, d) => {
+      // mie SemanticSearch (reader.go:38): query embedding -> top-k by
+      // cosine. Query vector = embedding of vec_id 0; broadcast it so
+      // the scan side streams with no shuffle.
+      val e = Tables.embeddings(s, d)
+      val q = broadcast(e.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb")))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .withColumn("sim", VectorOps.cosine6(col("embedding"), col("q_emb")))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("sim"))
+    },
+    Some(s"""
+      SELECT b.vec_id, b.label,
+             ${VectorOps.cosine6Sql("b.embedding", "q.embedding")} AS sim
+      FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE b.vec_id <> 0
+      ORDER BY sim DESC, b.vec_id
+      LIMIT 10"""))
+
+  val b9 = Q(
+    "b9_graph_stats",
+    (s, d) => MemoryGraph.fromTables(s, d).stats(),
+    Some(s"""
+      WITH nodes AS ($N), edges AS ($E)
+      SELECT 'nodes_' || ntype AS metric, COUNT(*) AS n FROM nodes GROUP BY ntype
+      UNION ALL
+      SELECT 'edges_' || etype, COUNT(*) FROM edges GROUP BY etype
+      ORDER BY metric"""))
+
+  val b10 = Q(
+    "b10_export_graph",
+    (s, d) => MemoryGraph.fromTables(s, d).export(),
+    Some(s"""
+      WITH nodes AS ($N)
+      SELECT id, ntype, content, attr, score FROM nodes
+      ORDER BY ntype, id"""))
+
+  override val queries: Seq[Q] =
+    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10)
+}
