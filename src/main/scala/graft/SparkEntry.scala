@@ -9,7 +9,9 @@ import graft.api.Q
 object SparkEntry {
   private def suites: Seq[graft.api.Suite] = Seq(
     graft.operators.RelationalSuite,
-    graft.operators.GraphSuite)
+    graft.operators.GraphSuite,
+    graft.operators.PipelineSuite,
+    graft.operators.StreamingSuite)
 
   private lazy val all: Seq[Q] = suites.flatMap(_.queries)
 

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the training-data pipeline: tokenization,
+  * shingling, and a portable polynomial hash family used by the
+  * dedup/fingerprint operators.
+  *
+  * Everything is built from codegen'd Spark builtins (transform /
+  * aggregate / sequence) — no UDFs — and every op has a DuckDB SQL
+  * mirror (the `*Sql` members) that is integer-exact, so oracle
+  * results hash-match. The hash is h_{i+1} = (31*h_i + code) mod p
+  * with p = 1e9+7: all intermediates < 2^35, so 64-bit arithmetic is
+  * exact on both engines.
+  *
+  * At 100 TB these expression trees run entirely inside whole-stage
+  * codegen per row; the natural next step (SURVEY.md §6) is a native
+  * Catalyst Expression with doGenCode to cut the per-char virtual
+  * calls, but the algebra and results stay identical.
+  */
+object TextOps {
+
+  val P = 1000000007L
+
+  // --- tokenization -------------------------------------------------
+  def tokens(text: Column): Column = split(text, " ")
+  def tokensSql(t: String): String = s"string_split($t, ' ')"
+
+  // --- polynomial char hash ----------------------------------------
+  /** hash of a string: fold (h*31 + ascii(char)) % p over characters. */
+  def polyHash(t: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1)))),
+      lit(0L),
+      (h, c) => (h * lit(31L) + c.cast("long")) % lit(P))
+
+  /** DuckDB mirror of [[polyHash]]. list_reduce has no init, but
+    * (0*31 + c1) = c1 makes the folds identical. */
+  def polyHashSql(t: String): String =
+    s"""list_reduce(list_transform(range(1, length($t)+1),
+        i -> CAST(ascii($t[i]) AS BIGINT)), (h, c) -> (h*31 + c) % $P)"""
+
+  // --- shingles -----------------------------------------------------
+  /** Distinct word 3-gram shingles of a token array column. */
+  def shingles3(tk: Column): Column =
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(tk) - 2, lit(0))),
+        i => concat_ws(" ",
+          element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
+
+  def shingles3Sql(tk: String): String =
+    s"""list_distinct(list_transform(range(1, greatest(len($tk)-1, 1)),
+        i -> $tk[i] || ' ' || $tk[i+1] || ' ' || $tk[i+2]))"""
+
+  /** Hashes of the distinct shingles (order-invariant consumers only). */
+  def shingleHashes(text: Column): Column =
+    transform(shingles3(tokens(text)), s => polyHash(s))
+
+  def shingleHashesSql(t: String): String =
+    s"""list_transform(${shingles3Sql(tokensSql(t))},
+        sgl -> ${polyHashSql("sgl")})"""
+
+  // --- MinHash ------------------------------------------------------
+  /** K-element MinHash signature over the shingle-hash set:
+    * sig_k = min_h ((2k+1)*h + 12345 + 7k) mod p, k = 1..K. */
+  def minHashSignature(hashes: Column, k: Int): Column =
+    transform(sequence(lit(1), lit(k)), kk =>
+      array_min(transform(hashes,
+        h => ((kk.cast("long") * 2L + 1L) * h
+          + lit(12345L) + kk.cast("long") * 7L) % lit(P))))
+
+  def minHashSignatureSql(hashes: String, k: Int): String =
+    s"""list_transform(range(1, $k + 1), kk ->
+        list_min(list_transform($hashes,
+          h -> ((CAST(kk AS BIGINT)*2 + 1) * h + 12345 + CAST(kk AS BIGINT)*7) % $P)))"""
+
+  // --- SimHash (30-bit, portable) ----------------------------------
+  /** 30-bit SimHash over the distinct token-hash set: bit j is set iff
+    * sum over tokens of ±1 (by bit j of the token hash) is >= 0.
+    * 30 bits because the poly hash lives below 2^30. */
+  def simHash30(tokenHashes: Column): Column =
+    VectorOpsInternal.foldSumLong(
+      transform(sequence(lit(0), lit(29)), j => {
+        val p2 = pow(lit(2.0), j).cast("long")
+        when(
+          aggregate(tokenHashes, lit(0L),
+            (acc, h) => acc + when((floor(h / p2).cast("long") % 2L) === 1L, 1L)
+              .otherwise(-1L)) >= 0L, p2).otherwise(0L)
+      }))
+
+  def simHash30Sql(tokenHashes: String): String =
+    s"""list_reduce(list_transform(range(0, 30), j ->
+        CASE WHEN list_reduce(list_transform($tokenHashes,
+            h -> CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                 THEN 1 ELSE -1 END), (a, b) -> a + b) >= 0
+        THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+        (a, b) -> a + b)"""
+
+  /** Distinct token hashes of a text column (set semantics). */
+  def tokenHashes(text: Column): Column =
+    transform(array_distinct(tokens(text)), t => polyHash(t))
+
+  def tokenHashesSql(t: String): String =
+    s"""list_transform(list_distinct(${tokensSql(t)}), tok -> ${polyHashSql("tok")})"""
+
+  private object VectorOpsInternal {
+    def foldSumLong(v: Column): Column =
+      aggregate(v, lit(0L), (acc, x) => acc + x)
+  }
+}

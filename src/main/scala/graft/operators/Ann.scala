@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Brute force is the exact baseline: broadcast the (small) query set
+  * and stream the corpus — one pass, no corpus shuffle, linear
+  * scale-out. The LSH-bucketed variant is the 100 TB path: corpus and
+  * queries hash into sign-pattern buckets, the join is an equi-join
+  * on bucket id, and only in-bucket pairs pay the cosine.
+  */
+object Ann {
+
+  /** Exact top-k: for every query row, the k nearest corpus rows by
+    * cosine. Query side must be small (it is broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     id: String, vec: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(id).as("q_id"), col(vec).as("q_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    corpus.select(col(id).as("n_id"), col("label"), col(vec).as("n_vec"))
+      .crossJoin(q)
+      .withColumn("sim", VectorOps.cosine6(col("n_vec"), col("q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("label"), col("sim"))
+  }
+
+  /** Sign-pattern LSH bucket id over the first `bits` dimensions:
+    * bucket = sum_j [v_j >= 0] * 2^j. Axis-aligned random-hyperplane
+    * LSH; deterministic and portable to the SQL oracle. */
+  def lshBucket(vec: Column, bits: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(bits)), j =>
+        when(element_at(vec, j) >= 0f, pow(lit(2.0), j - 1).cast("long"))
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+
+  def lshBucketSql(vec: String, bits: Int): String =
+    s"""list_reduce(list_transform(range(1, $bits + 1), j ->
+        CASE WHEN $vec[j] >= 0 THEN CAST(pow(2, j-1) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)"""
+
+  /** Bucketed ANN: queries probe only their own bucket; ranking within
+    * the bucket is exact cosine. Recall < 1 by construction — the
+    * scale/latency trade the reference makes with HNSW `ef`/`k`. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              id: String, vec: String, bits: Int, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("n_id"), col("label"),
+      col(vec).as("n_vec"), lshBucket(col(vec), bits).as("bucket"))
+    val q = broadcast(queries.select(col(id).as("q_id"),
+      col(vec).as("q_vec"), lshBucket(col(vec), bits).as("q_bucket")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    c.join(q, col("bucket") === col("q_bucket"))
+      .withColumn("sim", VectorOps.cosine6(col("n_vec"), col("q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("bucket"), col("sim"))
+  }
+}

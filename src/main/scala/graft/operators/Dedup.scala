@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextOps, VectorOps}
+
+/** Document deduplication for training-data pipelines: exact,
+  * shingle-Jaccard, MinHash-LSH, SimHash, and embedding-cosine.
+  *
+  * Scale shape (100 TB): the LSH variants (minHashCandidates,
+  * simHashPairs) are the production path — candidate generation is an
+  * equi-join on band keys, so the shuffle is bounded by true-ish
+  * positives instead of |docs|². The exact-Jaccard pair join
+  * (ngramJaccardPairs) is the small-scale/per-bucket verifier.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one row per cluster with its size
+    * and the kept (minimum) id. A pure map-side hash + one groupBy
+    * shuffle on the fingerprint. */
+  def exactClusters(docs: DataFrame, id: String, text: String): DataFrame =
+    docs
+      .select(col(id), TextOps.polyHash(col(text)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("cluster_size"), min(col(id)).as("keeper"))
+
+  /** Exact token-3-gram Jaccard >= tau pairs via shingle explode +
+    * equi-join on shingle. AQE handles hot-shingle skew; at scale
+    * run it per LSH bucket, not globally. */
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
+                        tau: Double): DataFrame = {
+    val sh = docs.select(col(id).as("did"),
+      explode(TextOps.shingles3(TextOps.tokens(col(text)))).as("sh"))
+    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.did") < col("b.did"))
+      .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("did"), col("n").as("na")), col("id_a") === col("did")).drop("did")
+      .join(sizes.select(col("did"), col("n").as("nb")), col("id_b") === col("did")).drop("did")
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .where(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures (K hashes) + LSH banding (bands of rows):
+    * emits candidate pairs sharing >= 1 band, with the signature-match
+    * estimate of Jaccard. Candidate generation is an equi-join on
+    * (band index, band value) — the 100 TB path. */
+  def minHashCandidates(docs: DataFrame, id: String, text: String,
+                        k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val sigs = docs.select(col(id).as("did"),
+      TextOps.minHashSignature(TextOps.shingleHashes(col(text)), k).as("sig"))
+    val banded = sigs.select(col("did"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rows + 1, lit(rows))))
+        .as(Seq("band_idx", "band_val")))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand.withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming
+    * (<= bands-1 guaranteed found by pigeonhole over `bands` bit
+    * slices). 30-bit portable simhash over shingle hashes. */
+  def simHashPairs(docs: DataFrame, id: String, text: String,
+                   maxHamming: Int): DataFrame = {
+    val sims = docs.select(col(id).as("did"),
+      TextOps.simHash30(TextOps.shingleHashes(col(text))).as("sh"))
+    val banded = sims.select(col("did"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => pmod(floor(col("sh") / pow(lit(2.0), b * 8).cast("long")).cast("long"),
+          lit(256L)))).as(Seq("band_idx", "band_val")))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"), col("hamming"))
+  }
+
+  /** Embedding near-dup pairs: cosine >= tau over all id-ordered
+    * pairs. Brute force — the exact verifier; at scale feed it
+    * LSH-bucket candidates (see Ann.lshBuckets). */
+  def embeddingPairs(emb: DataFrame, id: String, vec: String,
+                     tau: Double): DataFrame = {
+    val a = emb.select(col(id).as("id_a"), col(vec).as("va"))
+    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", VectorOps.cosine6(col("va"), col("vb")))
+      .where(col("sim") >= tau)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

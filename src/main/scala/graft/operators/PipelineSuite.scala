@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.api.{Q, Suite}
+import graft.functions.{TextOps, VectorOps}
+import graft.model.Tables
+
+/** C-suite: the training-data pipeline operators (SURVEY.md §2C) —
+  * dedup family, ANN, text analysis, multimodal plumbing — run over
+  * the documents/embeddings tables with DuckDB oracle mirrors built
+  * from the same portable-hash fragments as the Spark plans.
+  */
+object PipelineSuite extends Suite {
+
+  private val SH = TextOps.shingleHashesSql("text")
+  private val COS = VectorOps.cosine6Sql("a.embedding", "b.embedding")
+
+  val c1 = Q(
+    "c1_dedup_exact",
+    (s, d) => Dedup.exactClusters(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("fingerprint")),
+    Some(s"""
+      SELECT ${TextOps.polyHashSql("text")} AS fingerprint,
+             COUNT(*) AS cluster_size, MIN(doc_id) AS keeper
+      FROM documents
+      GROUP BY 1
+      ORDER BY fingerprint"""))
+
+  val c2 = Q(
+    "c2_dedup_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.5)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(${TextOps.shingles3Sql(TextOps.tokensSql("text"))}) AS s
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+      WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  val c3 = Q(
+    "c3_dedup_minhash",
+    (s, d) => Dedup.minHashCandidates(Tables.documents(s, d), "doc_id", "text",
+        k = 16, bands = 4)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH sigs AS (
+        SELECT doc_id, ${TextOps.minHashSignatureSql(SH, 16)} AS sig
+        FROM documents),
+      banded AS (
+        SELECT doc_id, sig, t.b AS band_idx,
+               list_slice(sig, t.b * 4 + 1, t.b * 4 + 4) AS band_val
+        FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16 AS est_jaccard
+      FROM cand
+      ORDER BY id_a, id_b"""))
+
+  val c4 = Q(
+    "c4_dedup_simhash",
+    (s, d) => Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH sims AS (
+        SELECT doc_id, ${TextOps.simHash30Sql("sh")} AS s
+        FROM (SELECT doc_id, $SH AS sh FROM documents)),
+      banded AS (
+        SELECT doc_id, s, t.b AS band_idx,
+               (s // CAST(pow(2, 8 * t.b) AS BIGINT)) % 256 AS band_val
+        FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.s AS sh_a, b.s AS sh_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, sh_a, sh_b,
+             CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(sh_a, sh_b)) <= 3
+      ORDER BY id_a, id_b"""))
+
+  val c5 = Q(
+    "c5_dedup_embedding",
+    (s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.40)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, $COS AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE $COS >= 0.40
+      ORDER BY id_a, id_b"""))
+
+  val c6 = Q(
+    "c6_ann_bruteforce",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(
+          e.where(col("vec_id") >= 5), e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      SELECT q_id, rank, n_id, label, sim FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.label,
+               ${VectorOps.cosine6Sql("b.embedding", "a.embedding")} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${VectorOps.cosine6Sql("b.embedding", "a.embedding")} DESC,
+                          b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON b.vec_id >= 5
+        WHERE a.vec_id < 5) t
+      WHERE rank <= 5
+      ORDER BY q_id, rank"""))
+
+  val c7 = Q(
+    "c7_ann_lsh",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.lshTopK(
+          e.where(col("vec_id") >= 5), e.where(col("vec_id") < 5),
+          "vec_id", "embedding", bits = 8, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      SELECT q_id, rank, n_id, bucket, sim FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+               ${Ann.lshBucketSql("b.embedding", 8)} AS bucket,
+               ${VectorOps.cosine6Sql("b.embedding", "a.embedding")} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${VectorOps.cosine6Sql("b.embedding", "a.embedding")} DESC,
+                          b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b
+          ON b.vec_id >= 5
+         AND ${Ann.lshBucketSql("b.embedding", 8)} = ${Ann.lshBucketSql("a.embedding", 8)}
+        WHERE a.vec_id < 5) t
+      WHERE rank <= 5
+      ORDER BY q_id, rank"""))
+
+  val c8 = Q(
+    "c8_lang_id",
+    (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextQuality.langId(col("text")).as("predicted"),
+        col("lang").as("actual"),
+        (TextQuality.langId(col("text")) === col("lang")).as("is_match"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+             ${TextQuality.langIdSql("text")} AS predicted,
+             lang AS actual,
+             (${TextQuality.langIdSql("text")} = lang) AS is_match
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val c9 = Q(
+    "c9_quality_score",
+    (s, d) => TextQuality.qualityFeatures(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""${TextQuality.qualityFeaturesSql("doc_id", "text")}
+      ORDER BY doc_id"""))
+
+  val c10 = Q(
+    "c10_token_count",
+    (s, d) => TextQuality.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+        CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS bpe_chunks,
+        CAST(length(text) AS BIGINT) AS n_chars_measured
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val c11 = Q(
+    "c11_fingerprint",
+    (s, d) => TextQuality.fingerprints(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+        ${TextOps.polyHashSql("text")} AS full_hash,
+        list_aggregate($SH, 'min') AS min_shingle_hash,
+        list_aggregate($SH, 'max') AS max_shingle_hash
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val c12 = Q(
+    "c12_multimodal_stub",
+    (s, d) => Multimodal.decodeStub(
+        Multimodal.asBlobTable(Tables.documents(s, d), "doc_id", "text"))
+      .orderBy(col("doc_id")),
+    // Oracle recomputes the deterministic fake features from the text
+    // (payload is ascii): verifies the binary plumbing end-to-end.
+    Some(s"""
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS byte_len,
+        list_reduce(list_transform(range(1, length(text) + 1),
+          i -> CAST(ascii(text[i]) AS BIGINT)), (a, b) -> a + b) % 256 AS checksum,
+        CAST((n_chars % 640 + 1) * ((n_chars * 7) % 480 + 1) AS BIGINT) AS pixels
+      FROM documents
+      ORDER BY doc_id"""))
+
+  override val queries: Seq[Q] =
+    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12)
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream processing: the same transformations serve the batch
+  * correctness gate (Verify oracle parity) and the Structured
+  * Streaming path (specs drive them through MemoryStream →
+  * writeStream). Watermarks bound state; sessionization state is
+  * O(active users), not O(events).
+  */
+object Streams {
+
+  case class Ev(event_id: Long, user_id: Long, event_type: String,
+                us: Long, value: Double)
+  case class Session(user_id: Long, session_idx: Long, n_events: Long,
+                     start_us: Long, end_us: Long, dur_us: Long)
+  /** Public: Spark codegens the state (de)serializer for this type. */
+  case class SessState(start_us: Long, last_us: Long, n: Long, idx: Long)
+
+  /** Tumbling-window counts per event type. Works on batch and
+    * streaming frames alike; on streaming input the 2h watermark
+    * bounds window state. */
+  def windowCounts(events: DataFrame): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  private def toEv(events: DataFrame): Dataset[Ev] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("value")).as[Ev]
+  }
+
+  /** Gap-based sessionization, batch flavor: per-user sort + walk.
+    * One shuffle on user_id; each group is processed independently. */
+  def sessionize(events: DataFrame, gapUs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    toEv(events)
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+        var idx = 0L; var n = 0L; var start = 0L; var last = 0L
+        evs.foreach { e =>
+          if (n == 0 || e.us - last > gapUs) {
+            if (n > 0) out += Session(uid, idx, n, start, last, last - start)
+            idx += 1; n = 0; start = e.us
+          }
+          n += 1; last = e.us
+        }
+        if (n > 0) out += Session(uid, idx, n, start, last, last - start)
+        out
+      }
+  }
+
+  /** Streaming flavor: flatMapGroupsWithState keyed by user, emitting
+    * a session when the gap passes (or on state timeout). Requires
+    * events to arrive per-user in event-time order within the
+    * watermark (spec feeds ordered batches). */
+  def sessionizeStreaming(events: DataFrame, gapUs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    toEv(events.withWatermark("ts", "2 hours"))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var st = state.getOption.getOrElse(SessState(-1L, -1L, 0L, 0L))
+          evs.foreach { e =>
+            if (st.n == 0L || e.us - st.last_us > gapUs) {
+              if (st.n > 0L)
+                out += Session(uid, st.idx, st.n, st.start_us, st.last_us,
+                  st.last_us - st.start_us)
+              st = SessState(e.us, e.us, 1L, st.idx + 1)
+            } else st = st.copy(last_us = e.us, n = st.n + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** First event per (user, type): the deterministic batch analogue of
+    * streaming dropDuplicates-within-watermark. */
+  def firstPerKey(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), col("us").as("first_us"))
+  }
+
+  /** Streaming dedup: keep the first arrival per key within the
+    * watermark (state = one entry per distinct key). */
+  def dedupStreaming(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"),
+        unix_micros(col("ts")).as("first_us"))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.{Ann, Dedup}
+
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("exactClusters partitions all docs and keeps min id") {
+    val cl = Dedup.exactClusters(docs, "doc_id", "text").cache()
+    val total = cl.agg(sum($"cluster_size")).as[Long].head()
+    assert(total === docs.count())
+    assert(cl.where($"keeper" < 0).isEmpty)
+  }
+
+  test("ngram jaccard finds the planted near-duplicates symmetrically") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).cache()
+    assert(pairs.count() > 0, "testdata plants >0 near-dup pairs")
+    assert(pairs.where($"id_a" >= $"id_b").isEmpty, "pairs are id-ordered")
+    assert(pairs.where($"jaccard" < 0.5 || $"jaccard" > 1.0).isEmpty)
+  }
+
+  test("minhash banding recovers every jaccard>=0.8 pair as a candidate") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b")
+    val cand = Dedup.minHashCandidates(docs, "doc_id", "text", 16, 4)
+      .select("id_a", "id_b")
+    assert(exact.exceptAll(cand).isEmpty,
+      "high-jaccard pairs must collide in >=1 band")
+  }
+
+  test("simhash pairs are within the hamming bound") {
+    val p = Dedup.simHashPairs(docs, "doc_id", "text", 3)
+    assert(p.where($"hamming" > 3).isEmpty)
+  }
+
+  test("brute-force ANN ranks are dense and sims sorted per query") {
+    val r = Ann.bruteForceTopK(emb.where($"vec_id" >= 5),
+      emb.where($"vec_id" < 5), "vec_id", "embedding", 5).cache()
+    assert(r.groupBy($"q_id").count().where($"count" =!= 5).isEmpty)
+    val viol = r.as("x").join(r.as("y"),
+      $"x.q_id" === $"y.q_id" && $"x.rank" + 1 === $"y.rank" &&
+        $"x.sim" < $"y.sim")
+    assert(viol.isEmpty, "sim must be non-increasing in rank")
+  }
+
+  test("LSH ANN results are a subset of the probe bucket, exact within it") {
+    val lsh = Ann.lshTopK(emb.where($"vec_id" >= 5), emb.where($"vec_id" < 5),
+      "vec_id", "embedding", 8, 5).cache()
+    val bf = Ann.bruteForceTopK(emb.where($"vec_id" >= 5),
+      emb.where($"vec_id" < 5), "vec_id", "embedding", 1000)
+    // every LSH hit appears in the brute-force ranking with equal sim
+    val joined = lsh.join(bf.select($"q_id", $"n_id", $"sim".as("bf_sim")),
+      Seq("q_id", "n_id"))
+    assert(joined.where($"sim" =!= $"bf_sim").isEmpty)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.MemoryGraph
+import graft.model.Tables
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val g = MemoryGraph.fromTables(spark, sf)
+
+  test("node lookup dispatches on prefix and returns exactly one row") {
+    assert(g.node("ent:c:0").count() === 1)
+    assert(g.node("fact:0").select($"ntype").as[String].head() === "fact")
+    assert(g.node("nope:0").isEmpty)
+  }
+
+  test("list paginates with a stable total_count") {
+    val page = g.list("entity", Some("part"), col("score").desc, 10, 5).cache()
+    assert(page.count() === 10)
+    val parts = Tables.part(spark, sf).count()
+    assert(page.select($"total_count").distinct().as[Long].head() === parts)
+  }
+
+  test("walk follows the invalidates chain to its end") {
+    val start = Tables.events(spark, sf)
+      .where($"user_id" === 7 && $"event_type" === "view")
+      .agg(max($"event_id")).as[Long].head()
+    val chainLen = Tables.events(spark, sf)
+      .where($"user_id" === 7 && $"event_type" === "view").count() - 1
+    assert(g.walk(s"evt:$start", "invalidates", 200).count() === chainLen)
+  }
+
+  test("walk from a node with no edges is empty") {
+    assert(g.walk("fact:0", "invalidates", 5).isEmpty)
+  }
+
+  test("stats covers every node and edge type") {
+    val metrics = g.stats().select($"metric").as[String].collect().toSet
+    assert(metrics.contains("nodes_fact") && metrics.contains("nodes_topic"))
+    assert(metrics.contains("edges_invalidates") &&
+      metrics.contains("edges_decision_entity"))
+  }
+
+  test("export is the full node set") {
+    assert(g.export().count() === g.nodes.count())
+  }
+}

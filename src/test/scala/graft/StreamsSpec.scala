@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.streaming.Streams
+
+case class Raw(event_id: Long, ts: java.sql.Timestamp,
+               user_id: Long, event_type: String, value: Double)
+
+/** Drives the streaming operators through MemoryStream → writeStream
+  * and checks parity with their batch flavors on the same events. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val eventsDf = Tables.events(spark, sf)
+    .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    .orderBy($"ts", $"event_id")
+  private lazy val rawRows = eventsDf.as[Raw].collect()
+
+  test("streaming window counts equal batch window counts (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Raw]
+    ms.addData(rawRows.toSeq)
+    val q = Streams.windowCounts(ms.toDF())
+      .writeStream.format("memory").queryName("win")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("win")
+      .orderBy($"hour_bucket", $"event_type").collect()
+    val batch = Streams.windowCounts(eventsDf)
+      .orderBy($"hour_bucket", $"event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming sessionize emits the batch sessions (closed ones)") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1800000000L
+    val ms = MemoryStream[Raw]
+    ms.addData(rawRows.toSeq)
+    val q = Streams.sessionizeStreaming(ms.toDF(), gap)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("sess")
+      .orderBy($"user_id", $"session_idx").collect()
+    // append mode holds back each user's open (last) session
+    val batch = Streams.sessionize(eventsDf, gap).toDF()
+    val lastIdx = batch.groupBy($"user_id")
+      .agg(max($"session_idx").as("last_idx"))
+    val closed = batch.join(lastIdx, "user_id")
+      .where($"session_idx" < $"last_idx")
+      .select(batch.columns.map(col): _*)
+      .orderBy($"user_id", $"session_idx").collect()
+    assert(streamed.toSeq === closed.toSeq)
+  }
+
+  test("streaming dedup keeps the first arrival per key (ordered feed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Raw]
+    ms.addData(rawRows.toSeq)
+    val q = Streams.dedupStreaming(ms.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("dedup")
+      .orderBy($"user_id", $"event_type").collect()
+    val batch = Streams.firstPerKey(Tables.events(spark, sf))
+      .orderBy($"user_id", $"event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}
