@@ -28,8 +28,17 @@ object TextOps {
   def tokensSql(t: String): String = s"string_split($t, ' ')"
 
   // --- polynomial char hash ----------------------------------------
-  /** hash of a string: fold (h*31 + ascii(char)) % p over characters. */
-  def polyHash(t: Column): Column =
+  /** hash of a string: fold (h*31 + ascii(char)) % p over characters.
+    * Native codegen'd expression; [[polyHashHof]] is the equivalent
+    * builtin composition. */
+  def polyHash(t: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.PolyHash(
+      ColumnBridge.expression(t)))
+  }
+
+  /** Builtin-composition variant of [[polyHash]] (same values). */
+  def polyHashHof(t: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1)))),
       lit(0L),
@@ -53,9 +62,15 @@ object TextOps {
     s"""list_distinct(list_transform(range(1, greatest(len($tk)-1, 1)),
         i -> $tk[i] || ' ' || $tk[i+1] || ' ' || $tk[i+2]))"""
 
-  /** Hashes of the distinct shingles (order-invariant consumers only). */
-  def shingleHashes(text: Column): Column =
-    transform(shingles3(tokens(text)), s => polyHash(s))
+  /** Hashes of the distinct shingles (order-invariant consumers only).
+    * Single-pass native expression: same hash values as
+    * transform(shingles3(tokens(text)), polyHash) with zero
+    * intermediate string allocation. */
+  def shingleHashes(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.ShingleHashes3(
+      ColumnBridge.expression(text)))
+  }
 
   def shingleHashesSql(t: String): String =
     s"""list_transform(${shingles3Sql(tokensSql(t))},

@@ -19,12 +19,15 @@ object Ann {
     * cosine. Query side must be small (it is broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      id: String, vec: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(id).as("q_id"), col(vec).as("q_vec")))
+    val q = broadcast(queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+      VectorOps.norm(col(vec)).as("q_nrm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
-    corpus.select(col(id).as("n_id"), col("label"), col(vec).as("n_vec"))
+    corpus.select(col(id).as("n_id"), col("label"), col(vec).as("n_vec"),
+        VectorOps.norm(col(vec)).as("n_nrm"))
       .crossJoin(q)
-      .withColumn("sim", VectorOps.cosine6(col("n_vec"), col("q_vec")))
+      .withColumn("sim", VectorOps.cosine6Pre(col("n_vec"), col("q_vec"),
+        col("n_nrm"), col("q_nrm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("label"), col("sim"))
@@ -51,13 +54,16 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               id: String, vec: String, bits: Int, k: Int): DataFrame = {
     val c = corpus.select(col(id).as("n_id"), col("label"),
-      col(vec).as("n_vec"), lshBucket(col(vec), bits).as("bucket"))
+      col(vec).as("n_vec"), VectorOps.norm(col(vec)).as("n_nrm"),
+      lshBucket(col(vec), bits).as("bucket"))
     val q = broadcast(queries.select(col(id).as("q_id"),
-      col(vec).as("q_vec"), lshBucket(col(vec), bits).as("q_bucket")))
+      col(vec).as("q_vec"), VectorOps.norm(col(vec)).as("q_nrm"),
+      lshBucket(col(vec), bits).as("q_bucket")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     c.join(q, col("bucket") === col("q_bucket"))
-      .withColumn("sim", VectorOps.cosine6(col("n_vec"), col("q_vec")))
+      .withColumn("sim", VectorOps.cosine6Pre(col("n_vec"), col("q_vec"),
+        col("n_nrm"), col("q_nrm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("bucket"), col("sim"))

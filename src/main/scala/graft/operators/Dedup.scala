@@ -53,8 +53,13 @@ object Dedup {
   def minHashCandidates(docs: DataFrame, id: String, text: String,
                         k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sigs = docs.select(col(id).as("did"),
-      TextOps.minHashSignature(TextOps.shingleHashes(col(text)), k).as("sig"))
+    // Two-step materialization: shingle hashes once per doc, then the
+    // signature from the stored array — otherwise Catalyst re-inlines
+    // the hashing into each of the k minima (k x blowup per row).
+    val shh = docs.select(col(id).as("did"),
+      TextOps.shingleHashes(col(text)).as("shh")).cache()
+    val sigs = shh.select(col("did"),
+      TextOps.minHashSignature(col("shh"), k).as("sig")).cache()
     val banded = sigs.select(col("did"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows))))
@@ -79,8 +84,12 @@ object Dedup {
     * slices). 30-bit portable simhash over shingle hashes. */
   def simHashPairs(docs: DataFrame, id: String, text: String,
                    maxHamming: Int): DataFrame = {
-    val sims = docs.select(col(id).as("did"),
-      TextOps.simHash30(TextOps.shingleHashes(col(text))).as("sh"))
+    // Two-step materialization: simHash30 evaluates its input once per
+    // bit (30x) — feed it the stored hash array, not the hashing tree.
+    val shh = docs.select(col(id).as("did"),
+      TextOps.shingleHashes(col(text)).as("shh")).cache()
+    val sims = shh.select(col("did"),
+      TextOps.simHash30(col("shh")).as("sh")).cache()
     val banded = sims.select(col("did"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => pmod(floor(col("sh") / pow(lit(2.0), b * 8).cast("long")).cast("long"),
@@ -104,10 +113,16 @@ object Dedup {
     * LSH-bucket candidates (see Ann.lshBuckets). */
   def embeddingPairs(emb: DataFrame, id: String, vec: String,
                      tau: Double): DataFrame = {
-    val a = emb.select(col(id).as("id_a"), col(vec).as("va"))
-    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"))
+    // Norms once per row (cached), so the pair join pays only the dot.
+    val withNorm = emb.select(col(id).as("did"), col(vec).as("v"),
+      VectorOps.norm(col(vec)).as("nrm")).cache()
+    val a = withNorm.select(col("did").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = withNorm.select(col("did").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", VectorOps.cosine6(col("va"), col("vb")))
+      .withColumn("sim",
+        VectorOps.cosine6Pre(col("va"), col("vb"), col("na"), col("nb")))
       .where(col("sim") >= tau)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

@@ -135,13 +135,16 @@ object GraphSuite extends Suite {
       // pairs within a category. Here: same-label cosine >= 0.30.
       // Self-join keyed on label keeps candidate pairs bounded; the
       // unblocked scale path is AnnSuite's LSH bucketing.
-      val e = Tables.embeddings(s, d)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding"), VectorOps.norm(col("embedding")).as("nrm")).cache()
       val a = e.select(col("vec_id").as("id_a"), col("label"),
-        col("embedding").as("emb_a"))
+        col("embedding").as("emb_a"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("id_b"),
-        col("label").as("label_b"), col("embedding").as("emb_b"))
+        col("label").as("label_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nb"))
       a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-        .withColumn("sim", VectorOps.cosine6(col("emb_a"), col("emb_b")))
+        .withColumn("sim", VectorOps.cosine6Pre(col("emb_a"), col("emb_b"),
+          col("na"), col("nb")))
         .where(col("sim") >= 0.30)
         .select(col("id_a"), col("id_b"), col("label"), col("sim"))
         .orderBy(col("id_a"), col("id_b"))
@@ -162,10 +165,12 @@ object GraphSuite extends Suite {
       // the scan side streams with no shuffle.
       val e = Tables.embeddings(s, d)
       val q = broadcast(e.where(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb")))
+        .select(col("embedding").as("q_emb"),
+          VectorOps.norm(col("embedding")).as("q_nrm")))
       e.where(col("vec_id") =!= 0)
         .crossJoin(q)
-        .withColumn("sim", VectorOps.cosine6(col("embedding"), col("q_emb")))
+        .withColumn("sim", VectorOps.cosine6Pre(col("embedding"), col("q_emb"),
+          VectorOps.norm(col("embedding")), col("q_nrm")))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("label"), col("sim"))

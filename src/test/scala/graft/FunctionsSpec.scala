@@ -45,6 +45,29 @@ class FunctionsSpec extends SparkSpec {
     assert(sig === sig2)
   }
 
+  test("native expressions are bit-identical to the builtin compositions") {
+    val docs = graft.model.Tables.documents(spark, sf).limit(50).cache()
+    // poly hash: codegen'd byte loop vs char-by-char HOF fold
+    val hashDiff = docs.select(
+      TextOps.polyHash($"text").as("a"), TextOps.polyHashHof($"text").as("b"))
+      .where($"a" =!= $"b")
+    assert(hashDiff.isEmpty)
+    // shingle hashes: one-pass combine vs per-shingle string hashing
+    val shDiff = docs.select(
+      array_sort(TextOps.shingleHashes($"text")).as("a"),
+      array_sort(transform(TextOps.shingles3(TextOps.tokens($"text")),
+        s => TextOps.polyHashHof(s))).as("b"))
+      .where(org.apache.spark.sql.functions.not($"a" === $"b"))
+    assert(shDiff.isEmpty)
+    // dot: native float loop vs zip_with/aggregate fold
+    val emb = graft.model.Tables.embeddings(spark, sf).limit(50)
+    val dotDiff = emb.select(
+      VectorOps.dot($"embedding", $"embedding").as("a"),
+      VectorOps.dotHof($"embedding", $"embedding").as("b"))
+      .where($"a" =!= $"b")
+    assert(dotDiff.isEmpty)
+  }
+
   test("simHash30 stays within 30 bits and is deterministic") {
     val df = Seq("alpha beta gamma delta epsilon").toDF("t")
     val h = df.select(TextOps.simHash30(TextOps.shingleHashes($"t"))).as[Long].head()
