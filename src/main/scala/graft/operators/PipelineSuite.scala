@@ -32,7 +32,7 @@ object PipelineSuite extends Suite {
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""
       WITH sh AS (
-        SELECT doc_id, unnest(${TextOps.shingles3Sql(TextOps.tokensSql("text"))}) AS s
+        SELECT doc_id, unnest($SH) AS s
         FROM documents),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       inter AS (
