@@ -129,6 +129,54 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
   /** ExportGraph (reader.go:707): the full typed dump, stably ordered. */
   def export(): DataFrame =
     nodes.orderBy(col("ntype"), col("id"))
+
+  // --- writer surface (pure transformations) ------------------------
+  // mie's writer (writer.go:35 StoreFact … :230 InvalidateFact, :264
+  // AddRelationship, :365 UpdateStatus) mutates CozoDB in place; the
+  // Spark-native shape is snapshot semantics: every write returns a new
+  // MemoryGraph over an amended plan. At scale the amendments are
+  // appended partitions, compacted on write-out.
+
+  private def one(row: (String, String, String, String, Double)): DataFrame =
+    nodes.sparkSession.range(1).select(
+      lit(row._1).as("id"), lit(row._2).as("ntype"), lit(row._3).as("content"),
+      lit(row._4).as("attr"), lit(row._5).as("score"))
+
+  /** StoreX (writer.go:35-229): append a typed node. */
+  def store(id: String, ntype: String, content: String, attr: String,
+            score: Double): MemoryGraph =
+    new MemoryGraph(nodes.unionAll(one((id, ntype, content, attr, score))), edges)
+
+  /** AddRelationship (writer.go:264): append an edge. */
+  def addEdge(etype: String, src: String, dst: String, prop: String): MemoryGraph =
+    new MemoryGraph(nodes, edges.unionAll(
+      nodes.sparkSession.range(1).select(lit(etype).as("etype"),
+        lit(src).as("src"), lit(dst).as("dst"), lit(prop).as("prop"))))
+
+  /** InvalidateFact (writer.go:230): the new fact invalidates the old
+    * one. Validity is derived, not stored: a fact is invalid iff an
+    * `invalidates` edge points at it (see [[validNodes]]) — no
+    * in-place `valid` flip needed. */
+  def invalidate(oldId: String, newId: String, reason: String): MemoryGraph =
+    addEdge("invalidates", newId, oldId, reason)
+
+  /** UpdateStatus/UpdateDescription (writer.go:313,365): rewrite one
+    * node's attr (status/kind/category slot). */
+  def updateAttr(id: String, newAttr: String): MemoryGraph =
+    new MemoryGraph(
+      nodes.withColumn("attr",
+        when(col("id") === id, lit(newAttr)).otherwise(col("attr"))),
+      edges)
+
+  /** Nodes of a type with no incoming `invalidates` edge — the
+    * `valid = true` view (anti join, no shuffle of the edge side
+    * needed when broadcast). */
+  def validNodes(ntype: String): DataFrame = {
+    val invalidated = edges.where(col("etype") === "invalidates")
+      .select(col("dst"))
+    nodes.where(col("ntype") === ntype)
+      .join(invalidated, col("id") === col("dst"), "left_anti")
+  }
 }
 
 object MemoryGraph {

@@ -201,6 +201,24 @@ object GraphSuite extends Suite {
       SELECT id, ntype, content, attr, score FROM nodes
       ORDER BY ntype, id"""))
 
+  val b11 = Q(
+    "b11_valid_view",
+    // validNodes: the writer surface's derived validity — a node is
+    // valid iff no invalidates edge points at it (mie flips a stored
+    // `valid` flag, writer.go:230; here validity is an anti join).
+    // For events that means: the newest event of each (user, type).
+    (s, d) => MemoryGraph.fromTables(s, d)
+      .validNodes("event")
+      .orderBy(col("id")),
+    Some("""
+      SELECT 'evt:' || CAST(event_id AS VARCHAR) AS id, 'event' AS ntype,
+             event_type AS content, strftime(ts, '%Y-%m-%d') AS attr,
+             value AS score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) AS rk FROM events) t
+      WHERE rk = 1
+      ORDER BY id"""))
+
   override val queries: Seq[Q] =
-    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10)
+    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11)
 }

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.MemoryGraph
+
+/** Graph import/export, mirroring mie's export surface
+  * (/root/reference/pkg/tools/export.go: JSON and Datalog formats;
+  * cmd/mie/import.go). Spark-first: JSON lines partitioned by node
+  * type — splittable, schema-carrying, round-trippable; the Datalog
+  * rendering is a derived text column for interop with the
+  * reference's `:put` scripts.
+  */
+object GraphIO {
+
+  /** Write the graph as JSONL (nodes + edges dirs). Partitioned by
+    * ntype/etype so a selective re-import prunes directories. */
+  def exportJson(g: MemoryGraph, dir: String): Unit = {
+    g.nodes.write.mode("overwrite").partitionBy("ntype").json(s"$dir/nodes")
+    g.edges.write.mode("overwrite").partitionBy("etype").json(s"$dir/edges")
+  }
+
+  /** Read a JSONL export back into a MemoryGraph. */
+  def importJson(spark: SparkSession, dir: String): MemoryGraph = {
+    val nodes = spark.read.json(s"$dir/nodes")
+      .select(col("id"), col("ntype"), col("content"), col("attr"),
+        col("score").cast("double"))
+    val edges = spark.read.json(s"$dir/edges")
+      .select(col("etype"), col("src"), col("dst"), col("prop"))
+    new MemoryGraph(nodes, edges)
+  }
+
+  /** Render nodes as Datalog :put rows (export.go:59 exportDatalog's
+    * `?[..] <- [[..]] :put` shape) — one text line per node. */
+  def toDatalog(g: MemoryGraph): DataFrame = {
+    def q(c: org.apache.spark.sql.Column) =
+      concat(lit("'"), regexp_replace(c, "'", "\\\\'"), lit("'"))
+    g.nodes.select(col("ntype"), concat(
+      lit("?[id, content, attr, score] <- [["),
+      q(col("id")), lit(", "), q(col("content")), lit(", "),
+      q(col("attr")), lit(", "), col("score").cast("string"),
+      lit("]] :put graft_"), col("ntype"),
+      lit(" { id => content, attr, score }")).as("datalog"))
+  }
+}
