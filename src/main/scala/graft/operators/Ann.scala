@@ -48,6 +48,45 @@ object Ann {
         CASE WHEN $vec[j] >= 0 THEN CAST(pow(2, j-1) AS BIGINT)
              ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)"""
 
+  /** IVF ANN: corpus vectors are assigned to their nearest centroid
+    * (inverted lists); a query probes the `nprobe` nearest centroids
+    * and ranks only those lists by exact cosine. Centroids here are
+    * deterministic seed vectors (swap in k-means output at scale —
+    * the plan shape is identical: broadcast centroids, one pass to
+    * assign, equi-join on centroid id to probe). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              id: String, vec: String, nprobe: Int, k: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col(id).as("c_id"),
+      col(vec).as("c_vec"), VectorOps.norm(col(vec)).as("c_nrm")))
+
+    def assign(df: DataFrame, side: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(s"${side}_id"))
+        .orderBy(col("c_sim").desc, col("c_id"))
+      df.crossJoin(cent)
+        .withColumn("c_sim", VectorOps.cosine6Pre(col(s"${side}_vec"),
+          col("c_vec"), col(s"${side}_nrm"), col("c_nrm")))
+        .withColumn("c_rk", row_number().over(w))
+        .where(col("c_rk") <= keep)
+        .drop("c_vec", "c_nrm", "c_sim", "c_rk")
+    }
+
+    val corpusAssigned = assign(
+      corpus.select(col(id).as("n_id"), col("label"), col(vec).as("n_vec"),
+        VectorOps.norm(col(vec)).as("n_nrm")), "n", 1)
+    val queryProbes = assign(
+      broadcast(queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+        VectorOps.norm(col(vec)).as("q_nrm"))), "q", nprobe)
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    corpusAssigned.join(broadcast(queryProbes), "c_id")
+      .withColumn("sim", VectorOps.cosine6Pre(col("n_vec"), col("q_vec"),
+        col("n_nrm"), col("q_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("c_id"), col("sim"))
+  }
+
   /** Bucketed ANN: queries probe only their own bucket; ranking within
     * the bucket is exact cosine. Recall < 1 by construction — the
     * scale/latency trade the reference makes with HNSW `ef`/`k`. */

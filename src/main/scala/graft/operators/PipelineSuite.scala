@@ -215,6 +215,46 @@ object PipelineSuite extends Suite {
       FROM documents
       ORDER BY doc_id"""))
 
+  val c13 = Q(
+    "c13_ann_ivf",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.ivfTopK(
+          corpus = e.where(col("vec_id") >= 13),
+          queries = e.where(col("vec_id") >= 8 && col("vec_id") < 13),
+          centroids = e.where(col("vec_id") < 8),
+          "vec_id", "embedding", nprobe = 2, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+      corp AS (
+        SELECT n_id, c_id, n_emb FROM (
+          SELECT n.vec_id AS n_id, n.embedding AS n_emb, c.c_id,
+            ROW_NUMBER() OVER (PARTITION BY n.vec_id
+              ORDER BY ${VectorOps.cosine6Sql("n.embedding", "c.c_emb")} DESC,
+                       c.c_id) AS rk
+          FROM embeddings n, cent c WHERE n.vec_id >= 13) t
+        WHERE rk = 1),
+      probes AS (
+        SELECT q_id, c_id, q_emb FROM (
+          SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.c_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${VectorOps.cosine6Sql("q.embedding", "c.c_emb")} DESC,
+                       c.c_id) AS rk
+          FROM embeddings q, cent c WHERE q.vec_id >= 8 AND q.vec_id < 13) t
+        WHERE rk <= 2)
+      SELECT q_id, rank, n_id, c_id, sim FROM (
+        SELECT p.q_id, n.n_id, n.c_id,
+          ${VectorOps.cosine6Sql("n.n_emb", "p.q_emb")} AS sim,
+          ROW_NUMBER() OVER (PARTITION BY p.q_id
+            ORDER BY ${VectorOps.cosine6Sql("n.n_emb", "p.q_emb")} DESC,
+                     n.n_id) AS rank
+        FROM corp n JOIN probes p ON n.c_id = p.c_id) t
+      WHERE rank <= 5
+      ORDER BY q_id, rank"""))
+
   override val queries: Seq[Q] =
-    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12)
+    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13)
 }

@@ -254,6 +254,24 @@ object RelationalSuite extends Suite {
       GROUP BY 1, 2
       ORDER BY hour_bucket, event_type"""))
 
+  val a11 = Q(
+    "a11_salted_agg",
+    // Skewed-key aggregation via salted two-stage partials: decimal-
+    // exact, so the result is bit-identical to the direct GROUP BY the
+    // oracle runs (l_returnflag has only 3 values — exactly the shape
+    // that funnels into 3 reducers without salting).
+    (s, d) => Skew.saltedSumCount(Tables.lineitem(s, d),
+        col("l_returnflag"), col("l_extendedprice"), salts = 16)
+      .withColumnRenamed("key", "l_returnflag")
+      .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   override val queries: Seq[Q] =
-    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10)
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11)
 }
