@@ -219,6 +219,44 @@ object GraphSuite extends Suite {
       WHERE rk = 1
       ORDER BY id"""))
 
+  val b12 = Q(
+    "b12_analyze",
+    // mie_analyze (tools/analyze.go): before storing candidate
+    // content, surface (a) the most-related existing nodes and (b) the
+    // potential conflicts. Candidate = embedding of vec_id 0; related
+    // = global top-5 by cosine, conflicts = same-category sims >= 0.30.
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding"), VectorOps.norm(col("embedding")).as("nrm"))
+      val cand = broadcast(e.where(col("vec_id") === 0).select(
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        col("label").as("q_label")))
+      val scored = e.where(col("vec_id") =!= 0).crossJoin(cand)
+        .withColumn("sim", VectorOps.cosine6Pre(col("embedding"), col("q_emb"),
+          col("nrm"), col("q_nrm")))
+      val related = scored.orderBy(col("sim").desc, col("vec_id")).limit(5)
+        .select(lit("related").as("section"), col("vec_id"), col("label"), col("sim"))
+      val conflicts = scored
+        .where(col("label") === col("q_label") && col("sim") >= 0.30)
+        .select(lit("conflict").as("section"), col("vec_id"), col("label"), col("sim"))
+      related.unionAll(conflicts)
+        .orderBy(col("section"), col("vec_id"))
+    },
+    Some(s"""
+      WITH cand AS (
+        SELECT embedding AS q_emb, label AS q_label FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT b.vec_id, b.label, c.q_label,
+               ${VectorOps.cosine6Sql("b.embedding", "c.q_emb")} AS sim
+        FROM embeddings b, cand c WHERE b.vec_id <> 0)
+      SELECT section, vec_id, label, sim FROM (
+        SELECT 'related' AS section, vec_id, label, sim FROM scored
+        ORDER BY sim DESC, vec_id LIMIT 5)
+      UNION ALL
+      SELECT 'conflict', vec_id, label, sim FROM scored
+      WHERE label = q_label AND sim >= 0.30
+      ORDER BY section, vec_id"""))
+
   override val queries: Seq[Q] =
-    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11)
+    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12)
 }
