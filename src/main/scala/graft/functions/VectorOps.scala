@@ -54,6 +54,26 @@ object VectorOps {
   def cosine6Pre(a: Column, b: Column, normA: Column, normB: Column): Column =
     round(dot(a, b) / (normA * normB), 6)
 
+  /** Deterministic mock embedding of a text column, re-expressing
+    * mie's hash-seeded mock provider
+    * (/root/reference/pkg/memory/embedding.go:113
+    * MockEmbeddingProvider.generateDeterministic): dimension i of the
+    * vector is a pseudo-random value in [-1, 1) derived from the
+    * text's poly-hash. `h` must be a *materialized* hash column
+    * (poly_hash(text)) so it isn't recomputed per dimension. All
+    * arithmetic is exact 64-bit (products < 1e15), so the oracle
+    * mirror is bit-identical. */
+  def mockEmbedding(h: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i => {
+      val a = (i.cast("long") * lit(2654435761L) + lit(12345L)) % lit(1000003L)
+      (((h * a) % lit(1000003L)).cast("double") / lit(1000003.0)) * 2.0 - 1.0
+    })
+
+  def mockEmbeddingSql(h: String, dim: Int): String =
+    s"""list_transform(range(0, $dim), i ->
+        (CAST(($h * ((i * 2654435761 + 12345) % 1000003)) % 1000003 AS DOUBLE)
+         / 1000003.0) * 2.0 - 1.0)"""
+
   /** DuckDB oracle fragment computing the identical sequential-fold
     * cosine between list columns `a` and `b` (64-dim float lists). */
   def cosineSql(a: String, b: String): String = {

@@ -21,15 +21,17 @@ object Ann {
                      id: String, vec: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
       VectorOps.norm(col(vec)).as("q_nrm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    corpus.select(col(id).as("n_id"), col("label"), col(vec).as("n_vec"),
-        VectorOps.norm(col(vec)).as("n_nrm"))
+    val scored = corpus.select(col(id).as("n_id"), col("label"),
+        col(vec).as("n_vec"), VectorOps.norm(col(vec)).as("n_nrm"))
       .crossJoin(q)
       .withColumn("sim", VectorOps.cosine6Pre(col("n_vec"), col("q_vec"),
         col("n_nrm"), col("q_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // Custom bounded-heap physical operator (graft.plans.TopKPerKey):
+    // O(queries*k) state instead of the window phrasing's full
+    // per-partition sort. Output identical to
+    // row_number().over(partitionBy(q_id).orderBy(sim desc, n_id)) <= k.
+    graft.plans.TopKPerKey(scored, Seq(col("q_id")),
+        Seq(col("sim").desc, col("n_id")), k)
       .select(col("q_id"), col("rank"), col("n_id"), col("label"), col("sim"))
   }
 

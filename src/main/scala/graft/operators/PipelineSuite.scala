@@ -255,6 +255,28 @@ object PipelineSuite extends Suite {
       WHERE rank <= 5
       ORDER BY q_id, rank"""))
 
+  val c14 = Q(
+    "c14_mock_embed",
+    // mie's embedding pipeline with the deterministic mock provider
+    // (embedding.go:113): text -> hash-seeded vector + its norm.
+    // Output rounds each dim to 6 so both engines' doubles hash equal.
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.polyHash(col("text")).as("h"))
+      .select(col("doc_id"),
+        transform(VectorOps.mockEmbedding(col("h"), 8),
+          x => round(x, 6)).as("embedding"),
+        round(sqrt(aggregate(VectorOps.mockEmbedding(col("h"), 8),
+          lit(0.0), (a, x) => a + x * x)), 6).as("nrm"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+        list_transform(${VectorOps.mockEmbeddingSql("h", 8)},
+          x -> round(x, 6)) AS embedding,
+        round(sqrt(list_reduce(list_transform(${VectorOps.mockEmbeddingSql("h", 8)},
+          x -> x * x), (a, b) -> a + b)), 6) AS nrm
+      FROM (SELECT doc_id, ${TextOps.polyHashSql("text")} AS h FROM documents) t
+      ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
-    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13)
+    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14)
 }

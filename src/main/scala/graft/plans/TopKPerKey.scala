@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator custom plan: per-key top-k with a bounded heap.
+  *
+  * The DataFrame phrasing — row_number() over (partition by key order
+  * by ...) <= k — sorts every key group in full; at 100 TB the sort
+  * state is O(group size). This operator keeps only k rows per key
+  * (O(keys * k) memory), the same trick TakeOrderedAndProject plays
+  * globally, per key. Exact same output as the window phrasing
+  * (deterministic total sort order required), verified by the c6
+  * oracle and TopKPerKeySpec.
+  *
+  * Wiring: logical node + planner strategy (injected via
+  * GraftExtensions) + physical exec with ClusteredDistribution on the
+  * key, so EnsureRequirements inserts exactly one hash shuffle.
+  */
+case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
+                          k: Int, rankAttr: AttributeReference,
+                          child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+                          k: Int, rankAttr: AttributeReference,
+                          child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val kk = k
+    val outAttrs = output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .create(sortOrder, childOutput)
+      // max-heap on ord: peek = worst kept row
+      val heaps = new java.util.HashMap[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]()
+      while (it.hasNext) {
+        val row = it.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reversed())
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < kk) heap.offer(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.offer(row.copy())
+        }
+      }
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val res = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.values().forEach { heap =>
+        val arr = new Array[InternalRow](heap.size())
+        var i = arr.length - 1
+        while (!heap.isEmpty) { arr(i) = heap.poll(); i -= 1 } // worst out first
+        var r = 0
+        while (r < arr.length) {
+          val rankRow = new GenericInternalRow(Array[Any](r + 1))
+          res += outProj(joined(arr(r), rankRow)).copy()
+          r += 1
+        }
+      }
+      res.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(keys, order, k, rankAttr, child) =>
+      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** df -> df + `rankName` int column, keeping only the k best rows per
+    * key under `orderBy` (which must be a deterministic total order
+    * within a key).
+    *
+    * Limitation shared with any non-builtin attribute-producing node:
+    * DeduplicateRelations only special-cases Spark's own generators,
+    * so SELF-joining the result needs a lineage break first
+    * (localCheckpoint) or distinct aliases via select-with-alias. */
+  def apply(df: DataFrame, keyCols: Seq[Column], orderBy: Seq[Column],
+            k: Int, rankName: String = "rank"): DataFrame = {
+    // Self-registering: works with or without GraftExtensions.
+    val exp = df.sparkSession.experimental
+    if (!exp.extraStrategies.contains(TopKPerKeyStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKPerKeyStrategy
+    val keys = keyCols.map(ColumnBridge.expression)
+    val order = orderBy.map(c => ColumnBridge.expression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    })
+    val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
+    ColumnBridge.ofRows(df.sparkSession,
+      TopKPerKeyPlan(keys, order, k, rankAttr, ColumnBridge.logicalPlan(df)))
+  }
+}
