@@ -69,6 +69,14 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
       .select(col("ntype"), col("rk"), col("id"), col("content"), col("attr"))
   }
 
+  /** FindEntityByName (reader.go:385): case-insensitive exact name
+    * match, first by id. FindFactByContent / FindDecisionByTitle
+    * (reader.go:412,438) are [[exactSearch]] with perType=1. */
+  def findByName(ntype: String, name: String): DataFrame =
+    nodes.where(col("ntype") === ntype &&
+        lower(col("content")) === name.toLowerCase)
+      .orderBy(col("id")).limit(1)
+
   /** 1-hop traversal src→dst over one edge type, returning dst nodes
     * (reader.go:464-614 GetRelatedEntities / GetFactsAboutEntity /
     * GetDecisionEntities / GetEntityDecisions — all are this join with

@@ -35,6 +35,13 @@ class GraphSpec extends SparkSpec {
     assert(g.walk("fact:0", "invalidates", 5).isEmpty)
   }
 
+  test("findByName is case-insensitive and returns one row") {
+    val name = g.node("ent:c:3").select($"content").as[String].head()
+    val found = g.findByName("entity", name.toUpperCase())
+    assert(found.count() === 1)
+    assert(found.select($"id").as[String].head() === "ent:c:3")
+  }
+
   test("stats covers every node and edge type") {
     val metrics = g.stats().select($"metric").as[String].collect().toSet
     assert(metrics.contains("nodes_fact") && metrics.contains("nodes_topic"))
