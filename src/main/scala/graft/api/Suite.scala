@@ -16,9 +16,3 @@ final case class Q(
 trait Suite {
   def queries: Seq[Q]
 }
-
-object Suite {
-  /** Decimal-exact sum cast back to double: order-independent and
-    * bit-identical between Spark and DuckDB (see SURVEY.md §4). */
-  val DecSql = "DECIMAL(25,6)"
-}
