@@ -51,12 +51,17 @@ object TextOps {
         i -> CAST(ascii($t[i]) AS BIGINT)), (h, c) -> (h*31 + c) % $P)"""
 
   // --- shingles -----------------------------------------------------
-  /** Distinct word 3-gram shingles of a token array column. */
+  /** Distinct word 3-gram shingles of a token array column.
+    * Guarded for <3 tokens: sequence(1, 0) would produce a DESCENDING
+    * [1, 0] and element_at would throw (latent trap found by
+    * RandomizedParitySpec — the corpus never has short docs). */
   def shingles3(tk: Column): Column =
     array_distinct(
-      transform(sequence(lit(1), greatest(size(tk) - 2, lit(0))),
-        i => concat_ws(" ",
-          element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
+      when(size(tk) >= 3,
+        transform(sequence(lit(1), size(tk) - 2),
+          i => concat_ws(" ",
+            element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
+        .otherwise(array().cast("array<string>")))
 
   def shingles3Sql(tk: String): String =
     s"""list_distinct(list_transform(range(1, greatest(len($tk)-1, 1)),
