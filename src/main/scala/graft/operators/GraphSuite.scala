@@ -257,6 +257,37 @@ object GraphSuite extends Suite {
       WHERE label = q_label AND sim >= 0.30
       ORDER BY section, vec_id"""))
 
+  val b13 = Q(
+    "b13_degree_centrality",
+    // Relationship analytics over the memory graph: total degree
+    // (in + out) per node, top-20 hubs. Two groupBys + an outer merge —
+    // the DataFrame-native shape of GraphX degrees (no RDDs needed).
+    (s, d) => {
+      val g = MemoryGraph.fromTables(s, d)
+      val outDeg = g.edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("out_deg"))
+      val inDeg = g.edges.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("in_deg"))
+      outDeg.join(inDeg, Seq("node"), "full_outer")
+        .select(col("node"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .withColumn("degree", col("out_deg") + col("in_deg"))
+        .orderBy(col("degree").desc, col("node"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH edges AS ($E),
+      outd AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src),
+      ind AS (SELECT dst AS node, COUNT(*) AS in_deg FROM edges GROUP BY dst)
+      SELECT COALESCE(outd.node, ind.node) AS node,
+             COALESCE(out_deg, 0) AS out_deg,
+             COALESCE(in_deg, 0) AS in_deg,
+             COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS degree
+      FROM outd FULL OUTER JOIN ind ON outd.node = ind.node
+      ORDER BY degree DESC, node
+      LIMIT 20"""))
+
   override val queries: Seq[Q] =
-    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12)
+    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13)
 }

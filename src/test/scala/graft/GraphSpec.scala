@@ -31,6 +31,15 @@ class GraphSpec extends SparkSpec {
     assert(g.walk(s"evt:$start", "invalidates", 200).count() === chainLen)
   }
 
+  test("walk truncates at maxHops") {
+    val start = Tables.events(spark, sf)
+      .where($"user_id" === 7 && $"event_type" === "view")
+      .agg(max($"event_id")).as[Long].head()
+    val truncated = g.walk(s"evt:$start", "invalidates", maxHops = 4)
+    assert(truncated.count() === 4)
+    assert(truncated.agg(max($"step")).as[Int].head() === 4)
+  }
+
   test("walk from a node with no edges is empty") {
     assert(g.walk("fact:0", "invalidates", 5).isEmpty)
   }
