@@ -288,6 +288,24 @@ object GraphSuite extends Suite {
       ORDER BY degree DESC, node
       LIMIT 20"""))
 
+  val b14 = Q(
+    "b14_connected_components",
+    // Generic distributed CC over the invalidates subgraph; the chains
+    // are per-(user, type), so the oracle's closed form is the group
+    // min — the algorithm doesn't know that.
+    (s, d) => MemoryGraph.fromTables(s, d)
+      .connectedComponents("invalidates")
+      .orderBy(col("node")),
+    Some("""
+      SELECT node, MIN(node) OVER (PARTITION BY user_id, event_type) AS component
+      FROM (
+        SELECT user_id, event_type,
+               'evt:' || CAST(event_id AS VARCHAR) AS node,
+               COUNT(*) OVER (PARTITION BY user_id, event_type) AS cnt
+        FROM events) t
+      WHERE cnt >= 2
+      ORDER BY node"""))
+
   override val queries: Seq[Q] =
-    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13)
+    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14)
 }

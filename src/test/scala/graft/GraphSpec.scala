@@ -58,6 +58,17 @@ class GraphSpec extends SparkSpec {
       metrics.contains("edges_decision_entity"))
   }
 
+  test("connected components: one component per (user, type) chain") {
+    val cc = g.connectedComponents("invalidates").cache()
+    val nComponents = cc.select($"component").distinct().count()
+    val nChains = Tables.events(spark, sf)
+      .groupBy($"user_id", $"event_type").count()
+      .where($"count" >= 2).count()
+    assert(nComponents === nChains)
+    // every component id is a member of its own component
+    assert(cc.where($"node" === $"component").count() === nComponents)
+  }
+
   test("export is the full node set") {
     assert(g.export().count() === g.nodes.count())
   }
