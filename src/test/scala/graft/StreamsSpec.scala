@@ -55,6 +55,31 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq === closed.toSeq)
   }
 
+  test("sessionize state carries across batches (boundary sessions merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1800000000L
+    val ms = MemoryStream[Raw]
+    val (h1, h2) = rawRows.splitAt(rawRows.length / 2)
+    val q = Streams.sessionizeStreaming(ms.toDF(), gap)
+      .writeStream.format("memory").queryName("sess2")
+      .outputMode("append").start()
+    try {
+      ms.addData(h1.toSeq); q.processAllAvailable()
+      ms.addData(h2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess2")
+      .orderBy($"user_id", $"session_idx").collect()
+    val batch = Streams.sessionize(eventsDf, gap).toDF()
+    val lastIdx = batch.groupBy($"user_id")
+      .agg(max($"session_idx").as("last_idx"))
+    val closed = batch.join(lastIdx, "user_id")
+      .where($"session_idx" < $"last_idx")
+      .select(batch.columns.map(col): _*)
+      .orderBy($"user_id", $"session_idx").collect()
+    // a session spanning the batch boundary must merge, not split
+    assert(streamed.toSeq === closed.toSeq)
+  }
+
   test("streaming dedup keeps the first arrival per key (ordered feed)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Raw]
