@@ -154,22 +154,26 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
+      // previous label rides along as `old` so convergence needs no
+      // extra join after the jump
       val viaNbr = und.join(lab, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"))
-      val merged = lab.unionAll(viaNbr)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .select(col("dst").as("node"), col("label"),
+          lit(null).cast("string").as("old"))
+      val merged = lab
+        .select(col("node"), col("label"), col("label").as("old"))
+        .unionAll(viaNbr)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
       // pointer jump: label <- label(label), halving chain depth
       val next = merged.alias("a")
         .join(merged.select(col("node").as("n2"), col("label").as("l2")),
           col("a.label") === col("n2"), "left")
         .select(col("a.node").as("node"),
-          coalesce(col("l2"), col("a.label")).as("label"))
+          coalesce(col("l2"), col("a.label")).as("label"),
+          col("a.old").as("old"))
         .localCheckpoint(true)
-      changed = next.alias("x")
-        .join(lab.select(col("node").as("n0"), col("label").as("l0")),
-          col("node") === col("n0"))
-        .where(col("label") =!= col("l0")).count()
-      lab = next
+      changed = next.where(col("label") =!= col("old")).count()
+      lab = next.select(col("node"), col("label"))
       iter += 1
     }
     lab.select(col("node"), col("label").as("component"))
