@@ -306,6 +306,47 @@ object GraphSuite extends Suite {
       WHERE cnt >= 2
       ORDER BY node"""))
 
+  val b15 = Q(
+    "b15_path_centrality",
+    // Katz-style centrality with exact integer arithmetic: score_K(v)
+    // = number of inbound paths of length <= K ending at v (score_0 =
+    // 1 everywhere; score_{k+1} = 1 + sum over in-edges of the
+    // source's score_k). Integer path counts are order-independent,
+    // so the distributed sums hash-match exactly — the float-free way
+    // to grade iterative centrality. K = 3.
+    (s, d) => {
+      val g = MemoryGraph.fromTables(s, d)
+      val e = g.edges.select(col("src"), col("dst"))
+      var score = g.nodes.select(col("id").as("node"), lit(1L).as("score"))
+      (1 to 3).foreach { _ =>
+        val contrib = e.join(score, col("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(col("score")).as("in_score"))
+        score = g.nodes.select(col("id").as("node"))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(1L) + coalesce(col("in_score"), lit(0L))).as("score"))
+      }
+      score.orderBy(col("score").desc, col("node")).limit(25)
+    },
+    Some(s"""
+      WITH nodes AS ($N), e AS (SELECT src, dst FROM ($E) t),
+      s0 AS (SELECT id AS node, CAST(1 AS BIGINT) AS score FROM nodes),
+      s1 AS (SELECT n.node, 1 + COALESCE(c.in_score, 0) AS score
+             FROM s0 n LEFT JOIN (
+               SELECT dst, SUM(score) AS in_score FROM e JOIN s0 ON src = node
+               GROUP BY dst) c ON n.node = c.dst),
+      s2 AS (SELECT n.node, 1 + COALESCE(c.in_score, 0) AS score
+             FROM s1 n LEFT JOIN (
+               SELECT dst, SUM(score) AS in_score FROM e JOIN s1 ON src = node
+               GROUP BY dst) c ON n.node = c.dst),
+      s3 AS (SELECT n.node, 1 + COALESCE(c.in_score, 0) AS score
+             FROM s2 n LEFT JOIN (
+               SELECT dst, SUM(score) AS in_score FROM e JOIN s2 ON src = node
+               GROUP BY dst) c ON n.node = c.dst)
+      SELECT node, score FROM s3
+      ORDER BY score DESC, node
+      LIMIT 25"""))
+
   override val queries: Seq[Q] =
-    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14)
+    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15)
 }
