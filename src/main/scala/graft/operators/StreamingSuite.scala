@@ -62,5 +62,22 @@ object StreamingSuite extends Suite {
       WHERE rk = 1
       ORDER BY user_id, event_type"""))
 
-  override val queries: Seq[Q] = Seq(d1, d2, d3)
+  val d4 = Q(
+    "d4_stream_join",
+    // Stream-stream time-range join semantics, batch-replayed: every
+    // purchase within 1h after a click by the same user.
+    (s, d) => Streams.correlate(Tables.events(s, d), "click", "purchase",
+        horizonUs = 3600000000L)
+      .orderBy(col("user_id"), col("a_id"), col("b_id")),
+    Some("""
+      SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+             epoch_us(a.ts) AS a_us, epoch_us(b.ts) AS b_us
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts
+       AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+      ORDER BY a.user_id, a_id, b_id"""))
+
+  override val queries: Seq[Q] = Seq(d1, d2, d3, d4)
 }

@@ -107,6 +107,29 @@ object Streams {
         col("event_id").as("first_event_id"), col("us").as("first_us"))
   }
 
+  /** Event correlation: for every `typeA` event, the `typeB` events of
+    * the same user within `horizonUs` after it — a stream-stream
+    * time-range join. On streaming inputs both sides get watermarks so
+    * the join state is bounded by the horizon; on batch inputs it is
+    * the plain range join the oracle replays. */
+  def correlate(events: DataFrame, typeA: String, typeB: String,
+                horizonUs: Long): DataFrame = {
+    def side(t: String, pfx: String) = {
+      val base = events.where(col("event_type") === t)
+      val wm = if (base.isStreaming) base.withWatermark("ts", "2 hours") else base
+      wm.select(col("user_id").as(s"${pfx}_user"),
+        col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"))
+    }
+    val a = side(typeA, "a")
+    val b = side(typeB, "b")
+    a.join(b,
+        col("a_user") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          unix_micros(col("b_ts")) <= unix_micros(col("a_ts")) + horizonUs)
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        unix_micros(col("a_ts")).as("a_us"), unix_micros(col("b_ts")).as("b_us"))
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

@@ -80,6 +80,22 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq === closed.toSeq)
   }
 
+  test("stream-stream time-range join equals the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Raw]
+    ms.addData(rawRows.toSeq)
+    val q = Streams.correlate(ms.toDF(), "click", "purchase", 3600000000L)
+      .writeStream.format("memory").queryName("corr")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("corr")
+      .orderBy($"user_id", $"a_id", $"b_id").collect()
+    val batch = Streams.correlate(
+        Tables.events(spark, sf), "click", "purchase", 3600000000L)
+      .orderBy($"user_id", $"a_id", $"b_id").collect()
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming dedup keeps the first arrival per key (ordered feed)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Raw]
