@@ -277,6 +277,41 @@ object PipelineSuite extends Suite {
       FROM (SELECT doc_id, ${TextOps.polyHashSql("text")} AS h FROM documents) t
       ORDER BY doc_id"""))
 
+  val c15 = Q(
+    "c15_text_ann",
+    // End-to-end text similarity: text -> deterministic embedding
+    // (cast to float32, the storage dtype) -> brute-force top-3 via
+    // the TopKPerKey custom plan. Composes TextOps + VectorOps + Ann.
+    (s, d) => {
+      val emb = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.polyHash(col("text")).as("h"))
+        .select(col("doc_id"),
+          transform(VectorOps.mockEmbedding(col("h"), 16),
+            x => x.cast("float")).as("embedding"),
+          lit(0).as("label"))
+      Ann.bruteForceTopK(
+          emb.where(col("doc_id") >= 3), emb.where(col("doc_id") < 3),
+          "doc_id", "embedding", k = 3)
+        .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH emb AS (
+        SELECT doc_id,
+               list_transform(${VectorOps.mockEmbeddingSql("h", 16)},
+                 x -> CAST(x AS FLOAT)) AS embedding
+        FROM (SELECT doc_id, ${TextOps.polyHashSql("text")} AS h FROM documents) t)
+      SELECT q_id, rank, n_id, sim FROM (
+        SELECT a.doc_id AS q_id, b.doc_id AS n_id,
+               ${VectorOps.cosine6Sql("b.embedding", "a.embedding")} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY a.doc_id
+                 ORDER BY ${VectorOps.cosine6Sql("b.embedding", "a.embedding")} DESC,
+                          b.doc_id) AS rank
+        FROM emb a JOIN emb b ON b.doc_id >= 3
+        WHERE a.doc_id < 3) t
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""))
+
   override val queries: Seq[Q] =
-    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14)
+    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15)
 }
