@@ -122,10 +122,14 @@ object Streams {
     }
     val a = side(typeA, "a")
     val b = side(typeB, "b")
+    // Both bounds as plain timestamp arithmetic: StreamingJoinHelper
+    // can only derive state-eviction watermarks from interval algebra,
+    // not from unix_micros() — the function form silently made the
+    // join state unbounded.
     a.join(b,
         col("a_user") === col("b_user") &&
           col("b_ts") >= col("a_ts") &&
-          unix_micros(col("b_ts")) <= unix_micros(col("a_ts")) + horizonUs)
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonUs MICROSECOND"))
       .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
         unix_micros(col("a_ts")).as("a_us"), unix_micros(col("b_ts")).as("b_us"))
   }

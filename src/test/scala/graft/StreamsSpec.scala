@@ -80,6 +80,37 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq === closed.toSeq)
   }
 
+  test("append-mode windows emit exactly up to the advancing watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val maxTs = rawRows.map(_.ts.getTime).max
+    val cutoff = maxTs - 3 * 3600 * 1000
+    val (early, late) = rawRows.partition(_.ts.getTime < cutoff)
+    val ms = MemoryStream[Raw]
+    val q = Streams.windowCounts(ms.toDF())
+      .writeStream.format("memory").queryName("winapp")
+      .outputMode("append").start()
+    try {
+      ms.addData(early.toSeq); q.processAllAvailable()
+      val afterFirst = spark.table("winapp").count()
+      ms.addData(late.toSeq); q.processAllAvailable()
+      val afterSecond = spark.table("winapp").count()
+      assert(afterSecond > afterFirst, "advancing watermark emits more windows")
+      // emitted set == batch windows whose end <= final watermark
+      val wmMillis = maxTs - 2 * 3600 * 1000 // 2h watermark delay
+      val expected = Streams.windowCounts(eventsDf).collect().filter { r =>
+        val start = java.time.LocalDateTime
+          .parse(r.getAs[String]("hour_bucket"), fmt)
+        start.plusHours(1).toInstant(java.time.ZoneOffset.UTC)
+          .toEpochMilli <= wmMillis
+      }
+      val emitted = spark.table("winapp").collect()
+      assert(emitted.map(_.toString).sorted.toSeq ===
+        expected.map(_.toString).sorted.toSeq)
+    } finally q.stop()
+  }
+
   test("stream-stream time-range join equals the batch range join") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Raw]
