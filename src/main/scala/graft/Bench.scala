@@ -12,6 +12,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // local-mode scheduling: no locality waits, larger broadcast
+      // threshold so sf0.1 dims broadcast instead of shuffling
+      .config("spark.locality.wait", "0s")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/parquet-reader init, so the first
