@@ -16,8 +16,8 @@ class EntryContractSpec extends SparkSpec {
   test("oracle keys are a subset of query keys") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(o.subsetOf(q), s"orphan oracles: ${o.diff(q)}")
-    assert(q.size >= 35, "full SURVEY §2 inventory registered")
+    assert(o === q, s"every query carries an oracle; diff: ${q.diff(o)} ${o.diff(q)}")
+    assert(q.size >= 45, "full SURVEY §2 inventory registered")
   }
 
   test("every query analyzes at sf0.001 and emits no raw timestamps") {
