@@ -133,51 +133,14 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
       .where(col("step") <= maxHops)
   }
 
-  /** Connected components over one edge type (undirected): classic
-    * min-label propagation with pointer jumping, so convergence is
-    * O(log diameter) materialized rounds. Component id = the
-    * lexicographically smallest member node id. Returns (node,
-    * component) for every node incident to an edge of the type.
-    * Generic — knows nothing about how the edges were derived; the
-    * b14 oracle checks it against the closed form on the linear
-    * invalidates chains. */
-  def connectedComponents(etype: String, maxIter: Int = 20): DataFrame = {
-    val dir = edges.where(col("etype") === etype)
-      .select(col("src"), col("dst"))
-    val und = dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    var lab = und.select(col("src").as("node"))
-      .unionAll(und.select(col("dst").as("node")))
-      .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    var iter = 0
-    var changed = 1L
-    while (iter < maxIter && changed > 0) {
-      // previous label rides along as `old` so convergence needs no
-      // extra join after the jump
-      val viaNbr = und.join(lab, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"),
-          lit(null).cast("string").as("old"))
-      val merged = lab
-        .select(col("node"), col("label"), col("label").as("old"))
-        .unionAll(viaNbr)
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-      // pointer jump: label <- label(label), halving chain depth
-      val next = merged.alias("a")
-        .join(merged.select(col("node").as("n2"), col("label").as("l2")),
-          col("a.label") === col("n2"), "left")
-        .select(col("a.node").as("node"),
-          coalesce(col("l2"), col("a.label")).as("label"),
-          col("a.old").as("old"))
-        .localCheckpoint(true)
-      changed = next.where(col("label") =!= col("old")).count()
-      lab = next.select(col("node"), col("label"))
-      iter += 1
-    }
-    lab.select(col("node"), col("label").as("component"))
-  }
+  /** Connected components over one edge type (undirected) — see
+    * [[GraphAlgo.connectedComponents]] for the algorithm. Returns
+    * (node, component) for every node incident to an edge of the
+    * type; component id = smallest member node id. */
+  def connectedComponents(etype: String, maxIter: Int = 20): DataFrame =
+    GraphAlgo.connectedComponents(
+      edges.where(col("etype") === etype).select(col("src"), col("dst")),
+      maxIter)
 
   /** GetStats (reader.go:617): one row per node/edge-type metric. */
   def stats(): DataFrame = {

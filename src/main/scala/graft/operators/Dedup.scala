@@ -110,6 +110,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"), col("hamming"))
   }
 
+  /** Apply dedup: resolve near-dup pairs (token-Jaccard >= tau) into
+    * transitive clusters via distributed connected components, keeping
+    * the minimum id per cluster. Returns (doc_id, keeper) for EVERY
+    * doc that belongs to a near-dup cluster; filtering
+    * `doc_id =!= keeper` gives the rows to drop. This is the operator
+    * a curation pipeline actually runs — the pair generators above are
+    * its candidate stages. */
+  def deduplicate(docs: DataFrame, id: String, text: String,
+                  tau: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, id, text, tau)
+    graft.graph.GraphAlgo
+      .connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .select(col("node").as(id), col("component").as("keeper"))
+  }
+
   /** Embedding near-dup pairs: cosine >= tau over all id-ordered
     * pairs. Brute force — the exact verifier; at scale feed it
     * LSH-bucket candidates (see Ann.lshBuckets). */

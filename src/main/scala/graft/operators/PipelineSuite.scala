@@ -312,6 +312,36 @@ object PipelineSuite extends Suite {
       WHERE rank <= 3
       ORDER BY q_id, rank"""))
 
+  val c16 = Q(
+    "c16_dedup_apply",
+    // Resolve near-dup pairs into transitive clusters (distributed CC)
+    // and pick the keeper: the end-to-end "dedup this corpus" op.
+    (s, d) => Dedup.deduplicate(Tables.documents(s, d), "doc_id", "text", 0.5)
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest($SH) AS s FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a)
+      SELECT n AS doc_id, LEAST(n, MIN(m)) AS keeper
+      FROM reach
+      GROUP BY n
+      ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
-    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15)
+    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15, c16)
 }
