@@ -36,14 +36,15 @@ object GraphAlgo {
         .unionAll(viaNbr)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-      // pointer jump: label <- label(label), halving chain depth
-      val next = merged.alias("a")
-        .join(merged.select(col("node").as("n2"), col("label").as("l2")),
+      // pointer jump applied twice: label <- label(label(label(label))),
+      // quartering chain depth per round (log4 rounds instead of log2)
+      def jump(df: DataFrame): DataFrame = df.alias("a")
+        .join(df.select(col("node").as("n2"), col("label").as("l2")),
           col("a.label") === col("n2"), "left")
         .select(col("a.node").as("node"),
           coalesce(col("l2"), col("a.label")).as("label"),
           col("a.old").as("old"))
-        .localCheckpoint(true)
+      val next = jump(jump(merged)).localCheckpoint(true)
       changed = next.where(col("label") =!= col("old")).count()
       lab = next.select(col("node"), col("label"))
       iter += 1
