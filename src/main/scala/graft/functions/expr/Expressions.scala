@@ -17,18 +17,22 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** dot(a, b) over array<float>: sequential double fold with 0.0 init —
   * identical to aggregate(zip_with(a,b,(x,y)->x*y), 0d, +) and to
-  * DuckDB's list_reduce mirror. ~40x faster than the interpreted HOF
-  * tree (primitive loop inside whole-stage codegen). */
+  * DuckDB's list_reduce mirror, INCLUDING the null-on-length-mismatch
+  * case (zip_with null-pads the shorter array and the null poisons the
+  * sum). ~40x faster than the interpreted HOF tree (primitive loop
+  * inside whole-stage codegen). */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -44,12 +48,16 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $sum = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $sum = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          }
+          ${ev.value} = $sum;
         }
-        ${ev.value} = $sum;
       """
     })
 
@@ -117,7 +125,9 @@ case class ShingleHashes3(child: Expression)
     val s = input.asInstanceOf[UTF8String].toString
     // per-token (hash, 31^(len+1) mod p) — the +1 accounts for the
     // joining space appended when combining
-    val tokens = s.split(' ')
+    // limit -1 keeps trailing empty tokens, matching Spark's
+    // split(text, " ") and DuckDB string_split exactly
+    val tokens = s.split(" ", -1)
     val n = tokens.length
     if (n < 3) return new GenericArrayData(Array.empty[Long])
     val th = new Array[Long](n)

@@ -42,17 +42,28 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
   }
 
   /** ListNodes: filter + sort + paginate + total_count
-    * (reader.go:187 ListNodes / countNodes). The window count avoids
-    * the reference's second scan. */
+    * (reader.go:187 ListNodes / countNodes). Scale shape: the page is
+    * fetched with orderBy+limit (TakeOrderedAndProject — a per-
+    * partition bounded heap + driver merge, never a global sort or a
+    * single-partition window over the full table); only the
+    * (offset+limit)-row slice is ranked. total_count is the
+    * reference's second scan, joined in as a broadcast scalar. */
   def list(ntype: String, attrEq: Option[String], sortBy: Column,
-           limit: Int, offset: Int): DataFrame = {
-    val base = attrEq.foldLeft(nodes.where(col("ntype") === ntype))(
+           limit: Int, offset: Int, validOnly: Boolean = false): DataFrame = {
+    val filtered = attrEq.foldLeft(nodes.where(col("ntype") === ntype))(
       (df, a) => df.where(col("attr") === a))
-    val w = Window.orderBy(sortBy, col("id"))
-    base
+    val base = if (validOnly) notInvalidated(filtered) else filtered
+    val total = broadcast(base.agg(count(lit(1)).as("total_count")))
+    val page = base.orderBy(sortBy, col("id")).limit(offset + limit)
+    // rank only the k-row page; ntype is constant under the filter, so
+    // partitioning by it is semantically global but avoids the
+    // empty-partition-spec window path (a literal would be folded away
+    // by EliminateWindowPartitions)
+    val w = Window.partitionBy(col("ntype")).orderBy(sortBy, col("id"))
+    page
       .withColumn("pos", row_number().over(w))
-      .withColumn("total_count", count(lit(1)).over(Window.partitionBy()))
-      .where(col("pos") > offset && col("pos") <= offset + limit)
+      .where(col("pos") > offset)
+      .crossJoin(total)
       .select(col("pos"), col("id"), col("content"), col("attr"),
         col("score"), col("total_count"))
   }
@@ -193,15 +204,20 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
         when(col("id") === id, lit(newAttr)).otherwise(col("attr"))),
       edges)
 
+  /** Anti join against the invalidated set — the `valid = true`
+    * condition the reference folds into every listing query
+    * (reader.go:240-259). Broadcast-able edge side, no node shuffle. */
+  private def notInvalidated(df: DataFrame): DataFrame = {
+    val invalidated = edges.where(col("etype") === "invalidates")
+      .select(col("dst"))
+    df.join(invalidated, col("id") === col("dst"), "left_anti")
+  }
+
   /** Nodes of a type with no incoming `invalidates` edge — the
     * `valid = true` view (anti join, no shuffle of the edge side
     * needed when broadcast). */
-  def validNodes(ntype: String): DataFrame = {
-    val invalidated = edges.where(col("etype") === "invalidates")
-      .select(col("dst"))
-    nodes.where(col("ntype") === ntype)
-      .join(invalidated, col("id") === col("dst"), "left_anti")
-  }
+  def validNodes(ntype: String): DataFrame =
+    notInvalidated(nodes.where(col("ntype") === ntype))
 }
 
 object MemoryGraph {

@@ -58,10 +58,13 @@ object Dedup {
     // Two-step materialization: shingle hashes once per doc, then the
     // signature from the stored array — otherwise Catalyst re-inlines
     // the hashing into each of the k minima (k x blowup per row).
+    // localCheckpoint (not cache) so the blocks are released when the
+    // RDD goes out of scope instead of pinning executor memory for the
+    // rest of a multi-query session.
     val shh = docs.select(col(id).as("did"),
-      TextOps.shingleHashes(col(text)).as("shh")).cache()
+      TextOps.shingleHashes(col(text)).as("shh")).localCheckpoint(true)
     val sigs = shh.select(col("did"),
-      TextOps.minHashSignature(col("shh"), k).as("sig")).cache()
+      TextOps.minHashSignature(col("shh"), k).as("sig")).localCheckpoint(true)
     val banded = sigs.select(col("did"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows))))
@@ -88,10 +91,11 @@ object Dedup {
                    maxHamming: Int): DataFrame = {
     // Two-step materialization: simHash30 evaluates its input once per
     // bit (30x) — feed it the stored hash array, not the hashing tree.
+    // localCheckpoint (not cache): see minHashCandidates.
     val shh = docs.select(col(id).as("did"),
-      TextOps.shingleHashes(col(text)).as("shh")).cache()
+      TextOps.shingleHashes(col(text)).as("shh")).localCheckpoint(true)
     val sims = shh.select(col("did"),
-      TextOps.simHash30(col("shh")).as("sh")).cache()
+      TextOps.simHash30(col("shh")).as("sh")).localCheckpoint(true)
     val banded = sims.select(col("did"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => pmod(floor(col("sh") / pow(lit(2.0), b * 8).cast("long")).cast("long"),
@@ -130,9 +134,9 @@ object Dedup {
     * LSH-bucket candidates (see Ann.lshBuckets). */
   def embeddingPairs(emb: DataFrame, id: String, vec: String,
                      tau: Double): DataFrame = {
-    // Norms once per row (cached), so the pair join pays only the dot.
+    // Norms once per row (materialized), so the pair join pays only the dot.
     val withNorm = emb.select(col(id).as("did"), col(vec).as("v"),
-      VectorOps.norm(col(vec)).as("nrm")).cache()
+      VectorOps.norm(col(vec)).as("nrm")).localCheckpoint(true)
     val a = withNorm.select(col("did").as("id_a"), col("v").as("va"),
       col("nrm").as("na"))
     val b = withNorm.select(col("did").as("id_b"), col("v").as("vb"),

@@ -136,7 +136,8 @@ object GraphSuite extends Suite {
       // Self-join keyed on label keeps candidate pairs bounded; the
       // unblocked scale path is AnnSuite's LSH bucketing.
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-        col("embedding"), VectorOps.norm(col("embedding")).as("nrm")).cache()
+        col("embedding"), VectorOps.norm(col("embedding")).as("nrm"))
+        .localCheckpoint(true)
       val a = e.select(col("vec_id").as("id_a"), col("label"),
         col("embedding").as("emb_a"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("id_b"),
@@ -331,19 +332,22 @@ object GraphSuite extends Suite {
     Some(s"""
       WITH nodes AS ($N), e AS (SELECT src, dst FROM ($E) t),
       s0 AS (SELECT id AS node, CAST(1 AS BIGINT) AS score FROM nodes),
-      s1 AS (SELECT n.node, 1 + COALESCE(c.in_score, 0) AS score
+      s1 AS (SELECT n.node, CAST(1 + COALESCE(c.in_score, 0) AS BIGINT) AS score
              FROM s0 n LEFT JOIN (
-               SELECT dst, SUM(score) AS in_score FROM e JOIN s0 ON src = node
+               SELECT dst, CAST(SUM(score) AS BIGINT) AS in_score
+               FROM e JOIN s0 ON src = node
                GROUP BY dst) c ON n.node = c.dst),
-      s2 AS (SELECT n.node, 1 + COALESCE(c.in_score, 0) AS score
+      s2 AS (SELECT n.node, CAST(1 + COALESCE(c.in_score, 0) AS BIGINT) AS score
              FROM s1 n LEFT JOIN (
-               SELECT dst, SUM(score) AS in_score FROM e JOIN s1 ON src = node
+               SELECT dst, CAST(SUM(score) AS BIGINT) AS in_score
+               FROM e JOIN s1 ON src = node
                GROUP BY dst) c ON n.node = c.dst),
-      s3 AS (SELECT n.node, 1 + COALESCE(c.in_score, 0) AS score
+      s3 AS (SELECT n.node, CAST(1 + COALESCE(c.in_score, 0) AS BIGINT) AS score
              FROM s2 n LEFT JOIN (
-               SELECT dst, SUM(score) AS in_score FROM e JOIN s2 ON src = node
+               SELECT dst, CAST(SUM(score) AS BIGINT) AS in_score
+               FROM e JOIN s2 ON src = node
                GROUP BY dst) c ON n.node = c.dst)
-      SELECT node, score FROM s3
+      SELECT node, CAST(score AS BIGINT) AS score FROM s3
       ORDER BY score DESC, node
       LIMIT 25"""))
 

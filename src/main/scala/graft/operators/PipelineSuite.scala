@@ -258,24 +258,31 @@ object PipelineSuite extends Suite {
   val c14 = Q(
     "c14_mock_embed",
     // mie's embedding pipeline with the deterministic mock provider
-    // (embedding.go:113): text -> hash-seeded vector + its norm.
-    // Output rounds each dim to 6 so both engines' doubles hash equal.
+    // (embedding.go:113): text -> hash-seeded vector + its norm. The
+    // library API stays array-valued (VectorOps.mockEmbedding); the
+    // driver-checked projection explodes dims to scalar rows because
+    // the driver's pandas compare can't hash array cells.
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextOps.polyHash(col("text")).as("h"))
-      .select(col("doc_id"),
-        transform(VectorOps.mockEmbedding(col("h"), 8),
-          x => round(x, 6)).as("embedding"),
+      .select(col("doc_id"), col("h"),
         round(sqrt(aggregate(VectorOps.mockEmbedding(col("h"), 8),
           lit(0.0), (a, x) => a + x * x)), 6).as("nrm"))
-      .orderBy(col("doc_id")),
+      .select(col("doc_id"), col("nrm"),
+        posexplode(VectorOps.mockEmbedding(col("h"), 8))
+          .as(Seq("dim_idx", "dim_raw")))
+      .select(col("doc_id"), col("dim_idx").cast("long").as("dim_idx"),
+        round(col("dim_raw"), 6).as("value"), col("nrm"))
+      .orderBy(col("doc_id"), col("dim_idx")),
     Some(s"""
-      SELECT doc_id,
-        list_transform(${VectorOps.mockEmbeddingSql("h", 8)},
-          x -> round(x, 6)) AS embedding,
-        round(sqrt(list_reduce(list_transform(${VectorOps.mockEmbeddingSql("h", 8)},
-          x -> x * x), (a, b) -> a + b)), 6) AS nrm
-      FROM (SELECT doc_id, ${TextOps.polyHashSql("text")} AS h FROM documents) t
-      ORDER BY doc_id"""))
+      WITH emb AS (
+        SELECT doc_id, ${VectorOps.mockEmbeddingSql("h", 8)} AS e
+        FROM (SELECT doc_id, ${TextOps.polyHashSql("text")} AS h FROM documents) t)
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS dim_idx,
+        round(e[i], 6) AS value,
+        round(sqrt(list_reduce(list_transform(e, x -> x * x),
+          (a, b) -> a + b)), 6) AS nrm
+      FROM emb, (SELECT unnest(range(1, 9)) AS i) idx
+      ORDER BY doc_id, dim_idx"""))
 
   val c15 = Q(
     "c15_text_ann",
