@@ -222,6 +222,43 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
 
 object MemoryGraph {
 
+  /** Bump when [[fromTables]]' node/edge derivation changes — the
+    * on-disk graph cache is keyed by this, so stale layouts from an
+    * older code version can never be read back. */
+  private val CacheVersion = "v1"
+
+  private val persistedGraphs =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), MemoryGraph]
+
+  /** The graph materialized ONCE per (session, sf dir) as parquet
+    * partitioned by ntype/etype, then read back as pruned scans. This
+    * is the reference's storage layout re-expressed for Spark
+    * (reader.go:309's per-type tables with id indexes): a point lookup
+    * or single-etype traversal touches one partition directory instead
+    * of re-unioning 9 table scans per query. At cluster scale this is
+    * the bucketed/partitioned table the graph would live in anyway. */
+  def persisted(s: SparkSession, dir: String): MemoryGraph =
+    persistedGraphs.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val base = java.nio.file.Paths.get(
+        sys.props("user.dir"), "target", "graph-cache", CacheVersion,
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      def ready(sub: String) =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(base, sub, "_SUCCESS"))
+      if (!ready("nodes") || !ready("edges")) {
+        val g = fromTables(s, dir)
+        g.nodes.write.mode("overwrite").partitionBy("ntype")
+          .parquet(s"$base/nodes")
+        g.edges.write.mode("overwrite").partitionBy("etype")
+          .parquet(s"$base/edges")
+      }
+      new MemoryGraph(
+        s.read.parquet(s"$base/nodes")
+          .select(col("id"), col("ntype"), col("content"), col("attr"),
+            col("score")),
+        s.read.parquet(s"$base/edges")
+          .select(col("etype"), col("src"), col("dst"), col("prop")))
+    })
+
   /** Bind the memory graph to the driver-generated tables:
     * fact≈documents, decision≈orders, entity≈customer∪supplier∪part,
     * event≈events, topic≈distinct mktsegment; edges from the FKs plus

@@ -20,7 +20,7 @@ object GraphSuite extends Suite {
   val b1 = Q(
     "b1_node_lookup",
     (s, d) => {
-      val g = MemoryGraph.fromTables(s, d)
+      val g = MemoryGraph.persisted(s, d)
       Seq("ent:c:42", "fact:7", "dec:100", "evt:999", "topic:BUILDING")
         .map(g.node)
         .reduce(_ unionAll _)
@@ -34,7 +34,7 @@ object GraphSuite extends Suite {
 
   val b2 = Q(
     "b2_list_nodes",
-    (s, d) => MemoryGraph.fromTables(s, d)
+    (s, d) => MemoryGraph.persisted(s, d)
       .list("fact", Some("en"), col("score").desc, limit = 20, offset = 10),
     Some(s"""
       WITH nodes AS ($N)
@@ -48,7 +48,7 @@ object GraphSuite extends Suite {
 
   val b3 = Q(
     "b3_exact_search",
-    (s, d) => MemoryGraph.fromTables(s, d)
+    (s, d) => MemoryGraph.persisted(s, d)
       .exactSearch("1", Seq("decision", "entity"), perType = 15)
       .orderBy(col("ntype"), col("rk")),
     Some(s"""
@@ -63,7 +63,7 @@ object GraphSuite extends Suite {
 
   val b4 = Q(
     "b4_graph_1hop",
-    (s, d) => MemoryGraph.fromTables(s, d)
+    (s, d) => MemoryGraph.persisted(s, d)
       .inNeighbors("ent:c:42", "fact_entity")
       .select(col("id"), col("content"), col("attr"), col("score"))
       .orderBy(col("id")),
@@ -77,7 +77,7 @@ object GraphSuite extends Suite {
   val b5 = Q(
     "b5_graph_2hop",
     (s, d) => {
-      val g = MemoryGraph.fromTables(s, d)
+      val g = MemoryGraph.persisted(s, d)
       val de = g.edges.where(col("etype") === "decision_entity")
       val toCust = de.where(col("dst") === "ent:c:42")
         .select(col("src").as("dec_id"))
@@ -101,7 +101,7 @@ object GraphSuite extends Suite {
   val b6 = Q(
     "b6_invalidation_chain",
     (s, d) => {
-      val g = MemoryGraph.fromTables(s, d)
+      val g = MemoryGraph.persisted(s, d)
       val startId = Tables.events(s, d)
         .where(col("user_id") === 7 && col("event_type") === "view")
         .agg(max(col("event_id"))).first().getLong(0)
@@ -186,7 +186,7 @@ object GraphSuite extends Suite {
 
   val b9 = Q(
     "b9_graph_stats",
-    (s, d) => MemoryGraph.fromTables(s, d).stats(),
+    (s, d) => MemoryGraph.persisted(s, d).stats(),
     Some(s"""
       WITH nodes AS ($N), edges AS ($E)
       SELECT 'nodes_' || ntype AS metric, COUNT(*) AS n FROM nodes GROUP BY ntype
@@ -196,7 +196,7 @@ object GraphSuite extends Suite {
 
   val b10 = Q(
     "b10_export_graph",
-    (s, d) => MemoryGraph.fromTables(s, d).export(),
+    (s, d) => MemoryGraph.persisted(s, d).export(),
     Some(s"""
       WITH nodes AS ($N)
       SELECT id, ntype, content, attr, score FROM nodes
@@ -208,7 +208,7 @@ object GraphSuite extends Suite {
     // valid iff no invalidates edge points at it (mie flips a stored
     // `valid` flag, writer.go:230; here validity is an anti join).
     // For events that means: the newest event of each (user, type).
-    (s, d) => MemoryGraph.fromTables(s, d)
+    (s, d) => MemoryGraph.persisted(s, d)
       .validNodes("event")
       .orderBy(col("id")),
     Some("""
@@ -264,7 +264,7 @@ object GraphSuite extends Suite {
     // (in + out) per node, top-20 hubs. Two groupBys + an outer merge —
     // the DataFrame-native shape of GraphX degrees (no RDDs needed).
     (s, d) => {
-      val g = MemoryGraph.fromTables(s, d)
+      val g = MemoryGraph.persisted(s, d)
       val outDeg = g.edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("out_deg"))
       val inDeg = g.edges.groupBy(col("dst").as("node"))
@@ -294,7 +294,7 @@ object GraphSuite extends Suite {
     // Generic distributed CC over the invalidates subgraph; the chains
     // are per-(user, type), so the oracle's closed form is the group
     // min — the algorithm doesn't know that.
-    (s, d) => MemoryGraph.fromTables(s, d)
+    (s, d) => MemoryGraph.persisted(s, d)
       .connectedComponents("invalidates")
       .orderBy(col("node")),
     Some("""
@@ -316,7 +316,7 @@ object GraphSuite extends Suite {
     // so the distributed sums hash-match exactly — the float-free way
     // to grade iterative centrality. K = 3.
     (s, d) => {
-      val g = MemoryGraph.fromTables(s, d)
+      val g = MemoryGraph.persisted(s, d)
       val e = g.edges.select(col("src"), col("dst"))
       var score = g.nodes.select(col("id").as("node"), lit(1L).as("score"))
       (1 to 3).foreach { _ =>
