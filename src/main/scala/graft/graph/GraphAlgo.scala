@@ -8,47 +8,87 @@ import org.apache.spark.sql.functions._
   */
 object GraphAlgo {
 
-  /** Undirected connected components: min-label propagation with
-    * pointer jumping (label <- label(label) each round), so
-    * convergence is O(log diameter) materialized rounds. Component id
-    * = the smallest member under the id type's ordering. Returns
+  /** [[connectedComponents]] with per-round stderr timing (scratch). */
+  def connectedComponentsDebug(edgesIn: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponents(edgesIn, maxIter, debug = true)
+
+  /** Undirected connected components via alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — public literature; also the
+    * GraphFrames strategy). Unlike label propagation, each round
+    * rewrites the EDGE SET toward a star forest, so the data a round
+    * touches shrinks as components collapse; rounds are O(log n) and
+    * each is two groupBy+join passes over the current edges. Component
+    * id = the smallest member under the id type's ordering. Returns
     * (node, component) for every node incident to an edge. */
-  def connectedComponents(edgesIn: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edgesIn: DataFrame, maxIter: Int = 30,
+                          debug: Boolean = false): DataFrame = {
     val dir = edgesIn.toDF("src", "dst")
-    val idType = dir.schema("src").dataType
-    val und = dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    var lab = und.select(col("src").as("node"))
-      .unionAll(und.select(col("dst").as("node")))
-      .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    val nodes = dir.select(col("src").as("node"))
+      .unionAll(dir.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    // orient every edge large→small; drop loops and duplicates
+    var e = dir.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(true)
+
+    // Each phase is ONE shuffle (a window min over the center) plus
+    // the distinct that bounds edge growth — no groupBy+join-back.
+    import org.apache.spark.sql.expressions.Window
+
+    // large-star: around each center c, link every LARGER neighbor to
+    // the minimum of N(c) ∪ {c} (keeps orientation, halves path reach)
+    def largeStar(E: DataFrame): DataFrame = {
+      val bid = E.select(col("u").as("c"), col("v").as("n"))
+        .unionAll(E.select(col("v").as("c"), col("u").as("n")))
+      bid
+        .withColumn("m",
+          least(min(col("n")).over(Window.partitionBy(col("c"))), col("c")))
+        .where(col("n") > col("c") && col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+      // no distinct here: small-star's window min is duplicate-
+      // insensitive and its own distinct bounds the round's output —
+      // saves one shuffle per round
+    }
+    // small-star: around each center u (over the oriented edges), link
+    // every smaller neighbor and u itself to min(N(u) ∪ {u})
+    def smallStar(E: DataFrame): DataFrame = {
+      E
+        .withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+        .where(col("n") =!= col("m"))
+        .select(greatest(col("n"), col("m")).as("u"),
+          least(col("n"), col("m")).as("v"))
+        .distinct()
+    }
+
     var iter = 0
-    var changed = 1L
-    while (iter < maxIter && changed > 0) {
-      // previous label rides along as `old` so convergence needs no
-      // extra join after the jump
-      val viaNbr = und.join(lab, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"),
-          lit(null).cast(idType).as("old"))
-      val merged = lab
-        .select(col("node"), col("label"), col("label").as("old"))
-        .unionAll(viaNbr)
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-      // pointer jump applied twice: label <- label(label(label(label))),
-      // quartering chain depth per round (log4 rounds instead of log2)
-      def jump(df: DataFrame): DataFrame = df.alias("a")
-        .join(df.select(col("node").as("n2"), col("label").as("l2")),
-          col("a.label") === col("n2"), "left")
-        .select(col("a.node").as("node"),
-          coalesce(col("l2"), col("a.label")).as("label"),
-          col("a.old").as("old"))
-      val next = jump(jump(merged)).localCheckpoint(true)
-      changed = next.where(col("label") =!= col("old")).count()
-      lab = next.select(col("node"), col("label"))
+    var prev: (Long, BigDecimal) = (-1L, BigDecimal(-1))
+    var done = false
+    while (iter < maxIter && !done) {
+      val t0 = System.nanoTime()
+      // lazy checkpoint: the convergence agg below is the action that
+      // materializes the blocks — one job per round, not two
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      // convergence = edge set is a fixed point: same count and same
+      // order-independent hash — one agg over the just-materialized
+      // blocks, no extra join
+      val row = next.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).first()
+      val sig = (row.getLong(0),
+        if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
+      if (debug) System.err.println(
+        f"[cc] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+          f"edges=${sig._1}")
+      done = sig == prev
+      prev = sig
+      e = next
       iter += 1
     }
-    lab.select(col("node"), col("label").as("component"))
+    // fixed point is a star forest u→root; roots map to themselves
+    nodes.join(e, col("node") === col("u"), "left")
+      .select(col("node"), coalesce(col("v"), col("node")).as("component"))
   }
+
 }

@@ -132,22 +132,14 @@ object GraphSuite extends Suite {
     "b7_conflict_detect",
     (s, d) => {
       // mie DetectConflicts (conflicts.go:34): similar-enough fact
-      // pairs within a category. Here: same-label cosine >= 0.30.
-      // Self-join keyed on label keeps candidate pairs bounded; the
-      // unblocked scale path is AnnSuite's LSH bucketing.
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-        col("embedding"), VectorOps.norm(col("embedding")).as("nrm"))
-        .localCheckpoint(true)
-      val a = e.select(col("vec_id").as("id_a"), col("label"),
-        col("embedding").as("emb_a"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("id_b"),
-        col("label").as("label_b"), col("embedding").as("emb_b"),
-        col("nrm").as("nb"))
-      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-        .withColumn("sim", VectorOps.cosine6Pre(col("emb_a"), col("emb_b"),
-          col("na"), col("nb")))
-        .where(col("sim") >= 0.30)
-        .select(col("id_a"), col("id_b"), col("label"), col("sim"))
+      // pairs within a category. Here: same-label cosine >= 0.30,
+      // exact, via the triangle-blocked equi-join (no nested loop;
+      // hot labels still split across block-pair tasks). The
+      // approximate full-corpus path is the LSH/k-NN probe the
+      // reference uses (conflicts.go:85-96) — see Ann.lshTopK.
+      Dedup.keyedEmbeddingPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", tau = 0.30)
+        .select(col("id_a"), col("id_b"), col("key").as("label"), col("sim"))
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(s"""

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.Dedup
+
+/** Plan-shape assertions for the exact pair joins: the triangle-blocked
+  * layout must plan as a shuffle equi-join on the block-pair key —
+  * never BroadcastNestedLoopJoin / CartesianProduct, whose single
+  * over-wide tasks are the scale-killer the blocking exists to avoid.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assertNoNestedLoop(plan: String): Unit = {
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join must not plan a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair join must not plan a cartesian product:\n$plan")
+  }
+
+  test("embeddingPairs plans as an equi-join on block pairs") {
+    val df = Dedup.embeddingPairs(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", tau = 0.40)
+    assertNoNestedLoop(df.queryExecution.executedPlan.toString)
+  }
+
+  test("keyedEmbeddingPairs plans as an equi-join on (key, block pair)") {
+    val df = Dedup.keyedEmbeddingPairs(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", "label", tau = 0.30)
+    assertNoNestedLoop(df.queryExecution.executedPlan.toString)
+  }
+
+  test("blocked embeddingPairs output equals the unblocked all-pairs join") {
+    val e = Tables.embeddings(spark, sf)
+    val blocked = Dedup.embeddingPairs(e, "vec_id", "embedding", 0.40)
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    // reference formulation: plain quadratic join (small SF only)
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val direct = a.join(b, $"id_a" < $"id_b")
+      .withColumn("sim", graft.functions.VectorOps.cosine6($"va", $"vb"))
+      .where($"sim" >= 0.40)
+      .select($"id_a", $"id_b", $"sim")
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    assert(blocked === direct)
+  }
+
+  test("deduplicate (minhash candidates + verify) equals exact-pair dedup") {
+    val docs = Tables.documents(spark, sf)
+    val composed = Dedup.deduplicate(docs, "doc_id", "text", 0.5)
+      .orderBy($"doc_id").collect().toSeq
+    val exact = graft.graph.GraphAlgo
+      .connectedComponents(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+        .select($"id_a", $"id_b"))
+      .select($"node".as("doc_id"), $"component".as("keeper"))
+      .orderBy($"doc_id").collect().toSeq
+    assert(composed === exact)
+  }
+}
