@@ -80,6 +80,48 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
       .select(col("ntype"), col("rk"), col("id"), col("content"), col("attr"))
   }
 
+  /** SemanticSearch across node types (reader.go:38-119): the
+    * reference queries one HNSW table per node type and merges the
+    * ranked heads into a single globally re-ranked result. Here each
+    * type's content is embedded with the deterministic mock provider
+    * (embedding.go:113 — swap in a real provider column at will),
+    * ranked per type (the row_number window is rewritten to the
+    * bounded-heap TopKPerKey by the optimizer rule), and the per-type
+    * heads are merged and re-ranked globally by similarity. One scan
+    * of the pruned ntype partitions, no shuffle beyond the per-type
+    * top-k. */
+  def semanticSearch(queryText: String, ntypes: Seq[String], perType: Int,
+                     k: Int, dim: Int = 16): DataFrame = {
+    import graft.functions.{TextOps, VectorOps}
+    def emb(c: Column) = transform(
+      VectorOps.mockEmbedding(TextOps.polyHash(c), dim), _.cast("float"))
+    val scored = nodes.where(col("ntype").isin(ntypes: _*))
+      .withColumn("emb", emb(col("content")))
+      .withColumn("sim", VectorOps.cosine6(col("emb"), emb(lit(queryText))))
+    val w = Window.partitionBy(col("ntype"))
+      .orderBy(col("sim").desc, col("id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perType)
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+      .select(col("ntype"), col("id"), col("sim"))
+  }
+
+  /** Batch ingestion (batcher.go:19-188 / bulk_store.go): append a
+    * whole DataFrame of nodes and/or edges in ONE union each — the
+    * plan grows by one branch per BATCH, not per row, and at cluster
+    * scale the batch is an appended partition compacted on write-out.
+    * Columns are aligned by name to the graph schema. */
+  def storeAll(newNodes: DataFrame, newEdges: DataFrame): MemoryGraph = {
+    val n = if (newNodes == null) nodes else nodes.unionAll(
+      newNodes.select(col("id"), col("ntype"), col("content"), col("attr"),
+        col("score").cast("double")))
+    val e = if (newEdges == null) edges else edges.unionAll(
+      newEdges.select(col("etype"), col("src"), col("dst"), col("prop")))
+    new MemoryGraph(n, e)
+  }
+
   /** FindEntityByName (reader.go:385): case-insensitive exact name
     * match, first by id. FindFactByContent / FindDecisionByTitle
     * (reader.go:412,438) are [[exactSearch]] with perType=1. */
@@ -112,9 +154,22 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
     * Spark jobs on the sf0.1 chains. Emits every traversed edge with
     * its (shortest) step number, matching the recursive-CTE oracle on
     * the (single-path) invalidates chains. */
-  def walk(startId: String, etype: String, maxHops: Int): DataFrame = {
+  /** Multi-hop walk from `startId` over `etype` edges via pointer
+    * doubling (stride self-composition), O(log maxHops) rounds.
+    *
+    * `edgeFilter` restricts the edge relation BEFORE doubling — the
+    * doubling composes strides for every node in the relation, so a
+    * caller that knows its chains live inside a property slice (the
+    * invalidation chain of an event never leaves its event_type,
+    * exactly as mie's revision chain never leaves its fact lineage)
+    * should pass that slice: stride joins then touch one chain
+    * family, not the whole edge type. Restricting to the *reached*
+    * set instead would be wrong — doubling needs strides from nodes
+    * ahead of the frontier. */
+  def walk(startId: String, etype: String, maxHops: Int,
+           edgeFilter: Option[Column] = None): DataFrame = {
     val spark = nodes.sparkSession
-    val e1 = edges.where(col("etype") === etype)
+    val e1 = edgeFilter.foldLeft(edges.where(col("etype") === etype))(_ where _)
       .select(col("src"), col("dst"), col("prop")).localCheckpoint(true)
     var dist = spark.range(1)
       .select(lit(startId).as("node"), lit(0L).as("d"))
@@ -122,13 +177,15 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
       lit(1L).as("len"))
     var span = 1L
     var grown = true
+    var reached = 1L
     while (span < maxHops && grown) {
-      val before = dist.count()
       val nd = dist.join(stride, col("node") === col("s"))
         .select(col("t").as("node"), (col("d") + col("len")).as("d"))
       dist = dist.unionAll(nd).groupBy(col("node"))
         .agg(min(col("d")).as("d")).localCheckpoint(true)
-      grown = dist.count() > before
+      val now = dist.count()
+      grown = now > reached
+      reached = now
       span *= 2
       if (span < maxHops && grown) {
         stride = stride.alias("x")

@@ -89,6 +89,57 @@ object Ann {
       .select(col("q_id"), col("rank"), col("n_id"), col("c_id"), col("sim"))
   }
 
+  /** Lloyd's k-means over an embedding column — fixed iterations,
+    * fully deterministic and oracle-reproducible (SURVEY.md §4):
+    * seeds are the k lowest-id vectors; assignment is max rounded
+    * cosine with ties to the lower centroid id; each centroid
+    * dimension is the SEQUENTIAL id-ordered double fold of its
+    * members divided by the count, cast back to float. Returns
+    * (id, vec) columns named like the inputs so the result drops
+    * into [[ivfTopK]] as its centroid table. Plan shape per
+    * iteration: one broadcast crossJoin (corpus × k centroids), one
+    * per-vector top-1 window, one groupBy over (centroid, dim) —
+    * all linear in |corpus|, centroids never leave the cluster. */
+  def kmeansFit(corpus: DataFrame, id: String, vec: String, k: Int,
+                iters: Int): DataFrame = {
+    val base = corpus.select(col(id).as("vid"), col(vec).as("v"),
+      VectorOps.norm(col(vec)).as("vn")).localCheckpoint(true)
+    // seed ids 0..k-1 in vid order, ranked via a tiny k×k count join
+    // (a global row_number window would move the table to one
+    // partition; k rows never need that plan shape)
+    val seeds = base.orderBy(col("vid")).limit(k).localCheckpoint(true)
+    val seedRank = seeds.select(col("vid"))
+      .join(seeds.select(col("vid").as("vid2")), col("vid2") <= col("vid"))
+      .groupBy(col("vid")).agg((count(lit(1)) - 1).as("cid"))
+    var cent = seeds.join(seedRank, "vid")
+      .select(col("cid"), col("v").as("cv"), col("vn").as("cn"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("s").desc, col("cid"))
+      val pick = base.crossJoin(broadcast(cent))
+        .withColumn("s", VectorOps.cosine6Pre(col("v"), col("cv"),
+          col("vn"), col("cn")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("vid"), col("cid"), col("v"))
+      val dims = pick.select(col("cid"), col("vid"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      val mean = dims.groupBy(col("cid"), col("dim"))
+        .agg(sort_array(collect_list(struct(col("vid"), col("x")))).as("xs"),
+          count(lit(1)).as("cnt"))
+        .withColumn("m", aggregate(col("xs"), lit(0.0),
+          (a, e) => a + e.getField("x").cast("double")) / col("cnt"))
+      cent = mean.groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ds"))
+        .select(col("cid"),
+          transform(col("ds"), _.getField("m").cast("float")).as("cv"))
+        .withColumn("cn", VectorOps.norm(col("cv")))
+        .localCheckpoint(true)
+    }
+    cent.select(col("cid").as(id), col("cv").as(vec))
+  }
+
   /** Bucketed ANN: queries probe only their own bucket; ranking within
     * the bucket is exact cosine. Recall < 1 by construction — the
     * scale/latency trade the reference makes with HNSW `ef`/`k`. */

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.api.{Q, Suite}
 import graft.graph.MemoryGraph
-import graft.functions.VectorOps
+import graft.functions.{TextOps, VectorOps}
 import graft.model.Tables
 
 /** B-suite: mie's query surface re-expressed over [[MemoryGraph]]
@@ -105,7 +105,10 @@ object GraphSuite extends Suite {
       val startId = Tables.events(s, d)
         .where(col("user_id") === 7 && col("event_type") === "view")
         .agg(max(col("event_id"))).first().getLong(0)
-      g.walk(s"evt:$startId", "invalidates", maxHops = 200)
+      // chains never leave their event_type, so the stride relation
+      // can be pre-sliced to the start's type (see walk's scaladoc)
+      g.walk(s"evt:$startId", "invalidates", maxHops = 200,
+          edgeFilter = Some(col("prop") === "view"))
         .orderBy(col("step"))
     },
     Some("""
@@ -343,6 +346,73 @@ object GraphSuite extends Suite {
       ORDER BY score DESC, node
       LIMIT 25"""))
 
+  val b16 = Q(
+    "b16_semantic_multitype",
+    // mie SemanticSearch with node_type = multiple (reader.go:38-119):
+    // per-type ranked heads, merged and re-ranked globally. perType=5
+    // per table, global k=10 — at most 5 from any one type.
+    (s, d) => MemoryGraph.persisted(s, d)
+      .semanticSearch("correlated telemetry",
+        Seq("decision", "entity", "fact"), perType = 5, k = 10)
+      .orderBy(col("sim").desc, col("id")),
+    Some {
+      val qEmb = VectorOps.mockEmbeddingSql(
+        TextOps.polyHashSql("'correlated telemetry'"), 16)
+      val nEmb = VectorOps.mockEmbeddingSql(
+        TextOps.polyHashSql("content"), 16)
+      s"""
+      WITH nodes AS ($N),
+      qe AS (SELECT list_transform($qEmb, x -> CAST(x AS FLOAT)) AS q_emb),
+      embedded AS (
+        SELECT ntype, id,
+               list_transform($nEmb, x -> CAST(x AS FLOAT)) AS emb
+        FROM nodes WHERE ntype IN ('decision', 'entity', 'fact')),
+      scored AS (
+        SELECT ntype, id,
+               ${VectorOps.cosine6Sql("emb", "q_emb")} AS sim
+        FROM embedded CROSS JOIN qe),
+      ranked AS (
+        SELECT ntype, id, sim,
+               ROW_NUMBER() OVER (PARTITION BY ntype
+                 ORDER BY sim DESC, id) AS rk
+        FROM scored)
+      SELECT ntype, id, sim FROM ranked
+      WHERE rk <= 5
+      ORDER BY sim DESC, id
+      LIMIT 10"""
+    })
+
+  val b17 = Q(
+    "b17_batch_ingest",
+    // Batch ingestion (batcher.go / bulk_store.go): append a 50-doc
+    // node batch + its edges via storeAll (one union branch per
+    // batch), then answer a query THROUGH the amended graph.
+    (s, d) => {
+      val g = MemoryGraph.persisted(s, d)
+      val docs = Tables.documents(s, d).where(col("doc_id") < 50)
+      val newNodes = docs.select(
+        concat(lit("fact:b:"), col("doc_id")).as("id"),
+        lit("fact").as("ntype"), col("text").as("content"),
+        lit("bulk").as("attr"), col("n_chars").cast("double").as("score"))
+      val newEdges = docs.select(lit("fact_entity").as("etype"),
+        concat(lit("fact:b:"), col("doc_id")).as("src"),
+        concat(lit("ent:c:"), col("doc_id") % 10).as("dst"),
+        lit("bulk").as("prop"))
+      val g2 = g.storeAll(newNodes, newEdges)
+      g2.edges.where(col("prop") === "bulk")
+        .groupBy(col("dst")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(g2.nodes.where(col("attr") === "bulk")
+          .agg(count(lit(1)).as("batch_nodes"))))
+        .orderBy(col("dst"))
+    },
+    Some("""
+      SELECT 'ent:c:' || CAST(doc_id % 10 AS VARCHAR) AS dst,
+             COUNT(*) AS n,
+             (SELECT COUNT(*) FROM documents WHERE doc_id < 50) AS batch_nodes
+      FROM documents WHERE doc_id < 50
+      GROUP BY 1 ORDER BY dst"""))
+
   override val queries: Seq[Q] =
-    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15)
+    Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15,
+      b16, b17)
 }

@@ -349,6 +349,102 @@ object PipelineSuite extends Suite {
       GROUP BY n
       ORDER BY doc_id"""))
 
+  val c17 = Q(
+    "c17_ann_ivf_trained",
+    // IVF with TRAINED centroids: 2 Lloyd iterations (deterministic,
+    // §4-exact — see Ann.kmeansFit), then the c13 probe path, graded
+    // as recall@5 per query against the exact brute-force baseline.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.where(col("vec_id") >= 5)
+      val queries = e.where(col("vec_id") < 5)
+      val cent = Ann.kmeansFit(corpus, "vec_id", "embedding", k = 8, iters = 2)
+      val ivf = Ann.ivfTopK(corpus, queries, cent, "vec_id", "embedding",
+        nprobe = 2, k = 5)
+      val exact = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+        k = 5)
+      exact.alias("e")
+        .join(ivf.alias("i"),
+          col("e.q_id") === col("i.q_id") && col("e.n_id") === col("i.n_id"),
+          "left")
+        .groupBy(col("e.q_id").as("q_id"))
+        .agg(round(sum(when(col("i.n_id").isNotNull, 1).otherwise(0))
+          .cast("double") / 5, 6).as("recall"))
+        .orderBy(col("q_id"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      // one Lloyd iteration: assign to nearest centroid (rounded
+      // cosine, ties to lower cid), then per-dim mean as the
+      // id-ordered sequential double fold / count, cast back to float
+      def pickSql(prev: String, n: Int) = s"""
+      pick$n AS (
+        SELECT vec_id, cid FROM (
+          SELECT v.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY ${cos("v.embedding", "c.cv")} DESC, c.cid) AS rk
+          FROM corpus v CROSS JOIN $prev c) t
+        WHERE rk = 1)"""
+      def iterSql(prev: String, n: Int) = s"""${pickSql(prev, n)},
+      upd$n AS (
+        SELECT p.cid, t.i,
+               list_reduce(list(CAST(v.embedding[t.i] AS DOUBLE)
+                   ORDER BY v.vec_id), (a, b) -> a + b) / COUNT(*) AS m
+        FROM pick$n p JOIN corpus v USING (vec_id)
+          CROSS JOIN range(1, 65) t(i)
+        GROUP BY p.cid, t.i),
+      cent$n AS (
+        SELECT cid, list_transform(list(m ORDER BY i),
+                 x -> CAST(x AS FLOAT)) AS cv
+        FROM upd$n GROUP BY cid)"""
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      queries AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      cent0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+               embedding AS cv
+        FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)),
+      ${iterSql("cent0", 1)},
+      ${iterSql("cent1", 2)},
+      ${pickSql("cent2", 3)},
+      qprobe AS (
+        SELECT q_id, cid FROM (
+          SELECT q.vec_id AS q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid) AS rk
+          FROM queries q CROSS JOIN cent2 c) t
+        WHERE rk <= 2),
+      ivf AS (
+        SELECT q_id, n_id FROM (
+          SELECT p.q_id, a.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY p.q_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            a.vec_id) AS rk
+          FROM qprobe p
+            JOIN pick3 a ON a.cid = p.cid
+            JOIN corpus v ON v.vec_id = a.vec_id
+            JOIN queries q ON q.vec_id = p.q_id) t
+        WHERE rk <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            v.vec_id) AS rk
+          FROM queries q CROSS JOIN corpus v) t
+        WHERE rk <= 5)
+      SELECT e.q_id,
+             round(CAST(SUM(CASE WHEN i.n_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS DOUBLE) / 5, 6)
+               AS recall
+      FROM exact e LEFT JOIN ivf i ON i.q_id = e.q_id AND i.n_id = e.n_id
+      GROUP BY e.q_id
+      ORDER BY e.q_id"""
+    })
+
   override val queries: Seq[Q] =
-    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15, c16)
+    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
+      c16, c17)
 }

@@ -31,16 +31,25 @@ object GraphIO {
     new MemoryGraph(nodes, edges)
   }
 
-  /** Render nodes as Datalog :put rows (export.go:59 exportDatalog's
-    * `?[..] <- [[..]] :put` shape) — one text line per node. */
+  private def q(c: org.apache.spark.sql.Column) =
+    concat(lit("'"), regexp_replace(c, "'", "\\\\'"), lit("'"))
+
+  /** Render nodes AND edges as Datalog :put rows (export.go:59
+    * exportDatalog renders both the node tables and the relation
+    * tables) — one text line per row, tagged with its relation name. */
   def toDatalog(g: MemoryGraph): DataFrame = {
-    def q(c: org.apache.spark.sql.Column) =
-      concat(lit("'"), regexp_replace(c, "'", "\\\\'"), lit("'"))
-    g.nodes.select(col("ntype"), concat(
+    val nodeRows = g.nodes.select(col("ntype").as("rel"), concat(
       lit("?[id, content, attr, score] <- [["),
       q(col("id")), lit(", "), q(col("content")), lit(", "),
       q(col("attr")), lit(", "), col("score").cast("string"),
       lit("]] :put graft_"), col("ntype"),
       lit(" { id => content, attr, score }")).as("datalog"))
+    val edgeRows = g.edges.select(col("etype").as("rel"), concat(
+      lit("?[src, dst, prop] <- [["),
+      q(col("src")), lit(", "), q(col("dst")), lit(", "),
+      q(col("prop")),
+      lit("]] :put graft_"), col("etype"),
+      lit(" { src, dst => prop }")).as("datalog"))
+    nodeRows.unionAll(edgeRows)
   }
 }

@@ -41,27 +41,31 @@ object Streams {
       unix_micros(col("ts")).as("us"), col("value")).as[Ev]
   }
 
-  /** Gap-based sessionization, batch flavor: per-user sort + walk.
-    * One shuffle on user_id; each group is processed independently. */
+  /** Gap-based sessionization, batch flavor: lag → gap flag → running
+    * sum → group. One shuffle on user_id; the per-user window is
+    * sort-based (WindowExec spills), so a hot user streams through
+    * disk instead of materializing an in-memory array, and the
+    * follow-up groupBy reuses the user_id partitioning (its key is a
+    * superset), so no second shuffle. */
   def sessionize(events: DataFrame, gapUs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    toEv(events)
-      .groupByKey(_.user_id)
-      .flatMapGroups { (uid, it) =>
-        val evs = it.toArray.sortBy(e => (e.us, e.event_id))
-        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-        var idx = 0L; var n = 0L; var start = 0L; var last = 0L
-        evs.foreach { e =>
-          if (n == 0 || e.us - last > gapUs) {
-            if (n > 0) out += Session(uid, idx, n, start, last, last - start)
-            idx += 1; n = 0; start = e.us
-          }
-          n += 1; last = e.us
-        }
-        if (n > 0) out += Session(uid, idx, n, start, last, last - start)
-        out
-      }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    toEv(events).toDF()
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"), col("dur_us"))
+      .as[Session]
   }
 
   /** Streaming flavor: flatMapGroupsWithState keyed by user, emitting

@@ -46,6 +46,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(blocked === direct)
   }
 
+  test("batch sessionize shuffles once: groupBy reuses the window's partitioning") {
+    val df = graft.streaming.Streams
+      .sessionize(Tables.events(spark, sf), gapUs = 30L * 60 * 1000000).toDF()
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected a single shuffle (window on user_id, agg reuses it):\n$plan")
+  }
+
   test("deduplicate (minhash candidates + verify) equals exact-pair dedup") {
     val docs = Tables.documents(spark, sf)
     val composed = Dedup.deduplicate(docs, "doc_id", "text", 0.5)

@@ -49,12 +49,42 @@ class WriterIOSpec extends SparkSpec {
     assert(back.nodes.exceptAll(g.nodes).isEmpty)
   }
 
-  test("datalog rendering produces one :put line per node") {
+  test("datalog rendering produces one :put line per node and per edge") {
     val dl = GraphIO.toDatalog(g)
-    assert(dl.count() === g.nodes.count())
-    val line = dl.where($"datalog".contains("'ent:c:42'"))
+    assert(dl.count() === g.nodes.count() + g.edges.count())
+    val line = dl.where($"rel" === "entity" && $"datalog".contains("'ent:c:42'"))
       .select($"datalog").as[String].head()
     assert(line.startsWith("?[id, content, attr, score] <- [["))
     assert(line.contains(":put graft_entity"))
+    val eline = dl.where($"rel" === "decision_entity")
+      .select($"datalog").as[String].head()
+    assert(eline.startsWith("?[src, dst, prop] <- [["))
+    assert(eline.contains(":put graft_decision_entity"))
+  }
+
+  test("storeAll appends node and edge batches as one union branch each") {
+    val batch = spark.range(100).select(
+      concat(lit("fact:b:"), $"id").as("id"), lit("fact").as("ntype"),
+      lit("bulk fact").as("content"), lit("bulk").as("attr"),
+      lit(1.0).as("score"))
+    val eb = spark.range(100).select(lit("fact_entity").as("etype"),
+      concat(lit("fact:b:"), $"id").as("src"), lit("ent:c:1").as("dst"),
+      lit("bulk").as("prop"))
+    val g2 = g.storeAll(batch, eb)
+    assert(g2.nodes.where($"attr" === "bulk").count() === 100)
+    assert(g2.edges.where($"prop" === "bulk").count() === 100)
+    // plan grows by one leaf per BATCH, not one per row
+    assert(g2.nodes.queryExecution.logical.collectLeaves().size ===
+      g.nodes.queryExecution.logical.collectLeaves().size + 1)
+  }
+
+  test("semanticSearch merges per-type heads into a global rank") {
+    val r = g.semanticSearch("correlated telemetry",
+      Seq("fact", "entity", "decision"), perType = 5, k = 10).collect()
+    assert(r.length === 10)
+    val sims = r.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted.reverse), "globally sorted by sim")
+    // each type contributes at most perType=5, so 10 results must mix types
+    assert(r.map(_.getString(0)).distinct.length >= 2)
   }
 }
