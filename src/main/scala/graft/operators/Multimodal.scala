@@ -1,20 +1,67 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads + typed
-  * metadata, with a partition-wise feature-extraction stub.
+  * metadata, with partition-wise feature extraction behind a
+  * pluggable codec boundary.
   *
   * The Spark-side shape is real — binary column, metadata struct,
-  * mapPartitions batching, schema of the extracted features — but the
-  * decode step is a STUB: this container has no image/audio codecs,
-  * so `decodeStub` computes deterministic fake features (byte length
-  * + rolling checksum) where a real pipeline would JNI into a codec.
-  * Swap `decodeStub`'s body for the real decoder; nothing else
-  * changes.
+  * mapPartitions batching (the one place a JNI codec or model batch
+  * would sit), schema of the extracted features — and the RAW-format
+  * paths (PCM audio framing, raw-byte features) are fully implemented
+  * JVM-side. Only COMPRESSED-format decoding is a declared stub
+  * ([[ChecksumCodec]] stands in where libjpeg/ffmpeg would be —
+  * this container ships no media codecs): swap in a [[BlobCodec]]
+  * that calls the real decoder; nothing else changes.
   */
 object Multimodal {
+
+  /** Decode boundary: turns one blob + its metadata into fixed-width
+    * integer features. Implementations must be Serializable — they
+    * ship to executors inside the mapPartitions closure. */
+  trait BlobCodec extends Serializable {
+    def name: String
+    def featureNames: Seq[String]
+    def features(bytes: Array[Byte], width: Int, height: Int): Array[Long]
+  }
+
+  /** STUB codec for compressed formats: deterministic fake features
+    * (length + rolling checksum + claimed pixel count) where a real
+    * pipeline would decode the payload. Clearly a stand-in — a real
+    * image path implements BlobCodec over the actual decoder. */
+  object ChecksumCodec extends BlobCodec {
+    val name = "checksum-stub"
+    val featureNames = Seq("byte_len", "checksum", "pixels")
+    def features(bytes: Array[Byte], width: Int, height: Int): Array[Long] = {
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+      Array(bytes.length.toLong, sum % 256, width.toLong * height)
+    }
+  }
+
+  /** REAL raw-format codec: treats the payload as an 8-bit buffer and
+    * extracts a 4-bin intensity histogram + mean — the whole decode
+    * path is implemented (raw buffers need no external codec). */
+  object RawGray8Codec extends BlobCodec {
+    val name = "raw-gray8"
+    val featureNames = Seq("bin0", "bin1", "bin2", "bin3", "mean_x100")
+    def features(bytes: Array[Byte], width: Int, height: Int): Array[Long] = {
+      val bins = new Array[Long](4)
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val v = bytes(i) & 0xff
+        bins(v / 64) += 1
+        sum += v
+        i += 1
+      }
+      val mean100 = if (bytes.isEmpty) 0L else sum * 100 / bytes.length
+      Array(bins(0), bins(1), bins(2), bins(3), mean100)
+    }
+  }
 
   /** Wrap documents as a blob table: payload bytes + typed metadata
     * (as an image-ish width/height/channels struct derived from the
@@ -28,26 +75,67 @@ object Multimodal {
         (col("n_chars") * 7 % 480 + 1).cast("int").as("height"),
         lit(3).as("channels")).as("meta"))
 
-  /** Partition-wise "decode": iterate each partition's rows once,
-    * emitting fixed-width features per blob. Runs as one task per
-    * partition — the batch shape a real codec (or model) needs. */
-  def decodeStub(blobs: DataFrame): DataFrame = {
+  /** Partition-wise decode through a [[BlobCodec]]: one task per
+    * partition iterates its rows once — the batch shape a real codec
+    * (or model forward pass) needs. Feature columns are named by the
+    * codec. */
+  def decode(blobs: DataFrame, codec: BlobCodec): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
+    val names = codec.featureNames
     blobs
       .select(col("doc_id"), col("blob"),
         col("meta.width").as("width"), col("meta.height").as("height"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes, w, h) =>
-          // STUB: real decoder goes here (image decode / resample /
-          // frame-sample). Deterministic fake: length + byte checksum.
-          var sum = 0L
+        rows.map { case (id, bytes, w, h) => (id, codec.features(bytes, w, h)) }
+      }
+      .select(col("_1").as("doc_id") +:
+        names.zipWithIndex.map { case (n, i) => col("_2")(i).as(n) }: _*)
+  }
+
+  /** Back-compat alias for the c12 oracle entry: the stub codec. */
+  def decodeStub(blobs: DataFrame): DataFrame = decode(blobs, ChecksumCodec)
+
+  /** Audio-frame windowing over raw PCM-style payloads — REAL DSP,
+    * fully implemented: 16-bit little-endian offset-binary samples,
+    * framed at (frameSize, hop), per-frame energy (sum of squares,
+    * exact integer) and zero-crossing count. RMS is derived OUTSIDE
+    * the JVM loop with the engine's own round(sqrt(...)), keeping the
+    * float step inside the established Spark↔DuckDB round parity.
+    * Full frames only; a payload shorter than one frame emits none. */
+  def audioFrames(blobs: DataFrame, frameSize: Int, hop: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val n = bytes.length / 2
+          val s = new Array[Int](n)
           var i = 0
-          while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-          (id, bytes.length.toLong, sum % 256, w.toLong * h)
+          while (i < n) {
+            s(i) = (bytes(2 * i) & 0xff) + 256 * (bytes(2 * i + 1) & 0xff) - 16384
+            i += 1
+          }
+          val nFrames = if (n >= frameSize) (n - frameSize) / hop + 1 else 0
+          (0 until nFrames).iterator.map { f =>
+            val off = f * hop
+            var sumSq = 0L
+            var zc = 0L
+            var j = 0
+            while (j < frameSize) {
+              val v = s(off + j).toLong
+              sumSq += v * v
+              if (j > 0 && s(off + j - 1).toLong * v < 0) zc += 1
+              j += 1
+            }
+            (id, f.toLong, sumSq, zc)
+          }
         }
       }
-      .toDF("doc_id", "byte_len", "checksum", "pixels")
+      .toDF("doc_id", "frame_idx", "sum_sq", "zero_crossings")
+      .withColumn("rms",
+        round(sqrt(col("sum_sq").cast("double") / frameSize), 6))
   }
 }

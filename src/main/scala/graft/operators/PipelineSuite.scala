@@ -444,7 +444,38 @@ object PipelineSuite extends Suite {
       ORDER BY e.q_id"""
     })
 
+  val c18 = Q(
+    "c18_audio_frames",
+    // Audio-frame windowing over raw PCM-style blobs (real DSP on the
+    // byte payload — frame energy + zero crossings; frameSize=128
+    // samples, hop=64). The float step (rms) stays in the engines'
+    // round(sqrt()) parity; everything upstream is exact integers.
+    (s, d) => Multimodal.audioFrames(
+        Multimodal.asBlobTable(Tables.documents(s, d), "doc_id", "text"),
+        frameSize = 128, hop = 64)
+      .orderBy(col("doc_id"), col("frame_idx")),
+    Some("""
+      WITH samp AS (
+        SELECT doc_id,
+          list_transform(range(1, len(text)//2 + 1),
+            i -> ascii(text[2*i-1]) + 256*ascii(text[2*i]) - 16384) AS s
+        FROM documents),
+      frames AS (
+        SELECT doc_id, t.f AS frame_idx,
+               list_slice(s, t.f*64 + 1, t.f*64 + 128) AS fr
+        FROM samp CROSS JOIN range(0, 512) t(f)
+        WHERE t.f*64 + 128 <= len(s))
+      SELECT doc_id, frame_idx,
+        list_reduce(list_transform(fr, x -> CAST(x*x AS BIGINT)),
+          (a,b) -> a + b) AS sum_sq,
+        CAST(len(list_filter(range(2, 129), i -> fr[i-1]*fr[i] < 0))
+          AS BIGINT) AS zero_crossings,
+        round(sqrt(CAST(list_reduce(list_transform(fr,
+            x -> CAST(x*x AS BIGINT)), (a,b) -> a + b) AS DOUBLE) / 128), 6)
+          AS rms
+      FROM frames ORDER BY doc_id, frame_idx"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
-      c16, c17)
+      c16, c17, c18)
 }
