@@ -106,10 +106,11 @@ object TopKPerKey {
     * key under `orderBy` (which must be a deterministic total order
     * within a key).
     *
-    * Limitation shared with any non-builtin attribute-producing node:
-    * DeduplicateRelations only special-cases Spark's own generators,
-    * so SELF-joining the result needs a lineage break first
-    * (localCheckpoint) or distinct aliases via select-with-alias. */
+    * Self-joins of the result resolve when GraftExtensions is enabled:
+    * [[DeduplicateTopKRanks]] regenerates the rank exprId on the right
+    * side of a conflicting join (DeduplicateRelations only does this
+    * for Spark's own attribute-producing nodes). Without the
+    * extensions, break the lineage first (localCheckpoint). */
   def apply(df: DataFrame, keyCols: Seq[Column], orderBy: Seq[Column],
             k: Int, rankName: String = "rank"): DataFrame = {
     // Self-registering: works with or without GraftExtensions.

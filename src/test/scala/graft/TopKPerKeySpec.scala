@@ -39,4 +39,18 @@ class TopKPerKeySpec extends SparkSpec {
     assert(r.map(x => (x.getInt(0), x.getInt(2), x.getDouble(1))).toSeq ===
       Seq((1, 1, 10.0), (1, 2, 5.0), (2, 1, 7.0)))
   }
+
+  test("self-join of TopKPerKey output analyzes without a lineage break") {
+    val o = Tables.orders(spark, sf)
+    val top = TopKPerKey(o, Seq($"o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey"), 2)
+    // DeduplicateTopKRanks regenerates the right side's rank exprId
+    val j = top.alias("a").join(top.alias("b"),
+      col("a.o_custkey") === col("b.o_custkey") &&
+        col("a.rank") < col("b.rank"))
+    // each customer with 2 kept orders contributes exactly the
+    // (rank1, rank2) pair; customers with 1 kept order contribute none
+    val twoKept = top.groupBy($"o_custkey").count().where($"count" === 2).count()
+    assert(j.count() === twoKept)
+  }
 }
