@@ -79,5 +79,53 @@ object StreamingSuite extends Suite {
        AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
       ORDER BY a.user_id, a_id, b_id"""))
 
-  override val queries: Seq[Q] = Seq(d1, d2, d3, d4)
+  val d5 = Q(
+    "d5_session_window",
+    // Spark's native session_window (engine-managed session state,
+    // watermark-evicted on streams), batch-replayed; the oracle is
+    // the gap-islands formulation with end = last event + gap.
+    (s, d) => Streams.sessionWindows(Tables.events(s, d), "30 minutes")
+      .orderBy(col("user_id"), col("start_us")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+      l AS (
+        SELECT *, LAG(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS prev FROM e),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+                       THEN 1 ELSE 0 END AS brk FROM l),
+      s AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+      SELECT user_id, MIN(us) AS start_us,
+             MAX(us) + 1800000000 AS end_gap_us,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM s
+      GROUP BY user_id, sess
+      ORDER BY user_id, start_us"""))
+
+  val d6 = Q(
+    "d6_stream_left_join",
+    // LEFT OUTER stream-stream time-range join, batch-replayed:
+    // clicks with no purchase within 1h carry -1 sentinels. On a
+    // stream the unmatched click emits once the watermark passes its
+    // join window (see Streams.correlate + StreamsSpec).
+    (s, d) => Streams.correlate(Tables.events(s, d), "click", "purchase",
+        horizonUs = 3600000000L, joinType = "left_outer")
+      .orderBy(col("user_id"), col("a_id"), col("b_id")),
+    Some("""
+      SELECT a.user_id, a.event_id AS a_id,
+             COALESCE(b.event_id, -1) AS b_id,
+             epoch_us(a.ts) AS a_us,
+             COALESCE(epoch_us(b.ts), -1) AS b_us
+      FROM (SELECT * FROM events WHERE event_type = 'click') a
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        ON a.user_id = b.user_id
+       AND b.ts >= a.ts
+       AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+      ORDER BY a.user_id, a_id, b_id"""))
+
+  override val queries: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6)
 }

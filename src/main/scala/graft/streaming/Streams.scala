@@ -34,6 +34,26 @@ object Streams {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Gap-based sessionization via Spark's NATIVE session_window —
+    * the engine merges per-user event windows [ts, ts+gap) into
+    * sessions (end = last event + gap). Works identically on batch
+    * and streaming frames; on streaming input the watermark closes
+    * and evicts sessions. This is the declarative counterpart of
+    * [[sessionize]]/[[sessionizeStreaming]]: same shuffle (user_id),
+    * state managed by the engine's session-window store. */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    withWm
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_gap_us"),
+        col("n_events"), col("sum_value"))
+  }
+
   private def toEv(events: DataFrame): Dataset[Ev] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -117,7 +137,7 @@ object Streams {
     * the join state is bounded by the horizon; on batch inputs it is
     * the plain range join the oracle replays. */
   def correlate(events: DataFrame, typeA: String, typeB: String,
-                horizonUs: Long): DataFrame = {
+                horizonUs: Long, joinType: String = "inner"): DataFrame = {
     def side(t: String, pfx: String) = {
       val base = events.where(col("event_type") === t)
       val wm = if (base.isStreaming) base.withWatermark("ts", "2 hours") else base
@@ -130,12 +150,20 @@ object Streams {
     // can only derive state-eviction watermarks from interval algebra,
     // not from unix_micros() — the function form silently made the
     // join state unbounded.
+    // left_outer: unmatched A rows emit with -1 sentinels (never null
+    // — the driver compare needs total row ordering). On a stream the
+    // unmatched row is emitted when the watermark passes the end of
+    // A's join window (a_ts + horizon), i.e. when a match is provably
+    // impossible.
     a.join(b,
         col("a_user") === col("b_user") &&
           col("b_ts") >= col("a_ts") &&
-          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonUs MICROSECOND"))
-      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
-        unix_micros(col("a_ts")).as("a_us"), unix_micros(col("b_ts")).as("b_us"))
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonUs MICROSECOND"),
+        joinType)
+      .select(col("a_user").as("user_id"), col("a_id"),
+        coalesce(col("b_id"), lit(-1L)).as("b_id"),
+        unix_micros(col("a_ts")).as("a_us"),
+        coalesce(unix_micros(col("b_ts")), lit(-1L)).as("b_us"))
   }
 
   /** Streaming dedup: keep the first arrival per key within the

@@ -127,6 +127,62 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
   }
 
+  test("native session_window stream emits watermark-closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Raw]
+    ms.addData(rawRows.toSeq)
+    val q = Streams.sessionWindows(ms.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("sesswin")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("sesswin")
+      .orderBy($"user_id", $"start_us").collect()
+    // append emits sessions whose end has passed the final watermark
+    val wmUs = (rawRows.map(_.ts.getTime).max - 2 * 3600 * 1000) * 1000
+    val expected = Streams.sessionWindows(eventsDf, "30 minutes")
+      .where($"end_gap_us" <= wmUs)
+      .orderBy($"user_id", $"start_us").collect()
+    assert(streamed.nonEmpty && streamed.toSeq === expected.toSeq)
+  }
+
+  test("stream-stream LEFT OUTER join emits matches plus expired unmatched") {
+    implicit val sqlCtx = spark.sqlContext
+    val horizon = 3600000000L
+    val ms = MemoryStream[Raw]
+    ms.addData(rawRows.toSeq)
+    val q = Streams.correlate(ms.toDF(), "click", "purchase", horizon,
+        "left_outer")
+      .writeStream.format("memory").queryName("lcorr")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("lcorr")
+      .orderBy($"user_id", $"a_id", $"b_id").collect()
+    // matched rows emit immediately; an unmatched click emits only
+    // once the watermark proves no purchase can still arrive. The
+    // global watermark is the MIN across both sides' watermark
+    // operators (each side is its own filtered stream), and the
+    // reconstruction here is ms-truncated while eviction compares
+    // microseconds — assert between a strict and a loose bound.
+    def maxTs(t: String) =
+      rawRows.filter(_.event_type == t).map(_.ts.getTime).max
+    val wmUs =
+      (math.min(maxTs("click"), maxTs("purchase")) - 2 * 3600 * 1000) * 1000
+    val margin = 2000L
+    val batch = Streams.correlate(eventsDf, "click", "purchase", horizon,
+      "left_outer")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val mustHave = rows(batch
+      .where($"b_id" =!= -1L || ($"a_us" + horizon) < wmUs - margin))
+    val mayHave = rows(batch
+      .where($"b_id" =!= -1L || ($"a_us" + horizon) < wmUs + margin))
+    val got = streamed.map(_.toString).toSet
+    assert(streamed.exists(_.getAs[Long]("b_id") === -1L),
+      "some unmatched clicks must have been emitted")
+    assert(mustHave.subsetOf(got), s"missing: ${mustHave.diff(got).take(3)}")
+    assert(got.subsetOf(mayHave), s"extra: ${got.diff(mayHave).take(3)}")
+  }
+
   test("streaming dedup keeps the first arrival per key (ordered feed)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Raw]
