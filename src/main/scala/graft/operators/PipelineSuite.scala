@@ -475,7 +475,52 @@ object PipelineSuite extends Suite {
           AS rms
       FROM frames ORDER BY doc_id, frame_idx"""))
 
+  val c19 = Q(
+    "c19_curate",
+    // The end-to-end curation pipeline: quality gate (>= 0.63) →
+    // exact dedup → near-dup dedup (Jaccard >= 0.5) → annotated
+    // survivors. One entry exercising the composed scale shapes.
+    (s, d) => Curate.curate(Tables.documents(s, d), "doc_id", "text",
+        minQuality = 0.63, tau = 0.5)
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH RECURSIVE q AS (${TextQuality.qualityFeaturesSql("doc_id", "text")}),
+      surv AS (
+        SELECT d.doc_id, d.text, q.n_tokens, q.quality
+        FROM documents d JOIN q USING (doc_id)
+        WHERE q.quality >= 0.63),
+      ex AS (
+        SELECT *, MIN(doc_id) OVER (
+          PARTITION BY ${TextOps.polyHashSql("text")}) AS ex_keeper
+        FROM surv),
+      s2 AS (SELECT doc_id, text, n_tokens, quality
+             FROM ex WHERE doc_id = ex_keeper),
+      sh AS (SELECT doc_id, unnest($SH) AS s FROM s2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+      dropped AS (
+        SELECT n AS doc_id FROM reach
+        GROUP BY n
+        HAVING LEAST(n, MIN(m)) <> n)
+      SELECT doc_id, n_tokens, quality FROM s2
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+      ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
-      c16, c17, c18)
+      c16, c17, c18, c19)
 }
