@@ -212,6 +212,57 @@ object Dedup {
         greatest(col("da"), col("db")).as("id_b"), col("sim"))
   }
 
+  /** Cosine similarity self-join with a conf-selected physical
+    * strategy — the exactness/scale trade made explicit, like AQE's
+    * join-strategy switches:
+    *
+    *   - default: the exact triangle-blocked equi-join
+    *     ([[embeddingPairs]]) — every pair with cosine >= tau,
+    *     O(n²) compute split into bounded tasks;
+    *   - `spark.graft.approx.simjoin=true`: sign-pattern LSH band
+    *     candidates + exact cosine verify — recall < 1 (measured in
+    *     ApproxSimJoinSpec), shuffle bounded by candidate pairs;
+    *     the trade the reference makes with its HNSW k-NN probe
+    *     (conflicts.go:85-96).
+    *
+    * Both modes emit the same schema with exact similarities;
+    * approximate mode can only MISS pairs, never fabricate them. */
+  def similarityJoin(emb: DataFrame, id: String, vec: String, tau: Double,
+                     bits: Int = 16, bandBits: Int = 4): DataFrame = {
+    val approx = emb.sparkSession.conf
+      .getOption("spark.graft.approx.simjoin").contains("true")
+    if (!approx) embeddingPairs(emb, id, vec, tau)
+    else {
+      val withNorm = emb.select(col(id).as("did"), col(vec).as("v"),
+        VectorOps.norm(col(vec)).as("nrm")).localCheckpoint(true)
+      // band j = bits/bandBits sign-pattern slices; candidates share
+      // >= 1 band (equi-join on (band index, band value))
+      val bands = bits / bandBits
+      val banded = withNorm.select(col("did"), col("v"), col("nrm"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          aggregate(
+            transform(sequence(lit(1), lit(bandBits)), j =>
+              when(element_at(col("v"), b * bandBits + j) >= 0f,
+                pow(lit(2.0), j - 1).cast("long")).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x)))
+          .as(Seq("band_idx", "band_val")))
+      val cand = banded.alias("a")
+        .join(banded.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.did") < col("b.did"))
+        .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
+          col("a.v").as("va"), col("b.v").as("vb"),
+          col("a.nrm").as("na"), col("b.nrm").as("nb"))
+        .distinct()
+      cand
+        .withColumn("sim",
+          VectorOps.cosine6Pre(col("va"), col("vb"), col("na"), col("nb")))
+        .where(col("sim") >= tau)
+        .select(col("id_a"), col("id_b"), col("sim"))
+    }
+  }
+
   /** Same-key exact cosine pairs (conflict detection shape): all
     * id-ordered pairs sharing `key` with cosine >= tau, via the
     * triangle-blocked equi-join — the key joins the block columns in
