@@ -52,8 +52,11 @@ object Dedup {
     * emits candidate pairs sharing >= 1 band, with the signature-match
     * estimate of Jaccard. Candidate generation is an equi-join on
     * (band index, band value) — the 100 TB path. */
-  def minHashCandidates(docs: DataFrame, id: String, text: String,
-                        k: Int, bands: Int): DataFrame = {
+  /** MinHash band buckets per doc: (did, sig, band_idx, band_val) —
+    * the shared candidate-generation primitive behind
+    * [[minHashCandidates]] and [[nearDupNovelty]]. */
+  def bandBuckets(docs: DataFrame, id: String, text: String,
+                  k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     // Two-step materialization: shingle hashes once per doc, then the
     // signature from the stored array — otherwise Catalyst re-inlines
@@ -65,10 +68,15 @@ object Dedup {
       TextOps.shingleHashes(col(text)).as("shh")).localCheckpoint(true)
     val sigs = shh.select(col("did"),
       TextOps.minHashSignature(col("shh"), k).as("sig")).localCheckpoint(true)
-    val banded = sigs.select(col("did"), col("sig"),
+    sigs.select(col("did"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows))))
         .as(Seq("band_idx", "band_val")))
+  }
+
+  def minHashCandidates(docs: DataFrame, id: String, text: String,
+                        k: Int, bands: Int): DataFrame = {
+    val banded = bandBuckets(docs, id, text, k, bands)
     val cand = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -210,6 +218,27 @@ object Dedup {
       .where(col("sim") >= tau)
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"), col("sim"))
+  }
+
+  /** Near-dup NOVELTY flags — the streaming-shaped dedup decision: a
+    * doc is novel iff NO earlier doc (smaller id ≈ earlier arrival)
+    * claimed any of its MinHash band buckets. This is the batch
+    * mirror of the stateful streaming path (one owner per band
+    * bucket, [[graft.streaming.Streams.bandClaimStreaming]]): state
+    * is O(distinct buckets), each arriving doc costs `bands` state
+    * probes — no pair join at all, the shape an online ingest filter
+    * needs at 100 TB. Approximate by construction (band collision ≈
+    * near-dup); the exact pair path stays [[deduplicate]]. */
+  def nearDupNovelty(docs: DataFrame, id: String, text: String,
+                     k: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = bandBuckets(docs, id, text, k, bands)
+    banded
+      .withColumn("mn", min(col("did")).over(
+        Window.partitionBy(col("band_idx"), col("band_val"))))
+      .groupBy(col("did"))
+      .agg(min(when(col("did") === col("mn"), 1L).otherwise(0L)).as("novel"))
+      .withColumnRenamed("did", id)
   }
 
   /** Cosine similarity self-join with a conf-selected physical

@@ -63,6 +63,64 @@ object Multimodal {
     }
   }
 
+  /** REAL container codec: parses RIFF/WAVE (PCM) — chunk walk over
+    * "fmt " and "data", 16-bit little-endian samples — and returns
+    * (sample_rate, channels, n_samples, energy, zero crossings).
+    * Fully implemented: WAV is a header + raw PCM, no entropy coding,
+    * so no external library is needed. Returns all-(-1) features for
+    * payloads that don't parse as RIFF/WAVE (decode failure is data,
+    * not an exception — a 100 TB scan must not die on one bad blob). */
+  object WavPcm16Codec extends BlobCodec {
+    val name = "wav-pcm16"
+    val featureNames =
+      Seq("sample_rate", "channels", "n_samples", "sum_sq", "zero_crossings")
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], off: Int, t: String): Boolean =
+      b.length >= off + 4 && new String(b, off, 4, "US-ASCII") == t
+    def features(bytes: Array[Byte], width: Int, height: Int): Array[Long] = {
+      val bad = Array(-1L, -1L, -1L, -1L, -1L)
+      if (bytes.length < 12 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE"))
+        return bad
+      var off = 12
+      var rate = -1L
+      var channels = -1L
+      var bits = -1
+      var dataOff = -1
+      var dataLen = -1
+      while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+        val len = le32(bytes, off + 4).toInt
+        if (tag(bytes, off, "fmt ") && off + 8 + 16 <= bytes.length) {
+          channels = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+        } else if (tag(bytes, off, "data")) {
+          dataOff = off + 8
+          dataLen = math.min(len, bytes.length - dataOff)
+        }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (rate < 0 || dataOff < 0 || bits != 16) return bad
+      val n = dataLen / 2
+      var sumSq = 0L
+      var zc = 0L
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        val v = (bytes(dataOff + 2 * i) & 0xff) |
+          (bytes(dataOff + 2 * i + 1) << 8) // sign-extends via Byte
+        sumSq += v.toLong * v
+        if (i > 0 && prev.toLong * v < 0) zc += 1
+        prev = v
+        i += 1
+      }
+      Array(rate, channels, n.toLong, sumSq, zc)
+    }
+  }
+
   /** Wrap documents as a blob table: payload bytes + typed metadata
     * (as an image-ish width/height/channels struct derived from the
     * doc — deterministic stand-ins for real media headers). */

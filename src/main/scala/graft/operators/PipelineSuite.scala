@@ -520,7 +520,35 @@ object PipelineSuite extends Suite {
       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
       ORDER BY doc_id"""))
 
+  val c20 = Q(
+    "c20_neardup_novelty",
+    // The streaming-shaped dedup decision, batch-replayed: novel iff
+    // no earlier doc claimed any of the doc's MinHash band buckets
+    // (state O(buckets), no pair join — the online ingest filter).
+    // Streaming flavor: Streams.bandClaimStreaming (StreamsSpec).
+    (s, d) => Dedup.nearDupNovelty(Tables.documents(s, d), "doc_id", "text",
+        k = 16, bands = 4)
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH sigs AS (
+        SELECT doc_id, ${TextOps.minHashSignatureSql(SH, 16)} AS sig
+        FROM documents),
+      banded AS (
+        SELECT doc_id, t.b AS band_idx,
+               list_slice(sig, t.b * 4 + 1, t.b * 4 + 4) AS band_val
+        FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
+      w AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band_idx, band_val)
+                 AS mn
+        FROM banded)
+      SELECT doc_id,
+             CAST(MIN(CASE WHEN doc_id = mn THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel
+      FROM w
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
-      c16, c17, c18, c19)
+      c16, c17, c18, c19, c20)
 }

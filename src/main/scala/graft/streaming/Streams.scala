@@ -166,6 +166,34 @@ object Streams {
         coalesce(unix_micros(col("b_ts")), lit(-1L)).as("b_us"))
   }
 
+  case class BandRow(did: Long, band_idx: Int, band_val: Seq[Long])
+
+  /** Streaming near-dup state machine: one OWNER per MinHash band
+    * bucket. Each arriving (doc, band) row either claims its bucket
+    * (novel band) or finds it owned by an earlier doc (collision ≈
+    * near-dup evidence). A doc is novel iff every band row was fresh
+    * — the batch mirror is [[graft.operators.Dedup.nearDupNovelty]]
+    * (owner = min doc id per bucket). State is O(distinct buckets);
+    * an arriving doc costs `bands` probes and no join — the online
+    * ingest-filter shape. */
+  def bandClaimStreaming(banded: Dataset[BandRow]): Dataset[(Long, Int, Boolean)] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupByKey(r => (r.band_idx, r.band_val))
+      .flatMapGroupsWithState[Long, (Long, Int, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Seq[Long]), it: Iterator[BandRow], state: GroupState[Long]) =>
+          val rows = it.toArray.sortBy(_.did)
+          var owner = state.getOption
+          rows.iterator.map { r =>
+            val novel = owner.isEmpty
+            if (novel) { owner = Some(r.did); state.update(r.did) }
+            (r.did, key._1, novel)
+          }
+      }
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

@@ -61,6 +61,38 @@ class EntryContractSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("sum_sq") === expSumSq))
   }
 
+  test("WAV codec decodes a synthesized RIFF/PCM payload exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    // hand-build a 4-sample 16-bit mono WAV at 8kHz: samples 1000,
+    // -1000, 2000, -2000 → sum_sq = 2*(1000² + 2000²), zc = 3
+    def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val samples = Seq(1000, -1000, 2000, -2000)
+    val data = samples.flatMap(le16).toArray
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val blobs = Seq((0L, wav)).toDF("doc_id", "blob")
+      .withColumn("meta", struct(lit(1).as("width"), lit(1).as("height"),
+        lit(1).as("channels")))
+    val r = Multimodal.decode(blobs, Multimodal.WavPcm16Codec).head()
+    assert(r.getAs[Long]("sample_rate") === 8000L)
+    assert(r.getAs[Long]("channels") === 1L)
+    assert(r.getAs[Long]("n_samples") === 4L)
+    assert(r.getAs[Long]("sum_sq") === 2L * (1000L * 1000 + 2000L * 2000))
+    assert(r.getAs[Long]("zero_crossings") === 3L)
+    // non-WAV payloads decode to -1 sentinels, not exceptions
+    val junk = Seq((1L, "not a wav at all".getBytes)).toDF("doc_id", "blob")
+      .withColumn("meta", struct(lit(1).as("width"), lit(1).as("height"),
+        lit(1).as("channels")))
+    val j = Multimodal.decode(junk, Multimodal.WavPcm16Codec).head()
+    assert(j.getAs[Long]("sample_rate") === -1L)
+  }
+
   test("multimodal blob table carries binary payload + typed metadata") {
     val blobs = Multimodal.asBlobTable(Tables.documents(spark, sf), "doc_id", "text")
     assert(blobs.schema("blob").dataType.typeName === "binary")

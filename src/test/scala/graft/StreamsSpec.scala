@@ -183,6 +183,34 @@ class StreamsSpec extends SparkSpec {
     assert(got.subsetOf(mayHave), s"extra: ${got.diff(mayHave).take(3)}")
   }
 
+  test("streaming band claims match the batch novelty flags (ordered feed)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val bandRows = Dedup.bandBuckets(docs, "doc_id", "text", 16, 4)
+      .select($"did", $"band_idx", $"band_val")
+      .as[(Long, Int, Seq[Long])].collect()
+      .sortBy(r => (r._1, r._2))
+      .map { case (d, i, v) => Streams.BandRow(d, i, v) }
+    val ms = MemoryStream[Streams.BandRow]
+    ms.addData(bandRows.toSeq)
+    val q = Streams.bandClaimStreaming(ms.toDS())
+      .toDF("did", "band_idx", "novel_band")
+      .writeStream.format("memory").queryName("claims")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamedNovel = spark.table("claims")
+      .groupBy($"did")
+      .agg(min(when($"novel_band", 1L).otherwise(0L)).as("novel"))
+      .orderBy($"did").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batchNovel = Dedup.nearDupNovelty(docs, "doc_id", "text", 16, 4)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamedNovel.toSeq === batchNovel.toSeq)
+    assert(batchNovel.exists(_._2 == 0L), "corpus contains near-dups")
+  }
+
   test("streaming dedup keeps the first arrival per key (ordered feed)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Raw]
