@@ -91,4 +91,42 @@ object GraphAlgo {
       .select(col("node"), coalesce(col("v"), col("node")).as("component"))
   }
 
+  /** PageRank with a FIXED iteration count, fully deterministic and
+    * oracle-reproducible: per-target contributions are summed as the
+    * src-ordered SEQUENTIAL double fold (the SURVEY §4 contract —
+    * same trick as the k-means means), so the distributed sum is
+    * bit-identical to the single-threaded SQL replay. Unnormalized
+    * form r' = (1-d) + d * Σ r_src/outdeg_src over in-edges.
+    *
+    * Plan shape per iteration: edges ⋈ ranks (shuffle on src) →
+    * groupBy dst (shuffle on dst) → left join back to the node set —
+    * the standard dataflow PageRank (Pregelix re-expressed as joins);
+    * ranks materialize once per iteration. */
+  def pageRank(edgesIn: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    val dir = edgesIn.toDF("src", "dst").localCheckpoint(true)
+    val nodes = dir.select(col("src").as("node"))
+      .unionAll(dir.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val outdeg = dir.groupBy(col("src"))
+      .agg(count(lit(1)).as("od")).localCheckpoint(true)
+    var rank = nodes.select(col("node").as("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = dir
+        .join(rank, dir("src") === rank("id"))
+        .join(outdeg.select(col("src").as("s2"), col("od")),
+          col("src") === col("s2"))
+        .select(col("dst"), col("src"), (col("rank") / col("od")).as("c"))
+      val sums = contrib.groupBy(col("dst"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("src"), col("c")))),
+          lit(0.0), (a, e) => a + e.getField("c")).as("contrib"))
+      rank = nodes.join(sums, col("node") === col("dst"), "left")
+        .select(col("node").as("id"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
 }

@@ -412,7 +412,48 @@ object GraphSuite extends Suite {
       FROM documents WHERE doc_id < 50
       GROUP BY 1 ORDER BY dst"""))
 
+  val b18 = Q(
+    "b18_pagerank",
+    // Dataflow PageRank over the full typed multigraph, 3 fixed
+    // iterations, §4-deterministic (src-ordered sequential folds per
+    // target — see GraphAlgo.pageRank). Top-20 hubs.
+    (s, d) => {
+      val g = MemoryGraph.persisted(s, d)
+      graft.graph.GraphAlgo
+        .pageRank(g.edges.select(col("src"), col("dst")), iters = 3)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("id"))
+        .limit(20)
+    },
+    Some {
+      def iter(prev: String, cur: String) = s"""
+      $cur AS (
+        SELECT n.node AS id,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 + CAST(0.85 AS DOUBLE) * COALESCE(s.contrib, 0.0) AS rank
+        FROM n LEFT JOIN (
+          SELECT e.dst,
+                 list_reduce(list(r.rank / od.od ORDER BY e.src),
+                   (a, b) -> a + b) AS contrib
+          FROM e JOIN $prev r ON e.src = r.id
+                 JOIN od ON e.src = od.src
+          GROUP BY e.dst) s ON n.node = s.dst)"""
+      s"""
+      WITH edges_all AS ($E),
+      e AS (SELECT src, dst FROM edges_all),
+      n AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+      r0 AS (SELECT node AS id, 1.0 AS rank FROM n),
+      ${iter("r0", "r1")},
+      ${iter("r1", "r2")},
+      ${iter("r2", "r3")}
+      SELECT id, round(rank, 6) AS rank FROM r3
+      ORDER BY rank DESC, id
+      LIMIT 20"""
+    })
+
   override val queries: Seq[Q] =
     Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15,
-      b16, b17)
+      b16, b17, b18)
 }

@@ -72,4 +72,20 @@ class GraphSpec extends SparkSpec {
   test("export is the full node set") {
     assert(g.export().count() === g.nodes.count())
   }
+
+  test("pageRank: fixed-point sanity on a known 3-node chain") {
+    import graft.graph.GraphAlgo
+    // a -> b -> c: after enough iterations rank(c) > rank(b) > rank(a)
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r = GraphAlgo.pageRank(e, iters = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val base = 1.0 - 0.85 // the operator's own double arithmetic
+    assert(r("a") === base)
+    assert(r("b") === base + 0.85 * r("a"))
+    assert(r("c") > r("b") && r("b") > r("a"))
+    // determinism: a second run is bit-identical
+    val r2 = GraphAlgo.pageRank(e, iters = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r === r2)
+  }
 }
