@@ -17,7 +17,7 @@ class EntryContractSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o === q, s"every query carries an oracle; diff: ${q.diff(o)} ${o.diff(q)}")
-    assert(q.size >= 45, "full SURVEY §2 inventory registered")
+    assert(q.size >= 55, "full SURVEY §2 inventory registered")
   }
 
   test("every query analyzes at sf0.001 and emits no raw timestamps") {
