@@ -39,4 +39,36 @@ class RandomizedParitySpec extends SparkSpec {
       .where($"a" =!= $"b")
     assert(diff.isEmpty)
   }
+
+  test("ShingleHashes3 parity holds for trailing and consecutive spaces") {
+    // Spark split(t, " ") keeps empty tokens (limit -1); the native
+    // expression must tokenize identically — these shapes are exactly
+    // what the corpus never contains and a seeded generator missed
+    val docs = Seq(
+      "a b c ", "a b c  ", " a b c", "a  b c", "a b  c d",
+      "  ", "a ", " ", "a  b", "x y z w ").zipWithIndex.map(_.swap)
+      .toDF("id", "t")
+    val diff = docs.select(
+        $"id",
+        array_sort(TextOps.shingleHashes($"t")).as("fast"),
+        array_sort(transform(TextOps.shingles3(TextOps.tokens($"t")),
+          s => TextOps.polyHashHof(s))).as("ref"))
+      .where(not($"fast" === $"ref"))
+    assert(diff.isEmpty, diff.limit(5).collect().mkString("\n"))
+  }
+
+  test("float_dot is null for ragged arrays, matching the HOF composition") {
+    import graft.functions.VectorOps
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)), // equal length
+      (Seq(1f, 2f), Seq(4f, 5f, 6f)),     // ragged
+      (Seq.empty[Float], Seq(1f))          // empty vs non-empty
+    ).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot($"a", $"b").as("native"),
+      VectorOps.dotHof($"a", $"b").as("hof")).collect()
+    assert(!r(0).isNullAt(0) && r(0).getDouble(0) === r(0).getDouble(1))
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
+    assert(r(2).isNullAt(0) && r(2).isNullAt(1))
+  }
 }
