@@ -108,14 +108,15 @@ object GraphAlgo {
     val nodes = dir.select(col("src").as("node"))
       .unionAll(dir.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
-    val outdeg = dir.groupBy(col("src"))
-      .agg(count(lit(1)).as("od")).localCheckpoint(true)
+    // out-degree is static: join it into the edge relation ONCE, so
+    // each iteration pays a single join + groupBy instead of two joins
+    val outdeg = dir.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val weighted = dir.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("od")).localCheckpoint(true)
     var rank = nodes.select(col("node").as("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = dir
-        .join(rank, dir("src") === rank("id"))
-        .join(outdeg.select(col("src").as("s2"), col("od")),
-          col("src") === col("s2"))
+      val contrib = weighted
+        .join(rank, weighted("src") === rank("id"))
         .select(col("dst"), col("src"), (col("rank") / col("od")).as("c"))
       val sums = contrib.groupBy(col("dst"))
         .agg(aggregate(
