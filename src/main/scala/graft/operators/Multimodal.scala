@@ -93,6 +93,7 @@ object Multimodal {
       var dataLen = -1
       while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
         val len = le32(bytes, off + 4).toInt
+        if (len < 0) return bad // malformed length must not stall the walk
         if (tag(bytes, off, "fmt ") && off + 8 + 16 <= bytes.length) {
           channels = le16(bytes, off + 10)
           rate = le32(bytes, off + 12)

@@ -91,6 +91,15 @@ class EntryContractSpec extends SparkSpec {
         lit(1).as("channels")))
     val j = Multimodal.decode(junk, Multimodal.WavPcm16Codec).head()
     assert(j.getAs[Long]("sample_rate") === -1L)
+    // a malformed NEGATIVE chunk length must bail out, not stall the
+    // chunk walk (a 100 TB scan cannot hang on one corrupt blob)
+    val evil = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0xFFFFFFF8.toInt) ++ new Array[Byte](16)
+    val evilDf = Seq((2L, evil)).toDF("doc_id", "blob")
+      .withColumn("meta", struct(lit(1).as("width"), lit(1).as("height"),
+        lit(1).as("channels")))
+    val e = Multimodal.decode(evilDf, Multimodal.WavPcm16Codec).head()
+    assert(e.getAs[Long]("sample_rate") === -1L)
   }
 
   test("multimodal blob table carries binary payload + typed metadata") {
