@@ -453,7 +453,32 @@ object GraphSuite extends Suite {
       LIMIT 20"""
     })
 
+  val b19 = Q(
+    "b19_list_valid",
+    // ListNodes with the validity condition COMPOSED into the filter
+    // chain (reader.go:240-259 builds category/status/kind AND
+    // valid=true in one query — mie's default listing mode): valid
+    // events of one day, sorted + paginated + total_count.
+    (s, d) => MemoryGraph.persisted(s, d)
+      .list("event", Some("2024-01-29"), col("score").desc,
+        limit = 15, offset = 5, validOnly = true),
+    Some(s"""
+      WITH nodes AS ($N), edges AS ($E),
+      valid AS (
+        SELECT n.* FROM nodes n
+        WHERE n.ntype = 'event' AND n.attr = '2024-01-29'
+          AND NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.etype = 'invalidates' AND e.dst = n.id)),
+      total AS (SELECT COUNT(*) AS total_count FROM valid),
+      page AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS pos
+        FROM valid)
+      SELECT pos, id, content, attr, score, total_count
+      FROM page CROSS JOIN total
+      WHERE pos > 5 AND pos <= 20
+      ORDER BY pos"""))
+
   override val queries: Seq[Q] =
     Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15,
-      b16, b17, b18)
+      b16, b17, b18, b19)
 }
