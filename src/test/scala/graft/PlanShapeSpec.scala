@@ -55,6 +55,27 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a single shuffle (window on user_id, agg reuses it):\n$plan")
   }
 
+  test("no query in the inventory plans an unbounded nested loop") {
+    // BroadcastNestedLoopJoin is legitimate ONLY when one side is a
+    // broadcast of constant size (a scalar count, a <=10-row query
+    // set, a <=k-centroid table): cost O(n*k), k tiny. Everything
+    // else must be an equi-join. CartesianProduct is never OK.
+    val boundedCrossJoins = Set(
+      "b2_list_nodes", "b19_list_valid", // broadcast total_count scalar
+      "b17_batch_ingest",                // broadcast batch_nodes scalar
+      "b8_semantic_topk", "b12_analyze", // broadcast query vector
+      "c6_ann_bruteforce", "c15_text_ann", // broadcast query set
+      "c13_ann_ivf", "c17_ann_ivf_trained") // broadcast centroids
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!boundedCrossJoins(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin outside the bounded allowlist")
+    }
+  }
+
   test("deduplicate (minhash candidates + verify) equals exact-pair dedup") {
     val docs = Tables.documents(spark, sf)
     val composed = Dedup.deduplicate(docs, "doc_id", "text", 0.5)
