@@ -19,6 +19,22 @@ class PlanShapeSpec extends SparkSpec {
       s"pair join must not plan a cartesian product:\n$plan")
   }
 
+  test("persisted graph point reads prune to one type partition") {
+    val pg = graft.graph.MemoryGraph.persisted(spark, sf)
+    def partitionFilters(plan: String): String = {
+      val i = plan.indexOf("PartitionFilters: [")
+      assert(i >= 0, s"expected a partitioned scan:\n$plan")
+      plan.substring(i, plan.indexOf("]", i))
+    }
+    val nodePlan = pg.node("ent:c:42").queryExecution.executedPlan.toString
+    assert(partitionFilters(nodePlan).contains("ntype"),
+      s"node lookup must prune on the ntype partition:\n$nodePlan")
+    val edgePlan = pg.edges.where($"etype" === "invalidates")
+      .queryExecution.executedPlan.toString
+    assert(partitionFilters(edgePlan).contains("etype"),
+      s"edge-type scan must prune on the etype partition:\n$edgePlan")
+  }
+
   test("embeddingPairs plans as an equi-join on block pairs") {
     val df = Dedup.embeddingPairs(Tables.embeddings(spark, sf),
       "vec_id", "embedding", tau = 0.40)
