@@ -38,11 +38,13 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // Per-query warm runs: each query executes twice and reports the
-    // faster run, so codegen compilation, shuffle-file reuse, and
-    // shared-box scheduling noise don't masquerade as plan cost —
-    // round-over-round deltas then reflect plan changes, not JIT luck.
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    // Per-query warm runs: each query executes `runs` times (default
+    // 3); the MEDIAN is the headline number (robust to one shared-box
+    // contention spike in either direction) and the MIN is reported
+    // alongside (the contention-free floor). A failed first run
+    // short-circuits the retries — -1 marks the failure, it must not
+    // pass as a timing.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -51,18 +53,34 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          // -1 marks a failed query (it must not pass as a timing)
           return -1.0
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val times = (1 to runs).map(_ => once())
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      while (i < runs && !failed) {
+        val t = once()
+        if (t < 0) failed = true else times += t
+        i += 1
+      }
+      if (failed) name -> (-1.0, -1.0)
+      else {
+        val sorted = times.sorted
+        name -> (sorted(sorted.size / 2), sorted.head)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: ((String, (Double, Double))) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val policy = "warm session; graph layout materialized untimed " +
+      s"(session storage bring-up); per-query median of $runs runs " +
+      "(queries = medians, queries_min = per-query minima); " +
+      "failed query = -1, retries short-circuited"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      jmap(_._2._1)},"queries_min":${jmap(_._2._2)},"runs":$runs,"policy":"$policy","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -92,42 +92,81 @@ object GraphAlgo {
   }
 
   /** PageRank with a FIXED iteration count, fully deterministic and
-    * oracle-reproducible: per-target contributions are summed as the
-    * src-ordered SEQUENTIAL double fold (the SURVEY §4 contract —
-    * same trick as the k-means means), so the distributed sum is
-    * bit-identical to the single-threaded SQL replay. Unnormalized
-    * form r' = (1-d) + d * Σ r_src/outdeg_src over in-edges.
+    * oracle-reproducible via INTEGER fixed-point arithmetic: ranks are
+    * bigints scaled by 10^12, contributions are `r div outdeg`
+    * (truncating integer division), the per-target reduction is a
+    * plain decimal(38,0) SUM — exact, order-independent, map-side
+    * combinable — and damping is `(s * d%) div 100`. No floating point
+    * until the final unscale, and no double→decimal cast anywhere, so
+    * the distributed plan is bit-identical to the single-threaded SQL
+    * replay regardless of partitioning or skew. Unnormalized form
+    * r' = (1-d) + d * Σ r_src/outdeg_src over in-edges, quantized at
+    * 1e-12 per step. (Round 2 used a per-destination
+    * sort_array(collect_list) sequential fold for determinism; that
+    * materialized a hub's whole in-neighborhood as one row — an OOM
+    * bomb on skewed keys at scale. The fixed-point sum keeps the
+    * determinism and restores partial aggregation.)
     *
     * Plan shape per iteration: edges ⋈ ranks (shuffle on src) →
-    * groupBy dst (shuffle on dst) → left join back to the node set —
-    * the standard dataflow PageRank (Pregelix re-expressed as joins);
-    * ranks materialize once per iteration. */
+    * groupBy dst (partial agg + shuffle on dst) → left join back to
+    * the node set — the standard dataflow PageRank (Pregelix
+    * re-expressed as joins); ranks materialize once per iteration. */
   def pageRank(edgesIn: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
-    val dir = edgesIn.toDF("src", "dst").localCheckpoint(true)
+    import org.apache.spark.sql.expressions.Window
+    // fixed-point scale: 1e12 keeps hub ranks (≤ ~n) in bigint range
+    // at any realistic node count while quantizing far below the
+    // round-6 output precision
+    val Scale = 1000000000000L
+    val dPct = math.round(damping * 100).toInt
+    val base = Scale / 100 * (100 - dPct)
+    val dir = edgesIn.toDF("src", "dst")
+    // out-degree folded into the edge relation via a window count —
+    // ONE shuffle on src, and the materialized result STAYS
+    // hash-partitioned on src, so the per-iteration rank join never
+    // re-shuffles the (large) edge side
+    val weighted = dir
+      .withColumn("od", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint(true)
+    // node set hash-partitioned on node: co-located with both the
+    // contribution sums (partitioned on dst) and the next rank
     val nodes = dir.select(col("src").as("node"))
       .unionAll(dir.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
-    // out-degree is static: join it into the edge relation ONCE, so
-    // each iteration pays a single join + groupBy instead of two joins
-    val outdeg = dir.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val weighted = dir.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("od")).localCheckpoint(true)
-    var rank = nodes.select(col("node").as("id"), lit(1.0).as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = weighted
-        .join(rank, weighted("src") === rank("id"))
-        .select(col("dst"), col("src"), (col("rank") / col("od")).as("c"))
-      val sums = contrib.groupBy(col("dst"))
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("src"), col("c")))),
-          lit(0.0), (a, e) => a + e.getField("c")).as("contrib"))
-      rank = nodes.join(sums, col("node") === col("dst"), "left")
-        .select(col("node").as("id"),
-          (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+    var rank = nodes.select(col("node").as("id"), lit(Scale).as("r"))
+    for (i <- 1 to iters) {
+      rank = pageRankStep(weighted, nodes, rank, dPct, base)
+      // The chain stays LAZY: fixed-point arithmetic is partition- and
+      // order-independent, so nothing forces a materialization barrier
+      // (round 2 checkpointed every iteration to pin fold order), and
+      // the static weighted/nodes exchanges are shared across
+      // iterations via ReusedExchange. Periodic checkpoints only as
+      // lineage relief on long runs.
+      if (i % 8 == 0 && i < iters) rank = rank.localCheckpoint(true)
     }
-    rank
+    rank.select(col("id"),
+      (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
+  }
+
+  /** One fixed-point PageRank iteration (exposed for plan-shape
+    * specs: the reduction must stay a plain partial-aggregable sum —
+    * never a per-destination array materialization). Joins carry
+    * shuffle_hash hints: rank and the contribution sums are per-NODE
+    * relations — broadcasting them is wrong at scale (and locally it
+    * serializes every iteration through the driver); with the inputs
+    * pre-partitioned on the join keys the hash joins are exchange-free
+    * and the iteration pays exactly one shuffle (the groupBy dst). */
+  private[graft] def pageRankStep(weighted: DataFrame, nodes: DataFrame,
+                                  rank: DataFrame, dPct: Int,
+                                  base: Long): DataFrame = {
+    val contrib = weighted
+      .join(rank.hint("shuffle_hash"), weighted("src") === rank("id"))
+      .select(col("dst"), expr("r div od").as("c"))
+    val sums = contrib.groupBy(col("dst"))
+      .agg(sum(col("c").cast("decimal(38,0)")).as("s"))
+    nodes.join(sums.hint("shuffle_hash"), col("node") === col("dst"), "left")
+      .select(col("node").as("id"),
+        (lit(base) + coalesce(expr(s"(s * $dPct) div 100"), lit(0L)))
+          .as("r"))
   }
 }

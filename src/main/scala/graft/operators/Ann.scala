@@ -93,13 +93,20 @@ object Ann {
     * fully deterministic and oracle-reproducible (SURVEY.md §4):
     * seeds are the k lowest-id vectors; assignment is max rounded
     * cosine with ties to the lower centroid id; each centroid
-    * dimension is the SEQUENTIAL id-ordered double fold of its
-    * members divided by the count, cast back to float. Returns
-    * (id, vec) columns named like the inputs so the result drops
-    * into [[ivfTopK]] as its centroid table. Plan shape per
-    * iteration: one broadcast crossJoin (corpus × k centroids), one
-    * per-vector top-1 window, one groupBy over (centroid, dim) —
-    * all linear in |corpus|, centroids never leave the cluster. */
+    * dimension is the FIXED-POINT mean of its members: components are
+    * floored to integers at scale 2^30 (exact for float inputs —
+    * power-of-two scaling is a pure exponent shift), summed as
+    * decimal(38,0) (exact, order-independent, map-side combinable),
+    * divided back in double and cast to float. (Round 2 collected
+    * every member into a per-(centroid, dim) array for an id-ordered
+    * sequential fold — a single unbounded-width row on a popular
+    * centroid at scale; the fixed-point sum keeps bit parity without
+    * materializing membership.) Returns (id, vec) columns named like
+    * the inputs so the result drops into [[ivfTopK]] as its centroid
+    * table. Plan shape per iteration: one broadcast crossJoin
+    * (corpus × k centroids), one per-vector top-1 window, one groupBy
+    * over (centroid, dim) — all linear in |corpus|, centroids never
+    * leave the cluster. */
   def kmeansFit(corpus: DataFrame, id: String, vec: String, k: Int,
                 iters: Int): DataFrame = {
     val base = corpus.select(col(id).as("vid"), col(vec).as("v"),
@@ -114,30 +121,43 @@ object Ann {
     var cent = seeds.join(seedRank, "vid")
       .select(col("cid"), col("v").as("cv"), col("vn").as("cn"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vid"))
-        .orderBy(col("s").desc, col("cid"))
-      val pick = base.crossJoin(broadcast(cent))
-        .withColumn("s", VectorOps.cosine6Pre(col("v"), col("cv"),
-          col("vn"), col("cn")))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("vid"), col("cid"), col("v"))
-      val dims = pick.select(col("cid"), col("vid"),
-        posexplode(col("v")).as(Seq("dim", "x")))
-      val mean = dims.groupBy(col("cid"), col("dim"))
-        .agg(sort_array(collect_list(struct(col("vid"), col("x")))).as("xs"),
-          count(lit(1)).as("cnt"))
-        .withColumn("m", aggregate(col("xs"), lit(0.0),
-          (a, e) => a + e.getField("x").cast("double")) / col("cnt"))
-      cent = mean.groupBy(col("cid"))
-        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ds"))
-        .select(col("cid"),
-          transform(col("ds"), _.getField("m").cast("float")).as("cv"))
-        .withColumn("cn", VectorOps.norm(col("cv")))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to iters)
+      cent = kmeansUpdate(base, cent).localCheckpoint(true)
     cent.select(col("cid").as(id), col("cv").as(vec))
+  }
+
+  /** One Lloyd update (exposed for plan-shape specs): assign each
+    * vector to its nearest centroid, then rebuild centroids via the
+    * fixed-point per-(cid, dim) mean. The only array materialization
+    * is the final per-centroid dim assembly — bounded by the embedding
+    * dimensionality, never by cluster membership. */
+  private[graft] def kmeansUpdate(base: DataFrame,
+                                  cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("s").desc, col("cid"))
+    val pick = base.crossJoin(broadcast(cent))
+      .withColumn("s", VectorOps.cosine6Pre(col("v"), col("cv"),
+        col("vn"), col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vid"), col("cid"), col("v"))
+    val dims = pick.select(col("cid"),
+      posexplode(col("v")).as(Seq("dim", "x")))
+    // floor(x * 2^30) is exact and engine-identical for float x;
+    // the decimal sum is exact and order-independent
+    val mean = dims
+      .withColumn("xs",
+        floor(col("x").cast("double") * lit(1073741824.0))
+          .cast("decimal(38,0)"))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("xs")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("m",
+        col("sx").cast("double") / (col("cnt") * lit(1073741824.0)))
+    mean.groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ds"))
+      .select(col("cid"),
+        transform(col("ds"), _.getField("m").cast("float")).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
   }
 
   /** Bucketed ANN: queries probe only their own bucket; ranking within

@@ -415,8 +415,9 @@ object GraphSuite extends Suite {
   val b18 = Q(
     "b18_pagerank",
     // Dataflow PageRank over the full typed multigraph, 3 fixed
-    // iterations, §4-deterministic (src-ordered sequential folds per
-    // target — see GraphAlgo.pageRank). Top-20 hubs.
+    // iterations, §4-deterministic via integer fixed-point arithmetic
+    // (plain order-independent sums, partial-agg friendly — see
+    // GraphAlgo.pageRank). Top-20 hubs.
     (s, d) => {
       val g = MemoryGraph.persisted(s, d)
       graft.graph.GraphAlgo
@@ -426,15 +427,15 @@ object GraphSuite extends Suite {
         .limit(20)
     },
     Some {
+      // fixed-point mirror of GraphAlgo.pageRank: bigint ranks scaled
+      // by 1e12, truncating integer division, exact integer sums
       def iter(prev: String, cur: String) = s"""
       $cur AS (
         SELECT n.node AS id,
-               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-                 + CAST(0.85 AS DOUBLE) * COALESCE(s.contrib, 0.0) AS rank
+               CAST(150000000000 + COALESCE((s.s * 85) // 100, 0)
+                 AS BIGINT) AS r
         FROM n LEFT JOIN (
-          SELECT e.dst,
-                 list_reduce(list(r.rank / od.od ORDER BY e.src),
-                   (a, b) -> a + b) AS contrib
+          SELECT e.dst, SUM(r.r // od.od) AS s
           FROM e JOIN $prev r ON e.src = r.id
                  JOIN od ON e.src = od.src
           GROUP BY e.dst) s ON n.node = s.dst)"""
@@ -444,11 +445,12 @@ object GraphSuite extends Suite {
       n AS (SELECT DISTINCT node FROM
         (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
       od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
-      r0 AS (SELECT node AS id, 1.0 AS rank FROM n),
+      r0 AS (SELECT node AS id, CAST(1000000000000 AS BIGINT) AS r FROM n),
       ${iter("r0", "r1")},
       ${iter("r1", "r2")},
       ${iter("r2", "r3")}
-      SELECT id, round(rank, 6) AS rank FROM r3
+      SELECT id, round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank
+      FROM r3
       ORDER BY rank DESC, id
       LIMIT 20"""
     })

@@ -375,8 +375,9 @@ object PipelineSuite extends Suite {
     Some {
       def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
       // one Lloyd iteration: assign to nearest centroid (rounded
-      // cosine, ties to lower cid), then per-dim mean as the
-      // id-ordered sequential double fold / count, cast back to float
+      // cosine, ties to lower cid), then per-dim FIXED-POINT mean:
+      // floor(x * 2^30) per member (exact for floats), exact integer
+      // sum, divide back in double — mirrors Ann.kmeansFit bit-for-bit
       def pickSql(prev: String, n: Int) = s"""
       pick$n AS (
         SELECT vec_id, cid FROM (
@@ -388,8 +389,9 @@ object PipelineSuite extends Suite {
       def iterSql(prev: String, n: Int) = s"""${pickSql(prev, n)},
       upd$n AS (
         SELECT p.cid, t.i,
-               list_reduce(list(CAST(v.embedding[t.i] AS DOUBLE)
-                   ORDER BY v.vec_id), (a, b) -> a + b) / COUNT(*) AS m
+               CAST(SUM(CAST(FLOOR(CAST(v.embedding[t.i] AS DOUBLE)
+                     * 1073741824.0) AS HUGEINT)) AS DOUBLE)
+                 / (COUNT(*) * 1073741824.0) AS m
         FROM pick$n p JOIN corpus v USING (vec_id)
           CROSS JOIN range(1, 65) t(i)
         GROUP BY p.cid, t.i),

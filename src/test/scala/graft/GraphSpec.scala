@@ -79,9 +79,10 @@ class GraphSpec extends SparkSpec {
     val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
     val r = GraphAlgo.pageRank(e, iters = 10)
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
-    val base = 1.0 - 0.85 // the operator's own double arithmetic
-    assert(r("a") === base)
-    assert(r("b") === base + 0.85 * r("a"))
+    // fixed-point arithmetic at scale 1e12: r(a) = (1-d) exactly;
+    // r(b) = base + (base*85 div 100), computed in scaled integers
+    assert(r("a") === 150000000000L / 1e12)
+    assert(r("b") === (150000000000L + 150000000000L * 85 / 100) / 1e12)
     assert(r("c") > r("b") && r("b") > r("a"))
     // determinism: a second run is bit-identical
     val r2 = GraphAlgo.pageRank(e, iters = 10)

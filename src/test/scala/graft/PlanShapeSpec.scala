@@ -92,6 +92,46 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pageRank iteration aggregates with a plain sum — no per-dst array") {
+    // A collect_list keyed by destination materializes a hub's whole
+    // in-neighborhood as ONE row — executor OOM on skewed keys at
+    // scale, and it disables map-side partial aggregation. The
+    // fixed-point formulation must plan as a hash aggregate.
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val od = e.groupBy($"src").agg(count(lit(1)).as("od"))
+    val weighted = e.join(od, "src")
+    val rank = nodes.select($"node".as("id"), lit(1000000000000L).as("r"))
+    val step = graft.graph.GraphAlgo
+      .pageRankStep(weighted, nodes, rank, 85, 150000000000L)
+    val plan = step.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"pageRank step must not materialize per-dst arrays:\n$plan")
+    assert(!plan.contains("sort_array"),
+      s"pageRank step must not sort per-dst arrays:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_finalmerge"),
+      s"pageRank step must keep map-side partial aggregation:\n$plan")
+  }
+
+  test("kmeans update folds members with a plain sum — no membership array") {
+    val base = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f)),
+        (2L, Seq(5.0f, 6.0f)))
+      .toDF("vid", "v")
+      .withColumn("vn", graft.functions.VectorOps.norm($"v"))
+    val cent = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(5.0f, 6.0f)))
+      .toDF("cid", "cv")
+      .withColumn("cn", graft.functions.VectorOps.norm($"cv"))
+    val plan = graft.operators.Ann.kmeansUpdate(base, cent)
+      .queryExecution.executedPlan.toString
+    // the only permitted collect_list is the per-centroid dim
+    // assembly (bounded by dimensionality, ≤ 64 elements) — never one
+    // keyed by cluster membership
+    val folds = "collect_list\\(struct\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(folds.nonEmpty && folds.forall(_ == "dim"),
+      s"kmeans update may only assemble the bounded dim array:\n$plan")
+  }
+
   test("deduplicate (minhash candidates + verify) equals exact-pair dedup") {
     val docs = Tables.documents(spark, sf)
     val composed = Dedup.deduplicate(docs, "doc_id", "text", 0.5)
