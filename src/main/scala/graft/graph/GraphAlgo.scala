@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Barriers.BarrierOps
 
 /** Generic distributed graph algorithms over (src, dst) edge frames —
   * type-agnostic in the node id (string node ids, long doc ids, ...).
@@ -26,12 +27,12 @@ object GraphAlgo {
     val dir = edgesIn.toDF("src", "dst")
     val nodes = dir.select(col("src").as("node"))
       .unionAll(dir.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().barrier(true)
     // orient every edge large→small; drop loops and duplicates
     var e = dir.where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().barrier(true)
 
     // Each phase is ONE shuffle (a window min over the center) plus
     // the distinct that bounds edge growth — no groupBy+join-back.
@@ -70,7 +71,7 @@ object GraphAlgo {
       val t0 = System.nanoTime()
       // lazy checkpoint: the convergence agg below is the action that
       // materializes the blocks — one job per round, not two
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = smallStar(largeStar(e)).barrier(false)
       // convergence = edge set is a fixed point: same count and same
       // order-independent hash — one agg over the just-materialized
       // blocks, no extra join
@@ -127,12 +128,12 @@ object GraphAlgo {
     // re-shuffles the (large) edge side
     val weighted = dir
       .withColumn("od", count(lit(1)).over(Window.partitionBy(col("src"))))
-      .localCheckpoint(true)
+      .barrier(true)
     // node set hash-partitioned on node: co-located with both the
     // contribution sums (partitioned on dst) and the next rank
     val nodes = dir.select(col("src").as("node"))
       .unionAll(dir.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().barrier(true)
     var rank = nodes.select(col("node").as("id"), lit(Scale).as("r"))
     for (i <- 1 to iters) {
       rank = pageRankStep(weighted, nodes, rank, dPct, base)
@@ -142,7 +143,7 @@ object GraphAlgo {
       // the static weighted/nodes exchanges are shared across
       // iterations via ReusedExchange. Periodic checkpoints only as
       // lineage relief on long runs.
-      if (i % 8 == 0 && i < iters) rank = rank.localCheckpoint(true)
+      if (i % 8 == 0 && i < iters) rank = rank.barrier(true)
     }
     rank.select(col("id"),
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))

@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Barriers.BarrierOps
 
 import graft.model.Tables
 
@@ -170,7 +171,7 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
            edgeFilter: Option[Column] = None): DataFrame = {
     val spark = nodes.sparkSession
     val e1 = edgeFilter.foldLeft(edges.where(col("etype") === etype))(_ where _)
-      .select(col("src"), col("dst"), col("prop")).localCheckpoint(true)
+      .select(col("src"), col("dst"), col("prop")).barrier(true)
     var dist = spark.range(1)
       .select(lit(startId).as("node"), lit(0L).as("d"))
     var stride = e1.select(col("src").as("s"), col("dst").as("t"),
@@ -182,7 +183,7 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
       val nd = dist.join(stride, col("node") === col("s"))
         .select(col("t").as("node"), (col("d") + col("len")).as("d"))
       dist = dist.unionAll(nd).groupBy(col("node"))
-        .agg(min(col("d")).as("d")).localCheckpoint(true)
+        .agg(min(col("d")).as("d")).barrier(true)
       val now = dist.count()
       grown = now > reached
       reached = now
@@ -192,7 +193,7 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
           .join(stride.alias("y"), col("x.t") === col("y.s"))
           .select(col("x.s").as("s"), col("y.t").as("t"),
             (col("x.len") + col("y.len")).as("len"))
-          .localCheckpoint(true)
+          .barrier(true)
       }
     }
     e1.join(dist.where(col("d") < maxHops), col("src") === col("node"))
@@ -282,10 +283,55 @@ object MemoryGraph {
   /** Bump when [[fromTables]]' node/edge derivation changes — the
     * on-disk graph cache is keyed by this, so stale layouts from an
     * older code version can never be read back. */
-  private val CacheVersion = "v1"
+  private val CacheVersion = "v2"
 
-  private val persistedGraphs =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), MemoryGraph]
+  /** The parquet tables [[fromTables]] derives the graph from. */
+  private val SourceTables = Seq("customer", "supplier", "part", "orders",
+    "lineitem", "documents", "events")
+
+  /** Content fingerprint of the graph's source inputs: the absolute
+    * dir plus every source parquet file's relative path, size and
+    * mtime. Keying the on-disk cache by this (not just the dir name)
+    * means regenerated source data invalidates the cache instead of
+    * silently serving a stale graph, and distinct dirs can never
+    * collide however their names mangle. */
+  private def fingerprint(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val parts = SourceTables.flatMap { t =>
+      val p = Paths.get(dir, s"$t.parquet")
+      if (!Files.exists(p)) Seq(s"$t:absent")
+      else {
+        val walk = Files.walk(p)
+        try walk.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(f => s"${p.relativize(f)}:${Files.size(f)}:${
+            Files.getLastModifiedTime(f).toMillis}")
+          .toList.sorted
+        finally walk.close()
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update((Paths.get(dir).toAbsolutePath.normalize.toString + "\n" +
+      parts.mkString("\n")).getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  // weak keys: a stopped, dereferenced session's entries vanish with
+  // it — identity hashes could be reused by a new session and hand
+  // back DataFrames bound to the dead one
+  private val persistedGraphs = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, MemoryGraph]]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toList.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
 
   /** The graph materialized ONCE per (session, sf dir) as parquet
     * partitioned by ntype/etype, then read back as pruned scans. This
@@ -293,20 +339,43 @@ object MemoryGraph {
     * (reader.go:309's per-type tables with id indexes): a point lookup
     * or single-etype traversal touches one partition directory instead
     * of re-unioning 9 table scans per query. At cluster scale this is
-    * the bucketed/partitioned table the graph would live in anyway. */
-  def persisted(s: SparkSession, dir: String): MemoryGraph =
-    persistedGraphs.getOrElseUpdate((System.identityHashCode(s), dir), {
-      val base = java.nio.file.Paths.get(
+    * the bucketed/partitioned table the graph would live in anyway.
+    *
+    * Cross-process safe: the layout is written to a temp dir and
+    * atomically renamed into place, so concurrent JVMs (sbt test +
+    * Bench) either win the rename or read the winner's complete
+    * cache — never a half-written one. */
+  def persisted(s: SparkSession, dir: String): MemoryGraph = {
+    val perSession = persistedGraphs.synchronized {
+      var m = persistedGraphs.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, MemoryGraph]
+        persistedGraphs.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val basePath = Paths.get(
         sys.props("user.dir"), "target", "graph-cache", CacheVersion,
-        dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" + fingerprint(dir))
+      val base = basePath.toString
       def ready(sub: String) =
-        java.nio.file.Files.exists(java.nio.file.Paths.get(base, sub, "_SUCCESS"))
+        Files.exists(Paths.get(base, sub, "_SUCCESS"))
       if (!ready("nodes") || !ready("edges")) {
+        val tmp = base + ".tmp-" +
+          java.util.UUID.randomUUID().toString.take(8)
         val g = fromTables(s, dir)
         g.nodes.write.mode("overwrite").partitionBy("ntype")
-          .parquet(s"$base/nodes")
+          .parquet(s"$tmp/nodes")
         g.edges.write.mode("overwrite").partitionBy("etype")
-          .parquet(s"$base/edges")
+          .parquet(s"$tmp/edges")
+        try Files.move(Paths.get(tmp), basePath, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          // lost the creation race: the winner's rename was atomic, so
+          // the existing cache is complete — drop ours and read theirs
+          deleteRecursively(Paths.get(tmp))
+        }
       }
       new MemoryGraph(
         s.read.parquet(s"$base/nodes")
@@ -315,6 +384,7 @@ object MemoryGraph {
         s.read.parquet(s"$base/edges")
           .select(col("etype"), col("src"), col("dst"), col("prop")))
     })
+  }
 
   /** Bind the memory graph to the driver-generated tables:
     * fact≈documents, decision≈orders, entity≈customer∪supplier∪part,

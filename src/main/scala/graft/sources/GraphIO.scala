@@ -34,9 +34,14 @@ object GraphIO {
   private def q(c: org.apache.spark.sql.Column) =
     concat(lit("'"), regexp_replace(c, "'", "\\\\'"), lit("'"))
 
-  /** Render nodes AND edges as Datalog :put rows (export.go:59
-    * exportDatalog renders both the node tables and the relation
-    * tables) — one text line per row, tagged with its relation name. */
+  /** Render nodes AND edges as Datalog :put rows — one text line per
+    * row, tagged with its relation name. The reference's Datalog
+    * export (export.go exportDatalog) renders only the five NODE
+    * tables (truncated at 100KB); rendering the edge relations too is
+    * an extension here, and it changes the output shape for a
+    * node-only consumer: a `rel` column is added and edge rows are
+    * appended. Filter `rel` to the node types for a reference-shaped
+    * dump. */
   def toDatalog(g: MemoryGraph): DataFrame = {
     val nodeRows = g.nodes.select(col("ntype").as("rel"), concat(
       lit("?[id, content, attr, score] <- [["),
