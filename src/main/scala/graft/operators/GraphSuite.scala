@@ -480,7 +480,118 @@ object GraphSuite extends Suite {
       WHERE pos > 5 AND pos <= 20
       ORDER BY pos"""))
 
+  val b20 = Q(
+    "b20_update",
+    // mie_update (update.go:19-84: invalidate / update_status /
+    // update_description), read back THROUGH the amended graph (the
+    // b17 pattern): fact:3 is invalidated by fact:5, decision dec:1's
+    // status attr is rewritten, then the query lists (a) the two
+    // decisions (one updated, one control) and (b) the valid view of
+    // the two facts — the invalidated one must drop out.
+    (s, d) => {
+      val g2 = MemoryGraph.persisted(s, d)
+        .invalidate(oldId = "fact:3", newId = "fact:5",
+          reason = "superseded")
+        .updateAttr("dec:1", "X")
+      val decs = g2.nodes.where(col("id").isin("dec:1", "dec:2"))
+        .select(lit("decision").as("section"), col("id"), col("attr"))
+      val validFacts = g2.validNodes("fact")
+        .where(col("id").isin("fact:3", "fact:5"))
+        .select(lit("valid_fact").as("section"), col("id"), col("attr"))
+      decs.unionAll(validFacts).orderBy(col("section"), col("id"))
+    },
+    Some(s"""
+      WITH nodes AS ($N), edges AS ($E),
+      amended_edges AS (
+        SELECT etype, src, dst, prop FROM edges
+        UNION ALL
+        SELECT 'invalidates', 'fact:5', 'fact:3', 'superseded'),
+      amended_nodes AS (
+        SELECT id, ntype, content,
+               CASE WHEN id = 'dec:1' THEN 'X' ELSE attr END AS attr,
+               score
+        FROM nodes)
+      SELECT section, id, attr FROM (
+        SELECT 'decision' AS section, id, attr FROM amended_nodes
+        WHERE id IN ('dec:1', 'dec:2')
+        UNION ALL
+        SELECT 'valid_fact', id, attr FROM amended_nodes n
+        WHERE ntype = 'fact' AND id IN ('fact:3', 'fact:5')
+          AND NOT EXISTS (SELECT 1 FROM amended_edges e
+                          WHERE e.etype = 'invalidates' AND e.dst = n.id))
+      ORDER BY section, id"""))
+
+  val b21 = Q(
+    "b21_shortest_paths",
+    // Weighted single-source shortest paths over the typed multigraph
+    // — relationship analytics past the reference's 1-hop reads. K=4
+    // Bellman-Ford relaxation rounds expressed as joins (the Pregelix
+    // dataflow shape; frontier joins, never an edge-relation
+    // self-composition, so no |E|² blowup on dense types). Integer
+    // min-plus is order-independent, so the distributed mins are
+    // §4-deterministic with no float rules needed. Edge weight =
+    // portable string-length mix in 1..7 (identical on both engines).
+    (s, d) => {
+      val g = MemoryGraph.persisted(s, d)
+      val inf = Long.MaxValue
+      val e = g.edges.select(col("src"), col("dst"),
+        ((length(col("src")) * 3 + length(col("dst")) * 5) % 7 + 1)
+          .cast("long").as("w"))
+      // seed from a LocalRelation so `node` is a genuine attribute:
+      // a lit() seed constant-folds into the first join's condition,
+      // which drops the equi-key and degrades it to a nested loop
+      var dist = s.createDataFrame(Seq(("evt:0", 0L)))
+        .toDF("node", "dist")
+      (1 to 4).foreach { _ =>
+        val relaxed = e.join(dist, col("src") === col("node"))
+          .select(col("dst").as("node2"), (col("dist") + col("w")).as("nd"))
+          .groupBy(col("node2")).agg(min(col("nd")).as("nd"))
+        dist = dist.join(relaxed, col("node") === col("node2"), "full_outer")
+          .select(coalesce(col("node"), col("node2")).as("node"),
+            least(coalesce(col("dist"), lit(inf)),
+              coalesce(col("nd"), lit(inf))).as("dist"))
+      }
+      dist.orderBy(col("dist"), col("node")).limit(25)
+    },
+    Some {
+      val inf = Long.MaxValue
+      def iter(prev: String, cur: String) = s"""
+      $cur AS (
+        SELECT COALESCE(p.node, r.node2) AS node,
+               LEAST(COALESCE(p.dist, $inf), COALESCE(r.nd, $inf)) AS dist
+        FROM $prev p FULL OUTER JOIN (
+          SELECT e.dst AS node2, MIN(p2.dist + e.w) AS nd
+          FROM e JOIN $prev p2 ON e.src = p2.node
+          GROUP BY e.dst) r ON p.node = r.node2)"""
+      s"""
+      WITH edges_all AS ($E),
+      e AS (SELECT src, dst,
+              CAST((length(src)*3 + length(dst)*5) % 7 + 1 AS BIGINT) AS w
+            FROM edges_all),
+      d0 AS (SELECT 'evt:0' AS node, CAST(0 AS BIGINT) AS dist),
+      ${iter("d0", "d1")},
+      ${iter("d1", "d2")},
+      ${iter("d2", "d3")},
+      ${iter("d3", "d4")}
+      SELECT node, dist FROM d4
+      ORDER BY dist, node
+      LIMIT 25"""
+    })
+
+  val b22 = Q(
+    "b22_export_filtered",
+    // Per-type export options (export.go's node_types option): the
+    // filtered dump prunes to the requested ntype partitions of the
+    // persisted layout instead of scanning the full node set.
+    (s, d) => MemoryGraph.persisted(s, d)
+      .export(Seq("decision", "topic")),
+    Some(s"""
+      WITH nodes AS ($N)
+      SELECT id, ntype, content, attr, score FROM nodes
+      WHERE ntype IN ('decision', 'topic')
+      ORDER BY ntype, id"""))
+
   override val queries: Seq[Q] =
     Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15,
-      b16, b17, b18, b19)
+      b16, b17, b18, b19, b20, b21, b22)
 }

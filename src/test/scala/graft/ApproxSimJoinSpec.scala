@@ -11,8 +11,9 @@ import graft.operators.Dedup
 class ApproxSimJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  test("approx mode returns a sound subset; recall reported") {
+  test("multi-probe approx mode: sound subset, recall >= 0.8 at tau=0.40") {
     val e = Tables.embeddings(spark, sf)
+    val n = e.count()
     val exact = Dedup.similarityJoin(e, "vec_id", "embedding", 0.40)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     spark.conf.set("spark.graft.approx.simjoin", "true")
@@ -22,9 +23,18 @@ class ApproxSimJoinSpec extends SparkSpec {
       assert(approx.subsetOf(exact),
         "approximate mode must never fabricate pairs")
       val recall = approx.size.toDouble / exact.size
-      info(f"LSH candidate recall at tau=0.40: $recall%.3f " +
-        s"(${approx.size}/${exact.size} pairs)")
-      assert(recall >= 0.5, "banding should catch at least half the pairs")
+      // candidate-set growth vs the quadratic pair space: the price of
+      // 1-bit probing is (bandBits+1)x probe rows; the candidate join
+      // must still prune hard relative to n^2/2
+      val cands = Dedup.similarityJoin(e, "vec_id", "embedding", -1.0)
+        .count()
+      val pruning = cands.toDouble / (n.toDouble * (n - 1) / 2)
+      info(f"multi-probe LSH recall at tau=0.40: $recall%.3f " +
+        s"(${approx.size}/${exact.size} pairs); " +
+        f"candidates touch $pruning%.3f of the pair space")
+      assert(recall >= 0.8,
+        "1-bit multi-probe should catch >= 80% of tau=0.40 pairs")
+      assert(pruning < 0.8, "probing must still prune the pair space")
     } finally spark.conf.unset("spark.graft.approx.simjoin")
   }
 

@@ -40,6 +40,35 @@ class TopKPerKeySpec extends SparkSpec {
       Seq((1, 1, 10.0), (1, 2, 5.0), (2, 1, 7.0)))
   }
 
+  test("microbench: interpreted heap loop vs window sort (recorded)") {
+    // Decision input for investing in a codegen'd doExecute: if the
+    // interpreted per-row loop (UnsafeProjection + PriorityQueue) is
+    // not clearly slower than the codegen'd window sort it replaces,
+    // the codegen work buys nothing — the operator's win is O(keys*k)
+    // memory, not CPU. 2M rows, 20k keys, k=5.
+    val df = spark.range(2000000L).select(
+        (col("id") % 20000).as("key"),
+        (hash(col("id")) % 1000000).cast("double").as("v"),
+        col("id"))
+      .localCheckpoint(true)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(r: org.apache.spark.sql.DataFrame): Unit =
+      r.write.format("noop").mode("overwrite").save()
+    val w = Window.partitionBy($"key").orderBy($"v".desc, $"id")
+    val tHeap = (1 to 3).map(_ => time(run(
+      TopKPerKey(df, Seq($"key"), Seq($"v".desc, $"id"), 5)))).min
+    val tWin = (1 to 3).map(_ => time(run(
+      df.withColumn("rank", row_number().over(w))
+        .where($"rank" <= 5)))).min
+    info(f"TopKPerKey $tHeap%.2f s vs window $tWin%.2f s " +
+      f"(ratio ${tHeap / tWin}%.2f) on 2M rows / 20k keys / k=5")
+    // guardrail only — the numbers above are the recorded measurement
+    assert(tHeap < tWin * 3,
+      "interpreted heap should not be drastically slower than the window sort")
+  }
+
   test("self-join of TopKPerKey output analyzes without a lineage break") {
     val o = Tables.orders(spark, sf)
     val top = TopKPerKey(o, Seq($"o_custkey"),
