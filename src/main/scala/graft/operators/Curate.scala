@@ -23,13 +23,21 @@ import graft.functions.TextOps
   */
 object Curate {
 
+  /** @param maxDup3gram repetition gate ([[TextQuality.repetitionSignals]]):
+    *   docs whose duplicate-3-gram fraction exceeds it are dropped
+    *   alongside the quality gate (both are per-row, the same map
+    *   stage). Default 1.0 = gate off. */
   def curate(docs: DataFrame, id: String, text: String,
-             minQuality: Double, tau: Double): DataFrame = {
+             minQuality: Double, tau: Double,
+             maxDup3gram: Double = 1.0): DataFrame = {
     val q = TextQuality.qualityFeatures(docs, id, text)
       .select(col(id), col("n_tokens"), col("quality"))
+    // the repetition gate is a pure expression predicate — it rides
+    // the same per-row map stage as the quality features, no join
     val surv = docs.select(col(id), col(text))
       .join(q, id)
-      .where(col("quality") >= minQuality)
+      .where(col("quality") >= minQuality &&
+        TextQuality.dupNgramRatio(col(text), 3) <= maxDup3gram)
     // exact dedup: the window partitions on the content fingerprint
     // (a 64-bit hash — cheap shuffle key), keeper = min id
     val ex = surv

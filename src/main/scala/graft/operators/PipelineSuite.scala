@@ -554,7 +554,101 @@ object PipelineSuite extends Suite {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  // Deterministic PII injection shared by the c21 Spark/oracle sides:
+  // the synthetic corpus has no PII, so the fixture appends a fake
+  // email (always), phone (doc_id%3==0) and id number (doc_id%5==0) —
+  // redaction counts then vary per doc and the scrub is non-vacuous.
+  private def withPii(doc: org.apache.spark.sql.DataFrame) = {
+    val aug = concat(col("text"),
+      lit(" reach user"), col("doc_id").cast("string"),
+      lit("@mail.example.com"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" or +1-415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" acct AB"),
+          (pmod(col("doc_id"), lit(900000)) + 100000).cast("string")))
+        .otherwise(lit("")))
+    doc.select(col("doc_id"), aug.as("text"))
+  }
+
+  // NOTE: oracle strings pass through stripMargin — never start a
+  // continuation line with `||` (the first `|` would be stripped).
+  private val withPiiSql: String =
+    """(text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+       '@mail.example.com' ||
+       CASE WHEN doc_id % 3 = 0
+            THEN ' or +1-415-555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0
+            THEN ' acct AB' || CAST(doc_id % 900000 + 100000 AS VARCHAR)
+            ELSE '' END)"""
+
+  val c21 = Q(
+    "c21_pii_scrub",
+    // Per-row regex redaction — pure map, codegen'd regexp_replace
+    // chain, no shuffle from the operator (the sort is the driver's
+    // output-determinism projection).
+    (s, d) => TextQuality.piiScrub(withPii(Tables.documents(s, d)),
+        "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      ${TextQuality.piiScrubSql("doc_id", withPiiSql)}
+      ORDER BY doc_id"""))
+
+  val c22 = Q(
+    "c22_repetition_signals",
+    // Gopher-style repetition quality: dup token/2-gram/3-gram
+    // fractions + top-token mass, per-row only. Composed into the
+    // curation gate via Curate.curate(maxDup3gram=...).
+    (s, d) => TextQuality.repetitionSignals(Tables.documents(s, d),
+        "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      ${TextQuality.repetitionSignalsSql("doc_id", "text")}
+      ORDER BY doc_id"""))
+
+  private val c23Quotas =
+    Map("en" -> 20, "de" -> 50, "fr" -> 50, "zh" -> 50, "es" -> 50)
+
+  val c23 = Q(
+    "c23_stratified_sample",
+    // Deterministic hash-quota sampling per language stratum
+    // (downsample over-represented 'en' to 20%, others to 50%). The
+    // sampling itself is map-only (Sampling.stratifiedSample); the
+    // per-stratum aggregate here is the verification projection.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sampled = Sampling.stratifiedSample(docs, col("lang"),
+        col("doc_id"), c23Quotas)
+      val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      val agg = sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("doc_id")).as("sampled_id_sum"))
+      totals.join(agg, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("sampled_id_sum"), lit(0L)).as("sampled_id_sum"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH sampled AS (
+        SELECT doc_id, lang FROM documents
+        WHERE ${Sampling.bucketSql("lang", "doc_id")}
+              < ${Sampling.quotaSql("lang", c23Quotas)}),
+      tot AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY 1),
+      sa AS (SELECT lang, COUNT(*) AS n_sampled,
+                    CAST(SUM(doc_id) AS BIGINT) AS sampled_id_sum
+             FROM sampled GROUP BY 1)
+      SELECT lang, n_total,
+             COALESCE(n_sampled, 0) AS n_sampled,
+             COALESCE(sampled_id_sum, 0) AS sampled_id_sum
+      FROM tot LEFT JOIN sa USING (lang)
+      ORDER BY lang"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
-      c16, c17, c18, c19, c20)
+      c16, c17, c18, c19, c20, c21, c22, c23)
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curate, Sampling, TextQuality}
+
+/** Unit specs for the round-4 per-row curation operators: PII scrub,
+  * repetition signals, stratified sampling, and the repetition gate
+  * composed into Curate.
+  */
+class TextPipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiScrub redacts emails, phones and ids, and counts each class") {
+    val docs = Seq(
+      (1L, "mail bob@x.example.org and carol@y.example.net today"),
+      (2L, "call +1-415-555-0042 about account AB123456"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextQuality.piiScrub(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 2
+      && out(0).getAs[String]("scrubbed") ==
+        "mail <EMAIL> and <EMAIL> today")
+    assert(out(1).getAs[Long]("n_phones") == 1
+      && out(1).getAs[Long]("n_ids") == 1
+      && out(1).getAs[String]("scrubbed") ==
+        "call <PHONE> about account <ID>")
+    assert(out(2).getAs[Long]("n_redactions") == 0
+      && out(2).getAs[String]("scrubbed") == "no pii here at all")
+  }
+
+  test("repetitionSignals flags repeated n-grams and top-token mass") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),           // 1 distinct token of 4
+      (2L, "all tokens here are different")) // no repetition
+      .toDF("doc_id", "text")
+    val out = TextQuality.repetitionSignals(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[Double]("dup_token_ratio") == 0.75)
+    assert(out(0).getAs[Double]("dup_3gram_ratio") == 0.5) // 1 distinct of 2
+    assert(out(0).getAs[Double]("top_token_ratio") == 1.0)
+    assert(out(1).getAs[Double]("dup_token_ratio") == 0.0)
+    assert(out(1).getAs[Double]("dup_3gram_ratio") == 0.0)
+  }
+
+  test("repetitionSignals short-doc guards: below-w docs score 0") {
+    val docs = Seq((1L, "one"), (2L, "one two")).toDF("doc_id", "text")
+    val out = TextQuality.repetitionSignals(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[Double]("dup_2gram_ratio") == 0.0)
+    assert(out(0).getAs[Double]("dup_3gram_ratio") == 0.0)
+    assert(out(1).getAs[Double]("dup_3gram_ratio") == 0.0)
+  }
+
+  test("stratifiedSample is deterministic, quota-bounded, and map-only") {
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val quotas = Map("en" -> 10, "de" -> 50)
+    val s1 = Sampling.stratifiedSample(rows, $"lang", $"doc_id", quotas)
+    val got = s1.collect()
+    // deterministic: identical on re-run
+    assert(s1.collect().map(_.toSeq).toSet === got.map(_.toSeq).toSet)
+    // every kept row's bucket is below its stratum quota
+    got.foreach { r =>
+      val q = quotas(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("bucket") < q)
+    }
+    // en downsampled harder than de (10% vs 50% expected rates)
+    val byLang = got.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    assert(byLang.getOrElse("en", 0) < byLang.getOrElse("de", 0))
+    // map-only: no exchange in the plan
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"stratified sampling must be map-only:\n$plan")
+  }
+
+  test("curate's repetition gate drops repetitive docs that pass quality") {
+    // long + distinct-heavy enough to pass the quality gate, but one
+    // doc is a 3-gram loop
+    val loop = ("alpha beta gamma " * 40).trim
+    val varied = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, loop), (2L, varied)).toDF("doc_id", "text")
+    val open = Curate.curate(docs, "doc_id", "text",
+      minQuality = 0.0, tau = 0.99)
+    assert(open.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    val gated = Curate.curate(docs, "doc_id", "text",
+      minQuality = 0.0, tau = 0.99, maxDup3gram = 0.2)
+    assert(gated.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+}
