@@ -591,7 +591,25 @@ object GraphSuite extends Suite {
       WHERE ntype IN ('decision', 'topic')
       ORDER BY ntype, id"""))
 
+  val b23 = Q(
+    "b23_triangle_count",
+    // Exact triangle count over the undirected memory graph via
+    // degree orientation (bounded-intermediate wedge join — see
+    // GraphAlgo.triangleCount). The oracle is the naive canonical
+    // 3-way join: a<b<c with all three edges present.
+    (s, d) => graft.graph.GraphAlgo
+      .triangleCount(MemoryGraph.persisted(s, d).edges),
+    Some(s"""
+      WITH edges AS ($E),
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""))
+
   override val queries: Seq[Q] =
     Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15,
-      b16, b17, b18, b19, b20, b21, b22)
+      b16, b17, b18, b19, b20, b21, b22, b23)
 }

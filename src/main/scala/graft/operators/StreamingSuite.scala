@@ -127,5 +127,30 @@ object StreamingSuite extends Suite {
        AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
       ORDER BY a.user_id, a_id, b_id"""))
 
-  override val queries: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6)
+  val d7 = Q(
+    "d7_stream_topk",
+    // Windowed top-k, batch-replayed: per hour window the 5 users
+    // with the largest value sums, ranked by the EXACT decimal sum
+    // through the bounded-heap TopKPerKey operator. Streaming flavor:
+    // Streams.windowTopKStreaming (watermark-closed windows ranked in
+    // foreachBatch — StreamsSpec drives it cross-batch).
+    (s, d) => Streams.windowTopK(Tables.events(s, d), k = 5)
+      .orderBy(col("hour_bucket"), col("rank")),
+    Some("""
+      WITH agg AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                 AS hour_bucket,
+               user_id, COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(25,6))) AS sum_dec
+        FROM events GROUP BY 1, 2)
+      SELECT hour_bucket, rank, user_id, n_events, sum_value FROM (
+        SELECT hour_bucket, user_id, n_events,
+               CAST(sum_dec AS DOUBLE) AS sum_value,
+               ROW_NUMBER() OVER (PARTITION BY hour_bucket
+                 ORDER BY sum_dec DESC, user_id) AS rank
+        FROM agg) t
+      WHERE rank <= 5
+      ORDER BY hour_bucket, rank"""))
+
+  override val queries: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7)
 }

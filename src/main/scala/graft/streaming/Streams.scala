@@ -54,6 +54,54 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Per-hour-window per-user aggregate — the shared first stage of
+    * [[windowTopK]] (batch) and [[windowTopKStreaming]]. On a stream
+    * the 2h watermark closes windows for append-mode emission. Keeps
+    * the sum as decimal(25,6): exact, order-independent, and the
+    * ranking key (a double sum's value could depend on fold order). */
+  def windowUserAgg(events: DataFrame): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).as("sum_dec"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_bucket"),
+        col("user_id"), col("n_events"), col("sum_dec"))
+  }
+
+  /** Top-k rows per hour bucket by exact decimal sum, via the bounded
+    * -heap TopKPerKey operator (O(buckets*k) state, map-side partial
+    * heaps before the shuffle). */
+  def topKPerWindow(agg: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerKey(agg, Seq(col("hour_bucket")),
+        Seq(col("sum_dec").desc, col("user_id")), k)
+      .select(col("hour_bucket"), col("rank"), col("user_id"),
+        col("n_events"), col("sum_dec").cast("double").as("sum_value"))
+
+  /** Windowed top-k, batch flavor: per hour window, the k users with
+    * the largest value sums. */
+  def windowTopK(events: DataFrame, k: Int): DataFrame =
+    topKPerWindow(windowUserAgg(events), k)
+
+  /** Streaming flavor: the watermarked window aggregate emits each
+    * (window, user) row exactly once — when the watermark passes the
+    * window end, so every row of a window lands in the SAME
+    * micro-batch — and foreachBatch ranks those closed windows with
+    * the identical TopKPerKey stage the batch path uses. State is the
+    * engine's windowed-agg store (bounded by the watermark); the
+    * per-batch top-k adds O(closed windows * k). */
+  def windowTopKStreaming(events: DataFrame, k: Int)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    windowUserAgg(events)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(topKPerWindow(batch, k))
+      }
+      .start()
+
   private def toEv(events: DataFrame): Dataset[Ev] = {
     val spark = events.sparkSession
     import spark.implicits._

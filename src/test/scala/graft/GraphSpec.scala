@@ -89,4 +89,24 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
     assert(r === r2)
   }
+
+  test("triangleCount: known counts, direction/parallel/loop-insensitive") {
+    import graft.graph.GraphAlgo
+    def count(edges: Seq[(String, String)]): Long =
+      GraphAlgo.triangleCount(edges.toDF("src", "dst"))
+        .collect()(0).getLong(0)
+    // K4 has 4 triangles
+    val k4 = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y
+    } yield (x, y)
+    assert(count(k4) === 4L)
+    // triangle + pendant edge = 1; reversed/parallel edges and loops
+    // must not change the count
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    assert(count(tri) === 1L)
+    assert(count(tri ++ Seq(("b", "a"), ("a", "b"), ("a", "a"))) === 1L)
+    // square (4-cycle) has none
+    assert(count(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))) === 0L)
+  }
 }

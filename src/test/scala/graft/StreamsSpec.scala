@@ -111,6 +111,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k ranks closed windows across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val maxTs = rawRows.map(_.ts.getTime).max
+    val cutoff = maxTs - 3 * 3600 * 1000
+    val (early, late) = rawRows.partition(_.ts.getTime < cutoff)
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val ms = MemoryStream[Raw]
+    val q = Streams.windowTopKStreaming(ms.toDF(), k = 5) { df =>
+      collected.synchronized { collected ++= df.collect() }
+    }
+    try {
+      ms.addData(early.toSeq); q.processAllAvailable()
+      val afterFirst = collected.synchronized(collected.size)
+      assert(afterFirst > 0, "first batch closes some windows")
+      ms.addData(late.toSeq); q.processAllAvailable()
+      assert(collected.synchronized(collected.size) > afterFirst,
+        "advancing watermark closes more windows")
+    } finally q.stop()
+    // accumulated top-k == batch top-k over windows ended before the
+    // final watermark (every row of a window closes in one batch, so
+    // per-batch ranking is complete per window)
+    val wmMillis = maxTs - 2 * 3600 * 1000
+    val expected = Streams.windowTopK(eventsDf, 5).collect().filter { r =>
+      val start = java.time.LocalDateTime
+        .parse(r.getAs[String]("hour_bucket"), fmt)
+      start.plusHours(1).toInstant(java.time.ZoneOffset.UTC)
+        .toEpochMilli <= wmMillis
+    }
+    assert(collected.map(_.toString).sorted.toSeq ===
+      expected.map(_.toString).sorted.toSeq)
+  }
+
   test("stream-stream time-range join equals the batch range join") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Raw]
