@@ -58,7 +58,6 @@ object Dedup {
     * [[minHashCandidates]] and [[nearDupNovelty]]. */
   def bandBuckets(docs: DataFrame, id: String, text: String,
                   k: Int, bands: Int): DataFrame = {
-    val rows = k / bands
     // Two-step materialization: shingle hashes once per doc, then the
     // signature from the stored array — otherwise Catalyst re-inlines
     // the hashing into each of the k minima (k x blowup per row).
@@ -69,7 +68,14 @@ object Dedup {
       TextOps.shingleHashes(col(text)).as("shh")).barrier(true)
     val sigs = shh.select(col("did"),
       TextOps.minHashSignature(col("shh"), k).as("sig")).barrier(true)
-    sigs.select(col("did"), col("sig"),
+    bandRows(sigs, k, bands)
+  }
+
+  /** Explode a (did, sig, ...) frame into one row per LSH band:
+    * (..., band_idx, band_val = the band's signature slice). */
+  private def bandRows(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    sigs.select(col("*"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows))))
         .as(Seq("band_idx", "band_val")))
@@ -317,6 +323,93 @@ object Dedup {
         .where(col("sim") >= tau)
         .select(col("id_a"), col("id_b"), col("sim"))
     }
+  }
+
+  /** A persisted (or persistable) dedup index of an already-ingested
+    * corpus: `shingles` = (did, shh: array<long>, n) — the per-doc
+    * distinct-shingle hash set and its size; `bands` = (did,
+    * band_idx, band_val) — the MinHash LSH band buckets. Everything
+    * incremental dedup needs; the corpus TEXT is never touched again. */
+  final case class DedupIndex(shingles: DataFrame, bands: DataFrame)
+
+  /** Compute the index frames for a corpus (one text pass: shingle →
+    * signature → band slices, all barriered). */
+  def buildIndex(docs: DataFrame, id: String, text: String,
+                 k: Int, bands: Int): DedupIndex = {
+    val shh = docs.select(col(id).as("did"),
+      TextOps.shingleHashes(col(text)).as("shh")).barrier(true)
+    val sigs = shh.select(col("did"),
+      TextOps.minHashSignature(col("shh"), k).as("sig")).barrier(true)
+    DedupIndex(
+      shh.select(col("did"), col("shh"), size(col("shh")).cast("long").as("n")),
+      bandRows(sigs, k, bands).select(col("did"), col("band_idx"),
+        col("band_val")))
+  }
+
+  /** Write the corpus index under `path` (parquet: path/shingles,
+    * path/bands). At cluster scale the bands table is what you'd
+    * bucket by (band_idx, band_val) so daily batch probes co-locate. */
+  def writeIndex(docs: DataFrame, id: String, text: String,
+                 k: Int, bands: Int, path: String): Unit = {
+    val idx = buildIndex(docs, id, text, k, bands)
+    idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    idx.bands.write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  def readIndex(s: org.apache.spark.sql.SparkSession, path: String): DedupIndex =
+    DedupIndex(
+      s.read.parquet(s"$path/shingles").select(col("did"), col("shh"), col("n")),
+      s.read.parquet(s"$path/bands").select(col("did"), col("band_idx"),
+        col("band_val")))
+
+  /** Incremental near-dup dedup — the operator a production pipeline
+    * runs daily: decide keep/drop for each doc of a NEW batch against
+    * an already-indexed corpus WITHOUT recomputing anything over the
+    * corpus (cf. the reference's new-item-vs-corpus conflict check,
+    * conflicts.go:173 — never all-pairs). Semantics: batch doc b is
+    * dropped iff some corpus doc, or some earlier (smaller-id) batch
+    * doc, verifies at exact Jaccard >= tau; `dup_of` reports the
+    * smallest such blocker (-1 when kept). Batch and corpus ids must
+    * be disjoint.
+    *
+    * Scale shape: the batch pays one text pass (shingles →
+    * signatures → bands); candidates are TWO banded equi-joins —
+    * batch×corpus-index and batch×batch — so shuffle volume is
+    * bounded by |batch| bands + colliding candidates, never
+    * |corpus|; the exact-Jaccard verify touches candidate pairs
+    * only (corpus shingle sets come FROM the index). Banding must
+    * match the index's (k, bands) and be tight at tau — see
+    * [[deduplicate]] for the sizing rule (k=48/bands=24 at tau=0.5
+    * misses a borderline pair with p ≈ 1e-3). */
+  def incrementalDedup(index: DedupIndex, batch: DataFrame,
+                       id: String, text: String, tau: Double,
+                       k: Int = 48, bands: Int = 24): DataFrame = {
+    val bIdx = buildIndex(batch, id, text, k, bands)
+    val corpusBands = index.bands
+      .select(col("did").as("id_a"), col("band_idx"), col("band_val"))
+    val batchBands = bIdx.bands
+      .select(col("did").as("id_b"), col("band_idx"), col("band_val"))
+    val candCorpus = corpusBands
+      .join(batchBands, Seq("band_idx", "band_val"))
+      .select(col("id_a"), col("id_b"))
+    val candBatch = batchBands.alias("a")
+      .join(batchBands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id_b") < col("b.id_b"))
+      .select(col("a.id_b").as("id_a"), col("b.id_b").as("id_b"))
+    val cand = candCorpus.unionAll(candBatch).distinct()
+    val shAll = index.shingles.unionAll(bIdx.shingles)
+      .select(col("did"), explode(col("shh")).as("sh"))
+    val sizes = index.shingles.unionAll(bIdx.shingles)
+      .select(col("did"), col("n"))
+    val pairs = verifyJaccard(cand, shAll, sizes, tau)
+    val blockers = pairs.groupBy(col("id_b").as(id))
+      .agg(min(col("id_a")).as("dup_of"))
+    batch.select(col(id)).join(blockers, Seq(id), "left")
+      .select(col(id),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
   }
 
   /** Same-key exact cosine pairs (conflict detection shape): all

@@ -648,7 +648,54 @@ object PipelineSuite extends Suite {
       FROM tot LEFT JOIN sa USING (lang)
       ORDER BY lang"""))
 
+  val c25 = Q(
+    "c25_incremental_dedup",
+    // The daily production shape: near-dup keep/drop for a NEW batch
+    // (doc_id%10 >= 8) against the already-ingested corpus, with no
+    // corpus recompute — the corpus's shingle sets and LSH band
+    // buckets come from a PERSISTED index (built once per corpus
+    // fingerprint, read back from parquet). Candidates are banded
+    // equi-joins (batch x index, batch x batch), the exact-Jaccard
+    // verify touches candidates only. The oracle is the full exact
+    // pair set restricted to batch-incident pairs — i.e. incremental
+    // must equal what a from-scratch dedup would decide for the batch.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val idx = graft.util.DiskCache.cached(s, "dedup-index", "v1",
+        Seq(s"$d/documents.parquet"), "mod10lt8-k48b24",
+        Seq("shingles", "bands")) { tmp =>
+        Dedup.writeIndex(corpus, "doc_id", "text", k = 48, bands = 24, tmp)
+      } { base => Dedup.readIndex(s, base) }
+      Dedup.incrementalDedup(idx, batch, "doc_id", "text", tau = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH sh AS (SELECT doc_id, unnest($SH) AS s FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE b.doc_id % 10 >= 8
+          AND (a.doc_id % 10 < 8 OR a.doc_id < b.doc_id)
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      blk AS (SELECT id_b AS doc_id, MIN(id_a) AS dup_of
+              FROM pairs GROUP BY 1)
+      SELECT d.doc_id AS doc_id,
+             CAST(CASE WHEN b.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS keep,
+             COALESCE(b.dup_of, -1) AS dup_of
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+        LEFT JOIN blk b ON d.doc_id = b.doc_id
+      ORDER BY d.doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
-      c16, c17, c18, c19, c20, c21, c22, c23)
+      c16, c17, c18, c19, c20, c21, c22, c23, c25)
 }
