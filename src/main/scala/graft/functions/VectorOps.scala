@@ -74,14 +74,17 @@ object VectorOps {
         (CAST(($h * ((i * 2654435761 + 12345) % 1000003)) % 1000003 AS DOUBLE)
          / 1000003.0) * 2.0 - 1.0)"""
 
+  /** DuckDB fragment for the identical sequential-fold dot product. */
+  def dotSql(x: String, y: String): String =
+    s"""list_reduce(list_transform(range(1, len($x)+1),
+        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p,q) -> p+q)"""
+
+  def normSql(x: String): String = s"sqrt(${dotSql(x, x)})"
+
   /** DuckDB oracle fragment computing the identical sequential-fold
     * cosine between list columns `a` and `b` (64-dim float lists). */
-  def cosineSql(a: String, b: String): String = {
-    def dotSql(x: String, y: String) =
-      s"""list_reduce(list_transform(range(1, len($x)+1),
-          i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p,q) -> p+q)"""
-    s"""(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
-  }
+  def cosineSql(a: String, b: String): String =
+    s"""(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"""
 
   def cosine6Sql(a: String, b: String): String =
     s"round(${cosineSql(a, b)}, 6)"

@@ -648,6 +648,96 @@ object PipelineSuite extends Suite {
       FROM tot LEFT JOIN sa USING (lang)
       ORDER BY lang"""))
 
+  val c24 = Q(
+    "c24_quantized_ann",
+    // int8 scalar quantization + exact rescore (Ann.quantizedTopK):
+    // per-dim min/max from the corpus -> 1-byte codes -> integer-dot
+    // candidate scan (top 3k per query, bounded heap) -> exact float
+    // cosine rescore of the candidates only. Graded as recall@5 per
+    // query against the exact brute-force baseline, like c17.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.where(col("vec_id") >= 5)
+      val queries = e.where(col("vec_id") < 5)
+      val qa = Ann.quantizedTopK(corpus, queries, "vec_id", "embedding",
+        k = 5)
+      val exact = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+        k = 5)
+      exact.alias("e")
+        .join(qa.alias("i"),
+          col("e.q_id") === col("i.q_id") && col("e.n_id") === col("i.n_id"),
+          "left")
+        .groupBy(col("e.q_id").as("q_id"))
+        .agg(round(sum(when(col("i.n_id").isNotNull, 1).otherwise(0))
+          .cast("double") / 5, 6).as("recall"))
+        .orderBy(col("q_id"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      queries AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      corpusn AS (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) / ${VectorOps.normSql("embedding")})
+                 AS nv
+        FROM corpus),
+      queriesn AS (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) / ${VectorOps.normSql("embedding")})
+                 AS nv
+        FROM queries),
+      mm AS (
+        SELECT MAX(abs(x)) / CAST(127 AS DOUBLE) AS scale
+        FROM (SELECT unnest(nv) AS x FROM corpusn)),
+      cq AS (
+        SELECT vec_id,
+               list_transform(nv, x -> least(greatest(
+                 CAST(floor(x / m.scale) AS BIGINT), -127), 127)) AS qv
+        FROM corpusn CROSS JOIN mm m),
+      qq AS (
+        SELECT vec_id,
+               list_transform(nv, x -> least(greatest(
+                 CAST(floor(x / m.scale) AS BIGINT), -127), 127)) AS qv
+        FROM queriesn CROSS JOIN mm m),
+      cand AS (
+        SELECT q_id, n_id FROM (
+          SELECT b.vec_id AS q_id, a.vec_id AS n_id,
+            ROW_NUMBER() OVER (PARTITION BY b.vec_id
+              ORDER BY list_reduce(list_transform(range(1, 65),
+                         j -> a.qv[j] * b.qv[j]), (x, y) -> x + y) DESC,
+                       a.vec_id) AS rk
+          FROM cq a CROSS JOIN qq b) t
+        WHERE rk <= 15),
+      approx AS (
+        SELECT q_id, n_id FROM (
+          SELECT cand.q_id, cand.n_id,
+            ROW_NUMBER() OVER (PARTITION BY cand.q_id
+              ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                       cand.n_id) AS rank
+          FROM cand
+            JOIN corpus v ON v.vec_id = cand.n_id
+            JOIN queries q ON q.vec_id = cand.q_id) t
+        WHERE rank <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            v.vec_id) AS rk
+          FROM queries q CROSS JOIN corpus v) t
+        WHERE rk <= 5)
+      SELECT e.q_id,
+             round(CAST(SUM(CASE WHEN i.n_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS DOUBLE) / 5, 6)
+               AS recall
+      FROM exact e LEFT JOIN approx i ON i.q_id = e.q_id AND i.n_id = e.n_id
+      GROUP BY e.q_id
+      ORDER BY e.q_id"""
+    })
+
   val c25 = Q(
     "c25_incremental_dedup",
     // The daily production shape: near-dup keep/drop for a NEW batch
@@ -697,5 +787,5 @@ object PipelineSuite extends Suite {
 
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
-      c16, c17, c18, c19, c20, c21, c22, c23, c25)
+      c16, c17, c18, c19, c20, c21, c22, c23, c24, c25)
 }

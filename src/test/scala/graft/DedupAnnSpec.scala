@@ -63,4 +63,28 @@ class DedupAnnSpec extends SparkSpec {
       Seq("q_id", "n_id"))
     assert(joined.where($"sim" =!= $"bf_sim").isEmpty)
   }
+
+  test("quantized ANN: recall floor vs brute force, sims exact") {
+    val corpus = emb.where($"vec_id" >= 5)
+    val queries = emb.where($"vec_id" < 5)
+    val qa = Ann.quantizedTopK(corpus, queries, "vec_id", "embedding", k = 5)
+      .cache()
+    val bf = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+    val hits = qa.join(bf.select($"q_id", $"n_id"), Seq("q_id", "n_id"))
+      .count()
+    val total = bf.count()
+    // int8 codes of unit vectors barely perturb cosine order: the
+    // 3k-candidate scan + exact rescore should recover nearly all of
+    // the true top-5 (measured 1.0 at sf0.001/sf0.01; floor guards
+    // against the asymmetric-quantization failure mode, recall ~0.1)
+    assert(hits >= (total * 0.8).toLong,
+      s"quantized recall $hits/$total below 0.8 floor")
+    // rescored sims are EXACT cosines: every reported (q,n,sim)
+    // matches the brute-force sim for that pair
+    val bfAll = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+      k = 1000)
+    val joined = qa.join(bfAll.select($"q_id", $"n_id", $"sim".as("bf_sim")),
+      Seq("q_id", "n_id"))
+    assert(joined.where($"sim" =!= $"bf_sim").isEmpty)
+  }
 }
