@@ -33,6 +33,67 @@ case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
+/** Shared per-partition bounded-heap pass: one k-heap per key seen in
+  * the partition (max-heap on the sort order — peek = worst kept). */
+private[plans] object TopKHeaps {
+  def build(it: Iterator[InternalRow], keyExprs: Seq[Expression],
+            sortOrder: Seq[SortOrder], childOutput: Seq[Attribute],
+            k: Int): java.util.HashMap[UnsafeRow,
+              java.util.PriorityQueue[InternalRow]] = {
+    val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+    val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .create(sortOrder, childOutput)
+    val heaps = new java.util.HashMap[UnsafeRow,
+      java.util.PriorityQueue[InternalRow]]()
+    while (it.hasNext) {
+      val row = it.next()
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](k + 1, ord.reversed())
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size() < k) heap.offer(row.copy())
+      else if (ord.compare(row, heap.peek()) < 0) {
+        heap.poll(); heap.offer(row.copy())
+      }
+    }
+    heaps
+  }
+}
+
+/** Pre-shuffle (map-side) stage: per input partition, keep only the k
+  * best rows per key — no rank yet, no distribution demand. This is
+  * partial aggregation's trick applied to top-k: the exchange above
+  * it moves at most partitions*keys*k rows instead of the full scan.
+  * Load-bearing for low-cardinality keys (b3/b16 partition by ntype —
+  * 5 values), where the final stage otherwise funnels the whole input
+  * into <=5 reducers. */
+case class TopKPerKeyPartialExec(keys: Seq[Expression],
+                                 order: Seq[SortOrder], k: Int,
+                                 child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val kk = k
+    child.execute().mapPartitions { it =>
+      val heaps = TopKHeaps.build(it, keyExprs, sortOrder, childOutput, kk)
+      val res = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.values().forEach { heap =>
+        while (!heap.isEmpty) res += heap.poll()
+      }
+      res.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+}
+
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
                           k: Int, rankAttr: AttributeReference,
                           child: SparkPlan) extends UnaryExecNode {
@@ -52,25 +113,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val kk = k
     val outAttrs = output
     child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .create(sortOrder, childOutput)
-      // max-heap on ord: peek = worst kept row
-      val heaps = new java.util.HashMap[UnsafeRow,
-        java.util.PriorityQueue[InternalRow]]()
-      while (it.hasNext) {
-        val row = it.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reversed())
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < kk) heap.offer(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.offer(row.copy())
-        }
-      }
+      val heaps = TopKHeaps.build(it, keyExprs, sortOrder, childOutput, kk)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val res = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
@@ -96,7 +139,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, rankAttr, child) =>
-      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+      // partial -> (exchange inserted by EnsureRequirements) -> final,
+      // exactly like partial/final hash aggregation
+      TopKPerKeyExec(keys, order, k, rankAttr,
+        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

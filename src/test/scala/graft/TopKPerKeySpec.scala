@@ -32,6 +32,46 @@ class TopKPerKeySpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(o_custkey"))
   }
 
+  test("partial stage bounds shuffled rows to partitions*keys*k") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // 100k rows, 5 keys, 4 input partitions: without the map-side
+    // partial heap, <=5 reducers would receive the FULL input (the
+    // b3/b16 low-cardinality funnel); with it the exchange moves at
+    // most partitions*keys*k rows.
+    val parts = 4
+    val base = spark.range(100000L).repartition(parts)
+      .select((col("id") % 5).as("key"), col("id").cast("double").as("v"),
+        col("id"))
+    val r = TopKPerKey(base, Seq($"key"), Seq($"v".desc, $"id"), 3)
+    val got = r.collect()
+    assert(got.length === 5 * 3)
+    val fin = r.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(fin.toString.contains("TopKPerKeyPartial"),
+      s"expected a partial top-k stage below the exchange:\n$fin")
+    // AQE wraps subtrees in QueryStageExec LEAVES — descend via .plan
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allNodes(q.plan)
+      case _ => p.children.flatMap(allNodes)
+    })
+    val topkShuffle = allNodes(fin).collect {
+      case s: ShuffleExchangeLike
+        if s.toString.contains("hashpartitioning(key") => s
+    }
+    assert(topkShuffle.nonEmpty, s"expected the top-k hash exchange:\n$fin")
+    val written = topkShuffle.head.metrics.get("shuffleRecordsWritten")
+      .orElse(topkShuffle.head.metrics.get("numOutputRows")).get.value
+    info(s"shuffled rows: $written of 100000 " +
+      s"(bound ${parts * 5 * 3} = partitions*keys*k)")
+    assert(written > 0 && written <= parts * 5 * 3,
+      s"partial stage must bound the shuffle: moved $written rows")
+  }
+
   test("keys with fewer than k rows keep all rows, ranks dense") {
     val df = Seq((1, 10.0), (1, 5.0), (2, 7.0)).toDF("key", "v")
     val r = TopKPerKey(df, Seq($"key"), Seq($"v".desc), 5)
