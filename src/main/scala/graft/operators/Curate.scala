@@ -32,12 +32,21 @@ object Curate {
              maxDup3gram: Double = 1.0): DataFrame = {
     val q = TextQuality.qualityFeatures(docs, id, text)
       .select(col(id), col("n_tokens"), col("quality"))
-    // the repetition gate is a pure expression predicate — it rides
-    // the same per-row map stage as the quality features, no join
-    val surv = docs.select(col(id), col(text))
+    // the repetition gate composes as a semi join on the staged
+    // signals frame (per-row work stays in repetitionSignals' staged
+    // shape — see its scaladoc on lambda re-evaluation); default-off
+    // costs nothing.
+    val qualityGated = docs.select(col(id), col(text))
       .join(q, id)
-      .where(col("quality") >= minQuality &&
-        TextQuality.dupNgramRatio(col(text), 3) <= maxDup3gram)
+      .where(col("quality") >= minQuality)
+    val surv =
+      if (maxDup3gram < 1.0)
+        qualityGated.join(
+          TextQuality.repetitionSignals(docs, id, text)
+            .where(col("dup_3gram_ratio") <= maxDup3gram)
+            .select(col(id)),
+          Seq(id), "left_semi")
+      else qualityGated
     // exact dedup: the window partitions on the content fingerprint
     // (a 64-bit hash — cheap shuffle key), keeper = min id
     val ex = surv

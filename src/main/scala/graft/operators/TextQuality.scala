@@ -138,56 +138,103 @@ object TextQuality {
     * Gopher-family "repetitious text" filters. Pure per-row expression
     * work over the token array; no shuffle. Short-doc guards: a doc
     * with < n tokens has zero n-gram repetition by definition. */
-  /** Duplicate-w-gram fraction of a text column: 1 - distinct/total
-    * word w-grams (0 for docs shorter than w tokens). A pure
-    * expression — usable directly as a filter predicate in a gate
-    * (no join, no extra pass; see [[Curate.curate]]). */
-  def dupNgramRatio(text: Column, w: Int): Column = {
-    val tk = TextOps.tokens(text)
-    val ngrams = transform(sequence(lit(1), size(tk) - (w - 1)),
-      i => concat_ws(" ", (0 until w).map(j => element_at(tk, i + j)): _*))
-    val total = size(tk) - (w - 1)
-    when(size(tk) >= w,
-      round(lit(1.0) - size(array_distinct(ngrams)).cast("double")
-        / total.cast("double"), 6))
-      .otherwise(lit(0.0))
-  }
+  /** n-gram hashes over a TOKEN-HASH array attribute: rolling
+    * (h*31 + next) % p combine — long arithmetic instead of per-gram
+    * string concatenation, mirrored exactly by the oracle (identical
+    * collisions, so identical distinct counts). The input MUST be a
+    * bound attribute, not an expression subtree: higher-order
+    * lambdas re-evaluate embedded subtrees once PER ELEMENT. */
+  private def ngramHashes(th: Column, w: Int): Column =
+    if (w == 1) th
+    else when(size(th) >= w,
+      transform(sequence(lit(1), size(th) - (w - 1)), i =>
+        (2 to w).foldLeft(element_at(th, i))((acc, j) =>
+          (acc * 31L + element_at(th, i + j - 1)) % lit(TextOps.P))))
+      // size < w: sequence(1, size-(w-1)) would run DESCENDING and
+      // element_at would throw (same trap as TextOps.shingles3)
+      .otherwise(array().cast("array<long>"))
 
+  /** Repetition signals, staged so every lambda closes over bound
+    * attributes only (tk -> th -> sorted/starts -> ratios). The
+    * original single-expression phrasing re-evaluated split() inside
+    * each n-gram lambda (O(n²) splits) and the top-token count was a
+    * nested filter-in-transform (O(n³) in the interpreted HOF path —
+    * 14 s at sf0.1); this shape is O(n log n) per row and runs in the
+    * same time band as the other per-row text ops. Top-token count =
+    * longest equal run in the sorted hash array (run starts -> gaps). */
   def repetitionSignals(docs: DataFrame, id: String, text: String): DataFrame = {
-    val tk = TextOps.tokens(col(text))
-    val n = size(tk).cast("long")
-    val topTok = array_max(transform(array_distinct(tk),
-      t => size(filter(tk, x => x === t))))
-    docs.select(
+    val withTh = docs
+      .select(col(id),
+        transform(TextOps.tokens(col(text)),
+          t => TextOps.polyHash(t)).as("th"))
+    val withSorted = withTh.select(col(id), col("th"),
+      array_sort(col("th")).as("srt"),
+      ngramHashes(col("th"), 2).as("g2"),
+      ngramHashes(col("th"), 3).as("g3"))
+    val withStarts = withSorted.select(col("*"),
+      concat(
+        filter(
+          transform(sequence(lit(1), size(col("srt"))), i =>
+            when(i === 1 ||
+              element_at(col("srt"), i) =!= element_at(col("srt"), i - 1), i)),
+          x => x.isNotNull),
+        array(size(col("srt")) + 1)).as("starts"))
+    val n = size(col("th")).cast("long")
+    def dup(g: Column, w: Int): Column = {
+      val total = size(col("th")) - (w - 1)
+      when(size(col("th")) >= w,
+        round(lit(1.0) - size(array_distinct(g)).cast("double")
+          / total.cast("double"), 6))
+        .otherwise(lit(0.0))
+    }
+    val topCount = array_max(
+      transform(sequence(lit(1), size(col("starts")) - 1), i =>
+        element_at(col("starts"), i + 1) - element_at(col("starts"), i)))
+    withStarts.select(
       col(id),
       n.as("n_tokens"),
-      dupNgramRatio(col(text), 1).as("dup_token_ratio"),
-      dupNgramRatio(col(text), 2).as("dup_2gram_ratio"),
-      dupNgramRatio(col(text), 3).as("dup_3gram_ratio"),
-      round(topTok.cast("double") / n.cast("double"), 6).as("top_token_ratio"))
+      dup(col("th"), 1).as("dup_token_ratio"),
+      dup(col("g2"), 2).as("dup_2gram_ratio"),
+      dup(col("g3"), 3).as("dup_3gram_ratio"),
+      round(topCount.cast("double") / n.cast("double"), 6)
+        .as("top_token_ratio"))
   }
 
   def repetitionSignalsSql(id: String, t: String): String = {
-    val tk = TextOps.tokensSql(t)
-    def ngrams(w: Int): String = {
-      val parts = (0 until w).map(j =>
-        if (j == 0) s"tk[i]" else s"tk[i+$j]").mkString(" || ' ' || ")
-      s"list_transform(range(1, len(tk) - ${w - 1} + 1), i -> $parts)"
-    }
+    val P = TextOps.P
+    def ngrams(w: Int): String =
+      if (w == 1) "th"
+      else {
+        val h = (2 to w).foldLeft("th[i]")((acc, j) =>
+          s"(($acc) * 31 + th[i+${j - 1}]) % $P")
+        s"list_transform(range(1, len(th) - ${w - 1} + 1), i -> $h)"
+      }
     def dupRatio(w: Int): String =
-      s"""CASE WHEN len(tk) >= $w
+      s"""CASE WHEN len(th) >= $w
           THEN round(1.0 - len(list_distinct(${ngrams(w)})) * 1.0
-                     / (len(tk) - ${w - 1}), 6)
+                     / (len(th) - ${w - 1}), 6)
           ELSE 0.0 END"""
     s"""
+      WITH _th AS (
+        SELECT $id,
+               list_transform(${TextOps.tokensSql(t)},
+                 tok -> ${TextOps.polyHashSql("tok")}) AS th
+        FROM documents),
+      _srt AS (SELECT $id, th, list_sort(th) AS srt FROM _th),
+      _starts AS (
+        SELECT $id, th,
+               list_filter(list_transform(range(1, len(srt) + 1),
+                 i -> CASE WHEN i = 1 OR srt[i] <> srt[i-1] THEN i END),
+                 x -> x IS NOT NULL) || [len(srt) + 1] AS starts
+        FROM _srt)
       SELECT $id,
-        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(len(th) AS BIGINT) AS n_tokens,
         ${dupRatio(1)} AS dup_token_ratio,
         ${dupRatio(2)} AS dup_2gram_ratio,
         ${dupRatio(3)} AS dup_3gram_ratio,
-        round(list_max(list_transform(list_distinct(tk),
-          tok -> len(list_filter(tk, x -> x = tok)))) * 1.0 / len(tk), 6)
+        round(list_max(list_transform(range(1, len(starts)),
+          i -> starts[i+1] - starts[i])) * 1.0 / len(th), 6)
           AS top_token_ratio
-      FROM (SELECT $id, $tk AS tk FROM documents) _r"""
+      FROM _starts"""
   }
 }
