@@ -218,4 +218,82 @@ object GraphAlgo {
         Seq("v1", "v2"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Undirected simple-graph view of a (src, dst) edge frame: loops
+    * dropped, parallel/reverse edges collapsed, endpoints ordered
+    * a < b. Materialized once (barrier) — every caller iterates over
+    * it. */
+  private def undirected(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().barrier(true)
+
+  private def undDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Bounded-round k-core peel: `rounds` iterations of (degree count,
+    * drop nodes with deg < k, induce the subgraph on the survivors).
+    * Converges to the exact k-core when `rounds` reaches the peel
+    * depth; with a FIXED round count the result is deterministic and
+    * oracle-replayable as an unrolled CTE either way (the contract the
+    * driver's hash compare needs — same trade as pageRank's fixed
+    * iterations). Per round: one partial-aggregable degree groupBy
+    * plus two left-semi hash joins against the keep-set; the edge set
+    * only shrinks, so round cost is monotonically non-increasing —
+    * the 1000-executor shape for the standard peeling algorithm.
+    * Returns (node, deg) of the round-`rounds` induced subgraph. */
+  def kCore(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var und = undirected(edgesIn)
+    for (_ <- 1 to rounds) {
+      val keep = undDegrees(und).where(col("deg") >= k).select(col("node"))
+      und = und
+        .join(keep.select(col("node").as("a")).hint("shuffle_hash"),
+          Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")).hint("shuffle_hash"),
+          Seq("b"), "left_semi")
+        .barrier(true)
+    }
+    undDegrees(und)
+  }
+
+  /** Neighborhood-similarity top pairs: Jaccard over undirected
+    * adjacency sets, common neighbors counted by a wedge join at the
+    * shared neighbor. Centers with degree > `maxCenterDeg` are
+    * EXCLUDED from wedge generation — a hub center contributes
+    * deg² wedge rows and (being shared by everything) no similarity
+    * signal, so the cap is both the scale bound (intermediate size
+    * ≤ Σ_{deg≤D} deg² ≤ D·|E|) and standard practice for
+    * common-neighbor scoring; the cap is part of the operator's
+    * documented semantics and mirrored exactly in the oracle.
+    * Degrees in the Jaccard denominator stay UNcapped. Output: the
+    * global top-`topN` pairs by (jaccard, p, q) — a
+    * TakeOrderedAndProject, no full sort. */
+  def nodeSimilarity(edgesIn: DataFrame, maxCenterDeg: Int,
+                     topN: Int): DataFrame = {
+    val und = undirected(edgesIn)
+    val deg = undDegrees(und).barrier(true)
+    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
+    val centers = deg.where(col("deg") <= maxCenterDeg).select(col("node"))
+    val cadj = adj.join(centers.hint("shuffle_hash"), Seq("node"), "left_semi")
+    val common = cadj.select(col("node"), col("nb").as("p"))
+      .join(cadj.select(col("node"), col("nb").as("q")), Seq("node"))
+      .where(col("p") < col("q"))
+      .groupBy(col("p"), col("q")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select(col("node").as("p"), col("deg").as("dp"))
+        .hint("shuffle_hash"), Seq("p"))
+      .join(deg.select(col("node").as("q"), col("deg").as("dq"))
+        .hint("shuffle_hash"), Seq("q"))
+      .select(col("p"), col("q"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("dp") + col("dq") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("p"), col("q"))
+      .limit(topN)
+  }
 }

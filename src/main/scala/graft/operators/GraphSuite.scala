@@ -609,7 +609,69 @@ object GraphSuite extends Suite {
         JOIN und e2 ON e2.a = e1.b
         JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""))
 
+  val b24 = Q(
+    "b24_kcore",
+    // Bounded-round k-core peel (k=3, 4 rounds) over the undirected
+    // memory graph — see GraphAlgo.kCore for the per-round shape. The
+    // fixed round count makes the oracle an unrolled CTE (exact
+    // whether or not the peel has converged, same contract as b18's
+    // fixed PageRank iterations).
+    (s, d) => graft.graph.GraphAlgo
+      .kCore(MemoryGraph.persisted(s, d).edges, k = 3, rounds = 4)
+      .orderBy(col("node")),
+    Some {
+      val rounds = (1 to 4).map { r =>
+        s"""d$r AS (SELECT node, COUNT(*) AS deg FROM (
+              SELECT a AS node FROM e${r - 1}
+              UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+        n$r AS (SELECT node FROM d$r WHERE deg >= 3),
+        e$r AS (SELECT a, b FROM e${r - 1}
+                WHERE a IN (SELECT node FROM n$r)
+                  AND b IN (SELECT node FROM n$r))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH edges AS ($E),
+      e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM edges WHERE src <> dst),
+      $rounds
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+      GROUP BY 1
+      ORDER BY node"""
+    })
+
+  val b25 = Q(
+    "b25_node_similarity",
+    // Top-20 node pairs by neighborhood Jaccard (common-neighbor
+    // wedge join at centers with deg <= 256 — the hub cap is part of
+    // the semantics; see GraphAlgo.nodeSimilarity).
+    (s, d) => graft.graph.GraphAlgo
+      .nodeSimilarity(MemoryGraph.persisted(s, d).edges,
+        maxCenterDeg = 256, topN = 20)
+      .orderBy(col("jaccard").desc, col("p"), col("q")),
+    Some(s"""
+      WITH edges AS ($E),
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges WHERE src <> dst),
+      adj AS (SELECT a AS node, b AS nb FROM und
+              UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY 1),
+      cadj AS (SELECT adj.node, adj.nb FROM adj
+               JOIN deg USING (node) WHERE deg.deg <= 256),
+      common AS (
+        SELECT x.nb AS p, y.nb AS q, COUNT(*) AS n_common
+        FROM cadj x JOIN cadj y ON x.node = y.node AND x.nb < y.nb
+        GROUP BY 1, 2)
+      SELECT p, q, n_common,
+             round(n_common * 1.0 / (dp.deg + dq.deg - n_common), 6)
+               AS jaccard
+      FROM common
+        JOIN deg dp ON dp.node = p
+        JOIN deg dq ON dq.node = q
+      ORDER BY jaccard DESC, p, q
+      LIMIT 20"""))
+
   override val queries: Seq[Q] =
     Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15,
-      b16, b17, b18, b19, b20, b21, b22, b23)
+      b16, b17, b18, b19, b20, b21, b22, b23, b24, b25)
 }

@@ -785,7 +785,43 @@ object PipelineSuite extends Suite {
         LEFT JOIN blk b ON d.doc_id = b.doc_id
       ORDER BY d.doc_id"""))
 
+  val c26 = Q(
+    "c26_domain_mix",
+    // Per-source token budget + sampling shares (raw proportional +
+    // alpha=0.5 temperature-flattened) — one partial-aggregable
+    // groupBy; totals joined as a broadcast one-row aggregate.
+    (s, d) => CorpusStats.domainMix(Tables.documents(s, d), "source", "text")
+      .orderBy(col("source")),
+    Some(s"""
+      ${CorpusStats.domainMixSql("source", "text")}
+      ORDER BY source"""))
+
+  val c27 = Q(
+    "c27_contamination",
+    // Eval-set decontamination: training docs sharing >= 10% of an
+    // eval doc's distinct shingles (eval set = doc_id % 37 = 0,
+    // broadcast side of the shingle join).
+    (s, d) => CorpusStats.contamination(Tables.documents(s, d),
+        "doc_id", "text", pmod(col("doc_id"), lit(37)) === 0,
+        minOverlap = 0.1)
+      .orderBy(col("train_id"), col("eval_id")),
+    Some(s"""
+      ${CorpusStats.contaminationSql("doc_id", "text", "doc_id % 37 = 0", 0.1)}
+      ORDER BY train_id, eval_id"""))
+
+  val c28 = Q(
+    "c28_lm_surprisal",
+    // Per-doc mean unigram surprisal in whole bits against the
+    // corpus's own term stats — integer-exact (bin-length, no float
+    // log); the perplexity-proxy quality score.
+    (s, d) => CorpusStats.unigramSurprisal(Tables.documents(s, d),
+        "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      ${CorpusStats.unigramSurprisalSql("doc_id", "text")}
+      ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
-      c16, c17, c18, c19, c20, c21, c22, c23, c24, c25)
+      c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28)
 }

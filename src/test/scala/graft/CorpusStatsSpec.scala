@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusStats
+
+/** Unit specs for the corpus-level curation stats: domain mix,
+  * eval-set contamination, and unigram-LM surprisal.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("domainMix: shares sum to ~1 and temperature flattens the mix") {
+    val docs = Seq(
+      (1L, "a b c d e f g h", "web"),
+      (2L, "a b c d e f g h", "web"),
+      (3L, "a b c d e f g h", "web"),
+      (4L, "a b", "books")).toDF("doc_id", "text", "source")
+    val out = CorpusStats.domainMix(docs, "source", "text")
+      .orderBy($"source").collect()
+    val web = out.find(_.getAs[String]("source") == "web").get
+    val books = out.find(_.getAs[String]("source") == "books").get
+    assert(web.getAs[Long]("n_docs") == 3 && web.getAs[Long]("n_tokens") == 24)
+    assert(books.getAs[Long]("n_tokens") == 2)
+    // raw: 24/26 vs 2/26; temp (isqrt): 4/5 vs 1/5 — flatter
+    assert(web.getAs[Double]("raw_share") > web.getAs[Double]("temp_share"))
+    assert(books.getAs[Double]("raw_share") < books.getAs[Double]("temp_share"))
+    val rawSum = out.map(_.getAs[Double]("raw_share")).sum
+    assert(math.abs(rawSum - 1.0) < 1e-5)
+  }
+
+  test("contamination: shared-shingle overlap against the eval side only") {
+    val docs = Seq(
+      // eval doc (id 0): shingles of "w x y z" = {w x y, x y z}
+      (0L, "w x y z"),
+      // train doc sharing both shingles -> overlap 1.0
+      (1L, "w x y z q"),
+      // train doc sharing one ("x y z") -> overlap 0.5
+      (2L, "p x y z"),
+      // train doc sharing none
+      (3L, "a b c d"),
+      // another eval doc — must never appear as train
+      (37L, "w x y z")).toDF("doc_id", "text")
+    val out = CorpusStats.contamination(docs, "doc_id", "text",
+        pmod(col("doc_id"), lit(37)) === 0, minOverlap = 0.4)
+      .orderBy($"train_id", $"eval_id").collect()
+    val pairs = out.map(r => (r.getAs[Long]("train_id"),
+      r.getAs[Long]("eval_id"), r.getAs[Double]("overlap"))).toSeq
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 0L), (1L, 37L), (2L, 0L), (2L, 37L)))
+    assert(pairs.filter(_._1 == 1L).forall(_._3 == 1.0))
+    assert(pairs.filter(_._1 == 2L).forall(_._3 == 0.5))
+  }
+
+  test("unigramSurprisal: rare tokens score more bits than common ones") {
+    // corpus: 'the' x 8, 'rare' x 1, others fill to N=16 tokens
+    val docs = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "rare one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    // doc 1: every token 'the' (cnt 8, N 16) -> bits = len(bin(2)) = 2
+    assert(out(0).getAs[Long]("n_tokens") == 8)
+    assert(out(0).getAs[Double]("mean_bits") == 2.0)
+    // doc 2: every token unique (cnt 1, N 16) -> bits = len(bin(16)) = 5
+    assert(out(1).getAs[Double]("mean_bits") == 5.0)
+  }
+}

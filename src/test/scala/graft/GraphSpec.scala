@@ -109,4 +109,43 @@ class GraphSpec extends SparkSpec {
     // square (4-cycle) has none
     assert(count(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))) === 0L)
   }
+
+  test("kCore: peels pendant chains, keeps the dense core") {
+    import graft.graph.GraphAlgo
+    // K4 core + a pendant chain hanging off it
+    val k4 = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y
+    } yield (x, y)
+    val edges = k4 ++ Seq(("d", "e"), ("e", "f"))
+    val out = GraphAlgo.kCore(edges.toDF("src", "dst"), k = 3, rounds = 3)
+      .orderBy($"node").collect()
+    // chain peels off within 2 rounds; K4 survives with deg 3 each
+    assert(out.map(_.getAs[String]("node")).toSeq ==
+      Seq("a", "b", "c", "d"))
+    assert(out.forall(_.getAs[Long]("deg") == 3L))
+    // k above the max degree empties the graph
+    assert(GraphAlgo.kCore(edges.toDF("src", "dst"), k = 9, rounds = 2)
+      .count() == 0L)
+  }
+
+  test("nodeSimilarity: exact Jaccard on a known graph, hub cap honored") {
+    import graft.graph.GraphAlgo
+    // p and q share neighbors {x, y}; p also has z, q also has w:
+    // J(p,q) = 2 / (3 + 3 - 2) = 0.5
+    val edges = Seq(("p", "x"), ("p", "y"), ("p", "z"),
+      ("q", "x"), ("q", "y"), ("q", "w"))
+    val out = GraphAlgo.nodeSimilarity(edges.toDF("src", "dst"),
+      maxCenterDeg = 256, topN = 5).collect()
+    val pq = out.find(r => r.getAs[String]("p") == "p"
+      && r.getAs[String]("q") == "q").get
+    assert(pq.getAs[Long]("n_common") == 2L)
+    assert(pq.getAs[Double]("jaccard") == 0.5)
+    // with the cap below the shared-neighbor degree (x,y have deg 2),
+    // no wedge survives and the pair disappears
+    val capped = GraphAlgo.nodeSimilarity(edges.toDF("src", "dst"),
+      maxCenterDeg = 1, topN = 5).collect()
+    assert(!capped.exists(r => r.getAs[String]("p") == "p"
+      && r.getAs[String]("q") == "q"))
+  }
 }

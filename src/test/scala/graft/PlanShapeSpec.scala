@@ -82,7 +82,9 @@ class PlanShapeSpec extends SparkSpec {
       "b8_semantic_topk", "b12_analyze", // broadcast query vector
       "c6_ann_bruteforce", "c15_text_ann", // broadcast query set
       "c13_ann_ivf", "c17_ann_ivf_trained", // broadcast centroids
-      "c24_quantized_ann") // broadcast 1-row quant scale + query set
+      "c24_quantized_ann",  // broadcast 1-row quant scale + query set
+      "c26_domain_mix",     // broadcast 1-row corpus totals
+      "c28_lm_surprisal")   // broadcast 1-row total-token count
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
