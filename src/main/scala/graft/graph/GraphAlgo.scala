@@ -187,12 +187,11 @@ object GraphAlgo {
     * triangle's π-smallest vertex owns it: counted exactly once).
     * Three shuffles total: degree groupBy, wedge self-join on the
     * tail, existence semi-join on the closing edge. */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct().barrier(true)
+  def triangleCount(edges: DataFrame): DataFrame =
+    triangleCountUnd(undirected(edges))
+
+  /** [[triangleCount]] over a pre-built [[undirectedSimple]] view. */
+  def triangleCountUnd(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -221,14 +220,19 @@ object GraphAlgo {
 
   /** Undirected simple-graph view of a (src, dst) edge frame: loops
     * dropped, parallel/reverse edges collapsed, endpoints ordered
-    * a < b. Materialized once (barrier) — every caller iterates over
-    * it. */
-  private def undirected(edges: DataFrame): DataFrame =
+    * a < b. The shared input of the whole-graph analytics family
+    * (triangles, k-core, node similarity) — build it once per graph
+    * (see MemoryGraph.undirectedView for the persisted variant) and
+    * pass it to the *Und entry points. */
+  def undirectedSimple(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct().barrier(true)
+      .distinct()
+
+  private def undirected(edges: DataFrame): DataFrame =
+    undirectedSimple(edges).barrier(true)
 
   private def undDegrees(e: DataFrame): DataFrame =
     e.select(col("a").as("node"))
@@ -245,10 +249,23 @@ object GraphAlgo {
     * plus two left-semi hash joins against the keep-set; the edge set
     * only shrinks, so round cost is monotonically non-increasing —
     * the 1000-executor shape for the standard peeling algorithm.
+    * Early exit: each round's barrier already materializes the edge
+    * set, so its count is free — an unchanged count means no node
+    * fell below k, every remaining round is the identity, and the
+    * result equals the full `rounds`-deep unrolled oracle exactly.
     * Returns (node, deg) of the round-`rounds` induced subgraph. */
-  def kCore(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var und = undirected(edgesIn)
-    for (_ <- 1 to rounds) {
+  def kCore(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreUnd(undirected(edgesIn), k, rounds)
+
+  /** [[kCore]] over a pre-built [[undirectedSimple]] view. */
+  def kCoreUnd(und0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var und = und0.barrier(true)
+    // -1 sentinel: round 1 always runs, so the input count is never
+    // needed — one less job
+    var prevCount = -1L
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
       val keep = undDegrees(und).where(col("deg") >= k).select(col("node"))
       und = und
         .join(keep.select(col("node").as("a")).hint("shuffle_hash"),
@@ -256,6 +273,10 @@ object GraphAlgo {
         .join(keep.select(col("node").as("b")).hint("shuffle_hash"),
           Seq("b"), "left_semi")
         .barrier(true)
+      val c = und.count()
+      done = c == prevCount
+      prevCount = c
+      r += 1
     }
     undDegrees(und)
   }
@@ -273,8 +294,16 @@ object GraphAlgo {
     * global top-`topN` pairs by (jaccard, p, q) — a
     * TakeOrderedAndProject, no full sort. */
   def nodeSimilarity(edgesIn: DataFrame, maxCenterDeg: Int,
-                     topN: Int): DataFrame = {
-    val und = undirected(edgesIn)
+                     topN: Int): DataFrame =
+    nodeSimilarityUnd(undirected(edgesIn), maxCenterDeg, topN)
+
+  /** [[nodeSimilarity]] over a pre-built [[undirectedSimple]] view. */
+  def nodeSimilarityUnd(und0: DataFrame, maxCenterDeg: Int,
+                        topN: Int): DataFrame = {
+    // the view feeds three consumers (degrees, both wedge sides):
+    // materialize once so the self-join reuses one exchange instead
+    // of re-scanning the source per reference
+    val und = und0.barrier(true)
     val deg = undDegrees(und).barrier(true)
     val adj = und.select(col("a").as("node"), col("b").as("nb"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nb")))

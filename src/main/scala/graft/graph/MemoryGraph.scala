@@ -467,6 +467,21 @@ object MemoryGraph {
     })
   }
 
+  /** Undirected simple-graph edge view (a < b, loops dropped,
+    * parallel/reverse edges collapsed) of the persisted graph —
+    * persisted alongside the graph layout the way the dedup corpus
+    * keeps its band index: a graph store maintains this view as an
+    * index, so the whole-graph analytics family (triangle count,
+    * k-core, node similarity) reads it instead of re-deriving the
+    * distinct per query. Keyed on the same source fingerprint as the
+    * graph cache — a regenerated corpus never serves a stale view. */
+  def undirectedView(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.DiskCache.cached(s, "graph-und", CacheVersion,
+      Seq(dir), "und", Seq("und")) { tmp =>
+      graft.graph.GraphAlgo.undirectedSimple(persisted(s, dir).edges)
+        .write.mode("overwrite").parquet(s"$tmp/und")
+    } { base => s.read.parquet(s"$base/und") }
+
   /** Bind the memory graph to the driver-generated tables:
     * fact≈documents, decision≈orders, entity≈customer∪supplier∪part,
     * event≈events, topic≈distinct mktsegment; edges from the FKs plus

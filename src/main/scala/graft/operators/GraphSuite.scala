@@ -598,7 +598,7 @@ object GraphSuite extends Suite {
     // GraphAlgo.triangleCount). The oracle is the naive canonical
     // 3-way join: a<b<c with all three edges present.
     (s, d) => graft.graph.GraphAlgo
-      .triangleCount(MemoryGraph.persisted(s, d).edges),
+      .triangleCountUnd(MemoryGraph.undirectedView(s, d)),
     Some(s"""
       WITH edges AS ($E),
       und AS (
@@ -617,7 +617,7 @@ object GraphSuite extends Suite {
     // whether or not the peel has converged, same contract as b18's
     // fixed PageRank iterations).
     (s, d) => graft.graph.GraphAlgo
-      .kCore(MemoryGraph.persisted(s, d).edges, k = 3, rounds = 4)
+      .kCoreUnd(MemoryGraph.undirectedView(s, d), k = 3, rounds = 4)
       .orderBy(col("node")),
     Some {
       val rounds = (1 to 4).map { r =>
@@ -646,7 +646,7 @@ object GraphSuite extends Suite {
     // wedge join at centers with deg <= 256 — the hub cap is part of
     // the semantics; see GraphAlgo.nodeSimilarity).
     (s, d) => graft.graph.GraphAlgo
-      .nodeSimilarity(MemoryGraph.persisted(s, d).edges,
+      .nodeSimilarityUnd(MemoryGraph.undirectedView(s, d),
         maxCenterDeg = 256, topN = 20)
       .orderBy(col("jaccard").desc, col("p"), col("q")),
     Some(s"""

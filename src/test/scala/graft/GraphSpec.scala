@@ -127,6 +127,14 @@ class GraphSpec extends SparkSpec {
     // k above the max degree empties the graph
     assert(GraphAlgo.kCore(edges.toDF("src", "dst"), k = 9, rounds = 2)
       .count() == 0L)
+    // early exit preserves the fixed-round contract: the peel above
+    // converges by round 2, so a much deeper round budget must give
+    // the identical result (identity rounds, exited early)
+    val deep = GraphAlgo.kCore(edges.toDF("src", "dst"), k = 3, rounds = 30)
+      .orderBy($"node").collect()
+    assert(deep.map(r => (r.getAs[String]("node"), r.getAs[Long]("deg")))
+      .toSeq == out.map(r => (r.getAs[String]("node"), r.getAs[Long]("deg")))
+      .toSeq)
   }
 
   test("nodeSimilarity: exact Jaccard on a known graph, hub cap honored") {
