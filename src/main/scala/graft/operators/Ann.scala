@@ -57,32 +57,100 @@ object Ann {
     * deterministic seed vectors (swap in k-means output at scale —
     * the plan shape is identical: broadcast centroids, one pass to
     * assign, equi-join on centroid id to probe). */
+  /** Nearest-centroid assignment: keep the `keep` highest-cosine
+    * centroids per row (ties to the lower centroid id). `cent` must
+    * be broadcastable (c_id, c_vec, c_nrm). Shared by the probe path
+    * and the inverted-list build. */
+  private[graft] def assignToCentroids(df: DataFrame, cent: DataFrame,
+                                       side: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(s"${side}_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    df.crossJoin(broadcast(cent))
+      .withColumn("c_sim", VectorOps.cosine6Pre(col(s"${side}_vec"),
+        col("c_vec"), col(s"${side}_nrm"), col("c_nrm")))
+      .withColumn("c_rk", row_number().over(w))
+      .where(col("c_rk") <= keep)
+      .drop("c_vec", "c_nrm", "c_sim", "c_rk")
+  }
+
+  private def centTable(centroids: DataFrame, id: String,
+                        vec: String): DataFrame =
+    centroids.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      VectorOps.norm(col(vec)).as("c_nrm"))
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               id: String, vec: String, nprobe: Int, k: Int): DataFrame = {
-    val cent = broadcast(centroids.select(col(id).as("c_id"),
-      col(vec).as("c_vec"), VectorOps.norm(col(vec)).as("c_nrm")))
+    val cent = centTable(centroids, id, vec)
 
-    def assign(df: DataFrame, side: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(s"${side}_id"))
-        .orderBy(col("c_sim").desc, col("c_id"))
-      df.crossJoin(cent)
-        .withColumn("c_sim", VectorOps.cosine6Pre(col(s"${side}_vec"),
-          col("c_vec"), col(s"${side}_nrm"), col("c_nrm")))
-        .withColumn("c_rk", row_number().over(w))
-        .where(col("c_rk") <= keep)
-        .drop("c_vec", "c_nrm", "c_sim", "c_rk")
-    }
-
-    val corpusAssigned = assign(
+    val corpusAssigned = assignToCentroids(
       corpus.select(col(id).as("n_id"), col("label"), col(vec).as("n_vec"),
-        VectorOps.norm(col(vec)).as("n_nrm")), "n", 1)
-    val queryProbes = assign(
+        VectorOps.norm(col(vec)).as("n_nrm")), cent, "n", 1)
+    val queryProbes = assignToCentroids(
       broadcast(queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
-        VectorOps.norm(col(vec)).as("q_nrm"))), "q", nprobe)
+        VectorOps.norm(col(vec)).as("q_nrm"))), cent, "q", nprobe)
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     corpusAssigned.join(broadcast(queryProbes), "c_id")
+      .withColumn("sim", VectorOps.cosine6Pre(col("n_vec"), col("q_vec"),
+        col("n_nrm"), col("q_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("c_id"), col("sim"))
+  }
+
+  /** A persisted IVF index: trained centroids + centroid-partitioned
+    * inverted lists, read back from parquet. */
+  final case class IvfIndex(centroids: DataFrame, lists: DataFrame)
+
+  /** Build and persist an IVF index under `base`: k-means centroids
+    * (deterministic — [[kmeansFit]]) and the corpus inverted lists,
+    * PARTITIONED BY centroid id, with each member's vector and norm
+    * stored in its list so probes never join back to the corpus.
+    * Index-once / probe-many: at 100 TB the index build is a daily
+    * batch job and every query session reads this layout — the same
+    * production split as the dedup corpus band index. */
+  def writeIndex(corpus: DataFrame, id: String, vec: String, k: Int,
+                 iters: Int, base: String): Unit = {
+    val cent = kmeansFit(corpus, id, vec, k, iters).barrier(true)
+    cent.select(col(id).as("c_id"), col(vec).as("c_vec"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    val lists = assignToCentroids(
+      corpus.select(col(id).as("n_id"), col("label"), col(vec).as("n_vec"),
+        VectorOps.norm(col(vec)).as("n_nrm")),
+      centTable(cent, id, vec), "n", 1)
+    lists.write.mode("overwrite").partitionBy("c_id")
+      .parquet(s"$base/lists")
+  }
+
+  def readIndex(s: org.apache.spark.sql.SparkSession,
+                base: String): IvfIndex =
+    IvfIndex(
+      s.read.parquet(s"$base/centroids"),
+      s.read.parquet(s"$base/lists")
+        // partition-column inference narrows c_id to int — restore
+        // the build-side long so joins and output types are stable
+        .select(col("c_id").cast("long").as("c_id"), col("n_id"),
+          col("label"), col("n_vec"), col("n_nrm")))
+
+  /** Probe a persisted IVF index: assign each query to its `nprobe`
+    * nearest centroids (broadcast — the centroid table is k rows),
+    * then rank ONLY the probed inverted lists by exact cosine. The
+    * lists scan is partitioned on c_id and the probe side is a
+    * broadcast, so dynamic partition pruning reads just the probed
+    * partitions — the IO shape an IVF index exists for. */
+  def indexedTopK(idx: IvfIndex, queries: DataFrame, id: String,
+                  vec: String, nprobe: Int, k: Int): DataFrame = {
+    val cent = centTable(
+      idx.centroids.select(col("c_id").as(id), col("c_vec").as(vec)),
+      id, vec)
+    val queryProbes = assignToCentroids(
+      broadcast(queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+        VectorOps.norm(col(vec)).as("q_nrm"))), cent, "q", nprobe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    idx.lists.join(broadcast(queryProbes), "c_id")
       .withColumn("sim", VectorOps.cosine6Pre(col("n_vec"), col("q_vec"),
         col("n_nrm"), col("q_nrm")))
       .withColumn("rank", row_number().over(w))

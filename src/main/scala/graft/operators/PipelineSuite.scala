@@ -349,6 +349,51 @@ object PipelineSuite extends Suite {
       GROUP BY n
       ORDER BY doc_id"""))
 
+  // --- shared DuckDB mirror of Ann.kmeansFit ------------------------
+  // (used by c17 and c29; expects `corpus(vec_id, embedding)` in
+  // scope). pick{n} assigns each corpus vector to its nearest
+  // centroid of cent{n-1}; one Lloyd iteration rebuilds cent{n} via
+  // the per-dim FIXED-POINT mean: floor(x * 2^30) per member (exact
+  // for floats), exact integer sum, divide back in double — mirrors
+  // Ann.kmeansFit bit-for-bit.
+  private def kmeansPickSql(prev: String, n: Int): String = s"""
+      pick$n AS (
+        SELECT vec_id, cid FROM (
+          SELECT v.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY ${VectorOps.cosine6Sql("v.embedding", "c.cv")}
+                     DESC, c.cid) AS rk
+          FROM corpus v CROSS JOIN $prev c) t
+        WHERE rk = 1)"""
+
+  private def kmeansIterSql(prev: String, n: Int): String =
+    s"""${kmeansPickSql(prev, n)},
+      upd$n AS (
+        SELECT p.cid, t.i,
+               CAST(SUM(CAST(FLOOR(CAST(v.embedding[t.i] AS DOUBLE)
+                     * 1073741824.0) AS HUGEINT)) AS DOUBLE)
+                 / (COUNT(*) * 1073741824.0) AS m
+        FROM pick$n p JOIN corpus v USING (vec_id)
+          CROSS JOIN range(1, 65) t(i)
+        GROUP BY p.cid, t.i),
+      cent$n AS (
+        SELECT cid, list_transform(list(m ORDER BY i),
+                 x -> CAST(x AS FLOAT)) AS cv
+        FROM upd$n GROUP BY cid)"""
+
+  /** cent0 (k lowest-id seeds) + `iters` Lloyd iterations + the final
+    * corpus assignment pick{iters+1} over cent{iters}. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val iterCtes = (1 to iters)
+      .map(i => kmeansIterSql(s"cent${i - 1}", i)).mkString(",\n      ")
+    s"""cent0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+               embedding AS cv
+        FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT $k)),
+      $iterCtes,
+      ${kmeansPickSql(s"cent$iters", iters + 1)}"""
+  }
+
   val c17 = Q(
     "c17_ann_ivf_trained",
     // IVF with TRAINED centroids: 2 Lloyd iterations (deterministic,
@@ -374,43 +419,12 @@ object PipelineSuite extends Suite {
     },
     Some {
       def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
-      // one Lloyd iteration: assign to nearest centroid (rounded
-      // cosine, ties to lower cid), then per-dim FIXED-POINT mean:
-      // floor(x * 2^30) per member (exact for floats), exact integer
-      // sum, divide back in double — mirrors Ann.kmeansFit bit-for-bit
-      def pickSql(prev: String, n: Int) = s"""
-      pick$n AS (
-        SELECT vec_id, cid FROM (
-          SELECT v.vec_id, c.cid,
-                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                   ORDER BY ${cos("v.embedding", "c.cv")} DESC, c.cid) AS rk
-          FROM corpus v CROSS JOIN $prev c) t
-        WHERE rk = 1)"""
-      def iterSql(prev: String, n: Int) = s"""${pickSql(prev, n)},
-      upd$n AS (
-        SELECT p.cid, t.i,
-               CAST(SUM(CAST(FLOOR(CAST(v.embedding[t.i] AS DOUBLE)
-                     * 1073741824.0) AS HUGEINT)) AS DOUBLE)
-                 / (COUNT(*) * 1073741824.0) AS m
-        FROM pick$n p JOIN corpus v USING (vec_id)
-          CROSS JOIN range(1, 65) t(i)
-        GROUP BY p.cid, t.i),
-      cent$n AS (
-        SELECT cid, list_transform(list(m ORDER BY i),
-                 x -> CAST(x AS FLOAT)) AS cv
-        FROM upd$n GROUP BY cid)"""
       s"""
       WITH corpus AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
       queries AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
-      cent0 AS (
-        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
-               embedding AS cv
-        FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)),
-      ${iterSql("cent0", 1)},
-      ${iterSql("cent1", 2)},
-      ${pickSql("cent2", 3)},
+      ${kmeansCtes(k = 8, iters = 2)},
       qprobe AS (
         SELECT q_id, cid FROM (
           SELECT q.vec_id AS q_id, c.cid,
@@ -821,7 +835,58 @@ object PipelineSuite extends Suite {
       ${CorpusStats.unigramSurprisalSql("doc_id", "text")}
       ORDER BY doc_id"""))
 
+  val c29 = Q(
+    "c29_ann_index_probe",
+    // Index-once / probe-many ANN: the trained IVF index (k-means
+    // centroids + centroid-PARTITIONED inverted lists with vectors
+    // and norms stored in-list) is built once per corpus fingerprint
+    // (DiskCache, like the c25 dedup band index) and the query is
+    // the PROBE path only: broadcast centroid assignment + a join
+    // that dynamic-partition-prunes the lists scan to the probed
+    // centroids. The oracle rebuilds the same deterministic index
+    // from scratch — cached and fresh builds are bit-identical.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.where(col("vec_id") >= 5)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(corpus, "vec_id", "embedding", k = 8, iters = 2, tmp)
+      } { base => Ann.readIndex(s, base) }
+      Ann.indexedTopK(idx, e.where(col("vec_id") < 5), "vec_id",
+          "embedding", nprobe = 2, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      queries AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      ${kmeansCtes(k = 8, iters = 2)},
+      qprobe AS (
+        SELECT q_id, cid FROM (
+          SELECT q.vec_id AS q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid) AS rk
+          FROM queries q CROSS JOIN cent2 c) t
+        WHERE rk <= 2)
+      SELECT q_id, rank, n_id, c_id, sim FROM (
+        SELECT p.q_id, a.vec_id AS n_id, p.cid AS c_id,
+               ${cos("v.embedding", "q.embedding")} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY p.q_id
+                 ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                          a.vec_id) AS rank
+        FROM qprobe p
+          JOIN pick3 a ON a.cid = p.cid
+          JOIN corpus v ON v.vec_id = a.vec_id
+          JOIN queries q ON q.vec_id = p.q_id) t
+      WHERE rank <= 5
+      ORDER BY q_id, rank"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
-      c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28)
+      c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29)
 }

@@ -87,4 +87,25 @@ class DedupAnnSpec extends SparkSpec {
       Seq("q_id", "n_id"))
     assert(joined.where($"sim" =!= $"bf_sim").isEmpty)
   }
+
+  test("persisted IVF index probe equals the in-session IVF path") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.model.Tables.embeddings(spark, sf)
+    val corpus = e.where(col("vec_id") >= 5)
+    val queries = e.where(col("vec_id") < 5)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ann-index").toString
+    Ann.writeIndex(corpus, "vec_id", "embedding", k = 8, iters = 2, base)
+    val idx = Ann.readIndex(spark, base)
+    val probed = Ann.indexedTopK(idx, queries, "vec_id", "embedding",
+        nprobe = 2, k = 5)
+      .select($"q_id", $"rank", $"n_id", $"c_id", $"sim")
+      .orderBy($"q_id", $"rank").collect().toSeq
+    val cent = Ann.kmeansFit(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    val direct = Ann.ivfTopK(corpus, queries, cent, "vec_id", "embedding",
+        nprobe = 2, k = 5)
+      .select($"q_id", $"rank", $"n_id", $"c_id", $"sim")
+      .orderBy($"q_id", $"rank").collect().toSeq
+    assert(probed === direct)
+  }
 }
