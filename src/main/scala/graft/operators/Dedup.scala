@@ -412,6 +412,38 @@ object Dedup {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
   }
 
+  /** Stream-ingest near-dup filter: keep/drop for arriving docs
+    * against the PERSISTED corpus index ONLY — no intra-batch pairs,
+    * so every decision is per-doc independent and micro-batch
+    * boundaries can never change it (cross-arrival novelty is the
+    * band-claim operator's job — [[nearDupNovelty]] /
+    * Streams.bandClaimStreaming). Same banded-candidates +
+    * exact-verify machinery as [[incrementalDedup]]; shuffle volume
+    * is bounded by the arriving docs' bands + collisions, never the
+    * corpus. */
+  def corpusFilter(index: DedupIndex, batch: DataFrame, id: String,
+                   text: String, tau: Double, k: Int = 48,
+                   bands: Int = 24): DataFrame = {
+    val bIdx = buildIndex(batch, id, text, k, bands)
+    val cand = index.bands
+      .select(col("did").as("id_a"), col("band_idx"), col("band_val"))
+      .join(bIdx.bands
+        .select(col("did").as("id_b"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val shAll = index.shingles.unionAll(bIdx.shingles)
+      .select(col("did"), explode(col("shh")).as("sh"))
+    val sizes = index.shingles.unionAll(bIdx.shingles)
+      .select(col("did"), col("n"))
+    val pairs = verifyJaccard(cand, shAll, sizes, tau)
+    val blockers = pairs.groupBy(col("id_b").as(id))
+      .agg(min(col("id_a")).as("dup_of"))
+    batch.select(col(id)).join(blockers, Seq(id), "left")
+      .select(col(id),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
   /** Same-key exact cosine pairs (conflict detection shape): all
     * id-ordered pairs sharing `key` with cosine >= tau, via the
     * triangle-blocked equi-join — the key joins the block columns in

@@ -152,5 +152,55 @@ object StreamingSuite extends Suite {
       WHERE rank <= 5
       ORDER BY hour_bucket, rank"""))
 
-  override val queries: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7)
+  val d8 = Q(
+    "d8_stream_corpus_dedup",
+    // Streaming ingest filter, batch-replayed: arriving docs
+    // (doc_id%10 >= 8, the c25 split) keep/drop-decided against the
+    // PERSISTED corpus band index only — per-doc independent, so
+    // micro-batching never changes a decision. Streaming flavor:
+    // Streams.corpusFilterStreaming (foreachBatch over the identical
+    // operator — StreamsSpec drives it cross-batch). Oracle = exact
+    // Jaccard restricted to batch×corpus pairs.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val idx = graft.util.DiskCache.cached(s, "dedup-index", "v1",
+        Seq(s"$d/documents.parquet"), "mod10lt8-k48b24",
+        Seq("shingles", "bands")) { tmp =>
+        graft.operators.Dedup.writeIndex(corpus, "doc_id", "text",
+          k = 48, bands = 24, tmp)
+      } { base => graft.operators.Dedup.readIndex(s, base) }
+      graft.operators.Dedup.corpusFilter(idx, batch, "doc_id", "text",
+          tau = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id,
+               unnest(${graft.functions.TextOps.shingleHashesSql("text")})
+                 AS s
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE b.doc_id % 10 >= 8 AND a.doc_id % 10 < 8
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      blk AS (SELECT id_b AS doc_id, MIN(id_a) AS dup_of
+              FROM pairs GROUP BY 1)
+      SELECT d.doc_id AS doc_id,
+             CAST(CASE WHEN b.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS keep,
+             COALESCE(b.dup_of, -1) AS dup_of
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+        LEFT JOIN blk b ON d.doc_id = b.doc_id
+      ORDER BY d.doc_id"""))
+
+  override val queries: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8)
 }

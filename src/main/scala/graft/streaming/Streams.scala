@@ -242,6 +242,24 @@ object Streams {
       }
   }
 
+  /** Streaming ingest filter against a persisted corpus: each
+    * micro-batch of arriving docs is keep/drop-decided by
+    * [[graft.operators.Dedup.corpusFilter]] — banded candidates
+    * against the corpus index, exact-Jaccard verify on candidates
+    * only. Decisions are per-doc independent (corpus-only pairs), so
+    * micro-batch boundaries never change them and the accumulated
+    * stream output equals the batch operator over the same docs
+    * (StreamsSpec pins it cross-batch). Cross-arrival novelty
+    * composes via [[bandClaimStreaming]]. */
+  def corpusFilterStreaming(index: graft.operators.Dedup.DedupIndex,
+      docs: DataFrame, id: String, text: String, tau: Double)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.corpusFilter(index, batch, id, text, tau))
+      }
+      .start()
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

@@ -260,4 +260,43 @@ class StreamsSpec extends SparkSpec {
       .orderBy($"user_id", $"event_type").collect()
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("streaming corpus filter matches the batch operator across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod($"doc_id", lit(10)) < 8)
+    val arriving = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dedup-index").toString
+    Dedup.writeIndex(corpus, "doc_id", "text", k = 48, bands = 24, base)
+    val idx = Dedup.readIndex(spark, base)
+    val ms = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val q = Streams.corpusFilterStreaming(idx,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", tau = 0.5) { df =>
+      collected.synchronized { collected ++= df.collect() }
+    }
+    // two micro-batches: decisions are per-doc independent, so the
+    // split point must not matter
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collected.synchronized {
+      collected.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keep"),
+        r.getAs[Long]("dup_of"))).sortBy(_._1).toSeq
+    }
+    val batch = Dedup.corpusFilter(idx,
+        docs.where(pmod($"doc_id", lit(10)) >= 8), "doc_id", "text",
+        tau = 0.5)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keep"),
+        r.getAs[Long]("dup_of"))).toSeq
+    assert(streamed === batch)
+    assert(batch.exists(_._2 == 0L), "some arriving docs must be blocked")
+  }
 }
