@@ -81,6 +81,32 @@ object TextOps {
     s"""list_transform(${shingles3Sql(tokensSql(t))},
         sgl -> ${polyHashSql("sgl")})"""
 
+  // --- n-gram hashes over token-hash arrays -------------------------
+  /** Window hashes over a TOKEN-HASH array attribute: rolling
+    * (h*31 + next) % p combine — long arithmetic instead of per-gram
+    * string concatenation, mirrored exactly by the oracle (identical
+    * collisions, so identical distinct counts). The input MUST be a
+    * bound attribute, not an expression subtree: higher-order lambdas
+    * re-evaluate embedded subtrees once PER ELEMENT. Guarded for
+    * size < w (sequence would run descending and element_at throw). */
+  def ngramHashes(th: Column, w: Int): Column =
+    if (w == 1) th
+    else when(size(th) >= w,
+      transform(sequence(lit(1), size(th) - (w - 1)), i =>
+        (2 to w).foldLeft(element_at(th, i))((acc, j) =>
+          (acc * 31L + element_at(th, i + j - 1)) % lit(P))))
+      .otherwise(array().cast("array<long>"))
+
+  def ngramHashesSql(th: String, w: Int): String =
+    if (w == 1) th
+    else {
+      val h = (2 to w).foldLeft(s"$th[i]")((acc, j) =>
+        s"(($acc) * 31 + $th[i+${j - 1}]) % $P")
+      s"""CASE WHEN len($th) >= $w
+          THEN list_transform(range(1, len($th) - ${w - 1} + 1), i -> $h)
+          ELSE CAST([] AS BIGINT[]) END"""
+    }
+
   // --- MinHash ------------------------------------------------------
   /** K-element MinHash signature over the shingle-hash set:
     * sig_k = min_h ((2k+1)*h + 12345 + 7k) mod p, k = 1..K. */

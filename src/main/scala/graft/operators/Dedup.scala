@@ -444,6 +444,42 @@ object Dedup {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
   }
 
+  /** ExactSubstr-style substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — public
+    * literature): doc pairs sharing at least one exact `w`-token
+    * contiguous span, found by hashing EVERY w-token window (rolling
+    * poly hash over token hashes, [[TextOps.ngramHashes]]) and
+    * equi-joining on the window hash; n_shared counts the distinct
+    * shared spans. Unlike the shingle-set family (c2/c3), this
+    * detects verbatim boilerplate runs inside otherwise-different
+    * documents — the other half of production text dedup.
+    *
+    * Scale: a window hash is its own join bucket, so candidates are
+    * banded by construction; a span shared by MANY docs (license
+    * headers) makes a hot bucket with quadratic pair output, so
+    * hashes appearing in more than `maxBucket` docs are dropped —
+    * at that width a span is boilerplate, not pair-dup evidence
+    * (the cap is part of the semantics and mirrored in the oracle).
+    * The bucket-size filter shuffles on the same key as the pair
+    * join, so the partitioning is reused. */
+  def substringPairs(docs: DataFrame, id: String, text: String,
+                     w: Int, maxBucket: Int): DataFrame = {
+    val th = docs.select(col(id).as("did"),
+      transform(TextOps.tokens(col(text)),
+        t => TextOps.polyHash(t)).as("th"))
+    val wh = th.select(col("did"),
+      explode(array_distinct(TextOps.ngramHashes(col("th"), w))).as("h"))
+    val ok = wh.join(
+      wh.groupBy(col("h")).agg(count(lit(1)).as("nb"))
+        .where(col("nb") <= maxBucket).select(col("h")),
+      Seq("h"), "left_semi")
+    ok.alias("a")
+      .join(ok.alias("b"),
+        col("a.h") === col("b.h") && col("a.did") < col("b.did"))
+      .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Same-key exact cosine pairs (conflict detection shape): all
     * id-ordered pairs sharing `key` with cosine >= tau, via the
     * triangle-blocked equi-join — the key joins the block columns in

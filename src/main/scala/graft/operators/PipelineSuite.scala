@@ -886,7 +886,34 @@ object PipelineSuite extends Suite {
       ORDER BY q_id, rank"""
     })
 
+  val c30 = Q(
+    "c30_substring_dedup",
+    // ExactSubstr-style span dedup: pairs sharing at least one exact
+    // 16-token window (rolling window hashes, bucket-capped at 32
+    // docs — see Dedup.substringPairs).
+    (s, d) => Dedup.substringPairs(Tables.documents(s, d), "doc_id",
+        "text", w = 16, maxBucket = 32)
+      .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val th = s"""list_transform(${TextOps.tokensSql("text")},
+        tok -> ${TextOps.polyHashSql("tok")})"""
+      s"""
+      WITH th AS (SELECT doc_id, $th AS th FROM documents),
+      wh AS (SELECT doc_id,
+               unnest(list_distinct(${TextOps.ngramHashesSql("th", 16)}))
+                 AS h
+             FROM th),
+      sizes AS (SELECT h, COUNT(*) AS nb FROM wh GROUP BY 1),
+      ok AS (SELECT wh.doc_id, wh.h FROM wh
+             JOIN sizes USING (h) WHERE nb <= 32)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      ORDER BY id_a, id_b"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
-      c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29)
+      c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
+      c30)
 }

@@ -272,6 +272,21 @@ object RelationalSuite extends Suite {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  val a12 = Q(
+    "a12_approx_distinct",
+    // Deterministic HyperLogLog (Sketches.hllDistinct): per-type
+    // approx distinct users, ONE pass + O(64) state per key, register
+    // folds are partial-aggregable maxes — the sketch shape
+    // approx_count_distinct has, with this repo's bit-exact oracle
+    // contract (no float log; the DuckDB replay computes the same
+    // estimate to the last bit).
+    (s, d) => Sketches.hllDistinct(Tables.events(s, d), "event_type",
+        col("user_id"))
+      .orderBy(col("event_type")),
+    Some(s"""
+      ${Sketches.hllDistinctSql("events", "event_type", "user_id")}
+      ORDER BY event_type"""))
+
   override val queries: Seq[Q] =
-    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11)
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12)
 }

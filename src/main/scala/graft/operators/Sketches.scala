@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Distributed sketches with DETERMINISTIC, oracle-replayable
+  * arithmetic. Spark's own approx_count_distinct is a HyperLogLog++
+  * whose sketch layout no other engine reproduces; this is the same
+  * algorithm built from the portable poly-hash so the DuckDB oracle
+  * computes the identical estimate bit-for-bit — the engine feature
+  * (one pass, O(m) state, map-side combinable max registers) with
+  * the repo's exactness contract.
+  */
+object Sketches {
+
+  /** m = 64 registers; the hash lives below 2^30, so after the
+    * bucket split the rank field is 24 bits and every 2^(S-rho) term
+    * is exact in long arithmetic at S = 40. */
+  val M = 64
+  private val Bits = 24
+  private val Scale = 40
+  private val PowScale = 1099511627776L // 2^40
+
+  /** Per-`key` approximate distinct count of `value` via a
+    * deterministic HyperLogLog (raw estimator, no float log
+    * anywhere): bucket = h mod m, rank = leading-zero count of the
+    * remaining 24-bit field + 1 (computed as 25 - bitlength, exact
+    * integer), registers fold with MAX (order-independent, partial-
+    * aggregable — the 100 TB shape: each partition sketches, merge is
+    * elementwise max), and the harmonic sum Σ 2^-M[b] is the exact
+    * long Σ 2^(40-M[b]) over present buckets plus 2^40 per empty
+    * bucket. The only float op is the final constant product and
+    * divide — IEEE-identical on both engines. Emits the exact
+    * distinct count alongside for the error row. */
+  /** Affine post-mix: the poly hash of SHORT strings (ids) stays far
+    * below 2^30, so its high bits — the rank field — are mostly
+    * zero and the raw estimator explodes. Multiplying by a large
+    * odd constant mod p redistributes over the full range; h < 2^30
+    * times 2654435761 < 2^32 stays under 2^62, exact in 64-bit on
+    * both engines. */
+  private val Mix = 2654435761L
+
+  def hllDistinct(df: DataFrame, key: String, value: Column): DataFrame = {
+    val h = (TextOps.polyHash(value.cast("string")) * lit(Mix) + lit(12345L))
+      .%(lit(TextOps.P))
+    val rows = df.select(col(key),
+      pmod(h, lit(M.toLong)).as("b"),
+      floor(h / lit(M)).cast("long").as("w"))
+    val withRho = rows.select(col(key), col("b"),
+      when(col("w") === 0L, lit(Bits + 1))
+        .otherwise(lit(Bits + 1) - length(bin(col("w")))).as("r"))
+    val regs = withRho.groupBy(col(key), col("b")).agg(max(col("r")).as("m"))
+    val sums = regs.groupBy(col(key)).agg(
+      sum(pow(lit(2.0), lit(Scale) - col("m")).cast("long")).as("sp"),
+      count(lit(1)).as("nb"))
+    val exact = df.groupBy(col(key))
+      .agg(countDistinct(value).as("n_exact"))
+    // raw HLL estimator: alpha_m * m^2 / Σ 2^-M[b]
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
+    val denom = (col("sp") + (lit(M.toLong) - col("nb")) * lit(PowScale))
+      .cast("double")
+    val est = round(alpha * lit(4096.0) * lit(PowScale.toDouble) / denom, 4)
+    exact.join(sums, Seq(key))
+      .select(col(key), col("n_exact"), est.as("hll_estimate"))
+      .withColumn("rel_err",
+        round(abs(col("hll_estimate") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"), 4))
+  }
+
+  /** DuckDB mirror of [[hllDistinct]] over a relation `rel` with
+    * columns (`key`, `valueExpr`). */
+  def hllDistinctSql(rel: String, key: String, valueExpr: String): String = {
+    val ph = TextOps.polyHashSql(s"CAST($valueExpr AS VARCHAR)")
+    s"""
+      WITH _h AS (SELECT $key, $valueExpr AS v,
+                    (($ph) * $Mix + 12345) % ${TextOps.P} AS h
+                  FROM $rel),
+      _r AS (SELECT $key, v, h % $M AS b,
+               CASE WHEN (h // $M) = 0 THEN ${Bits + 1}
+                    ELSE ${Bits + 1} - length(bin(h // $M)) END AS r
+             FROM _h),
+      _regs AS (SELECT $key, b, MAX(r) AS m FROM _r GROUP BY 1, 2),
+      _sums AS (SELECT $key,
+                  SUM(CAST(pow(2, $Scale - m) AS BIGINT)) AS sp,
+                  COUNT(*) AS nb
+                FROM _regs GROUP BY 1),
+      _ex AS (SELECT $key, COUNT(DISTINCT v) AS n_exact FROM _h GROUP BY 1),
+      _est AS (
+        SELECT e.$key, e.n_exact,
+               round(CAST(0.7213 AS DOUBLE)
+                   / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE)
+                      / CAST(64 AS DOUBLE))
+                 * CAST(4096 AS DOUBLE) * CAST($PowScale AS DOUBLE)
+                 / CAST(sp + ($M - nb) * $PowScale AS DOUBLE), 4)
+                 AS hll_estimate
+        FROM _ex e JOIN _sums s ON e.$key = s.$key)
+      SELECT $key, n_exact, hll_estimate,
+             round(abs(hll_estimate - CAST(n_exact AS DOUBLE))
+               / CAST(n_exact AS DOUBLE), 4) AS rel_err
+      FROM _est"""
+  }
+}

@@ -138,21 +138,11 @@ object TextQuality {
     * Gopher-family "repetitious text" filters. Pure per-row expression
     * work over the token array; no shuffle. Short-doc guards: a doc
     * with < n tokens has zero n-gram repetition by definition. */
-  /** n-gram hashes over a TOKEN-HASH array attribute: rolling
-    * (h*31 + next) % p combine — long arithmetic instead of per-gram
-    * string concatenation, mirrored exactly by the oracle (identical
-    * collisions, so identical distinct counts). The input MUST be a
-    * bound attribute, not an expression subtree: higher-order
-    * lambdas re-evaluate embedded subtrees once PER ELEMENT. */
+  /** n-gram hashes over a TOKEN-HASH array attribute — see
+    * [[TextOps.ngramHashes]] (factored there for reuse by the
+    * substring-dedup operator). */
   private def ngramHashes(th: Column, w: Int): Column =
-    if (w == 1) th
-    else when(size(th) >= w,
-      transform(sequence(lit(1), size(th) - (w - 1)), i =>
-        (2 to w).foldLeft(element_at(th, i))((acc, j) =>
-          (acc * 31L + element_at(th, i + j - 1)) % lit(TextOps.P))))
-      // size < w: sequence(1, size-(w-1)) would run DESCENDING and
-      // element_at would throw (same trap as TextOps.shingles3)
-      .otherwise(array().cast("array<long>"))
+    TextOps.ngramHashes(th, w)
 
   /** Repetition signals, staged so every lambda closes over bound
     * attributes only (tk -> th -> sorted/starts -> ratios). The

@@ -82,6 +82,7 @@ class PlanShapeSpec extends SparkSpec {
       "b8_semantic_topk", "b12_analyze", // broadcast query vector
       "c6_ann_bruteforce", "c15_text_ann", // broadcast query set
       "c13_ann_ivf", "c17_ann_ivf_trained", // broadcast centroids
+      "c29_ann_index_probe",                // broadcast centroids
       "c24_quantized_ann",  // broadcast 1-row quant scale + query set
       "c26_domain_mix",     // broadcast 1-row corpus totals
       "c28_lm_surprisal")   // broadcast 1-row total-token count
