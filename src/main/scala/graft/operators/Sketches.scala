@@ -41,61 +41,83 @@ object Sketches {
     * both engines. */
   private val Mix = 2654435761L
 
-  def hllDistinct(df: DataFrame, key: String, value: Column): DataFrame = {
+  /** The per-row sketch columns (bucket, rank) for `value` — the map
+    * side of the sketch; compose with any grouping (see
+    * Streams.windowHllAgg for the watermarked-window flavor). */
+  def hllRowCols(value: Column): (Column, Column) = {
     val h = (TextOps.polyHash(value.cast("string")) * lit(Mix) + lit(12345L))
       .%(lit(TextOps.P))
-    val rows = df.select(col(key),
-      pmod(h, lit(M.toLong)).as("b"),
-      floor(h / lit(M)).cast("long").as("w"))
-    val withRho = rows.select(col(key), col("b"),
-      when(col("w") === 0L, lit(Bits + 1))
-        .otherwise(lit(Bits + 1) - length(bin(col("w")))).as("r"))
-    val regs = withRho.groupBy(col(key), col("b")).agg(max(col("r")).as("m"))
-    val sums = regs.groupBy(col(key)).agg(
+    val w = floor(h / lit(M)).cast("long")
+    val r = when(w === 0L, lit(Bits + 1))
+      .otherwise(lit(Bits + 1) - length(bin(w)))
+    (pmod(h, lit(M.toLong)), r)
+  }
+
+  /** Fold (keys..., b, m)-register rows into the per-key estimate.
+    * The registers may come from any grouping — a batch groupBy or a
+    * watermark-closed streaming window agg. */
+  def hllEstimateFromRegs(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    val sums = regs.groupBy(keys.map(col): _*).agg(
       sum(pow(lit(2.0), lit(Scale) - col("m")).cast("long")).as("sp"),
       count(lit(1)).as("nb"))
-    val exact = df.groupBy(col(key))
-      .agg(countDistinct(value).as("n_exact"))
     // raw HLL estimator: alpha_m * m^2 / Σ 2^-M[b]
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
     val denom = (col("sp") + (lit(M.toLong) - col("nb")) * lit(PowScale))
       .cast("double")
     val est = round(alpha * lit(4096.0) * lit(PowScale.toDouble) / denom, 4)
-    exact.join(sums, Seq(key))
-      .select(col(key), col("n_exact"), est.as("hll_estimate"))
+    sums.select(keys.map(col) :+ est.as("hll_estimate"): _*)
+  }
+
+  def hllDistinct(df: DataFrame, key: String, value: Column): DataFrame = {
+    val (b, r) = hllRowCols(value)
+    val withRho = df.select(col(key), b.as("b"), r.as("r"))
+    val regs = withRho.groupBy(col(key), col("b")).agg(max(col("r")).as("m"))
+    val exact = df.groupBy(col(key))
+      .agg(countDistinct(value).as("n_exact"))
+    exact.join(hllEstimateFromRegs(regs, Seq(key)), Seq(key))
+      .select(col(key), col("n_exact"), col("hll_estimate"))
       .withColumn("rel_err",
         round(abs(col("hll_estimate") - col("n_exact").cast("double"))
           / col("n_exact").cast("double"), 4))
   }
 
   /** DuckDB mirror of [[hllDistinct]] over a relation `rel` with
-    * columns (`key`, `valueExpr`). */
-  def hllDistinctSql(rel: String, key: String, valueExpr: String): String = {
+    * columns (keys..., `valueExpr`). */
+  def hllDistinctSql(rel: String, key: String, valueExpr: String): String =
+    hllDistinctSqlKeys(rel, Seq(key), valueExpr)
+
+  def hllDistinctSqlKeys(rel: String, keys: Seq[String],
+                         valueExpr: String): String = {
     val ph = TextOps.polyHashSql(s"CAST($valueExpr AS VARCHAR)")
+    val ks = keys.mkString(", ")
+    val kn = keys.size
+    def nums(from: Int, n: Int) = (from until from + n).mkString(", ")
     s"""
-      WITH _h AS (SELECT $key, $valueExpr AS v,
+      WITH _h AS (SELECT $ks, $valueExpr AS v,
                     (($ph) * $Mix + 12345) % ${TextOps.P} AS h
                   FROM $rel),
-      _r AS (SELECT $key, v, h % $M AS b,
+      _r AS (SELECT $ks, v, h % $M AS b,
                CASE WHEN (h // $M) = 0 THEN ${Bits + 1}
                     ELSE ${Bits + 1} - length(bin(h // $M)) END AS r
              FROM _h),
-      _regs AS (SELECT $key, b, MAX(r) AS m FROM _r GROUP BY 1, 2),
-      _sums AS (SELECT $key,
+      _regs AS (SELECT $ks, b, MAX(r) AS m FROM _r
+                GROUP BY ${nums(1, kn + 1)}),
+      _sums AS (SELECT $ks,
                   SUM(CAST(pow(2, $Scale - m) AS BIGINT)) AS sp,
                   COUNT(*) AS nb
-                FROM _regs GROUP BY 1),
-      _ex AS (SELECT $key, COUNT(DISTINCT v) AS n_exact FROM _h GROUP BY 1),
+                FROM _regs GROUP BY ${nums(1, kn)}),
+      _ex AS (SELECT $ks, COUNT(DISTINCT v) AS n_exact FROM _h
+              GROUP BY ${nums(1, kn)}),
       _est AS (
-        SELECT e.$key, e.n_exact,
+        SELECT $ks, n_exact,
                round(CAST(0.7213 AS DOUBLE)
                    / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE)
                       / CAST(64 AS DOUBLE))
                  * CAST(4096 AS DOUBLE) * CAST($PowScale AS DOUBLE)
                  / CAST(sp + ($M - nb) * $PowScale AS DOUBLE), 4)
                  AS hll_estimate
-        FROM _ex e JOIN _sums s ON e.$key = s.$key)
-      SELECT $key, n_exact, hll_estimate,
+        FROM _ex JOIN _sums USING ($ks))
+      SELECT $ks, n_exact, hll_estimate,
              round(abs(hll_estimate - CAST(n_exact AS DOUBLE))
                / CAST(n_exact AS DOUBLE), 4) AS rel_err
       FROM _est"""

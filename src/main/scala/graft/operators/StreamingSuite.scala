@@ -202,5 +202,26 @@ object StreamingSuite extends Suite {
         LEFT JOIN blk b ON d.doc_id = b.doc_id
       ORDER BY d.doc_id"""))
 
-  override val queries: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8)
+  val d9 = Q(
+    "d9_stream_window_hll",
+    // Windowed approx-distinct users per (hour, type) via the
+    // deterministic HLL (a12's sketch composed with the watermarked
+    // window agg — register MAXes fold incrementally in the window
+    // state). Batch replay carries the exact count for the error
+    // column; the streaming flavor (Streams.windowHllStreaming)
+    // emits estimates only — not keeping per-user state is the point.
+    (s, d) => Streams.windowHll(Tables.events(s, d))
+      .orderBy(col("hour_bucket"), col("event_type")),
+    // no rel_err (see Streams.windowHll): tiny window counts land
+    // round(est/n, 4) on decimal-tie boundaries
+    Some(s"""
+      SELECT hour_bucket, event_type, n_exact, hll_estimate FROM (
+      ${graft.operators.Sketches.hllDistinctSqlKeys(
+        """(SELECT strftime(date_trunc('hour', ts),
+              '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+              event_type, user_id FROM events)""",
+        Seq("hour_bucket", "event_type"), "user_id")})
+      ORDER BY hour_bucket, event_type"""))
+
+  override val queries: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
 }

@@ -242,6 +242,63 @@ object Streams {
       }
   }
 
+  /** Per-(hour window, event type) HLL registers — the shared first
+    * stage of [[windowHll]] (batch) and [[windowHllStreaming]]. The
+    * register fold is a MAX, so the engine's windowed aggregation
+    * sketches incrementally with O(windows * types * 64) state and
+    * the watermark closes each window's registers for append-mode
+    * emission. */
+  def windowHllAgg(events: DataFrame): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    val (b, r) = graft.operators.Sketches.hllRowCols(col("user_id"))
+    withWm
+      .select(col("ts"), col("event_type"), b.as("b"), r.as("r"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("b"))
+      .agg(max(col("r")).as("m"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_bucket"),
+        col("event_type"), col("b"), col("m"))
+  }
+
+  /** Windowed approx-distinct users, batch flavor: per (hour, type),
+    * the deterministic HLL estimate next to the exact count. */
+  def windowHll(events: DataFrame): DataFrame = {
+    val est = graft.operators.Sketches.hllEstimateFromRegs(
+      windowHllAgg(events), Seq("hour_bucket", "event_type"))
+    val exact = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_bucket"),
+        col("event_type"), col("n_exact"))
+    // no rel_err column here (unlike hllDistinct): tiny per-window
+    // exact counts (3-5 users) make round(est/n, 4) land on exact
+    // decimal-tie boundaries where the engines' double-rounding modes
+    // diverge — the reader divides the two columns instead
+    exact.join(est, Seq("hour_bucket", "event_type"))
+      .select(col("hour_bucket"), col("event_type"), col("n_exact"),
+        col("hll_estimate"))
+  }
+
+  /** Streaming flavor: the watermark closes a window's registers all
+    * in one micro-batch (same emission argument as
+    * [[windowTopKStreaming]]); foreachBatch folds them into the
+    * estimate with the identical stage the batch path uses. The
+    * exact count is deliberately absent — not keeping per-user state
+    * is the sketch's point. */
+  def windowHllStreaming(events: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    windowHllAgg(events)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Sketches.hllEstimateFromRegs(batch,
+          Seq("hour_bucket", "event_type")))
+      }
+      .start()
+
   /** Streaming ingest filter against a persisted corpus: each
     * micro-batch of arriving docs is keep/drop-decided by
     * [[graft.operators.Dedup.corpusFilter]] — banded candidates

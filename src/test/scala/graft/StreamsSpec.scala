@@ -261,6 +261,41 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming windowed HLL matches batch estimates for closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Raw]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val q = Streams.windowHllStreaming(ms.toDF()) { df =>
+      collected.synchronized { collected ++= df.collect() }
+    }
+    val maxTs = rawRows.map(_.ts.getTime).max
+    val cutoff = maxTs - 3 * 3600 * 1000
+    val (early, late) = rawRows.partition(_.ts.getTime < cutoff)
+    try {
+      ms.addData(early.toSeq); q.processAllAvailable()
+      ms.addData(late.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collected.synchronized {
+      collected.map(r => (r.getAs[String]("hour_bucket"),
+        r.getAs[String]("event_type"), r.getAs[Double]("hll_estimate")))
+        .sorted.toSeq
+    }
+    // closed windows = those whose end precedes the final watermark
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val wmMillis = maxTs - 2 * 3600 * 1000
+    val expected = Streams.windowHll(eventsDf).collect().filter { r =>
+      val start = java.time.LocalDateTime
+        .parse(r.getAs[String]("hour_bucket"), fmt)
+      start.plusHours(1).toInstant(java.time.ZoneOffset.UTC)
+        .toEpochMilli <= wmMillis
+    }.map(r => (r.getAs[String]("hour_bucket"),
+      r.getAs[String]("event_type"), r.getAs[Double]("hll_estimate")))
+      .sorted.toSeq
+    assert(streamed.nonEmpty && streamed === expected)
+  }
+
   test("streaming corpus filter matches the batch operator across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
