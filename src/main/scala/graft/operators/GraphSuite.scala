@@ -620,19 +620,24 @@ object GraphSuite extends Suite {
       .kCoreUnd(MemoryGraph.undirectedView(s, d), k = 3, rounds = 4)
       .orderBy(col("node")),
     Some {
+      // AS MATERIALIZED: each round references the previous edge set
+      // multiple times (degree count + two endpoint filters) — without
+      // the hint DuckDB inlines the CTE per reference and the 4-round
+      // chain expands exponentially (OOM at sf0.1)
       val rounds = (1 to 4).map { r =>
-        s"""d$r AS (SELECT node, COUNT(*) AS deg FROM (
+        s"""d$r AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
               SELECT a AS node FROM e${r - 1}
               UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
-        n$r AS (SELECT node FROM d$r WHERE deg >= 3),
-        e$r AS (SELECT a, b FROM e${r - 1}
+        n$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= 3),
+        e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
                 WHERE a IN (SELECT node FROM n$r)
                   AND b IN (SELECT node FROM n$r))"""
       }.mkString(",\n      ")
       s"""
       WITH edges AS ($E),
-      e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-             FROM edges WHERE src <> dst),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
       $rounds
       SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)

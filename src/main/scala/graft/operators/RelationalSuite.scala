@@ -287,6 +287,30 @@ object RelationalSuite extends Suite {
       ${Sketches.hllDistinctSql("events", "event_type", "user_id")}
       ORDER BY event_type"""))
 
+  val a13 = Q(
+    "a13_cube",
+    // Full CUBE over (priority, status) — a9's rollup plus the
+    // status-only slice; one expand + one partial-aggregable groupBy.
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("sum_price"), col("n_orders"))
+        .orderBy(col("priority"), col("status")),
+    Some("""
+      SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        COALESCE(o_orderstatus, 'ALL') AS status,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+        COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      ORDER BY priority, status"""))
+
   override val queries: Seq[Q] =
-    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12)
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13)
 }
