@@ -111,6 +111,57 @@ object CorpusStats {
       WHERE round(n_shared * 1.0 / n_eval_shingles, 6) >= $minOverlap"""
   }
 
+  // --- vocabulary statistics ----------------------------------------
+  /** Zipf-head vocabulary stats: the `topK` most frequent token
+    * hashes with their corpus share, alongside whole-vocab QA
+    * numbers (distinct tokens, hapax count, total tokens) — the
+    * standard corpus-health snapshot before tokenizer training.
+    * Shape: one token-explode groupBy (map-side combinable), a
+    * TakeOrderedAndProject top-k (never a full sort), and a one-row
+    * totals broadcast. Ties rank by (freq desc, hash) — total order,
+    * oracle-mirrored. */
+  def vocabStats(docs: DataFrame, id: String, text: String,
+                 topK: Int): DataFrame = {
+    val vocab = docs.select(
+        explode(transform(TextOps.tokens(col(text)),
+          t => TextOps.polyHash(t))).as("th"))
+      .groupBy(col("th")).agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(
+      sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("n_distinct"),
+      sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    val top = vocab.orderBy(col("cnt").desc, col("th")).limit(topK)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cnt").desc, col("th"))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("th"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_total").cast("double"), 6)
+          .as("share"),
+        col("n_total"), col("n_distinct"), col("n_hapax"))
+  }
+
+  def vocabStatsSql(id: String, text: String, topK: Int): String = {
+    val tk = TextOps.tokensSql(text)
+    s"""
+      WITH vocab AS (
+        SELECT th, COUNT(*) AS cnt
+        FROM (SELECT unnest(list_transform($tk,
+                tok -> ${TextOps.polyHashSql("tok")})) AS th
+              FROM documents)
+        GROUP BY 1),
+      tot AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS n_distinct,
+                     SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+              FROM vocab),
+      top AS (SELECT th, cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, th) AS rank
+              FROM vocab ORDER BY cnt DESC, th LIMIT $topK)
+      SELECT CAST(rank AS BIGINT) AS rank, th, cnt,
+             round(cnt * 1.0 / n_total, 6) AS share,
+             n_total, n_distinct, n_hapax
+      FROM top CROSS JOIN tot"""
+  }
+
   // --- unigram-LM surprisal -----------------------------------------
   /** Per-document mean unigram surprisal in whole bits — the
     * perplexity-proxy quality score (rare-token-heavy docs score

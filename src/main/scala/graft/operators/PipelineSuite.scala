@@ -912,8 +912,19 @@ object PipelineSuite extends Suite {
       ORDER BY id_a, id_b"""
     })
 
+  val c31 = Q(
+    "c31_vocab_stats",
+    // Zipf-head vocabulary snapshot + whole-vocab QA numbers
+    // (distinct / hapax / total) — see CorpusStats.vocabStats.
+    (s, d) => CorpusStats.vocabStats(Tables.documents(s, d), "doc_id",
+        "text", topK = 20)
+      .orderBy(col("rank")),
+    Some(s"""
+      ${CorpusStats.vocabStatsSql("doc_id", "text", 20)}
+      ORDER BY rank"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
-      c30)
+      c30, c31)
 }

@@ -51,6 +51,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(pairs.filter(_._1 == 2L).forall(_._3 == 0.5))
   }
 
+  test("vocabStats: zipf head ranked by freq, hapax and totals correct") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b rare")).toDF("doc_id", "text")
+    val out = CorpusStats.vocabStats(docs, "doc_id", "text", topK = 2)
+      .orderBy($"rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("cnt") == 4L) // 'a' x4
+    assert(out(1).getAs[Long]("cnt") == 3L) // 'b' x3
+    assert(out(0).getAs[Long]("n_total") == 9L)
+    assert(out(0).getAs[Long]("n_distinct") == 4L)
+    assert(out(0).getAs[Long]("n_hapax") == 2L) // 'c', 'rare'
+    assert(out(0).getAs[Double]("share") == math.rint(4.0 / 9 * 1e6) / 1e6)
+  }
+
   test("unigramSurprisal: rare tokens score more bits than common ones") {
     // corpus: 'the' x 8, 'rare' x 1, others fill to N=16 tokens
     val docs = Seq(
