@@ -57,6 +57,58 @@ class RandomizedParitySpec extends SparkSpec {
     assert(diff.isEmpty, diff.limit(5).collect().mkString("\n"))
   }
 
+  test("ngramHashes equals a direct per-window fold on random docs") {
+    val P = TextOps.P
+    val rnd = new scala.util.Random(11)
+    def refHash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % P)
+    val docs = (1 to 200).map { i =>
+      val n = rnd.nextInt(24) // includes < w docs (guard path)
+      (i.toLong, (1 to n).map(_ => s"t${rnd.nextInt(9)}").mkString(" "))
+    }
+    for (w <- Seq(2, 3, 8)) {
+      val expected = docs.map { case (id, t) =>
+        val th = (if (t.isEmpty) Seq("") else t.split(" ", -1).toSeq)
+          .map(refHash)
+        val wins =
+          if (th.length < w) Seq.empty[Long]
+          else th.sliding(w).map(_.reduceLeft((a, b) => (a * 31 + b) % P))
+            .toSeq
+        id -> wins
+      }.toMap
+      val got = docs.toDF("id", "t")
+        .select($"id", transform(TextOps.tokens($"t"),
+          tok => TextOps.polyHash(tok)).as("th"))
+        .select($"id", TextOps.ngramHashes($"th", w).as("g"))
+        .collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Seq[Long]]("g")).toMap
+      assert(got === expected, s"w=$w mismatch")
+    }
+  }
+
+  test("substringPairs equals brute-force shared-window comparison") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(23)
+    val w = 4
+    // tiny alphabet so some docs genuinely share 4-token runs
+    val docs = (1L to 40L).map { i =>
+      (i, (1 to (w + rnd.nextInt(10))).map(_ => s"x${rnd.nextInt(4)}")
+        .mkString(" "))
+    }
+    def windows(t: String): Set[Seq[String]] =
+      t.split(" ", -1).toSeq.sliding(w).filter(_.length == w).toSet
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      shared = windows(ta).intersect(windows(tb)) if shared.nonEmpty
+    } yield (ia, ib, shared.size.toLong)).toSet
+    val got = Dedup.substringPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", w = w, maxBucket = 1000)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(expected.nonEmpty, "generator must produce shared runs")
+    assert(got === expected)
+  }
+
   test("float_dot is null for ragged arrays, matching the HOF composition") {
     import graft.functions.VectorOps
     val df = Seq(
