@@ -50,6 +50,25 @@ object TextOps {
     s"""list_reduce(list_transform(range(1, length($t)+1),
         i -> CAST(ascii($t[i]) AS BIGINT)), (h, c) -> (h*31 + c) % $P)"""
 
+  /** Affine post-mix for BUCKETING uses of the poly hash: short
+    * strings hash far below 2^30, so raw values cluster low and both
+    * range buckets (h mod m keeps only low-entropy trailing chars)
+    * and leading-zero ranks are badly non-uniform. Multiplying by a
+    * large odd constant mod p redistributes over the full range —
+    * h < 2^30 times 2654435761 < 2^32 stays under 2^62, exact in
+    * 64-bit on both engines. Use the RAW hash for equality joins and
+    * fingerprints (mixing adds nothing there); use the MIXED hash
+    * wherever the VALUE's distribution matters: sampling buckets,
+    * sketch registers. */
+  val MixMul = 2654435761L
+  val MixAdd = 12345L
+
+  def polyHashMixed(t: Column): Column =
+    (polyHash(t) * lit(MixMul) + lit(MixAdd)) % lit(P)
+
+  def polyHashMixedSql(t: String): String =
+    s"((${polyHashSql(t)}) * $MixMul + $MixAdd) % $P"
+
   // --- shingles -----------------------------------------------------
   /** Distinct word 3-gram shingles of a token array column.
     * Guarded for <3 tokens: sequence(1, 0) would produce a DESCENDING

@@ -923,8 +923,21 @@ object PipelineSuite extends Suite {
       ${CorpusStats.vocabStatsSql("doc_id", "text", 20)}
       ORDER BY rank"""))
 
+  val c32 = Q(
+    "c32_mix_apply",
+    // c26's temperature mixture APPLIED as a deterministic resample:
+    // per-source ppm quotas from the flattened shares of a 50% token
+    // budget, stable-hash keep decisions, per-source audit output
+    // (Sampling.applyMixture).
+    (s, d) => Sampling.applyMixture(Tables.documents(s, d), "source",
+        "doc_id", "text", budgetPpm = 500000L)
+      .orderBy(col("source")),
+    Some(s"""
+      ${Sampling.applyMixtureSql("source", "doc_id", "text", 500000L)}
+      ORDER BY source"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
-      c30, c31)
+      c30, c31, c32)
 }

@@ -30,7 +30,7 @@ object Sampling {
   def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
                        quotas: Map[String, Int], mod: Int = 100): DataFrame = {
     val bucket = pmod(
-      TextOps.polyHash(concat(stratum, lit(":"), id.cast("string"))),
+      TextOps.polyHashMixed(concat(stratum, lit(":"), id.cast("string"))),
       lit(mod.toLong))
     val quota = quotas.foldLeft(lit(0)) {
       case (acc, (s, q)) => when(stratum === s, lit(q)).otherwise(acc)
@@ -40,10 +40,100 @@ object Sampling {
 
   /** DuckDB mirror of the bucket computation. */
   def bucketSql(stratum: String, id: String, mod: Int = 100): String =
-    s"(${TextOps.polyHashSql(s"($stratum || ':' || CAST($id AS VARCHAR))")}) % $mod"
+    s"(${TextOps.polyHashMixedSql(s"($stratum || ':' || CAST($id AS VARCHAR))")}) % $mod"
 
   def quotaSql(stratum: String, quotas: Map[String, Int]): String =
     quotas.foldLeft("0") {
       case (acc, (s, q)) => s"CASE WHEN $stratum = '$s' THEN $q ELSE $acc END"
     }
+
+  /** Apply a temperature-flattened mixture (CorpusStats.domainMix's
+    * alpha=0.5 weights) as an ACTUAL deterministic resample — the
+    * daily step that turns mixture math into a training corpus.
+    *
+    * Per source s: target tokens T_s = budget · isqrt(tokens_s)/Σisqrt
+    * (the flattened share of `budgetPpm`·total tokens), sampling rate
+    * r_s = min(1, T_s/tokens_s) quantized to parts-per-million, and a
+    * doc is kept iff its id-hash bucket (over 10^6) falls below the
+    * source's quota — same stable-hash contract as
+    * [[stratifiedSample]], so the sample is reproducible across runs
+    * and cluster layouts. All arithmetic is exact integers until the
+    * one IEEE division that sets r_s (deterministic on both engines).
+    *
+    * Shape: one per-source token agg (map-side combinable), a one-row
+    * totals broadcast, a broadcast quota join back onto the docs (the
+    * quota table has one row per source), and the keep-filter is then
+    * a pure map. Returns the per-source audit: kept docs/tokens next
+    * to the quota applied. */
+  def applyMixture(docs: DataFrame, source: String, id: String,
+                   text: String, budgetPpm: Long): DataFrame = {
+    val perSource = docs
+      .select(col(source),
+        size(TextOps.tokens(col(text))).cast("long").as("tok"))
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .withColumn("isq",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("tot_tokens"), sum(col("isq")).as("tot_isq"))
+    val quotas = perSource.crossJoin(broadcast(totals))
+      .withColumn("target_tokens",
+        // budget · share, all-integer: (tot_tokens·budgetPpm/1e6)·isq/tot_isq
+        expr(s"((tot_tokens * $budgetPpm) div 1000000) * isq div tot_isq"))
+      .withColumn("quota_ppm",
+        least(lit(1000000L),
+          floor(col("target_tokens").cast("double")
+            / col("n_tokens").cast("double") * lit(1000000.0)).cast("long")))
+      .select(col(source), col("n_docs"), col("n_tokens"), col("quota_ppm"))
+    val bucket = pmod(
+      TextOps.polyHashMixed(
+        concat(col(source), lit(":"), col(id).cast("string"))),
+      lit(1000000L))
+    val kept = docs
+      .select(col(source), col(id),
+        size(TextOps.tokens(col(text))).cast("long").as("tok"))
+      .withColumn("bucket", bucket)
+      .join(broadcast(quotas.select(col(source), col("quota_ppm"))),
+        Seq(source))
+      .where(col("bucket") < col("quota_ppm"))
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("tokens_kept"))
+    quotas.join(kept, Seq(source), "left")
+      .select(col(source), col("n_docs"), col("n_tokens"), col("quota_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+  }
+
+  def applyMixtureSql(source: String, id: String, text: String,
+                      budgetPpm: Long): String = {
+    val tk = TextOps.tokensSql(text)
+    // d.-qualified: `source` exists on both sides of the quota join
+    val bucket =
+      s"(${TextOps.polyHashMixedSql(s"(d.$source || ':' || CAST(d.$id AS VARCHAR))")}) % 1000000"
+    s"""
+      WITH per_source AS (
+        SELECT $source, COUNT(*) AS n_docs,
+               SUM(CAST(len($tk) AS BIGINT)) AS n_tokens,
+               CAST(floor(sqrt(SUM(CAST(len($tk) AS BIGINT)))) AS BIGINT)
+                 AS isq
+        FROM documents GROUP BY 1),
+      tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(isq) AS tot_isq
+              FROM per_source),
+      quotas AS (
+        SELECT $source, n_docs, n_tokens,
+               least(1000000, CAST(floor(
+                 (((tot_tokens * $budgetPpm) // 1000000) * isq // tot_isq)
+                   * 1.0 / n_tokens * 1000000.0) AS BIGINT)) AS quota_ppm
+        FROM per_source CROSS JOIN tot),
+      kept AS (
+        SELECT d.$source, COUNT(*) AS n_kept,
+               SUM(CAST(len($tk) AS BIGINT)) AS tokens_kept
+        FROM documents d JOIN quotas q ON d.$source = q.$source
+        WHERE $bucket < q.quota_ppm
+        GROUP BY 1)
+      SELECT q.$source AS $source, q.n_docs, q.n_tokens, q.quota_ppm,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             COALESCE(k.tokens_kept, 0) AS tokens_kept
+      FROM quotas q LEFT JOIN kept k ON q.$source = k.$source"""
+  }
 }

@@ -33,20 +33,13 @@ object Sketches {
     * bucket. The only float op is the final constant product and
     * divide — IEEE-identical on both engines. Emits the exact
     * distinct count alongside for the error row. */
-  /** Affine post-mix: the poly hash of SHORT strings (ids) stays far
-    * below 2^30, so its high bits — the rank field — are mostly
-    * zero and the raw estimator explodes. Multiplying by a large
-    * odd constant mod p redistributes over the full range; h < 2^30
-    * times 2654435761 < 2^32 stays under 2^62, exact in 64-bit on
-    * both engines. */
-  private val Mix = 2654435761L
-
   /** The per-row sketch columns (bucket, rank) for `value` — the map
     * side of the sketch; compose with any grouping (see
-    * Streams.windowHllAgg for the watermarked-window flavor). */
+    * Streams.windowHllAgg for the watermarked-window flavor). Uses
+    * the MIXED poly hash (TextOps.polyHashMixed): short-string raw
+    * hashes cluster low, which would zero the rank field. */
   def hllRowCols(value: Column): (Column, Column) = {
-    val h = (TextOps.polyHash(value.cast("string")) * lit(Mix) + lit(12345L))
-      .%(lit(TextOps.P))
+    val h = TextOps.polyHashMixed(value.cast("string"))
     val w = floor(h / lit(M)).cast("long")
     val r = when(w === 0L, lit(Bits + 1))
       .otherwise(lit(Bits + 1) - length(bin(w)))
@@ -88,13 +81,12 @@ object Sketches {
 
   def hllDistinctSqlKeys(rel: String, keys: Seq[String],
                          valueExpr: String): String = {
-    val ph = TextOps.polyHashSql(s"CAST($valueExpr AS VARCHAR)")
+    val ph = TextOps.polyHashMixedSql(s"CAST($valueExpr AS VARCHAR)")
     val ks = keys.mkString(", ")
     val kn = keys.size
     def nums(from: Int, n: Int) = (from until from + n).mkString(", ")
     s"""
-      WITH _h AS (SELECT $ks, $valueExpr AS v,
-                    (($ph) * $Mix + 12345) % ${TextOps.P} AS h
+      WITH _h AS (SELECT $ks, $valueExpr AS v, $ph AS h
                   FROM $rel),
       _r AS (SELECT $ks, v, h % $M AS b,
                CASE WHEN (h // $M) = 0 THEN ${Bits + 1}

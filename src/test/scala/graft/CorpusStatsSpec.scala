@@ -66,6 +66,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(0).getAs[Double]("share") == math.rint(4.0 / 9 * 1e6) / 1e6)
   }
 
+  test("applyMixture: budget respected in expectation, small sources kept whole") {
+    import graft.operators.Sampling
+    val docs = ((1L to 400L).map(i => (i, ("w " * 10).trim, "web")) ++
+      (401L to 410L).map(i => (i, ("b " * 10).trim, "books")))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.applyMixture(docs, "source", "doc_id", "text",
+        budgetPpm = 500000L)
+      .orderBy($"source").collect()
+    val web = out.find(_.getAs[String]("source") == "web").get
+    val books = out.find(_.getAs[String]("source") == "books").get
+    // books (tiny source, flattened share > its raw share) keeps all
+    assert(books.getAs[Long]("quota_ppm") == 1000000L)
+    assert(books.getAs[Long]("n_kept") == 10L)
+    // web is down-sampled; kept fraction tracks its quota within
+    // hash-uniformity noise
+    val q = web.getAs[Long]("quota_ppm").toDouble / 1e6
+    assert(q < 1.0)
+    val frac = web.getAs[Long]("n_kept").toDouble / 400
+    assert(math.abs(frac - q) < 0.12, s"kept $frac vs quota $q")
+    // deterministic: identical on re-run
+    val again = Sampling.applyMixture(docs, "source", "doc_id", "text",
+        budgetPpm = 500000L).orderBy($"source").collect()
+    assert(again.map(_.toString).toSeq == out.map(_.toString).toSeq)
+  }
+
   test("unigramSurprisal: rare tokens score more bits than common ones") {
     // corpus: 'the' x 8, 'rare' x 1, others fill to N=16 tokens
     val docs = Seq(

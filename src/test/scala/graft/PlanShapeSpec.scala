@@ -86,7 +86,8 @@ class PlanShapeSpec extends SparkSpec {
       "c24_quantized_ann",  // broadcast 1-row quant scale + query set
       "c26_domain_mix",     // broadcast 1-row corpus totals
       "c28_lm_surprisal",   // broadcast 1-row total-token count
-      "c31_vocab_stats")    // broadcast 1-row vocab totals
+      "c31_vocab_stats",    // broadcast 1-row vocab totals
+      "c32_mix_apply")      // broadcast 1-row corpus totals
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
