@@ -57,4 +57,32 @@ object GraphIO {
       lit(" { src, dst => prop }")).as("datalog"))
     nodeRows.unionAll(edgeRows)
   }
+
+  /** [[toDatalog]] with the reference's byte cap applied PER RELATION
+    * (export.go:110 truncates the whole dump at 100 KB and appends a
+    * `// ... (output truncated)` trailer; per-relation is the
+    * distributed-friendly reading — each relation truncates
+    * independently, so the cap needs one window per relation, not a
+    * global sort). Rows are kept in the relation's lexicographic
+    * line order while the cumulative rendered length (line + newline)
+    * stays within `maxBytes`; a truncated relation gains one marker
+    * row carrying its full byte count, mirroring the reference's
+    * trailer text. */
+  def toDatalogCapped(g: MemoryGraph,
+                      maxBytes: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = toDatalog(g)
+    val w = Window.partitionBy(col("rel")).orderBy(col("datalog"))
+    val withCum = all.withColumn("cum",
+      sum(length(col("datalog")).cast("long") + 1L).over(w))
+    val kept = withCum.where(col("cum") <= maxBytes)
+      .select(col("rel"), col("datalog"))
+    val markers = withCum.groupBy(col("rel"))
+      .agg(max(col("cum")).as("total"))
+      .where(col("total") > maxBytes)
+      .select(col("rel"),
+        concat(lit("// ... (output truncated, export is "),
+          col("total").cast("string"), lit(" bytes)")).as("datalog"))
+    kept.unionAll(markers)
+  }
 }

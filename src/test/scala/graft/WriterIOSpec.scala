@@ -62,6 +62,36 @@ class WriterIOSpec extends SparkSpec {
     assert(eline.contains(":put graft_decision_entity"))
   }
 
+  test("capped datalog truncates per relation with a byte-count trailer") {
+    val full = GraphIO.toDatalog(g)
+    // generous cap: identity, no markers
+    val uncapped = GraphIO.toDatalogCapped(g, maxBytes = 100L * 1000 * 1000)
+    assert(uncapped.count() === full.count())
+    assert(uncapped.where($"datalog".startsWith("// ...")).isEmpty)
+    // tiny cap: every relation truncates to the lines that fit, plus
+    // one reference-style trailer carrying the full byte count
+    val cap = 500L
+    val capped = GraphIO.toDatalogCapped(g, maxBytes = cap)
+    val rels = full.select($"rel").distinct().as[String].collect()
+    val markers = capped.where($"datalog".startsWith(
+      "// ... (output truncated, export is "))
+    assert(markers.count() > 0)
+    val perRel = capped.where(!$"datalog".startsWith("// ..."))
+      .groupBy($"rel")
+      .agg(sum(length($"datalog") + 1).as("bytes"))
+      .where($"bytes" > cap)
+    assert(perRel.isEmpty, "kept lines exceed the cap in some relation")
+    // marker byte counts equal the relation's full rendered size
+    val fullBytes = full.groupBy($"rel")
+      .agg(sum(length($"datalog") + 1).as("b"))
+      .as[(String, Long)].collect().toMap
+    markers.select($"rel", $"datalog").as[(String, String)].collect()
+      .foreach { case (rel, m) =>
+        assert(m.contains(s"is ${fullBytes(rel)} bytes"), s"$rel: $m")
+      }
+    assert(rels.nonEmpty)
+  }
+
   test("storeAll appends node and edge batches as one union branch each") {
     val batch = spark.range(100).select(
       concat(lit("fact:b:"), $"id").as("id"), lit("fact").as("ntype"),
