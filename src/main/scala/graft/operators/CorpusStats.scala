@@ -92,12 +92,13 @@ object CorpusStats {
   }
 
   def contaminationSql(id: String, text: String, isEvalSql: String,
-                       minOverlap: Double): String = {
+                       minOverlap: Double,
+                       rel: String = "documents"): String = {
     val sh = s"list_distinct(${TextOps.shingleHashesSql(text)})"
     s"""
       WITH sh AS (
         SELECT $id, $isEvalSql AS is_eval, unnest($sh) AS h
-        FROM documents),
+        FROM $rel),
       ev AS (SELECT $id AS eval_id, h FROM sh WHERE is_eval),
       tr AS (SELECT $id AS train_id, h FROM sh WHERE NOT is_eval),
       ev_sizes AS (SELECT eval_id, COUNT(*) AS n_eval_shingles

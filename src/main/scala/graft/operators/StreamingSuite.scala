@@ -223,5 +223,28 @@ object StreamingSuite extends Suite {
         Seq("hour_bucket", "event_type"), "user_id")})
       ORDER BY hour_bucket, event_type"""))
 
-  override val queries: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
+  val d10 = Q(
+    "d10_stream_contamination",
+    // Contamination screening of ARRIVING docs (the d8 batch split)
+    // against the static eval set — batch replay of the stream-static
+    // join family (streaming flavor = Streams.contaminationHitsStreaming:
+    // append-mode stream-static broadcast join, no state, no
+    // watermark; StreamsSpec pins grouped hits to this operator).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isEval = pmod(col("doc_id"), lit(37)) === 0
+      val isBatch = pmod(col("doc_id"), lit(10)) >= 8
+      graft.operators.CorpusStats.contamination(
+          docs.where(isEval || isBatch), "doc_id", "text", isEval,
+          minOverlap = 0.05)
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+    Some(s"""
+      ${graft.operators.CorpusStats.contaminationSql("doc_id", "text",
+        "doc_id % 37 = 0", 0.05,
+        rel = "(SELECT * FROM documents WHERE doc_id % 37 = 0 OR doc_id % 10 >= 8)")}
+      ORDER BY train_id, eval_id"""))
+
+  override val queries: Seq[Q] =
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
 }

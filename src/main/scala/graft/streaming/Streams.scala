@@ -299,6 +299,32 @@ object Streams {
       }
       .start()
 
+  /** Contamination evidence as a TRUE stream-static join: arriving
+    * docs explode to distinct shingle hashes and inner-join the
+    * (static, broadcastable — eval sets are small) eval shingle
+    * table; each output row is one shared shingle between an
+    * arriving doc and an eval doc, emitted append-mode with no
+    * state, no watermark, and no foreachBatch — the pattern where
+    * the static side is planned per micro-batch against unbounded
+    * input. Downstream consumers aggregate hits per (doc, eval)
+    * pair; StreamsSpec pins the grouped hits to the batch
+    * contamination operator's n_shared. `evalShingles` must carry
+    * (eval_id, h). */
+  def contaminationHitsStreaming(evalShingles: DataFrame,
+                                 docs: DataFrame, id: String,
+                                 text: String): DataFrame =
+    docs.select(col(id).as("train_id"),
+        explode(array_distinct(
+          graft.functions.TextOps.shingleHashes(col(text)))).as("h"))
+      .join(broadcast(evalShingles), "h")
+      .select(col("train_id"), col("eval_id"), col("h"))
+
+  /** Static eval-side shingle table for [[contaminationHitsStreaming]]. */
+  def evalShingles(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("eval_id"),
+      explode(array_distinct(
+        graft.functions.TextOps.shingleHashes(col(text)))).as("h"))
+
   /** Streaming ingest filter against a persisted corpus: each
     * micro-batch of arriving docs is keep/drop-decided by
     * [[graft.operators.Dedup.corpusFilter]] — banded candidates

@@ -296,6 +296,38 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === expected)
   }
 
+  test("stream-static contamination hits group to the batch pair counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusStats
+    val docs = Tables.documents(spark, sf)
+    val isEval = pmod($"doc_id", lit(37)) === 0
+    val evalSh = Streams.evalShingles(docs.where(isEval), "doc_id", "text")
+    val arriving = docs.where(!isEval)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.contaminationHitsStreaming(evalSh,
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("hits")
+      .outputMode("append").start()
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hits")
+      .groupBy($"train_id", $"eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"train_id", $"eval_id").collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Long]("n_shared"))).toSeq
+    val batch = CorpusStats.contamination(docs, "doc_id", "text",
+        isEval, minOverlap = 0.0)
+      .orderBy($"train_id", $"eval_id").collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Long]("n_shared"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("streaming corpus filter matches the batch operator across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
