@@ -9,54 +9,91 @@ import graft.functions.TextOps
   * These are the "whole-corpus pass" operators a 100 TB pipeline runs
   * between dedup and sampling: each is one or two partial-aggregable
   * shuffles over token- or shingle-level rows, with every float rule
-  * from SURVEY §4 kept integer-exact (token counts are longs, isqrt
-  * and bin-length are exactly mirrored by the DuckDB oracle).
+  * from SURVEY §4 kept integer-exact: token counts are longs, sqrt is
+  * corrected to the true integer sqrt, and every ratio is emitted as
+  * an integer parts-per-million column (multiply-then-integer-divide,
+  * widened through decimal(38,0)/HUGEINT so corpus-scale products
+  * can't overflow a 64-bit long) — no float division anywhere in an
+  * output or a filter, so the DuckDB oracle matches bit-for-bit.
   */
 object CorpusStats {
 
+  /** Exact integer square root: the IEEE `sqrt` candidate corrected by
+    * ±1 in integer arithmetic, so the result is floor(√n) regardless
+    * of how `cast(n as double)` rounded above 2^53 or how the engine
+    * rounded the sqrt. Squares are compared in decimal(38,0) so the
+    * check itself can't overflow at corpus-scale token counts. */
+  private[operators] def isqrtExact(n: Column): Column = {
+    val c  = floor(sqrt(n.cast("double"))).cast("long")
+    val cd = c.cast("decimal(38,0)")
+    val nd = n.cast("decimal(38,0)")
+    when(cd * cd > nd, c - lit(1L))
+      .when((cd + lit(1)) * (cd + lit(1)) <= nd, c + lit(1L))
+      .otherwise(c)
+  }
+
+  /** DuckDB mirror of [[isqrtExact]] given a column holding the float
+    * candidate `isq0 = CAST(floor(sqrt(n)) AS BIGINT)`. */
+  private[operators] def isqrtCorrectSql(n: String, isq0: String): String =
+    s"""CASE WHEN CAST($isq0 AS HUGEINT) * $isq0 > $n THEN $isq0 - 1
+             WHEN CAST($isq0 + 1 AS HUGEINT) * ($isq0 + 1) <= $n
+               THEN $isq0 + 1
+             ELSE $isq0 END"""
+
+  /** Integer parts-per-million ratio `floor(num * 1e6 / den)` with the
+    * product widened to decimal(38,0) (num may be corpus-scale).
+    * `num`/`den` are column names resolvable in the current plan. */
+  private[operators] def ppmExpr(num: String, den: String): Column =
+    expr(s"(cast($num as decimal(38,0)) * 1000000) div $den")
+
+  /** DuckDB mirror of [[ppmExpr]] (HUGEINT product, `//`, BIGINT). */
+  private[operators] def ppmSql(num: String, den: String): String =
+    s"CAST((CAST($num AS HUGEINT) * 1000000) // $den AS BIGINT)"
+
   // --- domain mix ----------------------------------------------------
-  /** Per-domain token budget + sampling shares. `raw_share` is the
-    * corpus-proportional weight; `temp_share` is the temperature-
+  /** Per-domain token budget + sampling shares. `raw_share_ppm` is the
+    * corpus-proportional weight; `temp_share_ppm` is the temperature-
     * flattened weight w ∝ sqrt(tokens) (the alpha=0.5 mix-flattening
     * used when over-represented domains would dominate a sample).
-    * sqrt is IEEE-correctly-rounded on both engines, and the floor to
-    * a long (isqrt) makes the share arithmetic integer-exact until
-    * the final rounded division. One groupBy over per-row token
-    * counts (map-side combinable); the totals join is a broadcast of
-    * a one-row aggregate — no second shuffle of the data. */
+    * Both shares are integer parts-per-million — the exact-isqrt
+    * weights multiplied up then integer-divided, never a float
+    * division — so the output is bit-portable across engines. One
+    * groupBy over per-row token counts (map-side combinable); the
+    * totals join is a broadcast of a one-row aggregate — no second
+    * shuffle of the data. */
   def domainMix(docs: DataFrame, source: String, text: String): DataFrame = {
     val perSource = docs
       .select(col(source),
         size(TextOps.tokens(col(text))).cast("long").as("tok"))
       .groupBy(col(source))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
-      .withColumn("isq",
-        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("isq", isqrtExact(col("n_tokens")))
     val totals = perSource.agg(
       sum(col("n_tokens")).as("tot_tokens"), sum(col("isq")).as("tot_isq"))
     perSource.crossJoin(broadcast(totals))
       .select(col(source), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens").cast("double") / col("tot_tokens").cast("double"),
-          6).as("raw_share"),
-        round(col("isq").cast("double") / col("tot_isq").cast("double"),
-          6).as("temp_share"))
+        ppmExpr("n_tokens", "tot_tokens").as("raw_share_ppm"),
+        ppmExpr("isq", "tot_isq").as("temp_share_ppm"))
   }
 
   def domainMixSql(source: String, text: String): String = {
     val tk = TextOps.tokensSql(text)
     s"""
-      WITH per_source AS (
+      WITH base AS (
         SELECT $source,
                COUNT(*) AS n_docs,
-               SUM(CAST(len($tk) AS BIGINT)) AS n_tokens,
-               CAST(floor(sqrt(SUM(CAST(len($tk) AS BIGINT)))) AS BIGINT)
-                 AS isq
+               SUM(CAST(len($tk) AS BIGINT)) AS n_tokens
         FROM documents GROUP BY 1),
+      per_source AS (
+        SELECT $source, n_docs, n_tokens,
+               ${isqrtCorrectSql("n_tokens", "isq0")} AS isq
+        FROM (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS isq0
+              FROM base)),
       tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(isq) AS tot_isq
               FROM per_source)
       SELECT $source, n_docs, n_tokens,
-             round(n_tokens * 1.0 / tot_tokens, 6) AS raw_share,
-             round(isq * 1.0 / tot_isq, 6) AS temp_share
+             ${ppmSql("n_tokens", "tot_tokens")} AS raw_share_ppm,
+             ${ppmSql("isq", "tot_isq")} AS temp_share_ppm
       FROM per_source CROSS JOIN tot"""
   }
 
@@ -68,9 +105,16 @@ object CorpusStats {
     * join is BROADCAST — eval sets are small by construction, so the
     * candidate generation is a map-side hash join over the exploded
     * train shingles, then one (train, eval) groupBy. No all-pairs
-    * anywhere; the 100 TB cost is one pass over train shingles. */
+    * anywhere; the 100 TB cost is one pass over train shingles.
+    *
+    * `minOverlap` is quantized to ppm; the keep test is the exact
+    * integer `overlap_ppm >= round(minOverlap*1e6)` — for an integer
+    * ppm threshold k, `floor(r*1e6) >= k  ⇔  r >= k/1e6`, so the
+    * selected set equals the exact-ratio predicate with no float
+    * comparison in the filter (bit-portable row membership). */
   def contamination(docs: DataFrame, id: String, text: String,
                     isEval: Column, minOverlap: Double): DataFrame = {
+    val minPpm = math.round(minOverlap * 1e6)
     val sh = docs.select(col(id), isEval.as("is_eval"),
       explode(array_distinct(TextOps.shingleHashes(col(text)))).as("h"))
     val ev = sh.where(col("is_eval"))
@@ -83,17 +127,16 @@ object CorpusStats {
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(evSizes), "eval_id")
-      .withColumn("overlap",
-        round(col("n_shared").cast("double")
-          / col("n_eval_shingles").cast("double"), 6))
-      .where(col("overlap") >= minOverlap)
+      .withColumn("overlap_ppm", ppmExpr("n_shared", "n_eval_shingles"))
+      .where(col("overlap_ppm") >= minPpm)
       .select(col("train_id"), col("eval_id"), col("n_shared"),
-        col("overlap"))
+        col("overlap_ppm"))
   }
 
   def contaminationSql(id: String, text: String, isEvalSql: String,
                        minOverlap: Double,
                        rel: String = "documents"): String = {
+    val minPpm = math.round(minOverlap * 1e6)
     val sh = s"list_distinct(${TextOps.shingleHashesSql(text)})"
     s"""
       WITH sh AS (
@@ -107,9 +150,9 @@ object CorpusStats {
         SELECT train_id, eval_id, COUNT(*) AS n_shared
         FROM tr JOIN ev USING (h) GROUP BY 1, 2)
       SELECT train_id, eval_id, n_shared,
-             round(n_shared * 1.0 / n_eval_shingles, 6) AS overlap
+             ${ppmSql("n_shared", "n_eval_shingles")} AS overlap_ppm
       FROM shared JOIN ev_sizes USING (eval_id)
-      WHERE round(n_shared * 1.0 / n_eval_shingles, 6) >= $minOverlap"""
+      WHERE ${ppmSql("n_shared", "n_eval_shingles")} >= $minPpm"""
   }
 
   // --- vocabulary statistics ----------------------------------------
@@ -137,8 +180,7 @@ object CorpusStats {
     top.crossJoin(broadcast(totals))
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("th"), col("cnt"),
-        round(col("cnt").cast("double") / col("n_total").cast("double"), 6)
-          .as("share"),
+        ppmExpr("cnt", "n_total").as("share_ppm"),
         col("n_total"), col("n_distinct"), col("n_hapax"))
   }
 
@@ -158,19 +200,20 @@ object CorpusStats {
                      ROW_NUMBER() OVER (ORDER BY cnt DESC, th) AS rank
               FROM vocab ORDER BY cnt DESC, th LIMIT $topK)
       SELECT CAST(rank AS BIGINT) AS rank, th, cnt,
-             round(cnt * 1.0 / n_total, 6) AS share,
+             ${ppmSql("cnt", "n_total")} AS share_ppm,
              n_total, n_distinct, n_hapax
       FROM top CROSS JOIN tot"""
   }
 
   // --- unigram-LM surprisal -----------------------------------------
-  /** Per-document mean unigram surprisal in whole bits — the
-    * perplexity-proxy quality score (rare-token-heavy docs score
-    * high, boilerplate scores low). The corpus itself is the LM:
-    * token surprisal = bitlength(totalTokens div tokenCount), which
-    * is floor(log2)+1 computed in exact integer arithmetic (no
+  /** Per-document mean unigram surprisal in micro-bits (integer ppm
+    * of a bit) — the perplexity-proxy quality score (rare-token-heavy
+    * docs score high, boilerplate scores low). The corpus itself is
+    * the LM: token surprisal = bitlength(totalTokens div tokenCount),
+    * which is floor(log2)+1 computed in exact integer arithmetic (no
     * float log anywhere — log is not correctly-rounded-guaranteed
-    * across engines, bin-length is).
+    * across engines, bin-length is; the mean is multiply-then-div
+    * integer ppm for the same reason).
     *
     * Shape (the canonical "score against corpus term stats" pass):
     * (1) per-doc token-hash counts — one groupBy(doc, token) with
@@ -195,8 +238,7 @@ object CorpusStats {
       .agg(sum(col("c_dt")).as("n_tokens"),
         sum(col("c_dt") * col("bits")).as("total_bits"))
       .select(col(id), col("n_tokens"),
-        round(col("total_bits").cast("double")
-          / col("n_tokens").cast("double"), 6).as("mean_bits"))
+        ppmExpr("total_bits", "n_tokens").as("mean_bits_ppm"))
   }
 
   def unigramSurprisalSql(id: String, text: String): String = {
@@ -214,10 +256,14 @@ object CorpusStats {
       sc AS (
         SELECT $id, c_dt,
                CAST(length(bin(n_total // cnt)) AS BIGINT) AS bits
-        FROM dt JOIN vocab USING (th) CROSS JOIN tot)
-      SELECT $id,
-             CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
-             round(SUM(c_dt * bits) * 1.0 / SUM(c_dt), 6) AS mean_bits
-      FROM sc GROUP BY 1"""
+        FROM dt JOIN vocab USING (th) CROSS JOIN tot),
+      per_doc AS (
+        SELECT $id,
+               CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+               CAST(SUM(c_dt * bits) AS BIGINT) AS total_bits
+        FROM sc GROUP BY 1)
+      SELECT $id, n_tokens,
+             ${ppmSql("total_bits", "n_tokens")} AS mean_bits_ppm
+      FROM per_doc"""
   }
 }

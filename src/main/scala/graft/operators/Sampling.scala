@@ -57,8 +57,12 @@ object Sampling {
     * doc is kept iff its id-hash bucket (over 10^6) falls below the
     * source's quota — same stable-hash contract as
     * [[stratifiedSample]], so the sample is reproducible across runs
-    * and cluster layouts. All arithmetic is exact integers until the
-    * one IEEE division that sets r_s (deterministic on both engines).
+    * and cluster layouts. ALL arithmetic is exact integers — every
+    * ratio is multiply-then-integer-divide, and every product is
+    * widened through decimal(38,0) (HUGEINT on the oracle side), so
+    * there is no float division anywhere and no 64-bit overflow even
+    * at 100 TB corpus token counts (tot_tokens·budgetPpm and
+    * budget_tokens·isq both exceed 2^63 well below that scale).
     *
     * Shape: one per-source token agg (map-side combinable), a one-row
     * totals broadcast, a broadcast quota join back onto the docs (the
@@ -72,18 +76,19 @@ object Sampling {
         size(TextOps.tokens(col(text))).cast("long").as("tok"))
       .groupBy(col(source))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
-      .withColumn("isq",
-        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("isq", CorpusStats.isqrtExact(col("n_tokens")))
     val totals = perSource.agg(
       sum(col("n_tokens")).as("tot_tokens"), sum(col("isq")).as("tot_isq"))
     val quotas = perSource.crossJoin(broadcast(totals))
+      // budget · share, all-integer with decimal(38,0)-wide products:
+      // T_s = (tot_tokens·budgetPpm div 1e6) · isq div tot_isq
+      .withColumn("budget_tokens",
+        expr(s"(cast(tot_tokens as decimal(38,0)) * $budgetPpm) div 1000000"))
       .withColumn("target_tokens",
-        // budget · share, all-integer: (tot_tokens·budgetPpm/1e6)·isq/tot_isq
-        expr(s"((tot_tokens * $budgetPpm) div 1000000) * isq div tot_isq"))
+        expr("(cast(budget_tokens as decimal(38,0)) * isq) div tot_isq"))
       .withColumn("quota_ppm",
         least(lit(1000000L),
-          floor(col("target_tokens").cast("double")
-            / col("n_tokens").cast("double") * lit(1000000.0)).cast("long")))
+          CorpusStats.ppmExpr("target_tokens", "n_tokens")))
       .select(col(source), col("n_docs"), col("n_tokens"), col("quota_ppm"))
     val bucket = pmod(
       TextOps.polyHashMixed(
@@ -111,20 +116,28 @@ object Sampling {
     val bucket =
       s"(${TextOps.polyHashMixedSql(s"(d.$source || ':' || CAST(d.$id AS VARCHAR))")}) % 1000000"
     s"""
-      WITH per_source AS (
+      WITH base AS (
         SELECT $source, COUNT(*) AS n_docs,
-               SUM(CAST(len($tk) AS BIGINT)) AS n_tokens,
-               CAST(floor(sqrt(SUM(CAST(len($tk) AS BIGINT)))) AS BIGINT)
-                 AS isq
+               SUM(CAST(len($tk) AS BIGINT)) AS n_tokens
         FROM documents GROUP BY 1),
+      per_source AS (
+        SELECT $source, n_docs, n_tokens,
+               ${CorpusStats.isqrtCorrectSql("n_tokens", "isq0")} AS isq
+        FROM (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS isq0
+              FROM base)),
       tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(isq) AS tot_isq
               FROM per_source),
+      targets AS (
+        SELECT $source, n_docs, n_tokens,
+               ((CAST(tot_tokens AS HUGEINT) * $budgetPpm) // 1000000)
+                 * isq // tot_isq AS target_tokens
+        FROM per_source CROSS JOIN tot),
       quotas AS (
         SELECT $source, n_docs, n_tokens,
-               least(1000000, CAST(floor(
-                 (((tot_tokens * $budgetPpm) // 1000000) * isq // tot_isq)
-                   * 1.0 / n_tokens * 1000000.0) AS BIGINT)) AS quota_ppm
-        FROM per_source CROSS JOIN tot),
+               least(1000000,
+                 ${CorpusStats.ppmSql("target_tokens", "n_tokens")})
+                 AS quota_ppm
+        FROM targets),
       kept AS (
         SELECT d.$source, COUNT(*) AS n_kept,
                SUM(CAST(len($tk) AS BIGINT)) AS tokens_kept

@@ -22,10 +22,13 @@ class CorpusStatsSpec extends SparkSpec {
     assert(web.getAs[Long]("n_docs") == 3 && web.getAs[Long]("n_tokens") == 24)
     assert(books.getAs[Long]("n_tokens") == 2)
     // raw: 24/26 vs 2/26; temp (isqrt): 4/5 vs 1/5 — flatter
-    assert(web.getAs[Double]("raw_share") > web.getAs[Double]("temp_share"))
-    assert(books.getAs[Double]("raw_share") < books.getAs[Double]("temp_share"))
-    val rawSum = out.map(_.getAs[Double]("raw_share")).sum
-    assert(math.abs(rawSum - 1.0) < 1e-5)
+    assert(web.getAs[Long]("raw_share_ppm") > web.getAs[Long]("temp_share_ppm"))
+    assert(books.getAs[Long]("raw_share_ppm") < books.getAs[Long]("temp_share_ppm"))
+    // exact integer ppm: floor(24e6/26)=923076, floor(2e6/26)=76923
+    assert(web.getAs[Long]("raw_share_ppm") == 923076L)
+    assert(books.getAs[Long]("raw_share_ppm") == 76923L)
+    val rawSum = out.map(_.getAs[Long]("raw_share_ppm")).sum
+    assert(math.abs(rawSum - 1000000L) <= out.length) // floor slack
   }
 
   test("contamination: shared-shingle overlap against the eval side only") {
@@ -44,11 +47,11 @@ class CorpusStatsSpec extends SparkSpec {
         pmod(col("doc_id"), lit(37)) === 0, minOverlap = 0.4)
       .orderBy($"train_id", $"eval_id").collect()
     val pairs = out.map(r => (r.getAs[Long]("train_id"),
-      r.getAs[Long]("eval_id"), r.getAs[Double]("overlap"))).toSeq
+      r.getAs[Long]("eval_id"), r.getAs[Long]("overlap_ppm"))).toSeq
     assert(pairs.map(p => (p._1, p._2)).toSet ==
       Set((1L, 0L), (1L, 37L), (2L, 0L), (2L, 37L)))
-    assert(pairs.filter(_._1 == 1L).forall(_._3 == 1.0))
-    assert(pairs.filter(_._1 == 2L).forall(_._3 == 0.5))
+    assert(pairs.filter(_._1 == 1L).forall(_._3 == 1000000L))
+    assert(pairs.filter(_._1 == 2L).forall(_._3 == 500000L))
   }
 
   test("vocabStats: zipf head ranked by freq, hapax and totals correct") {
@@ -63,7 +66,7 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_total") == 9L)
     assert(out(0).getAs[Long]("n_distinct") == 4L)
     assert(out(0).getAs[Long]("n_hapax") == 2L) // 'c', 'rare'
-    assert(out(0).getAs[Double]("share") == math.rint(4.0 / 9 * 1e6) / 1e6)
+    assert(out(0).getAs[Long]("share_ppm") == 4L * 1000000L / 9L) // floor
   }
 
   test("applyMixture: budget respected in expectation, small sources kept whole") {
@@ -101,8 +104,8 @@ class CorpusStatsSpec extends SparkSpec {
       .orderBy($"doc_id").collect()
     // doc 1: every token 'the' (cnt 8, N 16) -> bits = len(bin(2)) = 2
     assert(out(0).getAs[Long]("n_tokens") == 8)
-    assert(out(0).getAs[Double]("mean_bits") == 2.0)
+    assert(out(0).getAs[Long]("mean_bits_ppm") == 2000000L)
     // doc 2: every token unique (cnt 1, N 16) -> bits = len(bin(16)) = 5
-    assert(out(1).getAs[Double]("mean_bits") == 5.0)
+    assert(out(1).getAs[Long]("mean_bits_ppm") == 5000000L)
   }
 }
