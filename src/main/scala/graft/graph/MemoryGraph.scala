@@ -198,11 +198,24 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
   }
 
   /** FindEntityByName (reader.go:385): case-insensitive exact name
-    * match, first by id. FindFactByContent / FindDecisionByTitle
-    * (reader.go:412,438) are [[exactSearch]] with perType=1. */
+    * match, first by id. */
   def findByName(ntype: String, name: String): DataFrame =
     nodes.where(col("ntype") === ntype &&
         lower(col("content")) === name.toLowerCase)
+      .orderBy(col("id")).limit(1)
+
+  /** FindFactByContent / FindDecisionByTitle (reader.go:412,438):
+    * substring point lookups over one node type. The reference's
+    * `:limit 1` is made deterministic as the min-id match; the ntype
+    * equality prunes to ONE partition of the persisted layout before
+    * any content is read, and the limit plans as
+    * TakeOrderedAndProject — a point read, not a ranked scan. */
+  def findFactByContent(q: String): DataFrame = firstMatch("fact", q)
+
+  def findDecisionByTitle(q: String): DataFrame = firstMatch("decision", q)
+
+  private def firstMatch(nt: String, q: String): DataFrame =
+    nodes.where(col("ntype") === nt && instr(col("content"), q) > 0)
       .orderBy(col("id")).limit(1)
 
   /** 1-hop traversal src→dst over one edge type, returning dst nodes

@@ -676,7 +676,43 @@ object GraphSuite extends Suite {
       ORDER BY jaccard DESC, p, q
       LIMIT 20"""))
 
+  val b26 = Q(
+    "b26_point_lookups",
+    // The reference's three content point lookups dispatched in one
+    // query (reader.go:385-461 FindEntityByName / FindFactByContent /
+    // FindDecisionByTitle): case-insensitive name equality, content
+    // substring, title substring — each ':limit 1' as deterministic
+    // min-id, each pruning its ntype partition before content is read.
+    (s, d) => {
+      val g = MemoryGraph.persisted(s, d)
+      def tag(df: org.apache.spark.sql.DataFrame, t: String) =
+        df.select(lit(t).as("lookup"), col("id"), col("ntype"),
+          col("content"), col("attr"))
+      tag(g.findByName("entity", "customer#000000042"), "entity_by_name")
+        .unionAll(tag(g.findFactByContent("slow small filter"),
+          "fact_by_content"))
+        .unionAll(tag(g.findDecisionByTitle("URGENT"), "decision_by_title"))
+        .orderBy(col("lookup"))
+    },
+    Some(s"""
+      WITH nodes AS ($N),
+      ent AS (SELECT 'entity_by_name' AS lookup, id, ntype, content, attr
+              FROM nodes WHERE ntype = 'entity'
+                AND lower(content) = 'customer#000000042'
+              ORDER BY id LIMIT 1),
+      fct AS (SELECT 'fact_by_content' AS lookup, id, ntype, content, attr
+              FROM nodes WHERE ntype = 'fact'
+                AND position('slow small filter' IN content) > 0
+              ORDER BY id LIMIT 1),
+      dec AS (SELECT 'decision_by_title' AS lookup, id, ntype, content, attr
+              FROM nodes WHERE ntype = 'decision'
+                AND position('URGENT' IN content) > 0
+              ORDER BY id LIMIT 1)
+      SELECT * FROM ent UNION ALL SELECT * FROM fct UNION ALL
+      SELECT * FROM dec
+      ORDER BY lookup"""))
+
   override val queries: Seq[Q] =
     Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15,
-      b16, b17, b18, b19, b20, b21, b22, b23, b24, b25)
+      b16, b17, b18, b19, b20, b21, b22, b23, b24, b25, b26)
 }

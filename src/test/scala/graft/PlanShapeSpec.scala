@@ -35,6 +35,20 @@ class PlanShapeSpec extends SparkSpec {
       s"edge-type scan must prune on the etype partition:\n$edgePlan")
   }
 
+  test("content point lookups prune ntype and plan as bounded point reads") {
+    val pg = graft.graph.MemoryGraph.persisted(spark, sf)
+    Seq(pg.findByName("entity", "customer#000000042") -> "entity",
+        pg.findFactByContent("slow small filter") -> "fact",
+        pg.findDecisionByTitle("URGENT") -> "decision").foreach {
+      case (df, nt) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains(s"ntype#") && plan.contains(s"= $nt)"),
+          s"$nt lookup must prune on its ntype partition:\n$plan")
+        assert(plan.contains("TakeOrderedAndProject"),
+          s"$nt lookup must plan a bounded point read, not a sort:\n$plan")
+    }
+  }
+
   test("embeddingPairs plans as an equi-join on block pairs") {
     val df = Dedup.embeddingPairs(Tables.embeddings(spark, sf),
       "vec_id", "embedding", tau = 0.40)
