@@ -51,12 +51,6 @@ object Ann {
         CASE WHEN $vec[j] >= 0 THEN CAST(pow(2, j-1) AS BIGINT)
              ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)"""
 
-  /** IVF ANN: corpus vectors are assigned to their nearest centroid
-    * (inverted lists); a query probes the `nprobe` nearest centroids
-    * and ranks only those lists by exact cosine. Centroids here are
-    * deterministic seed vectors (swap in k-means output at scale —
-    * the plan shape is identical: broadcast centroids, one pass to
-    * assign, equi-join on centroid id to probe). */
   /** Nearest-centroid assignment: keep the `keep` highest-cosine
     * centroids per row (ties to the lower centroid id). `cent` must
     * be broadcastable (c_id, c_vec, c_nrm). Shared by the probe path
@@ -78,6 +72,12 @@ object Ann {
     centroids.select(col(id).as("c_id"), col(vec).as("c_vec"),
       VectorOps.norm(col(vec)).as("c_nrm"))
 
+  /** IVF ANN: corpus vectors are assigned to their nearest centroid
+    * (inverted lists); a query probes the `nprobe` nearest centroids
+    * and ranks only those lists by exact cosine. Centroids here are
+    * deterministic seed vectors (swap in k-means output at scale —
+    * the plan shape is identical: broadcast centroids, one pass to
+    * assign, equi-join on centroid id to probe). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               id: String, vec: String, nprobe: Int, k: Int): DataFrame = {
     val cent = centTable(centroids, id, vec)

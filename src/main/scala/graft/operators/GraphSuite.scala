@@ -712,7 +712,69 @@ object GraphSuite extends Suite {
       SELECT * FROM dec
       ORDER BY lookup"""))
 
+  val b27 = Q(
+    "b27_datalog_export",
+    // The Datalog text rendering (GraphIO.toDatalogCapped — the
+    // reference's 100 KB export cap, adapted per relation) under a
+    // HARD oracle gate: per relation, the capped dump's line count,
+    // kept-octet total, and a modular poly-hash checksum over every
+    // rendered line INCLUDING the truncation markers. The oracle
+    // re-renders the whole dump text from scratch in DuckDB, so any
+    // drift in quoting, score formatting, line order, cap accounting
+    // or trailer text breaks the hash.
+    (s, d) => {
+      val g = MemoryGraph.persisted(s, d)
+      graft.sources.GraphIO.toDatalogCapped(g, maxBytes = 100000L)
+        .select(col("rel"), col("datalog"),
+          TextOps.polyHash(col("datalog")).cast("decimal(38,0)").as("ph"))
+        .groupBy(col("rel"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(octet_length(col("datalog")).cast("long")).as("n_octets"),
+          expr("cast(pmod(sum(ph), 1000000007) as bigint)").as("checksum"))
+        .orderBy(col("rel"))
+    },
+    Some(s"""
+      WITH nodes AS ($N), edges AS ($E),
+      nl AS (
+        SELECT ntype AS rel,
+               '?[id, content, attr, score] <- [[''' ||
+               replace(id, '''', '\''') || ''', ''' ||
+               replace(content, '''', '\''') || ''', ''' ||
+               replace(attr, '''', '\''') || ''', ' ||
+               CAST(CAST(score AS DECIMAL(25,6)) AS VARCHAR) ||
+               ']] :put graft_' || ntype ||
+               ' { id => content, attr, score }' AS datalog
+        FROM nodes),
+      el AS (
+        SELECT etype AS rel,
+               '?[src, dst, prop] <- [[''' ||
+               replace(src, '''', '\''') || ''', ''' ||
+               replace(dst, '''', '\''') || ''', ''' ||
+               replace(prop, '''', '\''') ||
+               ''']] :put graft_' || etype ||
+               ' { src, dst => prop }' AS datalog
+        FROM edges),
+      cum AS (
+        SELECT rel, datalog,
+               SUM(strlen(datalog) + 1)
+                 OVER (PARTITION BY rel ORDER BY datalog) AS cum
+        FROM (SELECT * FROM nl UNION ALL SELECT * FROM el)),
+      kept AS (SELECT rel, datalog FROM cum WHERE cum <= 100000),
+      markers AS (
+        SELECT rel, '// ... (output truncated, export is ' ||
+               CAST(total AS VARCHAR) || ' bytes)' AS datalog
+        FROM (SELECT rel, MAX(cum) AS total FROM cum GROUP BY 1)
+        WHERE total > 100000),
+      dump AS (SELECT * FROM kept UNION ALL SELECT * FROM markers)
+      SELECT rel, COUNT(*) AS n_lines,
+             CAST(SUM(strlen(datalog)) AS BIGINT) AS n_octets,
+             CAST(((SUM(ph) % 1000000007) + 1000000007) % 1000000007
+               AS BIGINT) AS checksum
+      FROM (SELECT rel, datalog, ${TextOps.polyHashSql("datalog")} AS ph
+            FROM dump)
+      GROUP BY rel ORDER BY rel"""))
+
   override val queries: Seq[Q] =
     Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15,
-      b16, b17, b18, b19, b20, b21, b22, b23, b24, b25, b26)
+      b16, b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27)
 }

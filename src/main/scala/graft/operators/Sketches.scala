@@ -22,6 +22,19 @@ object Sketches {
   private val Scale = 40
   private val PowScale = 1099511627776L // 2^40
 
+  /** Linear-counting table for the small-range correction: entry V-1
+    * holds m·ln(m/V) for V empty registers (Flajolet et al. §4: when
+    * the raw estimate is ≤ 5/2·m and some register is empty, linear
+    * counting is the better estimator — without it, 3-5 distinct
+    * values estimate near 47). ln is NOT correctly-rounded-guaranteed
+    * across engines, so it never runs at query time: the 64 constants
+    * are computed once HERE and embedded as identical double literals
+    * in both the Spark plan and the oracle SQL (Double.toString
+    * round-trips exactly, and DuckDB's string→double parse is
+    * correctly rounded), keeping the no-float-log contract. */
+  private val LinearCount: IndexedSeq[Double] =
+    (1 to M).map(v => M.toDouble * math.log(M.toDouble / v))
+
   /** Per-`key` approximate distinct count of `value` via a
     * deterministic HyperLogLog (raw estimator, no float log
     * anywhere): bucket = h mod m, rank = leading-zero count of the
@@ -57,7 +70,13 @@ object Sketches {
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
     val denom = (col("sp") + (lit(M.toLong) - col("nb")) * lit(PowScale))
       .cast("double")
-    val est = round(alpha * lit(4096.0) * lit(PowScale.toDouble) / denom, 4)
+    val raw = alpha * lit(4096.0) * lit(PowScale.toDouble) / denom
+    // small-range correction: raw ≤ 5/2·m with V>0 empty registers →
+    // linear counting m·ln(m/V), table-driven (see LinearCount)
+    val v = (lit(M.toLong) - col("nb")).cast("int")
+    val lc = element_at(array(LinearCount.map(lit): _*), v)
+    val est = round(
+      when(v > 0 && raw <= lit(2.5 * M), lc).otherwise(raw), 4)
     sums.select(keys.map(col) :+ est.as("hll_estimate"): _*)
   }
 
@@ -85,6 +104,12 @@ object Sketches {
     val ks = keys.mkString(", ")
     val kn = keys.size
     def nums(from: Int, n: Int) = (from until from + n).mkString(", ")
+    // the linear-counting constants as string→double casts: DuckDB's
+    // parse is correctly rounded, so these are bit-identical to the
+    // Spark literals (Double.toString round-trips)
+    val lcListSql = LinearCount
+      .map(d => s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)")
+      .mkString("list_value(", ", ", ")")
     s"""
       WITH _h AS (SELECT $ks, $valueExpr AS v, $ph AS h
                   FROM $rel),
@@ -100,15 +125,20 @@ object Sketches {
                 FROM _regs GROUP BY ${nums(1, kn)}),
       _ex AS (SELECT $ks, COUNT(DISTINCT v) AS n_exact FROM _h
               GROUP BY ${nums(1, kn)}),
-      _est AS (
-        SELECT $ks, n_exact,
-               round(CAST(0.7213 AS DOUBLE)
+      _raw AS (
+        SELECT $ks, nb,
+               CAST(0.7213 AS DOUBLE)
                    / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE)
                       / CAST(64 AS DOUBLE))
                  * CAST(4096 AS DOUBLE) * CAST($PowScale AS DOUBLE)
-                 / CAST(sp + ($M - nb) * $PowScale AS DOUBLE), 4)
-                 AS hll_estimate
-        FROM _ex JOIN _sums USING ($ks))
+                 / CAST(sp + ($M - nb) * $PowScale AS DOUBLE) AS raw
+        FROM _sums),
+      _est AS (
+        SELECT $ks, n_exact,
+               round(CASE WHEN nb < $M AND raw <= CAST(160 AS DOUBLE)
+                     THEN ($lcListSql)[CAST($M - nb AS INT)]
+                     ELSE raw END, 4) AS hll_estimate
+        FROM _ex JOIN _raw USING ($ks))
       SELECT $ks, n_exact, hll_estimate,
              round(abs(hll_estimate - CAST(n_exact AS DOUBLE))
                / CAST(n_exact AS DOUBLE), 4) AS rel_err

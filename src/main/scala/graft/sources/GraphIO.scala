@@ -41,12 +41,16 @@ object GraphIO {
     * an extension here, and it changes the output shape for a
     * node-only consumer: a `rel` column is added and edge rows are
     * appended. Filter `rel` to the node types for a reference-shaped
-    * dump. */
+    * dump. Scores render as fixed-6-decimal text (decimal(25,6) →
+    * string) — double→string shortest-repr formatting is
+    * engine-specific, digit-exact decimal text is not, which keeps
+    * the rendering under the b27 oracle gate. */
   def toDatalog(g: MemoryGraph): DataFrame = {
     val nodeRows = g.nodes.select(col("ntype").as("rel"), concat(
       lit("?[id, content, attr, score] <- [["),
       q(col("id")), lit(", "), q(col("content")), lit(", "),
-      q(col("attr")), lit(", "), col("score").cast("string"),
+      q(col("attr")), lit(", "),
+      col("score").cast("decimal(25,6)").cast("string"),
       lit("]] :put graft_"), col("ntype"),
       lit(" { id => content, attr, score }")).as("datalog"))
     val edgeRows = g.edges.select(col("etype").as("rel"), concat(
@@ -58,23 +62,24 @@ object GraphIO {
     nodeRows.unionAll(edgeRows)
   }
 
-  /** [[toDatalog]] with the reference's byte cap applied PER RELATION
-    * (export.go:110 truncates the whole dump at 100 KB and appends a
-    * `// ... (output truncated)` trailer; per-relation is the
-    * distributed-friendly reading — each relation truncates
-    * independently, so the cap needs one window per relation, not a
-    * global sort). Rows are kept in the relation's lexicographic
-    * line order while the cumulative rendered length (line + newline)
-    * stays within `maxBytes`; a truncated relation gains one marker
-    * row carrying its full byte count, mirroring the reference's
-    * trailer text. */
+  /** [[toDatalog]] with a byte cap applied PER RELATION — an
+    * adaptation of the reference's cap, not a mirror: export.go's
+    * Datalog path truncates the WHOLE dump at 100 KB mid-line with a
+    * bare `// ... (output truncated)` trailer (the byte-count trailer
+    * text lives in its JSON exporter, export.go:53). Per-relation is
+    * the distributed-friendly reading — each relation truncates
+    * independently on whole lines, so the cap needs one window per
+    * relation, not a global sort — and the marker here carries the
+    * relation's full byte count because a distributed consumer can
+    * use it. The cap counts OCTETS (UTF-8 bytes, line + newline),
+    * not characters, as the reference's len() does. */
   def toDatalogCapped(g: MemoryGraph,
                       maxBytes: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = toDatalog(g)
     val w = Window.partitionBy(col("rel")).orderBy(col("datalog"))
     val withCum = all.withColumn("cum",
-      sum(length(col("datalog")).cast("long") + 1L).over(w))
+      sum(octet_length(col("datalog")).cast("long") + 1L).over(w))
     val kept = withCum.where(col("cum") <= maxBytes)
       .select(col("rel"), col("datalog"))
     val markers = withCum.groupBy(col("rel"))

@@ -78,12 +78,12 @@ class WriterIOSpec extends SparkSpec {
     assert(markers.count() > 0)
     val perRel = capped.where(!$"datalog".startsWith("// ..."))
       .groupBy($"rel")
-      .agg(sum(length($"datalog") + 1).as("bytes"))
+      .agg(sum(octet_length($"datalog") + 1).as("bytes"))
       .where($"bytes" > cap)
     assert(perRel.isEmpty, "kept lines exceed the cap in some relation")
     // marker byte counts equal the relation's full rendered size
     val fullBytes = full.groupBy($"rel")
-      .agg(sum(length($"datalog") + 1).as("b"))
+      .agg(sum(octet_length($"datalog") + 1).as("b"))
       .as[(String, Long)].collect().toMap
     markers.select($"rel", $"datalog").as[(String, String)].collect()
       .foreach { case (rel, m) =>
