@@ -255,9 +255,20 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
     * set instead would be wrong — doubling needs strides from nodes
     * ahead of the frontier. */
   def walk(startId: String, etype: String, maxHops: Int,
-           edgeFilter: Option[Column] = None): DataFrame = {
+           edgeFilter: Option[Column] = None,
+           nodeSlice: Option[DataFrame] = None): DataFrame = {
     val spark = nodes.sparkSession
-    val e1 = edgeFilter.foldLeft(edges.where(col("etype") === etype))(_ where _)
+    // `nodeSlice` (single `node` column) semi-joins the stride
+    // relation down BEFORE doubling — the sound slice is any superset
+    // of the start's weakly-connected component (a walk can never
+    // leave it), e.g. [[MemoryGraph.componentView]] filtered to the
+    // start's component. Only src needs the semi-join: both endpoints
+    // of a component's edge are in the component.
+    val sliced = edgeFilter
+      .foldLeft(edges.where(col("etype") === etype))(_ where _)
+    val e1 = nodeSlice.foldLeft(sliced)((df, ns) =>
+        df.join(ns.select(col("node").as("__slice_node")),
+          col("src") === col("__slice_node"), "left_semi"))
       .select(col("src"), col("dst"), col("prop")).barrier(true)
     var dist = spark.range(1)
       .select(lit(startId).as("node"), lit(0L).as("d"))
@@ -494,6 +505,24 @@ object MemoryGraph {
       graft.graph.GraphAlgo.undirectedSimple(persisted(s, dir).edges)
         .write.mode("overwrite").parquet(s"$tmp/und")
     } { base => s.read.parquet(s"$base/und") }
+
+  /** Per-etype connected-component map (node, component) of the
+    * persisted graph, persisted alongside the graph layout the way
+    * the undirected view is (DiskCache, corpus-fingerprint keyed):
+    * [[MemoryGraph.walk]] prunes its stride relation to the start's
+    * component through it — a multi-hop traversal can never leave its
+    * weakly-connected component, so the stride self-composition runs
+    * over one component's edges instead of the whole edge type (the
+    * last super-linear term in the graph family; SURVEY §6 backlog). */
+  def componentView(s: SparkSession, dir: String,
+                    etype: String): org.apache.spark.sql.DataFrame =
+    graft.util.DiskCache.cached(s, "graph-cc", CacheVersion,
+      Seq(dir), s"cc-$etype", Seq("cc")) { tmp =>
+      graft.graph.GraphAlgo.connectedComponents(
+        persisted(s, dir).edges.where(col("etype") === etype)
+          .select(col("src"), col("dst")))
+        .write.mode("overwrite").parquet(s"$tmp/cc")
+    } { base => s.read.parquet(s"$base/cc") }
 
   /** Bind the memory graph to the driver-generated tables:
     * fact≈documents, decision≈orders, entity≈customer∪supplier∪part,

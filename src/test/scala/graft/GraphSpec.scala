@@ -40,6 +40,23 @@ class GraphSpec extends SparkSpec {
     assert(truncated.agg(max($"step")).as[Int].head() === 4)
   }
 
+  test("walk pruned to the start's component equals the unpruned walk") {
+    val start = Tables.events(spark, sf)
+      .where($"user_id" === 7 && $"event_type" === "view")
+      .agg(max($"event_id")).as[Long].head()
+    val comp = MemoryGraph.componentView(spark, sf, "invalidates")
+    val slice = comp.join(
+        comp.where($"node" === s"evt:$start").select($"component".as("c0")),
+        $"component" === $"c0")
+      .select($"node")
+    val pruned = g.walk(s"evt:$start", "invalidates", 200,
+        nodeSlice = Some(slice))
+      .orderBy($"step").collect().toSeq
+    val full = g.walk(s"evt:$start", "invalidates", 200)
+      .orderBy($"step").collect().toSeq
+    assert(pruned.nonEmpty && pruned === full)
+  }
+
   test("walk from a node with no edges is empty") {
     assert(g.walk("fact:0", "invalidates", 5).isEmpty)
   }
