@@ -936,8 +936,137 @@ object PipelineSuite extends Suite {
       ${Sampling.applyMixtureSql("source", "doc_id", "text", 500000L)}
       ORDER BY source"""))
 
+  val c33 = Q(
+    "c33_heavy_hitters",
+    // Deterministic Count-Min heavy-hitter estimates next to c31's
+    // exact Zipf head: the sketch is ONE pass over the token stream
+    // folding to D×W=1024 counters with map-side combine (the shape
+    // that replaces the exact vocab groupBy when the vocabulary
+    // itself is too wide to shuffle), probes are broadcast lookups,
+    // and the estimate-vs-exact overshoot is graded in-query. All
+    // integer; see Sketches.cmBucket for the portable hash family.
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d).select(
+        explode(transform(TextOps.tokens(col("text")),
+          t => TextOps.polyHash(t))).as("th"))
+      val sketch = toks.select(Sketches.cmPairs(col("th")).as("ib"))
+        .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val vocab = toks.groupBy(col("th")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("th"))
+      val top = vocab.orderBy(col("cnt").desc, col("th")).limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+      val probes = top.select(col("rank"), col("th"), col("cnt"),
+        Sketches.cmPairs(col("th")).as("ib"))
+      probes.join(broadcast(sketch),
+          probes("ib.i") === sketch("i") && probes("ib.b") === sketch("b"))
+        .groupBy(col("rank"), col("th"), col("cnt"))
+        .agg(min(col("c")).as("cm_est"))
+        .select(col("rank"), col("th"), col("cnt"), col("cm_est"),
+          (col("cm_est") - col("cnt")).as("cm_over"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      val tk = TextOps.tokensSql("text")
+      s"""
+      WITH toks AS (
+        SELECT unnest(list_transform($tk,
+          tok -> ${TextOps.polyHashSql("tok")})) AS th
+        FROM documents),
+      salts AS (SELECT * FROM ${Sketches.cmSaltsSql("v")}),
+      ib AS (
+        SELECT s.i, ((t.th * s.a + s.ab) % ${TextOps.P}) % ${Sketches.CmW}
+                 AS b
+        FROM toks t CROSS JOIN salts s),
+      sketch AS (SELECT i, b, COUNT(*) AS c FROM ib GROUP BY 1, 2),
+      vocab AS (SELECT th, COUNT(*) AS cnt FROM toks GROUP BY 1),
+      top AS (SELECT th, cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, th) AS rank
+              FROM vocab ORDER BY cnt DESC, th LIMIT 20),
+      probes AS (
+        SELECT t.rank, t.th, t.cnt, s.i,
+               ((t.th * s.a + s.ab) % ${TextOps.P}) % ${Sketches.CmW} AS b
+        FROM top t CROSS JOIN salts s),
+      est AS (
+        SELECT rank, th, cnt, MIN(c) AS cm_est
+        FROM probes JOIN sketch USING (i, b)
+        GROUP BY 1, 2, 3)
+      SELECT CAST(rank AS BIGINT) AS rank, th, cnt, cm_est,
+             cm_est - cnt AS cm_over
+      FROM est ORDER BY rank"""
+    })
+
+  val c34 = Q(
+    "c34_bloom_membership",
+    // Bloom-filter n-gram membership for an arriving batch — novel-
+    // shingle detection, the cheap pre-screen in front of c25's
+    // incremental dedup and c27's decontamination: the corpus's
+    // distinct 3-gram shingle hashes fold to ≤ M set-bit positions
+    // (broadcastable by construction — the corpus is scanned once
+    // and never reshuffled per probe batch), every distinct batch
+    // shingle probes its K bits map-side, and the exact membership
+    // count is computed alongside so the sketch's (deterministic)
+    // false positives are visible in-query: per doc, n_shingles >=
+    // n_maybe_known >= n_known and n_maybe_known - n_known = Bloom
+    // false positives; no false negatives by construction.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBatch = pmod(col("doc_id"), lit(10)) >= 8
+      def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"),
+        explode(array_distinct(
+          TextOps.shingleHashes(col("text")))).as("k"))
+      val vocab = toks(docs.where(!isBatch)).select(col("k")).distinct()
+      val bits = vocab.select(Sketches.bloomBits(col("k")).as("bit"))
+        .distinct()
+      val probes = toks(docs.where(isBatch))
+      val maybe = probes
+        .select(col("doc_id"), col("k"),
+          Sketches.bloomBits(col("k")).as("bit"))
+        .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("bit"), "left")
+        .groupBy(col("doc_id"), col("k"))
+        .agg(when(sum(coalesce(col("hit"), lit(0L))) === Sketches.BloomK,
+          1L).otherwise(0L).as("mk"))
+      maybe
+        .join(broadcast(vocab.withColumn("ex", lit(1L))), Seq("k"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("mk")).as("n_maybe_known"),
+          sum(coalesce(col("ex"), lit(0L))).as("n_known"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val salts = (0 until Sketches.BloomK)
+        .map(i => s"($i, ${Sketches.CmA(i)}, ${Sketches.CmB(i)})")
+        .mkString("(VALUES ", ", ", ") AS v(i, a, ab)")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, doc_id % 10 >= 8 AS is_batch,
+               unnest(list_distinct(${TextOps.shingleHashesSql("text")}))
+                 AS k
+        FROM documents),
+      vocab AS (SELECT DISTINCT k FROM tok WHERE NOT is_batch),
+      salts AS (SELECT * FROM $salts),
+      bits AS (SELECT DISTINCT ${Sketches.bloomBitSql("k", "a", "ab")} AS bit
+               FROM vocab CROSS JOIN salts),
+      pb AS (SELECT doc_id, k, ${Sketches.bloomBitSql("k", "a", "ab")} AS bit
+             FROM tok CROSS JOIN salts WHERE is_batch),
+      mb AS (SELECT pb.doc_id, pb.k,
+                    CASE WHEN COUNT(b.bit) = ${Sketches.BloomK}
+                         THEN 1 ELSE 0 END AS mk
+             FROM pb LEFT JOIN bits b ON pb.bit = b.bit
+             GROUP BY 1, 2)
+      SELECT doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(mk) AS BIGINT) AS n_maybe_known,
+             CAST(SUM(CASE WHEN k IN (SELECT k FROM vocab)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+      FROM mb GROUP BY 1 ORDER BY doc_id"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
-      c30, c31, c32)
+      c30, c31, c32, c33, c34)
 }

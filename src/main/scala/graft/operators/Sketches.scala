@@ -35,6 +35,64 @@ object Sketches {
   private val LinearCount: IndexedSeq[Double] =
     (1 to M).map(v => M.toDouble * math.log(M.toDouble / v))
 
+  // --- Count-Min sketch ---------------------------------------------
+  /** Deterministic Count-Min sketch geometry: D hash rows × W
+    * counters. Row-i bucket of a key with poly hash h is
+    * ((h·A_i + B_i) mod p) mod W — affine row salts over the shared
+    * portable hash; h < 2^30 and A_i < 2^32 keep every intermediate
+    * under 2^62, exact in 64-bit on both engines. Counters are plain
+    * long sums: order-independent, map-side combinable — each
+    * partition sketches locally and merge is elementwise addition,
+    * the one-pass 100 TB shape. A key's point estimate is
+    * min_i counter[i][bucket_i(key)], an overestimate by collisions
+    * only (never an undercount). */
+  val CmD = 4
+  val CmW = 256
+  private[operators] val CmA =
+    IndexedSeq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  private[operators] val CmB = IndexedSeq(12345L, 54321L, 98765L, 13579L)
+
+  /** Row-i counter index for a non-negative base hash column. */
+  def cmBucket(i: Int, h: Column): Column =
+    ((h * lit(CmA(i)) + lit(CmB(i))) % lit(TextOps.P)) % lit(CmW.toLong)
+
+  def cmBucketSql(i: Int, h: String): String =
+    s"((($h) * ${CmA(i)} + ${CmB(i)}) % ${TextOps.P}) % $CmW"
+
+  /** The (i, bucket) pairs of a hash column as an exploded array —
+    * the map side of the sketch build and of a point probe. */
+  def cmPairs(h: Column): Column =
+    explode(array((0 until CmD).map(i =>
+      struct(lit(i).as("i"), cmBucket(i, h).as("b"))): _*))
+
+  /** DuckDB VALUES relation carrying the row salts, for mirrors. */
+  def cmSaltsSql(alias: String): String =
+    (0 until CmD).map(i => s"(${i}, ${CmA(i)}, ${CmB(i)})")
+      .mkString(s"(VALUES ", ", ", s") AS $alias(i, a, ab)")
+
+  // --- Bloom filter --------------------------------------------------
+  /** Deterministic Bloom geometry: K bit positions out of M, drawn
+    * from the same affine salt family as the Count-Min rows (the
+    * first K salts over a wider modulus). The filter itself is just
+    * the DISTINCT set of set bit positions — ≤ M longs, broadcastable
+    * by construction — so corpus membership probes are a map-side
+    * broadcast join: the corpus is scanned once to build the bits and
+    * never reshuffled per probe batch. False-positive rate at load
+    * n·K/M follows the standard (1 - e^{-Kn/M})^K; no false
+    * negatives. */
+  val BloomK = 3
+  val BloomM = 1048576L
+
+  def bloomBit(i: Int, h: Column): Column =
+    ((h * lit(CmA(i)) + lit(CmB(i))) % lit(TextOps.P)) % lit(BloomM)
+
+  /** The K bit positions of a key as an exploded column. */
+  def bloomBits(h: Column): Column =
+    explode(array((0 until BloomK).map(i => bloomBit(i, h)): _*))
+
+  def bloomBitSql(h: String, a: String, ab: String): String =
+    s"((($h) * $a + $ab) % ${TextOps.P}) % $BloomM"
+
   /** Per-`key` approximate distinct count of `value` via a
     * deterministic HyperLogLog (raw estimator, no float log
     * anywhere): bucket = h mod m, rank = leading-zero count of the

@@ -245,6 +245,65 @@ object StreamingSuite extends Suite {
         rel = "(SELECT * FROM documents WHERE doc_id % 37 = 0 OR doc_id % 10 >= 8)")}
       ORDER BY train_id, eval_id"""))
 
+  val d11 = Q(
+    "d11_stream_window_cm",
+    // Windowed approximate per-user event counts via the
+    // deterministic Count-Min sketch (Sketches.cmBucket family)
+    // composed with the watermarked window agg — counters are plain
+    // SUMs per (window, row, bucket), so streaming state is
+    // O(windows × D × W) with NO per-user state (streaming flavor =
+    // Streams.windowCmStreaming, cross-batch parity in StreamsSpec).
+    // Probes a fixed user set; estimate >= exact always.
+    (s, d) => graft.streaming.Streams
+      .windowCm(Tables.events(s, d), users = Seq(1L, 2L, 3L, 4L, 5L))
+      .orderBy(col("hour_bucket"), col("user_id")),
+    Some {
+      import graft.functions.TextOps
+      import graft.operators.Sketches
+      val salts = (0 until Sketches.CmD)
+        .map(i => s"($i, ${Sketches.CmA(i)}, ${Sketches.CmB(i)})")
+        .mkString("(VALUES ", ", ", ") AS v(i, a, ab)")
+      val h = TextOps.polyHashSql("CAST(user_id AS VARCHAR)")
+      val hp = TextOps.polyHashSql("CAST(p.user_id AS VARCHAR)")
+      s"""
+      WITH ev AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                 AS hour_bucket,
+               user_id, $h AS h
+        FROM events),
+      salts AS (SELECT * FROM $salts),
+      regs AS (
+        SELECT hour_bucket, s.i,
+               ((e.h * s.a + s.ab) % ${TextOps.P}) % ${Sketches.CmW} AS b,
+               COUNT(*) AS c
+        FROM ev e CROSS JOIN salts s
+        GROUP BY 1, 2, 3),
+      probes AS (
+        SELECT p.user_id, s.i,
+               (($hp * s.a + s.ab) % ${TextOps.P}) % ${Sketches.CmW} AS b
+        FROM (VALUES (1), (2), (3), (4), (5)) AS p(user_id)
+          CROSS JOIN salts s),
+      grid AS (
+        SELECT w.hour_bucket, p.user_id, p.i, p.b
+        FROM (SELECT DISTINCT hour_bucket FROM ev) w CROSS JOIN probes p),
+      est AS (
+        SELECT g.hour_bucket, g.user_id,
+               MIN(COALESCE(r.c, 0)) AS cm_est
+        FROM grid g LEFT JOIN regs r
+          ON g.hour_bucket = r.hour_bucket AND g.i = r.i AND g.b = r.b
+        GROUP BY 1, 2),
+      ex AS (
+        SELECT hour_bucket, user_id, COUNT(*) AS n_exact
+        FROM ev WHERE user_id IN (1, 2, 3, 4, 5)
+        GROUP BY 1, 2)
+      SELECT e.hour_bucket, CAST(e.user_id AS BIGINT) AS user_id,
+             CAST(COALESCE(x.n_exact, 0) AS BIGINT) AS n_exact,
+             CAST(e.cm_est AS BIGINT) AS cm_est
+      FROM est e LEFT JOIN ex x
+        ON e.hour_bucket = x.hour_bucket AND e.user_id = x.user_id
+      ORDER BY e.hour_bucket, e.user_id"""
+    })
+
   override val queries: Seq[Q] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11)
 }

@@ -299,6 +299,82 @@ object Streams {
       }
       .start()
 
+  /** Shared register stage of [[windowCm]] (batch) and
+    * [[windowCmStreaming]]: per (hour window, Count-Min row, bucket)
+    * the event-count counter — a plain watermarked SUM, so the
+    * streaming agg folds arriving events into O(windows × D × W)
+    * counters and never keeps per-user state (the sketch's point:
+    * frequency monitoring over an unbounded key space in fixed
+    * memory). */
+  def windowCmAgg(events: DataFrame): DataFrame = {
+    import graft.operators.Sketches
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    val h = graft.functions.TextOps.polyHash(col("user_id").cast("string"))
+    withWm
+      .select(col("ts"), Sketches.cmPairs(h).as("ib"))
+      .groupBy(window(col("ts"), "1 hour"),
+        col("ib.i").as("i"), col("ib.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_bucket"),
+        col("i"), col("b"), col("c"))
+  }
+
+  /** Point-probe a fixed user set against per-window CM registers:
+    * the (window × user × row) grid LEFT-joins the counters so an
+    * absent counter reads as 0 (min over rows then gives the true CM
+    * estimate, including 0 for users with no events). The probe set
+    * is tiny and broadcast; registers are never reshuffled. */
+  def cmProbe(regs: DataFrame, users: Seq[Long]): DataFrame = {
+    import graft.operators.Sketches
+    val spark = regs.sparkSession
+    import spark.implicits._
+    val probes = users.toDF("user_id")
+      .select(col("user_id"),
+        Sketches.cmPairs(graft.functions.TextOps.polyHash(
+          col("user_id").cast("string"))).as("ib"))
+      .select(col("user_id"), col("ib.i").as("i"), col("ib.b").as("b"))
+    val grid = regs.select(col("hour_bucket")).distinct()
+      .crossJoin(broadcast(probes))
+    grid.join(regs, Seq("hour_bucket", "i", "b"), "left")
+      .groupBy(col("hour_bucket"), col("user_id"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cm_est"))
+  }
+
+  /** Windowed approximate per-user event counts, batch flavor: the
+    * Count-Min estimate for a fixed probe set next to the exact
+    * count (estimate >= exact always — collisions only add). */
+  def windowCm(events: DataFrame, users: Seq[Long]): DataFrame = {
+    val est = cmProbe(windowCmAgg(events), users)
+    val exact = events
+      .where(col("user_id").isin(users: _*))
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_bucket"),
+        col("user_id"), col("n_exact"))
+    est.join(exact, Seq("hour_bucket", "user_id"), "left")
+      .select(col("hour_bucket"), col("user_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("cm_est"))
+  }
+
+  /** Streaming flavor: watermark-closed windows' counters arrive in
+    * one micro-batch (same emission argument as
+    * [[windowHllStreaming]]); foreachBatch probes them with the
+    * identical stage the batch path uses. Exact counts deliberately
+    * absent — fixed-memory frequency monitoring is the point. */
+  def windowCmStreaming(events: DataFrame, users: Seq[Long])
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    windowCmAgg(events)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) sink(cmProbe(batch, users))
+      }
+      .start()
+
   /** Contamination evidence as a TRUE stream-static join: arriving
     * docs explode to distinct shingle hashes and inner-join the
     * (static, broadcastable — eval sets are small) eval shingle

@@ -101,7 +101,8 @@ class PlanShapeSpec extends SparkSpec {
       "c26_domain_mix",     // broadcast 1-row corpus totals
       "c28_lm_surprisal",   // broadcast 1-row total-token count
       "c31_vocab_stats",    // broadcast 1-row vocab totals
-      "c32_mix_apply")      // broadcast 1-row corpus totals
+      "c32_mix_apply",      // broadcast 1-row corpus totals
+      "d11_stream_window_cm") // broadcast fixed probe-set grid
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -296,6 +296,45 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === expected)
   }
 
+  test("streaming windowed Count-Min matches batch estimates for closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val users = Seq(1L, 2L, 3L, 4L, 5L)
+    val ms = MemoryStream[Raw]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val q = Streams.windowCmStreaming(ms.toDF(), users) { df =>
+      collected.synchronized { collected ++= df.collect() }
+    }
+    val maxTs = rawRows.map(_.ts.getTime).max
+    val cutoff = maxTs - 3 * 3600 * 1000
+    val (early, late) = rawRows.partition(_.ts.getTime < cutoff)
+    try {
+      ms.addData(early.toSeq); q.processAllAvailable()
+      ms.addData(late.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collected.synchronized {
+      collected.map(r => (r.getAs[String]("hour_bucket"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("cm_est")))
+        .sorted.toSeq
+    }
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val wmMillis = maxTs - 2 * 3600 * 1000
+    val expected = Streams.windowCm(eventsDf, users).collect().filter { r =>
+      val start = java.time.LocalDateTime
+        .parse(r.getAs[String]("hour_bucket"), fmt)
+      start.plusHours(1).toInstant(java.time.ZoneOffset.UTC)
+        .toEpochMilli <= wmMillis
+    }.map(r => (r.getAs[String]("hour_bucket"),
+      r.getAs[Long]("user_id"), r.getAs[Long]("cm_est")))
+      .sorted.toSeq
+    assert(streamed.nonEmpty && streamed === expected)
+    // the sketch can only over-count
+    val exact = Streams.windowCm(eventsDf, users).collect()
+    assert(exact.forall(r =>
+      r.getAs[Long]("cm_est") >= r.getAs[Long]("n_exact")))
+  }
+
   test("stream-static contamination hits group to the batch pair counts") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CorpusStats
