@@ -1065,8 +1065,71 @@ object PipelineSuite extends Suite {
       FROM mb GROUP BY 1 ORDER BY doc_id"""
     })
 
+  val c35 = Q(
+    "c35_cluster_profile",
+    // Corpus clustering profile — the "what's in my corpus" pass a
+    // curation pipeline runs before mixing: deterministic Lloyd
+    // centroids (c17's trainer) over ALL embeddings, every vector
+    // assigned map-side against the broadcast centroids (one corpus
+    // pass, no per-pair shuffle), then per-cluster size / label
+    // diversity / dominant label. Cluster quality is visible as the
+    // dominant-label mass; ties rank (count desc, label) — total
+    // order, oracle-mirrored.
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val cent = Ann.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .withColumn("cn", VectorOps.norm(col("cv")))
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("cs").desc, col("cid"))
+      val assigned = e.select(col("vec_id").as("vid"),
+          col("embedding").as("v"), col("label"))
+        .withColumn("vn", VectorOps.norm(col("v")))
+        .crossJoin(broadcast(cent))
+        .withColumn("cs", VectorOps.cosine6Pre(col("v"), col("cv"),
+          col("vn"), col("cn")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("vid"), col("cid"), col("label"))
+      val sizes = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("label")).as("n_labels"))
+      val wl = Window.partitionBy(col("cid"))
+        .orderBy(col("ln").desc, col("label"))
+      val top = assigned.groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).as("ln"))
+        .withColumn("rk", row_number().over(wl))
+        .where(col("rk") === 1)
+        .select(col("cid"), col("label").cast("long").as("top_label"),
+          col("ln").as("top_label_n"))
+      sizes.join(top, "cid").orderBy(col("cid"))
+    },
+    Some(s"""
+      WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      ${kmeansCtes(k = 8, iters = 2)},
+      lab AS (
+        SELECT p.cid, e.label
+        FROM pick3 p JOIN embeddings e USING (vec_id)),
+      by_label AS (
+        SELECT cid, label, COUNT(*) AS ln FROM lab GROUP BY 1, 2),
+      top AS (
+        SELECT cid, CAST(label AS BIGINT) AS top_label,
+               ln AS top_label_n
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+                ORDER BY ln DESC, label) AS rk
+              FROM by_label) t
+        WHERE rk = 1),
+      sizes AS (
+        SELECT cid, COUNT(*) AS n_members,
+               COUNT(DISTINCT label) AS n_labels
+        FROM lab GROUP BY 1)
+      SELECT s.cid, s.n_members, s.n_labels, t.top_label, t.top_label_n
+      FROM sizes s JOIN top t USING (cid)
+      ORDER BY cid"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
-      c30, c31, c32, c33, c34)
+      c30, c31, c32, c33, c34, c35)
 }

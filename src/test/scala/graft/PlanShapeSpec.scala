@@ -102,6 +102,7 @@ class PlanShapeSpec extends SparkSpec {
       "c28_lm_surprisal",   // broadcast 1-row total-token count
       "c31_vocab_stats",    // broadcast 1-row vocab totals
       "c32_mix_apply",      // broadcast 1-row corpus totals
+      "c35_cluster_profile", // broadcast centroids
       "d11_stream_window_cm") // broadcast fixed probe-set grid
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
