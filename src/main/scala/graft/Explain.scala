@@ -22,9 +22,17 @@ object Explain {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_EXEC=1: execute first, then print the FINAL
+    // adaptive plan — shows runtime ReusedExchange / AQE join demotions
+    // the static explain can't.
+    val exec = sys.env.get("SPARK_GRAFT_EXPLAIN_EXEC").contains("1")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) {
+        df.count()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

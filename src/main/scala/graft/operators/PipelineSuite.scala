@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.api.{Q, Suite}
 import graft.functions.{TextOps, VectorOps}
 import graft.model.Tables
+import graft.util.Barriers.BarrierOps
 
 /** C-suite: the training-data pipeline operators (SURVEY.md §2C) —
   * dedup family, ANN, text analysis, multimodal plumbing — run over
@@ -1070,9 +1071,15 @@ object PipelineSuite extends Suite {
     // Corpus clustering profile — the "what's in my corpus" pass a
     // curation pipeline runs before mixing: deterministic Lloyd
     // centroids (c17's trainer) over ALL embeddings, every vector
-    // assigned map-side against the broadcast centroids (one corpus
-    // pass, no per-pair shuffle), then per-cluster size / label
-    // diversity / dominant label. Cluster quality is visible as the
+    // assigned map-side against the broadcast centroids, then
+    // per-cluster size / label diversity / dominant label. The
+    // assignment is a fold-argmax over a ONE-ROW broadcast centroid
+    // array (strict > with the array sorted by cid = ties to the
+    // lower centroid id, same total order as c17's window), so the
+    // corpus is scanned ONCE with no per-vector shuffle at all — the
+    // only shuffle is the (cid, label) partial agg whose output is
+    // bounded by k x |labels|; both report aggregates derive from
+    // that tiny frame. Cluster quality is visible as the
     // dominant-label mass; ties rank (count desc, label) — total
     // order, oracle-mirrored.
     (s, d) => {
@@ -1081,24 +1088,33 @@ object PipelineSuite extends Suite {
       val cent = Ann.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         .withColumn("cn", VectorOps.norm(col("cv")))
-      val w = Window.partitionBy(col("vid"))
-        .orderBy(col("cs").desc, col("cid"))
+      val centArr = cent.agg(sort_array(collect_list(
+        struct(col("cid"), col("cv"), col("cn")))).as("cents"))
       val assigned = e.select(col("vec_id").as("vid"),
           col("embedding").as("v"), col("label"))
         .withColumn("vn", VectorOps.norm(col("v")))
-        .crossJoin(broadcast(cent))
-        .withColumn("cs", VectorOps.cosine6Pre(col("v"), col("cv"),
-          col("vn"), col("cn")))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("vid"), col("cid"), col("label"))
-      val sizes = assigned.groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_members"),
-          countDistinct(col("label")).as("n_labels"))
+        .crossJoin(broadcast(centArr))
+        .withColumn("best", aggregate(col("cents"),
+          struct(lit(-1L).as("cid"), lit(-2.0).as("s")),
+          (acc, c) => {
+            val cs = VectorOps.cosine6Pre(col("v"), c("cv"),
+              col("vn"), c("cn"))
+            when(cs > acc("s"),
+              struct(c("cid").as("cid"), cs.as("s"))).otherwise(acc)
+          }))
+        .select(col("best.cid").as("cid"), col("label"))
+      // one materialization of the k x |labels| histogram: both report
+      // aggregates branch from it, and without the barrier the join's
+      // isnotnull(cid) pushes into only one branch, defeating AQE
+      // exchange reuse — the corpus would be scanned twice
+      val byLabel = assigned.groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).as("ln")).barrier(true)
+      val sizes = byLabel.groupBy(col("cid"))
+        .agg(sum(col("ln")).as("n_members"),
+          count(lit(1)).as("n_labels"))
       val wl = Window.partitionBy(col("cid"))
         .orderBy(col("ln").desc, col("label"))
-      val top = assigned.groupBy(col("cid"), col("label"))
-        .agg(count(lit(1)).as("ln"))
+      val top = byLabel
         .withColumn("rk", row_number().over(wl))
         .where(col("rk") === 1)
         .select(col("cid"), col("label").cast("long").as("top_label"),
