@@ -311,6 +311,59 @@ object RelationalSuite extends Suite {
       GROUP BY CUBE(o_orderpriority, o_orderstatus)
       ORDER BY priority, status"""))
 
+  val a14 = Q(
+    "a14_asof_join",
+    // Prior-as-of join (AsOf.joinPrior): each event picks the
+    // customer's latest order at or before the event instant —
+    // point-in-time-correct dimension lookup, the shape feature
+    // backfill needs. Implementation is the single-shuffle
+    // union-merge sweep, NOT an inequality join (no per-key history
+    // blow-up — see AsOf.scala). All time arithmetic is
+    // epoch-microsecond integer math (§4): the 2024 event clock is
+    // folded into the 1995-2001 order era with an exact modulus so
+    // the inequality actually discriminates, and events before their
+    // customer's first order keep NULL order columns (left as-of).
+    (s, d) => {
+      // 788918400000000 = 1995-01-01T00:00Z µs; 207360000000000 µs
+      // = 2400 days, landing inside the order-date span
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        (lit(788918400000000L) +
+          pmod(unix_micros(col("ts")), lit(207360000000000L))).as("eff_us"))
+      val ord = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        // o_orderdate reads as TIMESTAMP_NTZ; the session TZ is UTC,
+        // so the cast is instant-preserving
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+      AsOf.joinPrior(ev, "user_id", "eff_us", "event_id",
+          ord, "o_custkey", "od_us", "o_orderkey")
+        .select(col("event_id"), col("user_id"), col("eff_us"),
+          col("o_orderkey"), col("o_totalprice"),
+          expr("(eff_us - od_us) div 86400000000").as("days_since_order"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id,
+               788918400000000 + (epoch_us(ts) % 207360000000000) AS eff_us
+        FROM events),
+      cand AS (
+        SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               epoch_us(o.o_orderdate) AS od_us,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY epoch_us(o.o_orderdate) DESC,
+                          o.o_orderkey DESC) AS rk
+        FROM ev e JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND epoch_us(o.o_orderdate) <= e.eff_us)
+      SELECT e.event_id, e.user_id, e.eff_us,
+             c.o_orderkey, c.o_totalprice,
+             CAST((e.eff_us - c.od_us) // 86400000000 AS BIGINT)
+               AS days_since_order
+      FROM ev e LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c
+        USING (event_id)
+      ORDER BY event_id"""))
+
   override val queries: Seq[Q] =
-    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13)
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14)
 }
