@@ -67,6 +67,35 @@ object Ann {
       .drop("c_vec", "c_nrm", "c_sim", "c_rk")
   }
 
+  /** MAP-SIDE nearest-centroid assignment: the k centroids collapse
+    * to a ONE-ROW broadcast array and each vector picks its argmax
+    * cosine with a fold over that array — a pure projection, so
+    * unlike [[assignToCentroids]] (window top-1 = TopKPerKey
+    * partial+exchange) the corpus is never shuffled at all. Strict
+    * `>` over the cid-sorted array = ties to the lower centroid id,
+    * the same total order as the window form (§4-exact: cosine6Pre
+    * on both paths). `cent` must have (cid, cv, cn). Adds `cid` and
+    * `csim` to `df`. The shape for assignment-only passes (corpus
+    * profiling, streaming cluster routing); keep assignToCentroids
+    * where keep>1 probes are needed. */
+  def argmaxAssign(df: DataFrame, vec: String, cent: DataFrame): DataFrame = {
+    val centArr = cent.agg(sort_array(collect_list(
+      struct(col("cid"), col("cv"), col("cn")))).as("__cents"))
+    df.withColumn("__vn", VectorOps.norm(col(vec)))
+      .crossJoin(broadcast(centArr))
+      .withColumn("__best", aggregate(col("__cents"),
+        struct(lit(-1L).as("cid"), lit(-2.0).as("s")),
+        (acc, c) => {
+          val cs = VectorOps.cosine6Pre(col(vec), c("cv"),
+            col("__vn"), c("cn"))
+          when(cs > acc("s"),
+            struct(c("cid").as("cid"), cs.as("s"))).otherwise(acc)
+        }))
+      .withColumn("cid", col("__best.cid"))
+      .withColumn("csim", col("__best.s"))
+      .drop("__cents", "__vn", "__best")
+  }
+
   private def centTable(centroids: DataFrame, id: String,
                         vec: String): DataFrame =
     centroids.select(col(id).as("c_id"), col(vec).as("c_vec"),

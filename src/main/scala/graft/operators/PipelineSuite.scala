@@ -357,7 +357,7 @@ object PipelineSuite extends Suite {
   // the per-dim FIXED-POINT mean: floor(x * 2^30) per member (exact
   // for floats), exact integer sum, divide back in double — mirrors
   // Ann.kmeansFit bit-for-bit.
-  private def kmeansPickSql(prev: String, n: Int): String = s"""
+  private[operators] def kmeansPickSql(prev: String, n: Int): String = s"""
       pick$n AS (
         SELECT vec_id, cid FROM (
           SELECT v.vec_id, c.cid,
@@ -367,7 +367,7 @@ object PipelineSuite extends Suite {
           FROM corpus v CROSS JOIN $prev c) t
         WHERE rk = 1)"""
 
-  private def kmeansIterSql(prev: String, n: Int): String =
+  private[operators] def kmeansIterSql(prev: String, n: Int): String =
     s"""${kmeansPickSql(prev, n)},
       upd$n AS (
         SELECT p.cid, t.i,
@@ -384,7 +384,7 @@ object PipelineSuite extends Suite {
 
   /** cent0 (k lowest-id seeds) + `iters` Lloyd iterations + the final
     * corpus assignment pick{iters+1} over cent{iters}. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private[operators] def kmeansCtes(k: Int, iters: Int): String = {
     val iterCtes = (1 to iters)
       .map(i => kmeansIterSql(s"cent${i - 1}", i)).mkString(",\n      ")
     s"""cent0 AS (
@@ -1088,21 +1088,10 @@ object PipelineSuite extends Suite {
       val cent = Ann.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         .withColumn("cn", VectorOps.norm(col("cv")))
-      val centArr = cent.agg(sort_array(collect_list(
-        struct(col("cid"), col("cv"), col("cn")))).as("cents"))
-      val assigned = e.select(col("vec_id").as("vid"),
-          col("embedding").as("v"), col("label"))
-        .withColumn("vn", VectorOps.norm(col("v")))
-        .crossJoin(broadcast(centArr))
-        .withColumn("best", aggregate(col("cents"),
-          struct(lit(-1L).as("cid"), lit(-2.0).as("s")),
-          (acc, c) => {
-            val cs = VectorOps.cosine6Pre(col("v"), c("cv"),
-              col("vn"), c("cn"))
-            when(cs > acc("s"),
-              struct(c("cid").as("cid"), cs.as("s"))).otherwise(acc)
-          }))
-        .select(col("best.cid").as("cid"), col("label"))
+      val assigned = Ann.argmaxAssign(
+          e.select(col("vec_id").as("vid"), col("embedding").as("v"),
+            col("label")), "v", cent)
+        .select(col("cid"), col("label"))
       // one materialization of the k x |labels| histogram: both report
       // aggregates branch from it, and without the barrier the join's
       // isnotnull(cid) pushes into only one branch, defeating AQE

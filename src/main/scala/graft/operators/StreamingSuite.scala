@@ -304,6 +304,55 @@ object StreamingSuite extends Suite {
       ORDER BY e.hour_bucket, e.user_id"""
     })
 
+  val d12 = Q(
+    "d12_stream_cluster_assign",
+    // Streaming cluster routing, batch-replayed: arriving embeddings
+    // (the vec_id%10 >= 8 split) each take their nearest centroid —
+    // trained once on the corpus split with c17's §4-exact Lloyd
+    // trainer — via the MAP-SIDE fold-argmax (Ann.argmaxAssign): a
+    // stateless stream-static projection, so micro-batch boundaries
+    // can never change an assignment (streaming flavor =
+    // Streams.clusterAssignStreaming, cross-batch parity in
+    // StreamsSpec). The routing stage in front of per-cluster
+    // curation sinks.
+    (s, d) => {
+      import graft.util.Barriers.BarrierOps
+      val e = Tables.embeddings(s, d)
+      val corpus = e.where(pmod(col("vec_id"), lit(10)) < 8)
+        .select(col("vec_id"), col("embedding"))
+      val cent = Ann.kmeansFit(corpus, "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .withColumn("cn", graft.functions.VectorOps.norm(col("cv")))
+        .barrier(true)
+      val arriving = e.where(pmod(col("vec_id"), lit(10)) >= 8)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      Streams.clusterAssignStreaming(arriving, "embedding", cent)
+        .select(col("vec_id"), col("cid"), col("csim").as("sim"),
+          col("label").cast("long").as("label"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val cos = graft.functions.VectorOps
+        .cosine6Sql("a.embedding", "c.cv")
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8),
+      ${PipelineSuite.kmeansCtes(k = 8, iters = 2)},
+      arr AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id % 10 >= 8),
+      asg AS (
+        SELECT a.vec_id, c.cid, $cos AS sim,
+               CAST(a.label AS BIGINT) AS label,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY $cos DESC, c.cid) AS rk
+        FROM arr a CROSS JOIN cent2 c)
+      SELECT vec_id, cid, sim, label FROM asg
+      WHERE rk = 1
+      ORDER BY vec_id"""
+    })
+
   override val queries: Seq[Q] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12)
 }

@@ -395,6 +395,22 @@ object Streams {
       .join(broadcast(evalShingles), "h")
       .select(col("train_id"), col("eval_id"), col("h"))
 
+  /** Streaming cluster routing: each arriving embedding is assigned
+    * its nearest trained centroid MAP-SIDE ([[graft.operators.Ann
+    * .argmaxAssign]] — fold-argmax over the one-row broadcast
+    * centroid array). A pure stream-static projection: no state, no
+    * watermark, no shuffle of the stream side, so micro-batch
+    * boundaries can never change an assignment and the accumulated
+    * stream output equals the batch operator over the same vectors
+    * (StreamsSpec pins it cross-batch). The routing stage in front
+    * of per-cluster downstream sinks (curation-by-domain, per-topic
+    * quality gates). `cent` must carry (cid, cv, cn) and is planned
+    * per micro-batch — train once with Ann.kmeansFit and barrier (or
+    * persist via DiskCache) so training never re-runs. */
+  def clusterAssignStreaming(vecs: DataFrame, vec: String,
+                             cent: DataFrame): DataFrame =
+    graft.operators.Ann.argmaxAssign(vecs, vec, cent)
+
   /** Static eval-side shingle table for [[contaminationHitsStreaming]]. */
   def evalShingles(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("eval_id"),

@@ -405,4 +405,46 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.exists(_._2 == 0L), "some arriving docs must be blocked")
   }
+
+  test("streaming cluster assignment matches the batch operator across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    import graft.functions.VectorOps
+    import graft.util.Barriers.BarrierOps
+    val e = Tables.embeddings(spark, sf)
+    val cent = Ann.kmeansFit(
+        e.where(pmod($"vec_id", lit(10)) < 8)
+          .select($"vec_id", $"embedding"),
+        "vec_id", "embedding", k = 8, iters = 2)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+      .withColumn("cn", VectorOps.norm($"cv"))
+      .barrier(true)
+    val arriving = e.where(pmod($"vec_id", lit(10)) >= 8)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    val ms = MemoryStream[(Long, Array[Float], Int)]
+    val q = Streams.clusterAssignStreaming(
+        ms.toDF().toDF("vec_id", "embedding", "label"), "embedding", cent)
+      .select($"vec_id", $"cid", $"csim")
+      .writeStream.format("memory").queryName("assigned")
+      .outputMode("append").start()
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("assigned").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Double]("csim"))).sortBy(_._1).toSeq
+    val batch = Ann.argmaxAssign(
+        e.where(pmod($"vec_id", lit(10)) >= 8)
+          .select($"vec_id", $"embedding"), "embedding", cent)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Double]("csim"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    // every centroid id must come from the trained set
+    val cids = cent.select($"cid").collect().map(_.getLong(0)).toSet
+    assert(streamed.forall(t => cids.contains(t._2)))
+  }
 }
