@@ -1133,8 +1133,63 @@ object PipelineSuite extends Suite {
       FROM sizes s JOIN top t USING (cid)
       ORDER BY cid"""))
 
+  val c36 = Q(
+    "c36_bm25_retrieval",
+    // BM25-shaped lexical retrieval (Retrieval.bm25TopK): eval docs
+    // (the c27 contamination split) as queries, top-5 train docs
+    // each by the INTEGER BM25 score — bitlen idf (no float log),
+    // tf normalization multiplied through to a decimal(38,0)-exact
+    // rational. The synthetic corpus is a 31-token vocabulary where
+    // every token is hot, so the df-ppm stopword cap stays open and
+    // the bitlen idf does the damping (df≈N ⇒ idf 1; df=N/20 ⇒ 5).
+    // The lexical leg of contamination triage next to the ANN
+    // family's dense leg.
+    (s, d) => Retrieval.bm25TopK(Tables.documents(s, d), "doc_id",
+        "text", pmod(col("doc_id"), lit(37)) === 0, k = 5)
+      .orderBy(col("eval_id"), col("rank")),
+    Some(s"""
+      WITH tt AS (
+        SELECT doc_id, (doc_id % 37 = 0) AS is_q,
+               unnest(${TextOps.tokensSql("text")}) AS tok
+        FROM documents),
+      tk AS (SELECT * FROM tt WHERE tok <> ''),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+             WHERE NOT is_q GROUP BY 1, 2),
+      lens AS (SELECT doc_id, COUNT(*) AS len FROM tk
+               WHERE NOT is_q GROUP BY 1),
+      totals AS (SELECT COUNT(*) AS n_train,
+                        CAST(SUM(len) AS BIGINT) AS tot_len FROM lens),
+      dft AS (
+        SELECT k.tok, k.df, t.n_train, t.tot_len,
+               ${Retrieval.bitLenSql("(t.n_train // k.df)")} AS idf
+        FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1) k
+          CROSS JOIN totals t
+        WHERE k.df * 1000000 <= 1000000 * t.n_train),
+      q AS (SELECT DISTINCT doc_id AS eval_id, tok FROM tk WHERE is_q),
+      scored AS (
+        SELECT q.eval_id, f.doc_id,
+               CAST(SUM(d.idf * CAST(
+                 (CAST(22 AS HUGEINT) * f.tf * d.tot_len * 1000000) //
+                 (CAST(10 AS HUGEINT) * f.tf * d.tot_len
+                  + CAST(3 AS HUGEINT) * d.tot_len
+                  + CAST(9 AS HUGEINT) * l.len * d.n_train)
+                 AS BIGINT)) AS BIGINT) AS score,
+               COUNT(*) AS n_terms
+        FROM tf f
+          JOIN dft d USING (tok)
+          JOIN q ON q.tok = f.tok
+          JOIN lens l ON l.doc_id = f.doc_id
+        GROUP BY 1, 2)
+      SELECT eval_id, CAST(rank AS BIGINT) AS rank, doc_id, score,
+             n_terms
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+              ORDER BY score DESC, doc_id) AS rank
+            FROM scored) t
+      WHERE rank <= 5
+      ORDER BY eval_id, rank"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
-      c30, c31, c32, c33, c34, c35)
+      c30, c31, c32, c33, c34, c35, c36)
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** BM25-shaped sparse retrieval over the token inverted index — the
+  * lexical leg of contamination screening and dedup triage (the dense
+  * leg is the ANN family). Classic BM25 needs float `ln` for idf and
+  * a float length normalization; both are portability cliffs under
+  * SURVEY.md §4, so this operator keeps the SHAPE of BM25 with
+  * integer-exact weights:
+  *
+  *   - idf: `bitlen(N div df)` = floor(log2(N/df)) + 1 — the same
+  *     rare-term damping curve as log idf, computed as a 40-term
+  *     power-of-two fold (exact in both engines; no float log).
+  *   - tf normalization: BM25's tf*(k1+1) / (tf + k1*(1-b+b*len/L))
+  *     with k1=1.2, b=0.75, multiplied through by 10*L*N into the
+  *     all-integer rational
+  *       w_ppm = (22*tf*totLen*1e6) div
+  *               (10*tf*totLen + 3*totLen + 9*len*N)
+  *     evaluated in decimal(38,0)/HUGEINT so the products cannot
+  *     overflow at 100 TB token counts (totLen ~ 2.5e13 → ~5e24,
+  *     within 38 digits; the quotient is ≤ 2.2e6 and long-safe).
+  *   - score(q, d) = Σ_t idf(t) * w_ppm(t, d) — ≤ 40 * 2.2e6 per
+  *     term, bounded by the QUERY length per pair: long-safe.
+  *
+  * Scale shape: tf (corpus tokens) equi-joins len (corpus docs) on
+  * doc_id, the query term set joins BROADCAST on token (eval sets
+  * are small — c27's contamination pattern), and a df-ppm cap can
+  * drop stopwords before the posting-list join (signal filter and
+  * skew guard in one — see maxDfPpm). Top-k per query is the
+  * row_number ≤ k filter the optimizer rewrites to the TopKPerKey
+  * bounded heap. Queries sharing no surviving term with a doc emit
+  * no row (standard sparse-retrieval semantics).
+  */
+object Retrieval {
+
+  /** floor(log2(x)) + 1 for x >= 1, as a power-of-two fold (§4-exact,
+    * no float log). */
+  def bitLen(x: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(39)), j =>
+        when(x >= pow(lit(2.0), j).cast("long"), 1L).otherwise(0L)),
+      lit(0L), (acc, b) => acc + b)
+
+  def bitLenSql(x: String): String =
+    s"""list_reduce(list_transform(range(0, 40), j ->
+        CASE WHEN $x >= CAST(pow(2, j) AS BIGINT)
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+        (a, b) -> a + b)"""
+
+  /** Top-`k` train docs per query doc by the integer BM25 score.
+    * `isQuery` splits `docs` into the query side and the indexed
+    * (train) side. Tokens with df*1e6 > maxDfPpm*N are dropped
+    * before the posting join — at production scale pass ~500000
+    * (df > N/2 is stopword noise AND the hottest join key); the
+    * default keeps everything and leans on the bitlen-idf damping
+    * (df ≈ N ⇒ idf = 1), which is the right call for narrow
+    * vocabularies. Output: (eval_id, rank, doc_id, score, n_terms).
+    */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+               isQuery: Column, k: Int,
+               maxDfPpm: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col(id).as("doc_id"), isQuery.as("is_q"),
+        explode(TextOps.tokens(col(text))).as("tok"))
+      .where(col("tok") =!= "")
+    val train = toks.where(!col("is_q"))
+    val tf = train.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val lens = train.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val totals = lens.agg(count(lit(1)).as("n_train"),
+      sum(col("len")).as("tot_len"))
+    val dfTok = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      // stopword/skew guard (see maxDfPpm above)
+      .where(col("df") * lit(1000000L) <= lit(maxDfPpm) * col("n_train"))
+      .withColumn("idf", bitLen(expr("n_train div df")))
+    val qTerms = toks.where(col("is_q"))
+      .select(col("doc_id").as("eval_id"), col("tok")).distinct()
+    val scored = tf
+      .join(dfTok, "tok")
+      .join(broadcast(qTerms), "tok")
+      .join(lens, "doc_id")
+      .withColumn("w_ppm", expr("""
+        CAST((CAST(22 AS DECIMAL(38,0)) * tf * tot_len * 1000000) DIV
+             (CAST(10 AS DECIMAL(38,0)) * tf * tot_len
+              + CAST(3 AS DECIMAL(38,0)) * tot_len
+              + CAST(9 AS DECIMAL(38,0)) * len * n_train) AS BIGINT)"""))
+      .groupBy(col("eval_id"), col("doc_id"))
+      .agg(sum(col("idf") * col("w_ppm")).as("score"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("eval_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"), col("n_terms"))
+  }
+}
