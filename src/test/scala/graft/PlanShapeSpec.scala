@@ -103,6 +103,8 @@ class PlanShapeSpec extends SparkSpec {
       "c31_vocab_stats",    // broadcast 1-row vocab totals
       "c32_mix_apply",      // broadcast 1-row corpus totals
       "c35_cluster_profile", // broadcast centroids
+      "c36_bm25_retrieval", // broadcast 1-row corpus totals
+      "d12_stream_cluster_assign", // broadcast 1-row centroid array
       "d11_stream_window_cm") // broadcast fixed probe-set grid
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
