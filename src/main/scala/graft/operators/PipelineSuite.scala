@@ -1136,7 +1136,7 @@ object PipelineSuite extends Suite {
   val c36 = Q(
     "c36_bm25_retrieval",
     // BM25-shaped lexical retrieval (Retrieval.bm25TopK): eval docs
-    // (the c27 contamination split) as queries, top-5 train docs
+    // (doc_id%101 — ~1% of the corpus) as queries, top-5 train docs
     // each by the INTEGER BM25 score — bitlen idf (no float log),
     // tf normalization multiplied through to a decimal(38,0)-exact
     // rational. The synthetic corpus is a 31-token vocabulary where
@@ -1145,11 +1145,11 @@ object PipelineSuite extends Suite {
     // The lexical leg of contamination triage next to the ANN
     // family's dense leg.
     (s, d) => Retrieval.bm25TopK(Tables.documents(s, d), "doc_id",
-        "text", pmod(col("doc_id"), lit(37)) === 0, k = 5)
+        "text", pmod(col("doc_id"), lit(101)) === 0, k = 5)
       .orderBy(col("eval_id"), col("rank")),
     Some(s"""
       WITH tt AS (
-        SELECT doc_id, (doc_id % 37 = 0) AS is_q,
+        SELECT doc_id, (doc_id % 101 = 0) AS is_q,
                unnest(${TextOps.tokensSql("text")}) AS tok
         FROM documents),
       tk AS (SELECT * FROM tt WHERE tok <> ''),
