@@ -364,6 +364,51 @@ object RelationalSuite extends Suite {
         USING (event_id)
       ORDER BY event_id"""))
 
+  val a15 = Q(
+    "a15_range_join",
+    // Keyed interval join (RangeJoin.intervalJoin): which of the
+    // customer's 30-day order windows cover each event instant —
+    // snapshot/validity enrichment. NOT an inequality nested loop:
+    // intervals explode onto fixed-width buckets (width = interval
+    // length ⇒ ≤ 2 buckets each), the join is a plain equi-join on
+    // (customer, bucket) with the exact half-open predicate
+    // re-applied, and the result aggregates per event. Same era
+    // folding as a14 so the windows actually discriminate.
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        (lit(788918400000000L) +
+          pmod(unix_micros(col("ts")), lit(207360000000000L))).as("eff_us"))
+      val thirtyDaysUs = 2592000000000L
+      val ord = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("lo_us"))
+        .withColumn("hi_us", col("lo_us") + lit(thirtyDaysUs))
+      RangeJoin.intervalJoin(ev, "user_id", "eff_us",
+          ord, "o_custkey", "lo_us", "hi_us", widthUs = thirtyDaysUs)
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("first_order"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id,
+               788918400000000 + (epoch_us(ts) % 207360000000000) AS eff_us
+        FROM events),
+      iv AS (
+        SELECT o_custkey, o_orderkey,
+               epoch_us(o_orderdate) AS lo,
+               epoch_us(o_orderdate) + 2592000000000 AS hi
+        FROM orders)
+      SELECT e.event_id, e.user_id, COUNT(*) AS n_orders,
+             MIN(i.o_orderkey) AS first_order
+      FROM ev e JOIN iv i
+        ON i.o_custkey = e.user_id
+       AND e.eff_us >= i.lo AND e.eff_us < i.hi
+      GROUP BY 1, 2
+      ORDER BY event_id"""))
+
   override val queries: Seq[Q] =
-    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14)
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15)
 }
