@@ -352,4 +352,39 @@ object GraphAlgo {
       .orderBy(col("jaccard").desc, col("p"), col("q"))
       .limit(topN)
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * over an [[undirectedSimple]] view, made fully deterministic:
+    * every node starts labeled with its own id; each round every node
+    * adopts the most frequent label among its neighbours, ties to the
+    * LEXICOGRAPHICALLY SMALLEST label; all nodes update together from
+    * the previous round's labels (no asynchronous order dependence),
+    * for a FIXED `rounds` (same contract as the b18 PageRank and b24
+    * k-core fixed iterations — exact whether or not converged).
+    * Per round: one equi-join of the symmetric adjacency to the
+    * label frame (shuffle on node id), one (node, label) count agg,
+    * one top-1-per-node (the row_number≤1 the optimizer rewrites to
+    * the TopKPerKey bounded heap) — all linear in |E|, barriered so
+    * round k+1's lineage starts at round k's output. Isolated nodes
+    * never appear (no neighbours ⇒ no votes ⇒ not in the view). */
+  def labelPropagationUnd(und: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+      .barrier(true)
+    var lab = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      lab = adj
+        .join(lab.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("node"), col("label"))
+        .barrier(true)
+    }
+    lab
+  }
 }

@@ -784,7 +784,46 @@ object GraphSuite extends Suite {
             FROM dump)
       GROUP BY rel ORDER BY rel"""))
 
+  val b28 = Q(
+    "b28_label_propagation",
+    // Deterministic synchronous label propagation (3 fixed rounds,
+    // most-frequent neighbour label, ties to the smallest label —
+    // see GraphAlgo.labelPropagationUnd) over the persisted
+    // undirected view. Communities are finer than b14's components
+    // (a component can split into several label basins), which is
+    // the point: LPA is the cheap community pass CC can't give.
+    (s, d) => graft.graph.GraphAlgo
+      .labelPropagationUnd(MemoryGraph.undirectedView(s, d), rounds = 3)
+      .orderBy(col("node")),
+    Some {
+      // AS MATERIALIZED for the same reason as b24: each round joins
+      // the previous label frame twice (adjacency + vote count)
+      val rounds = (1 to 3).map { r =>
+        s"""l$r AS MATERIALIZED (
+              SELECT node, label FROM (
+                SELECT a.node, p.label, COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY a.node
+                         ORDER BY COUNT(*) DESC, p.label) AS rk
+                FROM adj a JOIN l${r - 1} p ON p.node = a.nbr
+                GROUP BY a.node, p.label) t
+              WHERE rk = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH edges AS ($E),
+      und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+      adj AS MATERIALIZED (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT node, node AS label FROM adj),
+      $rounds
+      SELECT node, label FROM l3
+      ORDER BY node"""
+    })
+
   override val queries: Seq[Q] =
     Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15,
-      b16, b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27)
+      b16, b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28)
 }

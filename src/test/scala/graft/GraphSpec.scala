@@ -173,4 +173,28 @@ class GraphSpec extends SparkSpec {
     assert(!capped.exists(r => r.getAs[String]("p") == "p"
       && r.getAs[String]("q") == "q"))
   }
+
+  test("labelPropagation: two cliques bridged by one edge keep separate labels") {
+    import graft.graph.GraphAlgo
+    // clique {a1,a2,a3} — bridge a3-b1 — clique {b1,b2,b3}: within a
+    // clique the minority bridge vote never outweighs the clique
+    // majority, so after any number of synchronous rounds the two
+    // cliques keep distinct labels (community structure CC cannot
+    // see: b14 would report ONE component)
+    val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a3", "b1"))
+    val und = GraphAlgo.undirectedSimple(edges.toDF("src", "dst"))
+    val out = GraphAlgo.labelPropagationUnd(und, rounds = 3)
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[String]("label")).toMap
+    assert(out.keySet === Set("a1", "a2", "a3", "b1", "b2", "b3"))
+    assert(Set("a1", "a2", "a3").map(out).size === 1, s"a-clique: $out")
+    assert(Set("b2", "b3").map(out).size === 1, s"b-clique: $out")
+    assert(out("a1") !== out("b2"), s"communities must differ: $out")
+    // determinism: a rerun is bit-identical
+    val again = GraphAlgo.labelPropagationUnd(und, rounds = 3)
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[String]("label")).toMap
+    assert(again === out)
+  }
 }
