@@ -1188,8 +1188,41 @@ object PipelineSuite extends Suite {
       WHERE rank <= 5
       ORDER BY eval_id, rank"""))
 
+  val c37 = Q(
+    "c37_sequence_pack",
+    // Training-sequence packing (Packing.packOffsets): concatenate
+    // the corpus in doc_id order, chop into 512-token sequences,
+    // report each doc's global offset / sequence / position and
+    // whether it straddles a boundary. The global prefix sum is the
+    // two-level distributed scan (parallel within-bucket windows +
+    // a tiny bucket-total scan) — NOT the single-partition global
+    // window the oracle can afford.
+    (s, d) => Packing.packOffsets(Tables.documents(s, d), "doc_id",
+        "text", budget = 512L)
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(${TextOps.tokensSql("text")}) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS "offset"
+        FROM t)
+      SELECT doc_id, n_tokens, "offset",
+             "offset" // 512 AS seq_id,
+             "offset" % 512 AS seq_pos,
+             CAST(CASE WHEN ("offset" + n_tokens - 1) // 512
+                       <> "offset" // 512 THEN 1 ELSE 0 END AS BIGINT)
+               AS crosses
+      FROM o
+      ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
-      c30, c31, c32, c33, c34, c35, c36)
+      c30, c31, c32, c33, c34, c35, c36, c37)
 }
