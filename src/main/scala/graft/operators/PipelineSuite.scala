@@ -1221,8 +1221,63 @@ object PipelineSuite extends Suite {
       FROM o
       ORDER BY doc_id"""))
 
+  val c38 = Q(
+    "c38_quantile_hist",
+    // Exact per-language token-length percentiles (p50/p90/p99,
+    // nearest-rank) WITHOUT a global sort: token counts live on a
+    // bounded integer domain, so the histogram (groupBy value —
+    // partial-aggregable, output ≤ |langs|×|domain|) plus a cumsum
+    // over the tiny histogram IS the exact quantile — the
+    // distributed replacement for approx_percentile when the domain
+    // is bounded (counts, lengths, scores-in-ppm). Nearest-rank =
+    // smallest value whose running count reaches ceil(q·n) — integer
+    // arithmetic only, no interpolation, oracle-mirrored.
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.documents(s, d)
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("lang"), col("n")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("lang"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("tot", sum(col("cnt")).over(wTot))
+      def q(ppm: Long): org.apache.spark.sql.Column =
+        // nearest-rank: smallest n with cum >= ceil(ppm*tot/1e6)
+        min(when(col("cum") >=
+          expr(s"($ppm * tot + 999999) div 1000000"), col("n")))
+      cum.groupBy(col("lang"))
+        .agg(max(col("tot")).as("n_docs"),
+          q(500000L).as("p50"), q(900000L).as("p90"), q(990000L).as("p99"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT lang,
+               CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n
+        FROM documents),
+      hist AS (SELECT lang, n, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+      cum AS (
+        SELECT lang, n, cnt,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY n
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY lang) AS tot
+        FROM hist)
+      SELECT lang, CAST(MAX(tot) AS BIGINT) AS n_docs,
+        CAST(MIN(CASE WHEN cum >= (500000 * tot + 999999) // 1000000
+          THEN n END) AS BIGINT) AS p50,
+        CAST(MIN(CASE WHEN cum >= (900000 * tot + 999999) // 1000000
+          THEN n END) AS BIGINT) AS p90,
+        CAST(MIN(CASE WHEN cum >= (990000 * tot + 999999) // 1000000
+          THEN n END) AS BIGINT) AS p99
+      FROM cum
+      GROUP BY lang
+      ORDER BY lang"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
-      c30, c31, c32, c33, c34, c35, c36, c37)
+      c30, c31, c32, c33, c34, c35, c36, c37, c38)
 }

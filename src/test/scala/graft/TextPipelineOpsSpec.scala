@@ -86,4 +86,28 @@ class TextPipelineOpsSpec extends SparkSpec {
       minQuality = 0.0, tau = 0.99, maxDup3gram = 0.2)
     assert(gated.select("doc_id").as[Long].collect().toSet == Set(2L))
   }
+
+  test("histogram quantile matches brute-force nearest-rank") {
+    // the c38 inventory query's semantics on data small enough to
+    // sort by hand: p(q) = smallest value whose rank reaches
+    // ceil(q * n) — exercised through the registered query at sf
+    val out = graft.SparkEntry.queries("c38_quantile_hist")(spark, sf)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("p50"),
+          r.getAs[Long]("p90"), r.getAs[Long]("p99"))).toMap
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"lang", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted }
+    docs.foreach { case (lang, sorted) =>
+      val n = sorted.length
+      def nearestRank(ppm: Long): Long =
+        sorted((((ppm * n + 999999L) / 1000000L).toInt - 1).max(0))
+      val (nd, p50, p90, p99) = out(lang)
+      assert(nd === n.toLong)
+      assert(p50 === nearestRank(500000L), s"$lang p50")
+      assert(p90 === nearestRank(900000L), s"$lang p90")
+      assert(p99 === nearestRank(990000L), s"$lang p99")
+    }
+  }
 }
