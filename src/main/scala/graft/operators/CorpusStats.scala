@@ -266,4 +266,83 @@ object CorpusStats {
              ${ppmSql("total_bits", "n_tokens")} AS mean_bits_ppm
       FROM per_doc"""
   }
+
+  // --- hashed contrastive importance selection ----------------------
+  /** DSIR-style importance selection (Xie et al. 2023,
+    * arXiv:2302.03169): score raw documents by how target-like their
+    * token distribution is, using HASHED unigram features — tokens
+    * fold into a FIXED bucket space (`buckets` rows), so the
+    * generative model is O(buckets) regardless of corpus size and
+    * the scoring join is a broadcast, i.e. map-side. Per-bucket
+    * weight = surprisal-under-raw − surprisal-under-target in whole
+    * bits, both as bitlength(total div count) with +1 Laplace
+    * smoothing over the fixed bucket space — exact integer arithmetic
+    * end to end (no float log, §4). A doc's score sums the weight
+    * over token OCCURRENCES; the top `topK` raw docs (score desc, id)
+    * are the selected sample.
+    *
+    * Shape: two corpus passes (bucket counts, then scoring) — at
+    * 100 TB re-scanning beats materializing the exploded token
+    * stream; the only shuffles are the ≤`buckets`-row count agg and
+    * the per-doc partial-aggregable sum. */
+  def importanceSelect(docs: DataFrame, id: String, text: String,
+                       isTarget: Column, buckets: Int,
+                       topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(id), isTarget.as("is_t"),
+      explode(transform(TextOps.tokens(col(text)),
+        t => pmod(TextOps.polyHashMixed(t), lit(buckets.toLong)))).as("bk"))
+    val counts = tok.groupBy(col("bk")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct0"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr0"))
+    val totals = counts.agg(
+      (sum(col("ct0")) + buckets).as("tot_t"),
+      (sum(col("cr0")) + buckets).as("tot_r"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("bk"),
+        (length(bin(expr("tot_r div (cr0 + 1)"))).cast("long") -
+         length(bin(expr("tot_t div (ct0 + 1)"))).cast("long")).as("w"))
+    val scored = tok.where(!col("is_t"))
+      .join(broadcast(weights), "bk")
+      .groupBy(col(id))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tokens"))
+    val top = scored.orderBy(col("score").desc, col(id)).limit(topK)
+    val rw = Window.orderBy(col("score").desc, col(id))
+    top.withColumn("rank", row_number().over(rw).cast("long"))
+      .select(col("rank"), col(id), col("score"), col("n_tokens"))
+  }
+
+  def importanceSelectSql(id: String, text: String, isTargetSql: String,
+                          buckets: Int, topK: Int): String = {
+    val tk = TextOps.tokensSql(text)
+    s"""
+      WITH tok AS (
+        SELECT $id, ($isTargetSql) AS is_t,
+               unnest(list_transform($tk,
+                 tok -> (${TextOps.polyHashMixedSql("tok")}) % $buckets))
+                 AS bk
+        FROM documents),
+      counts AS (
+        SELECT bk,
+               SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct0,
+               SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr0
+        FROM tok GROUP BY 1),
+      tot AS (SELECT SUM(ct0) + $buckets AS tot_t,
+                     SUM(cr0) + $buckets AS tot_r FROM counts),
+      w AS (
+        SELECT bk,
+               CAST(length(bin(tot_r // (cr0 + 1))) AS BIGINT)
+               - CAST(length(bin(tot_t // (ct0 + 1))) AS BIGINT) AS w
+        FROM counts CROSS JOIN tot),
+      scored AS (
+        SELECT $id, CAST(SUM(w) AS BIGINT) AS score,
+               COUNT(*) AS n_tokens
+        FROM tok JOIN w USING (bk)
+        WHERE NOT is_t GROUP BY 1)
+      SELECT CAST(rank AS BIGINT) AS rank, $id, score, n_tokens
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, $id)
+              AS rank
+            FROM scored) t
+      WHERE rank <= $topK"""
+  }
 }

@@ -506,4 +506,35 @@ object Dedup {
         greatest(col("da"), col("db")).as("id_b"),
         col("ka").as("key"), col("sim"))
   }
+
+  /** SemDeDup-style cluster-then-dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means partitions the embedding space and
+    * near-duplicate search runs ONLY within each cluster — the pair
+    * work drops from |n|² to Σ|cluster|², and every cluster is an
+    * independent task. `cent` is a trained centroid frame
+    * (cid, cv, cn); assignment is [[Ann.argmaxAssign]]'s map-side
+    * fold (no shuffle of the corpus), pairs are the triangle-blocked
+    * [[keyedEmbeddingPairs]] keyed by cluster id. The keep rule is
+    * deterministic min-id (the paper keeps the lowest
+    * cosine-to-centroid exemplar; min-id is the tie-free variant —
+    * documented semantics): each dropped vector reports its smallest
+    * lower-id neighbour, that pair's cosine, and its in-cluster
+    * duplicate degree. Cross-cluster near-dups are invisible by
+    * construction — that recall loss is the published trade. */
+  def semDedup(emb: DataFrame, id: String, vec: String,
+               cent: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Ann.argmaxAssign(
+        emb.select(col(id).as("vid"), col(vec).as("v")), "v", cent)
+      .select(col("vid"), col("v"), col("cid"))
+    val pairs = keyedEmbeddingPairs(assigned, "vid", "v", "cid", tau)
+    val w = Window.partitionBy(col("id_b")).orderBy(col("id_a"))
+    pairs
+      .withColumn("n_dups", count(lit(1)).over(
+        Window.partitionBy(col("id_b"))))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("key").as("cid"), col("id_b").as("vec_id"),
+        col("id_a").as("dup_of"), col("sim"), col("n_dups"))
+  }
 }

@@ -1276,8 +1276,66 @@ object PipelineSuite extends Suite {
       GROUP BY lang
       ORDER BY lang"""))
 
+  val c39 = Q(
+    "c39_semdedup",
+    // SemDeDup (Dedup.semDedup): cluster the embedding space with
+    // c17's deterministic Lloyd trainer, then search near-dup pairs
+    // ONLY within each cluster — Σ|cluster|² pair work instead of
+    // |n|², every cluster an independent task, and the assignment is
+    // the map-side fold-argmax (the corpus never shuffles for it).
+    // Same τ as c5's global exact pass, so the two operators bracket
+    // the published recall trade: c39 finds the same-cluster subset
+    // of c5's pairs at a fraction of the pair work.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = Ann.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .withColumn("cn", VectorOps.norm(col("cv")))
+      Dedup.semDedup(e, "vec_id", "embedding", cent, tau = 0.40)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val cos = VectorOps.cosine6Sql("l.embedding", "r.embedding")
+      s"""
+      WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      ${kmeansCtes(k = 8, iters = 2)},
+      pairs AS (
+        SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b, $cos AS sim
+        FROM pick3 a
+          JOIN pick3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN embeddings l ON l.vec_id = a.vec_id
+          JOIN embeddings r ON r.vec_id = b.vec_id
+        WHERE $cos >= 0.40),
+      ranked AS (
+        SELECT cid, id_b AS vec_id, id_a AS dup_of, sim,
+               COUNT(*) OVER (PARTITION BY id_b) AS n_dups,
+               ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) AS rk
+        FROM pairs)
+      SELECT cid, vec_id, dup_of, sim, n_dups
+      FROM ranked WHERE rk = 1
+      ORDER BY vec_id"""
+    })
+
+  val c40 = Q(
+    "c40_importance_select",
+    // DSIR-style hashed importance selection
+    // (CorpusStats.importanceSelect): the 'en' split is the target
+    // distribution, every other doc is raw, and the top-20 most
+    // target-like raw docs are selected by the integer contrastive
+    // score. The hashed feature space (1024 buckets) keeps the model
+    // broadcastable BY CONSTRUCTION at any corpus size — the paper's
+    // point, and the reason scoring is a map-side join here.
+    (s, d) => CorpusStats.importanceSelect(Tables.documents(s, d),
+        "doc_id", "text", col("lang") === "en", buckets = 1024,
+        topK = 20)
+      .orderBy(col("rank")),
+    Some(s"""
+      ${CorpusStats.importanceSelectSql("doc_id", "text",
+        "lang = 'en'", buckets = 1024, topK = 20)}
+      ORDER BY rank"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
-      c30, c31, c32, c33, c34, c35, c36, c37, c38)
+      c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40)
 }

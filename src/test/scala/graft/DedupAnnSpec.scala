@@ -108,4 +108,35 @@ class DedupAnnSpec extends SparkSpec {
       .orderBy($"q_id", $"rank").collect().toSeq
     assert(probed === direct)
   }
+
+  test("semDedup drops exactly the within-cluster lower-neighbour set") {
+    import org.apache.spark.sql.functions.col
+    val cent = Ann.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .withColumn("cn", graft.functions.VectorOps.norm(col("cv")))
+    val dropped = Dedup.semDedup(emb, "vec_id", "embedding", cent, 0.40)
+      .cache()
+    assert(dropped.count() > 0, "testdata plants same-cluster near-dups")
+    assert(dropped.where($"dup_of" >= $"vec_id").isEmpty,
+      "keep rule is min-id: the reported exemplar is strictly lower")
+    assert(dropped.where($"sim" < 0.40).isEmpty)
+    // cluster-scoped by construction: every (dup_of, vec_id) pair is a
+    // same-cluster subset of the global exact pass at the same tau
+    val asg = Ann.argmaxAssign(
+        emb.select($"vec_id", $"embedding".as("v")), "v", cent)
+      .select($"vec_id", $"cid")
+    val global = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.40)
+      .join(asg.select($"vec_id".as("id_a"), $"cid".as("ca")), "id_a")
+      .join(asg.select($"vec_id".as("id_b"), $"cid".as("cb")), "id_b")
+      .where($"ca" === $"cb")
+      .groupBy($"id_b").agg(
+        org.apache.spark.sql.functions.min($"id_a").as("want_dup_of"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("want_n"))
+    val joined = dropped.join(global, dropped("vec_id") === global("id_b"),
+      "full_outer")
+    assert(joined.where($"vec_id".isNull || $"id_b".isNull ||
+      $"dup_of" =!= $"want_dup_of" || $"n_dups" =!= $"want_n").isEmpty,
+      "dropped set == same-cluster slice of the global exact pairs")
+  }
 }
