@@ -274,38 +274,64 @@ object CorpusStats {
     * fold into a FIXED bucket space (`buckets` rows), so the
     * generative model is O(buckets) regardless of corpus size and
     * the scoring join is a broadcast, i.e. map-side. Per-bucket
-    * weight = surprisal-under-raw − surprisal-under-target in whole
-    * bits, both as bitlength(total div count) with +1 Laplace
-    * smoothing over the fixed bucket space — exact integer arithmetic
-    * end to end (no float log, §4). A doc's score sums the weight
-    * over token OCCURRENCES; the top `topK` raw docs (score desc, id)
-    * are the selected sample.
+    * weight = the LINEAR probability contrast p_target − p_raw as
+    * integer ppm (+1 Laplace smoothing over the fixed bucket space,
+    * §4 ratio rule) — the paper's log-ratio needs a float log, which
+    * §4 forbids, and whole-bit integer logs are too coarse when the
+    * two distributions differ by <2× per bucket (measured on this
+    * corpus: every weight rounds to 0); the ppm contrast keeps
+    * sub-percent resolution at any scale and the same lean direction
+    * per bucket. A doc's score sums the weight over token
+    * OCCURRENCES (positive = target-like); the top `topK` raw docs
+    * (score desc, id) are the selected sample.
     *
     * Shape: two corpus passes (bucket counts, then scoring) — at
     * 100 TB re-scanning beats materializing the exploded token
     * stream; the only shuffles are the ≤`buckets`-row count agg and
     * the per-doc partial-aggregable sum. */
-  def importanceSelect(docs: DataFrame, id: String, text: String,
-                       isTarget: Column, buckets: Int,
-                       topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col(id), isTarget.as("is_t"),
-      explode(transform(TextOps.tokens(col(text)),
-        t => pmod(TextOps.polyHashMixed(t), lit(buckets.toLong)))).as("bk"))
+  private def tokenBuckets(text: String, buckets: Int): Column =
+    explode(transform(TextOps.tokens(col(text)),
+      t => pmod(TextOps.polyHashMixed(t), lit(buckets.toLong))))
+
+  /** The trained artifact: a DENSE `buckets`-row (bk, w) table —
+    * every bucket gets a weight (unseen buckets carry the pure
+    * Laplace prior), so scoring never drops a token and the model
+    * broadcasts at a size fixed by construction. */
+  def importanceWeights(docs: DataFrame, text: String, isTarget: Column,
+                        buckets: Int): DataFrame = {
+    val tok = docs.select(isTarget.as("is_t"),
+      tokenBuckets(text, buckets).as("bk"))
     val counts = tok.groupBy(col("bk")).agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct0"),
       sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr0"))
     val totals = counts.agg(
       (sum(col("ct0")) + buckets).as("tot_t"),
       (sum(col("cr0")) + buckets).as("tot_r"))
-    val weights = counts.crossJoin(broadcast(totals))
+    docs.sparkSession.range(0, buckets).select(col("id").as("bk"))
+      .join(counts, Seq("bk"), "left")
+      .na.fill(0L, Seq("ct0", "cr0"))
+      .crossJoin(broadcast(totals))
       .select(col("bk"),
-        (length(bin(expr("tot_r div (cr0 + 1)"))).cast("long") -
-         length(bin(expr("tot_t div (ct0 + 1)"))).cast("long")).as("w"))
-    val scored = tok.where(!col("is_t"))
+        (ppmExpr("(ct0 + 1)", "tot_t") -
+         ppmExpr("(cr0 + 1)", "tot_r")).as("w"))
+  }
+
+  /** Map-side scoring pass: broadcast the fixed-size model, join on
+    * the token bucket, one partial-aggregable per-doc sum. */
+  def importanceScore(weights: DataFrame, docs: DataFrame, id: String,
+                      text: String, buckets: Int): DataFrame =
+    docs.select(col(id), tokenBuckets(text, buckets).as("bk"))
       .join(broadcast(weights), "bk")
       .groupBy(col(id))
       .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tokens"))
+
+  def importanceSelect(docs: DataFrame, id: String, text: String,
+                       isTarget: Column, buckets: Int,
+                       topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = importanceWeights(docs, text, isTarget, buckets)
+    val scored = importanceScore(weights, docs.where(!isTarget), id,
+      text, buckets)
     val top = scored.orderBy(col("score").desc, col(id)).limit(topK)
     val rw = Window.orderBy(col("score").desc, col(id))
     top.withColumn("rank", row_number().over(rw).cast("long"))
@@ -331,8 +357,8 @@ object CorpusStats {
                      SUM(cr0) + $buckets AS tot_r FROM counts),
       w AS (
         SELECT bk,
-               CAST(length(bin(tot_r // (cr0 + 1))) AS BIGINT)
-               - CAST(length(bin(tot_t // (ct0 + 1))) AS BIGINT) AS w
+               ${ppmSql("(ct0 + 1)", "tot_t")}
+               - ${ppmSql("(cr0 + 1)", "tot_r")} AS w
         FROM counts CROSS JOIN tot),
       scored AS (
         SELECT $id, CAST(SUM(w) AS BIGINT) AS score,

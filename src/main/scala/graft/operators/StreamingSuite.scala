@@ -353,6 +353,82 @@ object StreamingSuite extends Suite {
       ORDER BY vec_id"""
     })
 
+  val d13 = Q(
+    "d13_stream_importance",
+    // Importance gating of ARRIVING docs (the d8 batch split) against
+    // the static hashed contrastive model trained on the corpus split
+    // (target = its 'en' docs) — batch replay of the foreachBatch
+    // flavor (Streams.importanceGateStreaming; per-doc decisions are
+    // model-static, so micro-batch boundaries never change them;
+    // StreamsSpec pins it cross-batch). The dense 1024-bucket model
+    // means arriving tokens unseen in the corpus still score (pure
+    // Laplace prior), and the scoring join is map-side broadcast.
+    // The threshold is TRAINED, not fixed: keep iff score beats the
+    // mean raw-train score, compared as score·n > Σ (integer
+    // multiply widened to decimal(38,0) — no division, so
+    // truncate-vs-floor on a negative mean can't split engines, and
+    // the gate passes a stable fraction at every corpus scale).
+    (s, d) => {
+      import graft.operators.CorpusStats
+      import graft.util.Barriers.BarrierOps
+      val docs = Tables.documents(s, d)
+      val isArr = pmod(col("doc_id"), lit(10)) >= 8
+      val corpus = docs.where(!isArr)
+      val w = CorpusStats.importanceWeights(corpus, "text",
+        col("lang") === "en", buckets = 1024).barrier(true)
+      val thr = CorpusStats.importanceScore(w,
+          corpus.where(col("lang") =!= "en"), "doc_id", "text",
+          buckets = 1024)
+        .agg(count(lit(1)).as("n_raw"), sum(col("score")).as("sum_raw"))
+      CorpusStats.importanceScore(w, docs.where(isArr), "doc_id", "text",
+          buckets = 1024)
+        .crossJoin(broadcast(thr))
+        .where(expr("cast(score as decimal(38,0)) * n_raw > sum_raw"))
+        .select(col("doc_id"), col("score"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.TextOps
+      def tokCte(pred: String, cols: String) =
+        s"""SELECT $cols,
+               unnest(list_transform(${TextOps.tokensSql("text")},
+                 tok -> (${TextOps.polyHashMixedSql("tok")}) % 1024))
+                 AS bk
+            FROM documents WHERE $pred"""
+      s"""
+      WITH ctok AS (${tokCte("doc_id % 10 < 8", "(lang = 'en') AS is_t")}),
+      counts AS (
+        SELECT bk,
+               SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct0,
+               SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr0
+        FROM ctok GROUP BY 1),
+      tot AS (SELECT SUM(ct0) + 1024 AS tot_t,
+                     SUM(cr0) + 1024 AS tot_r FROM counts),
+      w AS (
+        SELECT g.bk,
+               CAST((CAST(COALESCE(ct0, 0) + 1 AS HUGEINT) * 1000000)
+                 // tot_t AS BIGINT)
+               - CAST((CAST(COALESCE(cr0, 0) + 1 AS HUGEINT) * 1000000)
+                 // tot_r AS BIGINT) AS w
+        FROM (SELECT unnest(range(0, 1024)) AS bk) g
+          LEFT JOIN counts USING (bk) CROSS JOIN tot),
+      rtok AS (${tokCte("doc_id % 10 < 8 AND lang <> 'en'", "doc_id")}),
+      rscored AS (
+        SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
+        FROM rtok JOIN w USING (bk) GROUP BY 1),
+      thr AS (SELECT COUNT(*) AS n_raw,
+                     CAST(SUM(score) AS BIGINT) AS sum_raw
+              FROM rscored),
+      atok AS (${tokCte("doc_id % 10 >= 8", "doc_id")}),
+      scored AS (
+        SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
+               COUNT(*) AS n_tokens
+        FROM atok JOIN w USING (bk) GROUP BY 1)
+      SELECT doc_id, score, n_tokens FROM scored CROSS JOIN thr
+      WHERE CAST(score AS HUGEINT) * n_raw > sum_raw
+      ORDER BY doc_id"""
+    })
+
   override val queries: Seq[Q] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13)
 }

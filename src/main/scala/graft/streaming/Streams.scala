@@ -435,6 +435,32 @@ object Streams {
       }
       .start()
 
+  /** Streaming importance gate: each arriving micro-batch of docs is
+    * scored map-side against the STATIC hashed contrastive model
+    * ([[graft.operators.CorpusStats.importanceScore]] — a broadcast
+    * join on the fixed-size dense bucket table, then a per-doc sum
+    * that never leaves the batch) and kept iff score >= `minScore`.
+    * Decisions are per-doc independent given the model, so
+    * micro-batch boundaries never change them and the accumulated
+    * stream output equals the batch operator over the same docs
+    * (StreamsSpec pins it cross-batch). Train the weights once with
+    * importanceWeights and barrier (or persist) so the model never
+    * re-derives per batch. The gate threshold is part of the trained
+    * artifact: keep iff score exceeds the MEAN raw-train score,
+    * compared as score·nRaw > sumRaw — an integer multiply, no
+    * division, so truncate-vs-floor on negative means can never
+    * diverge between engines (§4). */
+  def importanceGateStreaming(weights: DataFrame, docs: DataFrame,
+      id: String, text: String, buckets: Int, nRaw: Long, sumRaw: Long)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.CorpusStats
+          .importanceScore(weights, batch, id, text, buckets)
+          .where(expr(s"cast(score as decimal(38,0)) * $nRaw > $sumRaw")))
+      }
+      .start()
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

@@ -447,4 +447,47 @@ class StreamsSpec extends SparkSpec {
     val cids = cent.select($"cid").collect().map(_.getLong(0)).toSet
     assert(streamed.forall(t => cids.contains(t._2)))
   }
+
+  test("streaming importance gate matches the batch operator across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusStats
+    import graft.util.Barriers.BarrierOps
+    val docs = Tables.documents(spark, sf)
+    val isArr = pmod($"doc_id", lit(10)) >= 8
+    val w = CorpusStats.importanceWeights(docs.where(!isArr), "text",
+      $"lang" === "en", buckets = 1024).barrier(true)
+    val Array(nRaw, sumRaw) = CorpusStats.importanceScore(w,
+        docs.where(!isArr).where($"lang" =!= "en"), "doc_id", "text",
+        buckets = 1024)
+      .agg(count(lit(1)), sum($"score")).as[(Long, Long)].head()
+      .productIterator.map(_.asInstanceOf[Long]).toArray
+    val arriving = docs.where(isArr)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val collected = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.importanceGateStreaming(w,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      buckets = 1024, nRaw = nRaw, sumRaw = sumRaw) { df =>
+      collected.synchronized { collected ++= df.collect() }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collected.synchronized {
+      collected.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"),
+        r.getAs[Long]("n_tokens"))).sortBy(_._1).toSeq
+    }
+    val batch = CorpusStats.importanceScore(w, docs.where(isArr),
+        "doc_id", "text", buckets = 1024)
+      .where(expr(s"cast(score as decimal(38,0)) * $nRaw > $sumRaw"))
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"),
+        r.getAs[Long]("n_tokens"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    assert(streamed.length < arriving.length,
+      "the gate must actually filter")
+  }
 }
