@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
+import graft.util.Barriers.BarrierOps
 
 /** Corpus-level statistics for training-data curation: domain mixing
   * weights, eval-set contamination, and a unigram-LM surprisal score.
@@ -301,9 +302,13 @@ object CorpusStats {
                         buckets: Int): DataFrame = {
     val tok = docs.select(isTarget.as("is_t"),
       tokenBuckets(text, buckets).as("bk"))
+    // one materialization of the <=buckets-row count table: both the
+    // totals row and the dense left join read it, so the corpus is
+    // exploded once for the model, not twice
     val counts = tok.groupBy(col("bk")).agg(
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct0"),
-      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr0"))
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct0"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr0"))
+      .barrier(true)
     val totals = counts.agg(
       (sum(col("ct0")) + buckets).as("tot_t"),
       (sum(col("cr0")) + buckets).as("tot_r"))

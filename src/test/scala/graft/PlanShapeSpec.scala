@@ -105,7 +105,9 @@ class PlanShapeSpec extends SparkSpec {
       "c35_cluster_profile", // broadcast centroids
       "c36_bm25_retrieval", // broadcast 1-row corpus totals
       "d12_stream_cluster_assign", // broadcast 1-row centroid array
-      "d11_stream_window_cm") // broadcast fixed probe-set grid
+      "d11_stream_window_cm", // broadcast fixed probe-set grid
+      "c40_importance_select", // broadcast 1-row model totals
+      "d13_stream_importance") // broadcast 1-row totals + threshold row
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
