@@ -60,4 +60,45 @@ object Packing {
       .select(col(id), col("n_tokens"), col("offset"), col("seq_id"),
         col("seq_pos"), col("crosses"))
   }
+
+  /** Sliding-window document chunking — the per-document "cut into
+    * overlapping `win`-token windows every `stride` tokens" stage in
+    * front of retrieval indexing or long-document training (the
+    * complement of [[packOffsets]]: packing concatenates ACROSS
+    * documents, chunking splits WITHIN one). Chunk k starts at token
+    * k·stride; the last chunk is the first whose window reaches the
+    * document end (kmax = ceil((n−win)/stride), 0 when n ≤ win), so
+    * a document never yields a tail shorter than win−stride except
+    * when the document itself is shorter. Output: one row per chunk
+    * (id, chunk_id, start_tok 0-based, n_chunk_tokens, chunk_text).
+    *
+    * Scale shape: map-only — tokenize once, explode a ≤ n/stride+1
+    * element sequence, slice the token array per chunk. No shuffle,
+    * no state; each document is independent, so the pass runs at
+    * scan speed on any number of executors and composes with the
+    * d8-style per-doc-independent streaming argument. All-integer
+    * chunk arithmetic (§4). */
+  def chunkDocs(docs: DataFrame, id: String, text: String,
+                win: Long, stride: Long): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win, got win=$win stride=$stride")
+    val toks = docs.select(col(id), TextOps.tokens(col(text)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    toks
+      .withColumn("__kmax",
+        when(col("n_tokens") > win,
+          expr(s"(n_tokens - $win + $stride - 1) div $stride"))
+          .otherwise(0L))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), col("__kmax"))))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("n_chunk_tokens",
+        least(lit(win), col("n_tokens") - col("start_tok")))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"),
+          (col("start_tok") + 1L).cast("int"),
+          col("n_chunk_tokens").cast("int")), " "))
+      .select(col(id), col("n_tokens"), col("chunk_id"),
+        col("start_tok"), col("n_chunk_tokens"), col("chunk_text"))
+  }
 }

@@ -1334,8 +1334,46 @@ object PipelineSuite extends Suite {
         "lang = 'en'", buckets = 1024, topK = 20)}
       ORDER BY rank"""))
 
+  val c41 = Q(
+    "c41_doc_chunks",
+    // Sliding-window chunking (Packing.chunkDocs): every document
+    // cut into 32-token windows every 24 tokens (8-token overlap) —
+    // the stage in front of retrieval indexing / long-doc training,
+    // the within-document complement of c37's cross-document
+    // packing. Map-only: tokenize once, explode ≤ n/stride+1 chunk
+    // ids, slice the token array — no shuffle, each document
+    // independent (the d8 streaming argument applies as-is).
+    (s, d) => Packing.chunkDocs(Tables.documents(s, d), "doc_id",
+        "text", win = 32L, stride = 24L)
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+        FROM documents),
+      n AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t),
+      k AS (
+        SELECT *, CASE WHEN n_tokens > 32
+          THEN (n_tokens - 32 + 23) // 24 ELSE 0 END AS kmax
+        FROM n),
+      c AS (
+        SELECT doc_id, toks, n_tokens, kmax,
+               unnest(range(0, 64)) AS chunk_id
+        FROM k)
+      SELECT doc_id, n_tokens, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+             CAST(LEAST(32, n_tokens - chunk_id * 24) AS BIGINT)
+               AS n_chunk_tokens,
+             array_to_string(list_slice(toks, chunk_id * 24 + 1,
+               chunk_id * 24 + LEAST(32, n_tokens - chunk_id * 24)),
+               ' ') AS chunk_text
+      FROM c
+      WHERE chunk_id <= kmax
+      ORDER BY doc_id, chunk_id"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
-      c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40)
+      c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41)
 }

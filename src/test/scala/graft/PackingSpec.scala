@@ -53,4 +53,53 @@ class PackingSpec extends SparkSpec {
       expect += r.getAs[Long]("n_tokens")
     }
   }
+
+  test("chunkDocs: hand-checked windows, short docs, exact-fit docs") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"), // 10 tokens, 3 chunks
+      (1L, "k"),                   // 1 token, 1 chunk
+      (2L, "l m n o"),             // exactly win, 1 chunk
+      (3L, "p q r s t")            // win+1, 2 chunks
+    ).toDF("doc_id", "text")
+    val got = Packing.chunkDocs(docs, "doc_id", "text",
+        win = 4L, stride = 3L)
+      .orderBy($"doc_id", $"chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 0L, 4L, "a b c d"),
+      (0L, 1L, 3L, 4L, "d e f g"),
+      (0L, 2L, 6L, 4L, "g h i j"),
+      (1L, 0L, 0L, 1L, "k"),
+      (2L, 0L, 0L, 4L, "l m n o"),
+      (3L, 0L, 0L, 4L, "p q r s"),
+      (3L, 1L, 3L, 2L, "s t")))
+  }
+
+  test("chunkDocs: every chunk is the exact token slice, cover is tight") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val text = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Packing.chunkDocs(docs, "doc_id", "text",
+        win = 32L, stride = 24L)
+      .orderBy($"doc_id", $"chunk_id").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, chunks) =>
+      val toks = text(id).split(" ", -1)
+      chunks.foreach { r =>
+        val (start, len) = (r.getLong(3).toInt, r.getLong(4).toInt)
+        assert(r.getString(5) ===
+          toks.slice(start, start + len).mkString(" "))
+      }
+      // chunk 0 starts at 0; the last chunk ends exactly at n_tokens;
+      // starts advance by the stride
+      val byK = chunks.sortBy(_.getLong(2))
+      assert(byK.head.getLong(3) === 0L)
+      assert(byK.last.getLong(3) + byK.last.getLong(4) === toks.length.toLong)
+      byK.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(3) - a.getLong(3) === 24L)
+        case _ =>
+      }
+    }
+  }
 }
