@@ -429,6 +429,48 @@ object StreamingSuite extends Suite {
       ORDER BY doc_id"""
     })
 
+  val d14 = Q(
+    "d14_stream_chunks",
+    // Streaming document chunking, batch-replayed: arriving docs
+    // (the d8/d13 split) cut into their 32/24 sliding token windows
+    // as they land (Streams.chunkStreaming = c41's Packing.chunkDocs
+    // applied to the stream) — a pure stateless per-row Generate, no
+    // state/watermark/shuffle, so micro-batch boundaries can never
+    // change the output; StreamsSpec pins cross-batch parity. The
+    // ingest stage that feeds a retrieval index chunk-by-chunk.
+    (s, d) => graft.streaming.Streams.chunkStreaming(
+        Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) >= 8),
+        "doc_id", "text", win = 32L, stride = 24L)
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some {
+      import graft.functions.TextOps
+      s"""
+      WITH t AS (
+        SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+        FROM documents WHERE doc_id % 10 >= 8),
+      n AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t),
+      k AS (
+        SELECT *, CASE WHEN n_tokens > 32
+          THEN (n_tokens - 32 + 23) // 24 ELSE 0 END AS kmax
+        FROM n),
+      c AS (
+        SELECT doc_id, toks, n_tokens, kmax,
+               unnest(range(0, 64)) AS chunk_id
+        FROM k)
+      SELECT doc_id, n_tokens, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+             CAST(LEAST(32, n_tokens - chunk_id * 24) AS BIGINT)
+               AS n_chunk_tokens,
+             array_to_string(list_slice(toks, chunk_id * 24 + 1,
+               chunk_id * 24 + LEAST(32, n_tokens - chunk_id * 24)),
+               ' ') AS chunk_text
+      FROM c
+      WHERE chunk_id <= kmax
+      ORDER BY doc_id, chunk_id"""
+    })
+
   override val queries: Seq[Q] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14)
 }

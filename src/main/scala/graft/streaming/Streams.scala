@@ -411,6 +411,19 @@ object Streams {
                              cent: DataFrame): DataFrame =
     graft.operators.Ann.argmaxAssign(vecs, vec, cent)
 
+  /** Streaming document chunking: each arriving document is cut into
+    * its overlapping token windows ([[graft.operators.Packing
+    * .chunkDocs]]) as it lands — the ingest stage that feeds a
+    * retrieval index or a long-document training sink chunk-by-chunk
+    * instead of buffering whole corpora. A pure stateless per-row
+    * Generate: no state, no watermark, no shuffle, chunks depend
+    * only on their own document, so micro-batch boundaries can never
+    * change the output and the accumulated stream equals the batch
+    * operator over the same docs (StreamsSpec pins it cross-batch). */
+  def chunkStreaming(docs: DataFrame, id: String, text: String,
+                     win: Long, stride: Long): DataFrame =
+    graft.operators.Packing.chunkDocs(docs, id, text, win, stride)
+
   /** Static eval-side shingle table for [[contaminationHitsStreaming]]. */
   def evalShingles(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("eval_id"),

@@ -490,4 +490,38 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length < arriving.length,
       "the gate must actually filter")
   }
+
+  test("streaming chunking matches the batch operator across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Packing
+    val docs = Tables.documents(spark, sf)
+    val arriving = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.chunkStreaming(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        win = 32L, stride = 24L)
+      .writeStream.format("memory").queryName("chunked")
+      .outputMode("append").start()
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("chunked").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk_text")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = Packing.chunkDocs(
+        docs.where(pmod($"doc_id", lit(10)) >= 8), "doc_id", "text",
+        win = 32L, stride = 24L)
+      .orderBy($"doc_id", $"chunk_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk_text"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    // multi-chunk docs must actually occur (win < some doc lengths)
+    assert(streamed.exists(_._2 > 0L))
+  }
 }
