@@ -206,6 +206,61 @@ object CorpusStats {
       FROM top CROSS JOIN tot"""
   }
 
+  /** BPE merge-candidate counting — the adjacent-token-pair
+    * frequency table whose head is the first merge a BPE/WordPiece
+    * tokenizer trainer would take (Sennrich et al. 2016 step 1,
+    * next to [[vocabStats]]'s unigram snapshot). One pass: zip each
+    * token list against itself shifted by one (zip_with over two
+    * array slices — per-row, no join), explode the pairs, one
+    * map-side-combinable groupBy(pair), top-k via
+    * TakeOrderedAndProject (never a full sort), one-row totals
+    * broadcast for the ppm share. Single-token documents contribute
+    * nothing (empty slice). Ties rank by (freq desc, pair) — total
+    * order, oracle-mirrored; all-integer output (§4). */
+  def bigramCounts(docs: DataFrame, text: String, topK: Int): DataFrame = {
+    val toks = TextOps.tokens(col(text))
+    val pairs = docs.select(
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+    val totals = pairs.agg(
+      sum(col("cnt")).as("n_pairs"),
+      count(lit(1)).as("n_distinct"))
+    val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(topK)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cnt").desc, col("pair"))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("pair"), col("cnt"),
+        ppmExpr("cnt", "n_pairs").as("share_ppm"),
+        col("n_pairs"), col("n_distinct"))
+  }
+
+  /** DuckDB mirror of [[bigramCounts]]. `maxLen` bounds the unnested
+    * position range (range() cannot take lateral arguments); it must
+    * be >= the longest document's token count. */
+  def bigramCountsSql(text: String, topK: Int,
+                      maxLen: Int = 4096): String = {
+    val tk = TextOps.tokensSql(text)
+    s"""
+      WITH t AS (SELECT $tk AS toks FROM documents),
+      i AS (SELECT toks, unnest(range(1, $maxLen)) AS i FROM t),
+      p AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair
+            FROM i WHERE i + 1 <= len(toks)),
+      g AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1),
+      tot AS (SELECT SUM(cnt) AS n_pairs, COUNT(*) AS n_distinct
+              FROM g),
+      top AS (SELECT pair, cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank
+              FROM g ORDER BY cnt DESC, pair LIMIT $topK)
+      SELECT CAST(rank AS BIGINT) AS rank, pair, cnt,
+             ${ppmSql("cnt", "n_pairs")} AS share_ppm,
+             n_pairs, n_distinct
+      FROM top CROSS JOIN tot"""
+  }
+
   // --- unigram-LM surprisal -----------------------------------------
   /** Per-document mean unigram surprisal in micro-bits (integer ppm
     * of a bit) — the perplexity-proxy quality score (rare-token-heavy

@@ -1372,8 +1372,24 @@ object PipelineSuite extends Suite {
       WHERE chunk_id <= kmax
       ORDER BY doc_id, chunk_id"""))
 
+  val c42 = Q(
+    "c42_bigram_counts",
+    // BPE merge-candidate counting (CorpusStats.bigramCounts): the
+    // adjacent-token-pair frequency head — the first merge a
+    // BPE/WordPiece trainer would take, next to c31's unigram
+    // snapshot. One pass: zip_with over shifted array slices
+    // (per-row, no join), explode, map-side-combinable
+    // groupBy(pair), TakeOrderedAndProject top-20, one-row totals
+    // broadcast for the ppm share.
+    (s, d) => CorpusStats.bigramCounts(Tables.documents(s, d), "text",
+        topK = 20)
+      .orderBy(col("rank")),
+    Some(s"""
+      ${CorpusStats.bigramCountsSql("text", 20, maxLen = 256)}
+      ORDER BY rank"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
-      c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41)
+      c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42)
 }

@@ -108,4 +108,24 @@ class CorpusStatsSpec extends SparkSpec {
     // doc 2: every token unique (cnt 1, N 16) -> bits = len(bin(16)) = 5
     assert(out(1).getAs[Long]("mean_bits_ppm") == 5000000L)
   }
+
+  test("bigramCounts: hand-checked merge head, single-token docs drop") {
+    val docs = Seq(
+      (1L, "a b a b c"), // pairs: "a b", "b a", "a b", "b c"
+      (2L, "a b"),       // pair:  "a b"
+      (3L, "x")          // no pairs
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bigramCounts(docs, "text", topK = 2)
+      .orderBy($"rank").collect()
+    // 5 pairs total, 3 distinct; head: "a b" x3 then "b a" (tie with
+    // "b c" at 1, lexicographic)
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("pair") == "a b")
+    assert(out(0).getAs[Long]("cnt") == 3L)
+    assert(out(0).getAs[Long]("share_ppm") == 600000L) // 3e6 div 5
+    assert(out(1).getAs[String]("pair") == "b a")
+    assert(out(1).getAs[Long]("cnt") == 1L)
+    assert(out.forall(_.getAs[Long]("n_pairs") == 5L))
+    assert(out.forall(_.getAs[Long]("n_distinct") == 3L))
+  }
 }

@@ -107,7 +107,8 @@ class PlanShapeSpec extends SparkSpec {
       "d12_stream_cluster_assign", // broadcast 1-row centroid array
       "d11_stream_window_cm", // broadcast fixed probe-set grid
       "c40_importance_select", // broadcast 1-row model totals
-      "d13_stream_importance") // broadcast 1-row totals + threshold row
+      "d13_stream_importance", // broadcast 1-row totals + threshold row
+      "c42_bigram_counts")     // broadcast 1-row pair totals
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
