@@ -261,6 +261,74 @@ object CorpusStats {
       FROM top CROSS JOIN tot"""
   }
 
+  /** Per-source token-distribution drift vs the whole corpus — the
+    * ingest-QA monitor that flags a source whose unigram
+    * distribution has shifted away from the blend (scraper breakage,
+    * template floods, language drift) before it pollutes a training
+    * mix. Distributions live in the same fixed hashed bucket space
+    * as the c40 importance model, so the comparison is O(buckets)
+    * per source BY CONSTRUCTION at any corpus size: `l1_ppm` =
+    * Σ_bk |p_src(bk) − p_corpus(bk)| in integer ppm (total-variation
+    * distance = l1/2; 0 = identical, 2e6 = disjoint).
+    *
+    * Shape: ONE corpus pass — the (group, bucket) count table
+    * (map-side combinable, ≤ |groups|·buckets rows) is materialized
+    * once and every downstream (corpus marginal, per-group totals,
+    * dense grid) derives from it; the dense grid is a bounded
+    * broadcast cross join (groups × buckets), so absent buckets
+    * still contribute their |0 − p_corpus| term. All-integer
+    * multiply-then-div ppm (§4). */
+  def sourceDrift(docs: DataFrame, group: String, text: String,
+                  buckets: Int): DataFrame = {
+    val tok = docs.select(col(group).as("grp"),
+      tokenBuckets(text, buckets).as("bk"))
+    val scnt = tok.groupBy(col("grp"), col("bk"))
+      .agg(count(lit(1)).as("cnt")).barrier(true)
+    val corp = scnt.groupBy(col("bk")).agg(sum(col("cnt")).as("ccnt"))
+    val stot = scnt.groupBy(col("grp")).agg(sum(col("cnt")).as("stot"))
+    val ctot = corp.agg(sum(col("ccnt")).as("ctot"))
+    val grid = stot.crossJoin(broadcast(corp.crossJoin(broadcast(ctot))))
+    grid.join(scnt, Seq("grp", "bk"), "left")
+      .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
+      .withColumn("d",
+        abs(ppmExpr("cnt0", "stot") - ppmExpr("ccnt", "ctot")))
+      .groupBy(col("grp"))
+      .agg(max(col("stot")).as("n_tokens"),
+        sum(when(col("cnt0") > 0L, 1L).otherwise(0L)).as("n_buckets"),
+        sum(col("d")).cast("long").as("l1_ppm"))
+      .select(col("grp").as(group), col("n_tokens"), col("n_buckets"),
+        col("l1_ppm"))
+  }
+
+  /** DuckDB mirror of [[sourceDrift]]. */
+  def sourceDriftSql(group: String, text: String, buckets: Int): String = {
+    val tk = TextOps.tokensSql(text)
+    s"""
+      WITH tok AS (
+        SELECT $group AS grp,
+               unnest(list_transform($tk,
+                 tok -> (${TextOps.polyHashMixedSql("tok")}) % $buckets))
+                 AS bk
+        FROM documents),
+      scnt AS (SELECT grp, bk, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      corp AS (SELECT bk, SUM(cnt) AS ccnt FROM scnt GROUP BY 1),
+      stot AS (SELECT grp, SUM(cnt) AS stot FROM scnt GROUP BY 1),
+      ctot AS (SELECT SUM(ccnt) AS ctot FROM corp),
+      grid AS (SELECT * FROM stot CROSS JOIN corp CROSS JOIN ctot),
+      j AS (
+        SELECT g.grp, g.stot, g.ccnt, g.ctot,
+               COALESCE(s.cnt, 0) AS cnt0
+        FROM grid g LEFT JOIN scnt s
+          ON s.grp = g.grp AND s.bk = g.bk)
+      SELECT grp AS $group,
+             CAST(MAX(stot) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN cnt0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets,
+             CAST(SUM(ABS(${ppmSql("cnt0", "stot")}
+               - ${ppmSql("ccnt", "ctot")})) AS BIGINT) AS l1_ppm
+      FROM j GROUP BY 1"""
+  }
+
   // --- unigram-LM surprisal -----------------------------------------
   /** Per-document mean unigram surprisal in micro-bits (integer ppm
     * of a bit) — the perplexity-proxy quality score (rare-token-heavy

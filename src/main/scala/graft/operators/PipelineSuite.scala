@@ -1388,8 +1388,25 @@ object PipelineSuite extends Suite {
       ${CorpusStats.bigramCountsSql("text", 20, maxLen = 256)}
       ORDER BY rank"""))
 
+  val c43 = Q(
+    "c43_source_drift",
+    // Per-source distribution drift (CorpusStats.sourceDrift): L1
+    // distance in integer ppm between each source's hashed unigram
+    // distribution and the corpus blend — the ingest-QA monitor that
+    // flags a drifted/broken source before it pollutes the mix. One
+    // corpus pass: the (source, bucket) count table materializes
+    // once; corpus marginal, per-source totals and the dense
+    // sources-x-buckets grid all derive from it via bounded
+    // broadcast joins.
+    (s, d) => CorpusStats.sourceDrift(Tables.documents(s, d), "source",
+        "text", buckets = 1024)
+      .orderBy(col("source")),
+    Some(s"""
+      ${CorpusStats.sourceDriftSql("source", "text", 1024)}
+      ORDER BY source"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
-      c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42)
+      c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43)
 }

@@ -128,4 +128,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_pairs") == 5L))
     assert(out.forall(_.getAs[Long]("n_distinct") == 3L))
   }
+
+  test("sourceDrift: identical mix scores 0, disjoint sources score 1e6") {
+    // A and B are fully disjoint single-token sources of equal size:
+    // corpus = 50/50, each source is all-or-nothing per bucket, so
+    // l1 = |1e6-5e5| + |0-5e5| = 1e6 for both. C matches the corpus
+    // of the (C,D) pair exactly -> 0.
+    val skewed = Seq(
+      (1L, "a a a a", "A"), (2L, "b b b b", "B")
+    ).toDF("doc_id", "text", "source")
+    val outS = CorpusStats.sourceDrift(skewed, "source", "text", 1024)
+      .orderBy($"source").collect()
+    assert(outS.map(_.getAs[Long]("l1_ppm")).toSeq === Seq(1000000L, 1000000L))
+    assert(outS.forall(_.getAs[Long]("n_tokens") == 4L))
+    assert(outS.forall(_.getAs[Long]("n_buckets") == 1L))
+    val uniform = Seq(
+      (1L, "a b", "C"), (2L, "a b", "D")
+    ).toDF("doc_id", "text", "source")
+    val outU = CorpusStats.sourceDrift(uniform, "source", "text", 1024)
+      .orderBy($"source").collect()
+    assert(outU.map(_.getAs[Long]("l1_ppm")).toSeq === Seq(0L, 0L))
+  }
 }

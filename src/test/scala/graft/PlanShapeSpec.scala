@@ -108,7 +108,8 @@ class PlanShapeSpec extends SparkSpec {
       "d11_stream_window_cm", // broadcast fixed probe-set grid
       "c40_importance_select", // broadcast 1-row model totals
       "d13_stream_importance", // broadcast 1-row totals + threshold row
-      "c42_bigram_counts")     // broadcast 1-row pair totals
+      "c42_bigram_counts",     // broadcast 1-row pair totals
+      "c43_source_drift")      // broadcast bounded bucket grid + totals
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
