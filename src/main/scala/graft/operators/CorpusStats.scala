@@ -167,10 +167,14 @@ object CorpusStats {
     * oracle-mirrored. */
   def vocabStats(docs: DataFrame, id: String, text: String,
                  topK: Int): DataFrame = {
+    // one materialization of the vocab count table: the totals row
+    // and the top-k head both read it, so the corpus token stream is
+    // exploded once, not twice
     val vocab = docs.select(
         explode(transform(TextOps.tokens(col(text)),
           t => TextOps.polyHash(t))).as("th"))
       .groupBy(col("th")).agg(count(lit(1)).as("cnt"))
+      .barrier(true)
     val totals = vocab.agg(
       sum(col("cnt")).as("n_total"),
       count(lit(1)).as("n_distinct"),
@@ -219,12 +223,17 @@ object CorpusStats {
     * order, oracle-mirrored; all-integer output (§4). */
   def bigramCounts(docs: DataFrame, text: String, topK: Int): DataFrame = {
     val toks = TextOps.tokens(col(text))
+    // one materialization of the pair count table: the totals row
+    // and the top-k head both read it, so the corpus is exploded
+    // once, not twice (same one-pass rule as vocabStats / the c40
+    // model build)
     val pairs = docs.select(
         explode(zip_with(
           slice(toks, lit(1), size(toks) - 1),
           slice(toks, lit(2), size(toks) - 1),
           (a, b) => concat(a, lit(" "), b))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .barrier(true)
     val totals = pairs.agg(
       sum(col("cnt")).as("n_pairs"),
       count(lit(1)).as("n_distinct"))
