@@ -1405,8 +1405,105 @@ object PipelineSuite extends Suite {
       ${CorpusStats.sourceDriftSql("source", "text", 1024)}
       ORDER BY source"""))
 
+  val c44 = Q(
+    "c44_chunk_retrieval",
+    // Chunk-granularity retrieval (the RAG index-build + query
+    // composition): corpus docs cut into c41's 32/24 windows, each
+    // chunk embedded with the deterministic mock provider, eval docs
+    // (the c36 %101 split) embedded whole as queries; cosine against
+    // every chunk (exact baseline — the IVF route of c29 is the
+    // documented scale path), chunks MAX-POOLED to their doc (best
+    // chunk per (query, doc), ties to the lower chunk), then top-3
+    // docs per query by best-chunk similarity. Both rank filters are
+    // row_number<=k — the optimizer rewrites them to TopKPerKey
+    // bounded heaps; the query side is a broadcast.
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val isQ = pmod(col("doc_id"), lit(101)) === 0
+      val chunks = Packing.chunkDocs(docs.where(!isQ), "doc_id", "text",
+          win = 32L, stride = 24L)
+        .select(col("doc_id"), col("chunk_id"),
+          TextOps.polyHash(col("chunk_text")).as("h"))
+        .select(col("doc_id"), col("chunk_id"),
+          transform(VectorOps.mockEmbedding(col("h"), 16),
+            x => x.cast("float")).as("emb"))
+      val queries = docs.where(isQ)
+        .select(col("doc_id").as("q_id"),
+          TextOps.polyHash(col("text")).as("h"))
+        .select(col("q_id"),
+          transform(VectorOps.mockEmbedding(col("h"), 16),
+            x => x.cast("float")).as("q_emb"))
+      val scored = chunks.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("doc_id"), col("chunk_id"),
+          VectorOps.cosine6(col("emb"), col("q_emb")).as("sim"))
+      val wBest = Window.partitionBy(col("q_id"), col("doc_id"))
+        .orderBy(col("sim").desc, col("chunk_id"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("doc_id"))
+      scored
+        .withColumn("c_rk", row_number().over(wBest))
+        .where(col("c_rk") === 1).drop("c_rk")
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("doc_id"), col("chunk_id"),
+          col("sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+        FROM documents WHERE doc_id % 101 <> 0),
+      n AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t),
+      k AS (
+        SELECT *, CASE WHEN n_tokens > 32
+          THEN (n_tokens - 32 + 23) // 24 ELSE 0 END AS kmax
+        FROM n),
+      ch AS (
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(toks, chunk_id * 24 + 1,
+                 chunk_id * 24 + LEAST(32, n_tokens - chunk_id * 24)),
+                 ' ') AS chunk_text
+        FROM (SELECT doc_id, toks, n_tokens, kmax,
+                     unnest(range(0, 64)) AS chunk_id
+              FROM k) x
+        WHERE chunk_id <= kmax),
+      ce AS (
+        SELECT doc_id, chunk_id,
+               list_transform(${VectorOps.mockEmbeddingSql("h", 16)},
+                 x -> CAST(x AS FLOAT)) AS emb
+        FROM (SELECT doc_id, chunk_id,
+                     ${TextOps.polyHashSql("chunk_text")} AS h
+              FROM ch) y),
+      qe AS (
+        SELECT doc_id AS q_id,
+               list_transform(${VectorOps.mockEmbeddingSql("h", 16)},
+                 x -> CAST(x AS FLOAT)) AS q_emb
+        FROM (SELECT doc_id, ${TextOps.polyHashSql("text")} AS h
+              FROM documents WHERE doc_id % 101 = 0) z),
+      scored AS (
+        SELECT q.q_id, c.doc_id, c.chunk_id,
+               ${VectorOps.cosine6Sql("c.emb", "q.q_emb")} AS sim
+        FROM ce c CROSS JOIN qe q),
+      best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, doc_id
+                 ORDER BY sim DESC, chunk_id) AS c_rk
+        FROM scored),
+      ranked AS (
+        SELECT q_id, doc_id, chunk_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, doc_id) AS rank
+        FROM best WHERE c_rk = 1)
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, chunk_id, sim
+      FROM ranked
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
-      c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43)
+      c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
+      c44)
 }
