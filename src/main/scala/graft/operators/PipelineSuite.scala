@@ -1418,36 +1418,17 @@ object PipelineSuite extends Suite {
     // row_number<=k — the optimizer rewrites them to TopKPerKey
     // bounded heaps; the query side is a broadcast.
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val isQ = pmod(col("doc_id"), lit(101)) === 0
-      val chunks = Packing.chunkDocs(docs.where(!isQ), "doc_id", "text",
-          win = 32L, stride = 24L)
-        .select(col("doc_id"), col("chunk_id"),
-          TextOps.polyHash(col("chunk_text")).as("h"))
-        .select(col("doc_id"), col("chunk_id"),
-          transform(VectorOps.mockEmbedding(col("h"), 16),
-            x => x.cast("float")).as("emb"))
+      val chunks = Retrieval.chunkEmbed(docs.where(!isQ), "doc_id",
+        "text", win = 32L, stride = 24L, dim = 16)
       val queries = docs.where(isQ)
         .select(col("doc_id").as("q_id"),
           TextOps.polyHash(col("text")).as("h"))
         .select(col("q_id"),
           transform(VectorOps.mockEmbedding(col("h"), 16),
             x => x.cast("float")).as("q_emb"))
-      val scored = chunks.crossJoin(broadcast(queries))
-        .select(col("q_id"), col("doc_id"), col("chunk_id"),
-          VectorOps.cosine6(col("emb"), col("q_emb")).as("sim"))
-      val wBest = Window.partitionBy(col("q_id"), col("doc_id"))
-        .orderBy(col("sim").desc, col("chunk_id"))
-      val wTop = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("doc_id"))
-      scored
-        .withColumn("c_rk", row_number().over(wBest))
-        .where(col("c_rk") === 1).drop("c_rk")
-        .withColumn("rank", row_number().over(wTop).cast("long"))
-        .where(col("rank") <= 3)
-        .select(col("q_id"), col("rank"), col("doc_id"), col("chunk_id"),
-          col("sim"))
+      Retrieval.chunkTopK(chunks, queries, "doc_id", k = 3)
         .orderBy(col("q_id"), col("rank"))
     },
     Some(s"""

@@ -111,4 +111,55 @@ object Retrieval {
       .select(col("eval_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("score"), col("n_terms"))
   }
+
+  // --- dense chunk-granularity retrieval ----------------------------
+
+  /** The chunk-level dense index: documents cut into `win`/`stride`
+    * sliding token windows ([[Packing.chunkDocs]]), each chunk
+    * embedded with the deterministic mock provider (the pluggable
+    * seam a real encoder replaces). Build once per corpus and
+    * barrier/persist; at scale this table is what c29's trained IVF
+    * partitions into centroid lists. */
+  def chunkEmbed(docs: DataFrame, id: String, text: String,
+                 win: Long, stride: Long, dim: Int): DataFrame =
+    Packing.chunkDocs(docs, id, text, win, stride)
+      .select(col(id), col("chunk_id"),
+        TextOps.polyHash(col("chunk_text")).as("h"))
+      .select(col(id), col("chunk_id"),
+        transform(graft.functions.VectorOps.mockEmbedding(col("h"), dim),
+          x => x.cast("float")).as("emb"))
+
+  /** Query the chunk index: exact cosine of every (query, chunk)
+    * pair with the query side BROADCAST (query batches are small;
+    * the chunk table streams map-side), chunks MAX-POOLED to their
+    * document (best chunk per (query, doc), ties to the lower chunk
+    * id — standard chunk-to-doc pooling), then top-`k` documents per
+    * query by best-chunk cosine, with the winning chunk as
+    * provenance. Both rank filters are row_number ≤ k — the
+    * optimizer rewrites them to TopKPerKey bounded heaps, so no
+    * global sort at any size. `queries` must carry (q_id, q_emb). */
+  def chunkTopK(chunks: DataFrame, queries: DataFrame, id: String,
+                k: Int): DataFrame = {
+    import graft.functions.VectorOps
+    // norms fold once per chunk / per query, not once per pair —
+    // the pair stage then does a single dot-product fold
+    val c = chunks.withColumn("c_nrm", VectorOps.norm(col("emb")))
+    val q = broadcast(queries
+      .withColumn("q_nrm", VectorOps.norm(col("q_emb"))))
+    val scored = c.crossJoin(q)
+      .select(col("q_id"), col(id), col("chunk_id"),
+        VectorOps.cosine6Pre(col("emb"), col("q_emb"),
+          col("c_nrm"), col("q_nrm")).as("sim"))
+    val wBest = Window.partitionBy(col("q_id"), col(id))
+      .orderBy(col("sim").desc, col("chunk_id"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(id))
+    scored
+      .withColumn("c_rk", row_number().over(wBest))
+      .where(col("c_rk") === 1).drop("c_rk")
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(id), col("chunk_id"),
+        col("sim"))
+  }
 }

@@ -471,6 +471,87 @@ object StreamingSuite extends Suite {
       ORDER BY doc_id, chunk_id"""
     })
 
+  val d15 = Q(
+    "d15_stream_retrieval",
+    // Streaming RAG query, batch-replayed: arriving docs (a 4%
+    // micro-batch slice) embedded whole and answered with their top-3 corpus
+    // docs by best-chunk cosine against the STATIC chunk index
+    // (Streams.chunkRetrievalStreaming = c44's Retrieval.chunkTopK
+    // with the arriving batch as the broadcast query side; the index
+    // is built once with Retrieval.chunkEmbed and barriered).
+    // Answers are per-doc independent given the index, so
+    // micro-batch boundaries never change them; StreamsSpec pins
+    // cross-batch parity.
+    (s, d) => {
+      import graft.util.Barriers.BarrierOps
+      import graft.functions.TextOps
+      val docs = Tables.documents(s, d)
+      val isArr = pmod(col("doc_id"), lit(50)) >= 48
+      val chunks = Retrieval.chunkEmbed(docs.where(!isArr), "doc_id",
+        "text", win = 32L, stride = 24L, dim = 16).barrier(true)
+      val queries = docs.where(isArr)
+        .select(col("doc_id").as("q_id"),
+          TextOps.polyHash(col("text")).as("h"))
+        .select(col("q_id"),
+          transform(graft.functions.VectorOps.mockEmbedding(col("h"), 16),
+            x => x.cast("float")).as("q_emb"))
+      Retrieval.chunkTopK(chunks, queries, "doc_id", k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      import graft.functions.{TextOps, VectorOps}
+      s"""
+      WITH t AS (
+        SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+        FROM documents WHERE doc_id % 50 < 48),
+      n AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t),
+      k AS (
+        SELECT *, CASE WHEN n_tokens > 32
+          THEN (n_tokens - 32 + 23) // 24 ELSE 0 END AS kmax
+        FROM n),
+      ch AS (
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(toks, chunk_id * 24 + 1,
+                 chunk_id * 24 + LEAST(32, n_tokens - chunk_id * 24)),
+                 ' ') AS chunk_text
+        FROM (SELECT doc_id, toks, n_tokens, kmax,
+                     unnest(range(0, 64)) AS chunk_id
+              FROM k) x
+        WHERE chunk_id <= kmax),
+      ce AS (
+        SELECT doc_id, chunk_id,
+               list_transform(${VectorOps.mockEmbeddingSql("h", 16)},
+                 x -> CAST(x AS FLOAT)) AS emb
+        FROM (SELECT doc_id, chunk_id,
+                     ${TextOps.polyHashSql("chunk_text")} AS h
+              FROM ch) y),
+      qe AS (
+        SELECT doc_id AS q_id,
+               list_transform(${VectorOps.mockEmbeddingSql("h", 16)},
+                 x -> CAST(x AS FLOAT)) AS q_emb
+        FROM (SELECT doc_id, ${TextOps.polyHashSql("text")} AS h
+              FROM documents WHERE doc_id % 50 >= 48) z),
+      scored AS (
+        SELECT q.q_id, c.doc_id, c.chunk_id,
+               ${VectorOps.cosine6Sql("c.emb", "q.q_emb")} AS sim
+        FROM ce c CROSS JOIN qe q),
+      best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, doc_id
+                 ORDER BY sim DESC, chunk_id) AS c_rk
+        FROM scored),
+      ranked AS (
+        SELECT q_id, doc_id, chunk_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, doc_id) AS rank
+        FROM best WHERE c_rk = 1)
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, chunk_id, sim
+      FROM ranked
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""
+    })
+
   override val queries: Seq[Q] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15)
 }

@@ -424,6 +424,32 @@ object Streams {
                      win: Long, stride: Long): DataFrame =
     graft.operators.Packing.chunkDocs(docs, id, text, win, stride)
 
+  /** Streaming retrieval against the static chunk index — the "RAG
+    * query" path: each arriving document is embedded whole and
+    * answered with its top-`k` corpus documents by best-chunk cosine
+    * ([[graft.operators.Retrieval.chunkTopK]] — the arriving batch
+    * broadcasts as the query side, the chunk index streams
+    * map-side). Answers are per-doc independent given the index, so
+    * micro-batch boundaries never change them and the accumulated
+    * stream equals the batch operator over the same docs (StreamsSpec
+    * pins it cross-batch). Build `chunks` once with
+    * [[graft.operators.Retrieval.chunkEmbed]] and barrier (or
+    * persist) so the index never recomputes per batch. */
+  def chunkRetrievalStreaming(chunks: DataFrame, docs: DataFrame,
+      id: String, text: String, dim: Int, k: Int)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val queries = batch
+          .select(col(id).as("q_id"),
+            graft.functions.TextOps.polyHash(col(text)).as("h"))
+          .select(col("q_id"),
+            transform(graft.functions.VectorOps.mockEmbedding(col("h"), dim),
+              x => x.cast("float")).as("q_emb"))
+        sink(graft.operators.Retrieval.chunkTopK(chunks, queries, id, k))
+      }
+      .start()
+
   /** Static eval-side shingle table for [[contaminationHitsStreaming]]. */
   def evalShingles(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("eval_id"),

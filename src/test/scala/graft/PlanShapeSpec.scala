@@ -110,7 +110,8 @@ class PlanShapeSpec extends SparkSpec {
       "d13_stream_importance", // broadcast 1-row totals + threshold row
       "c42_bigram_counts",     // broadcast 1-row pair totals
       "c43_source_drift",      // broadcast bounded bucket grid + totals
-      "c44_chunk_retrieval")   // broadcast query set
+      "c44_chunk_retrieval",   // broadcast query set
+      "d15_stream_retrieval")  // broadcast arriving-query batch
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -524,4 +524,47 @@ class StreamsSpec extends SparkSpec {
     // multi-chunk docs must actually occur (win < some doc lengths)
     assert(streamed.exists(_._2 > 0L))
   }
+
+  test("streaming chunk retrieval matches the batch operator across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Retrieval
+    import graft.functions.{TextOps, VectorOps}
+    import graft.util.Barriers.BarrierOps
+    val docs = Tables.documents(spark, sf)
+    val isArr = pmod($"doc_id", lit(10)) >= 8
+    val chunks = Retrieval.chunkEmbed(docs.where(!isArr), "doc_id",
+      "text", win = 32L, stride = 24L, dim = 16).barrier(true)
+    val arriving = docs.where(isArr)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val collected = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.chunkRetrievalStreaming(chunks,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      dim = 16, k = 3) { df =>
+      collected.synchronized { collected ++= df.collect() }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collected.synchronized {
+      collected.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Double]("sim"))).sortBy(t => (t._1, t._2)).toSeq
+    }
+    val batchQueries = docs.where(isArr)
+      .select($"doc_id".as("q_id"), TextOps.polyHash($"text").as("h"))
+      .select($"q_id", transform(VectorOps.mockEmbedding($"h", 16),
+        x => x.cast("float")).as("q_emb"))
+    val batch = Retrieval.chunkTopK(chunks, batchQueries, "doc_id", k = 3)
+      .orderBy($"q_id", $"rank").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Double]("sim"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    // every arriving doc gets exactly k answers (corpus >> k docs)
+    assert(streamed.groupBy(_._1).forall(_._2.length == 3))
+  }
 }
