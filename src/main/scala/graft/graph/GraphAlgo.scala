@@ -369,16 +369,28 @@ object GraphAlgo {
     * never appear (no neighbours ⇒ no votes ⇒ not in the view). */
   def labelPropagationUnd(und: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pre-partition the (big, round-invariant) adjacency by the join
+    // key BEFORE the barrier: localCheckpoint preserves the output
+    // partitioning through LogicalRDD, so every round's vote join
+    // exchanges only the small label frame — the adjacency never
+    // re-shuffles
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("nbr"))
       .barrier(true)
     var lab = adj.select(col("node")).distinct()
       .withColumn("label", col("node"))
     val w = Window.partitionBy(col("node"))
       .orderBy(col("cnt").desc, col("label"))
     for (r <- 1 to rounds) {
+      // one exchange per round: hashpartitioning(node) satisfies
+      // BOTH the (node, label) vote count's clustered distribution
+      // (subset key) and the top-1 heap's, so the count agg and the
+      // rank filter run exchange-free on the repartitioned join
+      // output
       lab = adj
         .join(lab.select(col("node").as("nbr"), col("label")), "nbr")
+        .repartition(col("node"))
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") === 1)
