@@ -92,7 +92,7 @@ object CorpusStats {
               FROM base)),
       tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(isq) AS tot_isq
               FROM per_source)
-      SELECT $source, n_docs, n_tokens,
+      SELECT $source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
              ${ppmSql("n_tokens", "tot_tokens")} AS raw_share_ppm,
              ${ppmSql("isq", "tot_isq")} AS temp_share_ppm
       FROM per_source CROSS JOIN tot"""
@@ -206,7 +206,8 @@ object CorpusStats {
               FROM vocab ORDER BY cnt DESC, th LIMIT $topK)
       SELECT CAST(rank AS BIGINT) AS rank, th, cnt,
              ${ppmSql("cnt", "n_total")} AS share_ppm,
-             n_total, n_distinct, n_hapax
+             CAST(n_total AS BIGINT) AS n_total, n_distinct,
+             CAST(n_hapax AS BIGINT) AS n_hapax
       FROM top CROSS JOIN tot"""
   }
 
@@ -266,7 +267,7 @@ object CorpusStats {
               FROM g ORDER BY cnt DESC, pair LIMIT $topK)
       SELECT CAST(rank AS BIGINT) AS rank, pair, cnt,
              ${ppmSql("cnt", "n_pairs")} AS share_ppm,
-             n_pairs, n_distinct
+             CAST(n_pairs AS BIGINT) AS n_pairs, n_distinct
       FROM top CROSS JOIN tot"""
   }
 

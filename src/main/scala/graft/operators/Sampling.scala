@@ -144,9 +144,10 @@ object Sampling {
         FROM documents d JOIN quotas q ON d.$source = q.$source
         WHERE $bucket < q.quota_ppm
         GROUP BY 1)
-      SELECT q.$source AS $source, q.n_docs, q.n_tokens, q.quota_ppm,
-             COALESCE(k.n_kept, 0) AS n_kept,
-             COALESCE(k.tokens_kept, 0) AS tokens_kept
+      SELECT q.$source AS $source, q.n_docs,
+             CAST(q.n_tokens AS BIGINT) AS n_tokens, q.quota_ppm,
+             CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
       FROM quotas q LEFT JOIN kept k ON q.$source = k.$source"""
   }
 }
