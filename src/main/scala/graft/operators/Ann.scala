@@ -96,8 +96,8 @@ object Ann {
       .drop("__cents", "__vn", "__best")
   }
 
-  private def centTable(centroids: DataFrame, id: String,
-                        vec: String): DataFrame =
+  private[graft] def centTable(centroids: DataFrame, id: String,
+                               vec: String): DataFrame =
     centroids.select(col(id).as("c_id"), col(vec).as("c_vec"),
       VectorOps.norm(col(vec)).as("c_nrm"))
 

@@ -367,7 +367,8 @@ object PipelineSuite extends Suite {
           FROM corpus v CROSS JOIN $prev c) t
         WHERE rk = 1)"""
 
-  private[operators] def kmeansIterSql(prev: String, n: Int): String =
+  private[operators] def kmeansIterSql(prev: String, n: Int,
+                                       dim: Int = 64): String =
     s"""${kmeansPickSql(prev, n)},
       upd$n AS (
         SELECT p.cid, t.i,
@@ -375,7 +376,7 @@ object PipelineSuite extends Suite {
                      * 1073741824.0) AS HUGEINT)) AS DOUBLE)
                  / (COUNT(*) * 1073741824.0) AS m
         FROM pick$n p JOIN corpus v USING (vec_id)
-          CROSS JOIN range(1, 65) t(i)
+          CROSS JOIN range(1, ${dim + 1}) t(i)
         GROUP BY p.cid, t.i),
       cent$n AS (
         SELECT cid, list_transform(list(m ORDER BY i),
@@ -384,9 +385,10 @@ object PipelineSuite extends Suite {
 
   /** cent0 (k lowest-id seeds) + `iters` Lloyd iterations + the final
     * corpus assignment pick{iters+1} over cent{iters}. */
-  private[operators] def kmeansCtes(k: Int, iters: Int): String = {
+  private[operators] def kmeansCtes(k: Int, iters: Int,
+                                    dim: Int = 64): String = {
     val iterCtes = (1 to iters)
-      .map(i => kmeansIterSql(s"cent${i - 1}", i)).mkString(",\n      ")
+      .map(i => kmeansIterSql(s"cent${i - 1}", i, dim)).mkString(",\n      ")
     s"""cent0 AS (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
                embedding AS cv

@@ -162,4 +162,66 @@ object Retrieval {
       .select(col("q_id"), col("rank"), col(id), col("chunk_id"),
         col("sim"))
   }
+
+  /** Corpus for a PERSISTED chunk IVF index ([[Ann.writeIndex]]):
+    * c41 chunks embedded ([[chunkEmbed]]) and keyed by the composite
+    * `ckey = doc_id * maxChunks + chunk_id`, with the parent doc id
+    * riding along as the inverted-list `label` — the chunk-to-doc
+    * pooling key stored IN the lists, so a probe never joins back to
+    * the corpus. The chunk-count bound is enforced per row
+    * (raise_error), so a corpus whose docs out-grow `maxChunks`
+    * fails the index BUILD loudly instead of silently aliasing keys. */
+  def chunkIndexCorpus(docs: DataFrame, id: String, text: String,
+                       win: Long, stride: Long, dim: Int,
+                       maxChunks: Long = 64L): DataFrame =
+    chunkEmbed(docs, id, text, win, stride, dim)
+      .select(
+        when(col("chunk_id") < maxChunks,
+          col(id) * maxChunks + col("chunk_id"))
+          .otherwise(raise_error(concat(
+            lit(s"chunk_id >= $maxChunks for doc "), col(id).cast("string"))))
+          .as("ckey"),
+        col(id).as("label"), col("emb"))
+
+  /** Probe the persisted chunk IVF index — the scale path for
+    * chunk-granularity retrieval (c44/d15's exact scan is the parity
+    * baseline): each query is assigned to its `nprobe` nearest
+    * centroids (broadcast — the centroid table is k rows), and ONLY
+    * the probed inverted lists are ranked by exact cosine. The lists
+    * scan is partitioned on c_id and the probe side broadcasts, so
+    * dynamic partition pruning reads just the probed partitions —
+    * per-batch work is O(|batch| * corpus/k * nprobe), independent
+    * of total index size in IO terms. Probed chunks are then
+    * MAX-POOLED to their document (best chunk per (query, doc), ties
+    * to the lower chunk id) and the top-`k` documents per query
+    * keep the winning chunk as provenance — both rank filters are
+    * row_number <= k, rewritten to TopKPerKey bounded heaps.
+    * `queries` must carry (q_id, q_emb); output matches
+    * [[chunkTopK]]: (q_id, rank, `id`, chunk_id, sim). */
+  def indexedChunkTopK(idx: Ann.IvfIndex, queries: DataFrame,
+                       id: String, nprobe: Int, k: Int,
+                       maxChunks: Long = 64L): DataFrame = {
+    import graft.functions.VectorOps
+    val cent = Ann.centTable(idx.centroids, "c_id", "c_vec")
+    val queryProbes = Ann.assignToCentroids(
+      broadcast(queries.select(col("q_id"), col("q_emb").as("q_vec"),
+        VectorOps.norm(col("q_emb")).as("q_nrm"))), cent, "q", nprobe)
+    val scored = idx.lists.join(broadcast(queryProbes), "c_id")
+      .withColumn("sim", VectorOps.cosine6Pre(col("n_vec"), col("q_vec"),
+        col("n_nrm"), col("q_nrm")))
+      .withColumn(id, col("label"))
+      .withColumn("chunk_id",
+        (col("n_id") - col("label") * maxChunks).cast("long"))
+    val wBest = Window.partitionBy(col("q_id"), col(id))
+      .orderBy(col("sim").desc, col("chunk_id"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(id))
+    scored
+      .withColumn("c_rk", row_number().over(wBest))
+      .where(col("c_rk") === 1).drop("c_rk")
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(id), col("chunk_id"),
+        col("sim"))
+  }
 }

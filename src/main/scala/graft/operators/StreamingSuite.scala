@@ -473,29 +473,40 @@ object StreamingSuite extends Suite {
 
   val d15 = Q(
     "d15_stream_retrieval",
-    // Streaming RAG query, batch-replayed: arriving docs (a 4%
-    // micro-batch slice) embedded whole and answered with their top-3 corpus
-    // docs by best-chunk cosine against the STATIC chunk index
-    // (Streams.chunkRetrievalStreaming = c44's Retrieval.chunkTopK
-    // with the arriving batch as the broadcast query side; the index
-    // is built once with Retrieval.chunkEmbed and barriered).
-    // Answers are per-doc independent given the index, so
-    // micro-batch boundaries never change them; StreamsSpec pins
-    // cross-batch parity.
+    // Streaming RAG query, batch-replayed — through the PERSISTED
+    // chunk IVF index (the scale path; round 5 scored exact cosine
+    // of EVERY corpus chunk per micro-batch): the corpus is chunked,
+    // embedded and k-means-indexed ONCE per corpus fingerprint
+    // (Retrieval.chunkIndexCorpus -> Ann.writeIndex, DiskCache like
+    // c29's ann-index), and each arriving doc (a 4% micro-batch
+    // slice) probes only its nprobe=2 nearest centroid partitions of
+    // the lists scan (dynamic partition pruning — PlanShapeSpec pins
+    // it), chunks max-pooled to docs, top-3 docs per query. Answers
+    // are per-doc independent given the index, so micro-batch
+    // boundaries never change them; StreamsSpec pins cross-batch
+    // parity of Streams.indexedRetrievalStreaming against this batch
+    // probe. The oracle rebuilds the same deterministic index from
+    // scratch (kmeansCtes dim=16) — cached and fresh builds are
+    // bit-identical.
     (s, d) => {
-      import graft.util.Barriers.BarrierOps
       import graft.functions.TextOps
       val docs = Tables.documents(s, d)
       val isArr = pmod(col("doc_id"), lit(50)) >= 48
-      val chunks = Retrieval.chunkEmbed(docs.where(!isArr), "doc_id",
-        "text", win = 32L, stride = 24L, dim = 16).barrier(true)
+      val corpus = Retrieval.chunkIndexCorpus(docs.where(!isArr),
+        "doc_id", "text", win = 32L, stride = 24L, dim = 16)
+      val idx = graft.util.DiskCache.cached(s, "chunk-index", "v1",
+        Seq(s"$d/documents.parquet"), "lt48-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(corpus, "ckey", "emb", k = 8, iters = 2, tmp)
+      } { base => Ann.readIndex(s, base) }
       val queries = docs.where(isArr)
         .select(col("doc_id").as("q_id"),
           TextOps.polyHash(col("text")).as("h"))
         .select(col("q_id"),
           transform(graft.functions.VectorOps.mockEmbedding(col("h"), 16),
             x => x.cast("float")).as("q_emb"))
-      Retrieval.chunkTopK(chunks, queries, "doc_id", k = 3)
+      Retrieval.indexedChunkTopK(idx, queries, "doc_id", nprobe = 2,
+          k = 3)
         .orderBy(col("q_id"), col("rank"))
     },
     Some {
@@ -527,16 +538,33 @@ object StreamingSuite extends Suite {
         FROM (SELECT doc_id, chunk_id,
                      ${TextOps.polyHashSql("chunk_text")} AS h
               FROM ch) y),
+      corpus AS (
+        SELECT doc_id * 64 + chunk_id AS vec_id, emb AS embedding
+        FROM ce),
       qe AS (
         SELECT doc_id AS q_id,
                list_transform(${VectorOps.mockEmbeddingSql("h", 16)},
                  x -> CAST(x AS FLOAT)) AS q_emb
         FROM (SELECT doc_id, ${TextOps.polyHashSql("text")} AS h
               FROM documents WHERE doc_id % 50 >= 48) z),
+      ${PipelineSuite.kmeansCtes(k = 8, iters = 2, dim = 16)},
+      qprobe AS (
+        SELECT q_id, cid FROM (
+          SELECT q.q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY ${VectorOps.cosine6Sql("q.q_emb", "c.cv")}
+                     DESC, c.cid) AS rk
+          FROM qe q CROSS JOIN cent2 c) t
+        WHERE rk <= 2),
       scored AS (
-        SELECT q.q_id, c.doc_id, c.chunk_id,
-               ${VectorOps.cosine6Sql("c.emb", "q.q_emb")} AS sim
-        FROM ce c CROSS JOIN qe q),
+        SELECT p.q_id,
+               CAST(a.vec_id // 64 AS BIGINT) AS doc_id,
+               CAST(a.vec_id % 64 AS BIGINT) AS chunk_id,
+               ${VectorOps.cosine6Sql("v.embedding", "q.q_emb")} AS sim
+        FROM qprobe p
+          JOIN pick3 a ON a.cid = p.cid
+          JOIN corpus v ON v.vec_id = a.vec_id
+          JOIN qe q ON q.q_id = p.q_id),
       best AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, doc_id
                  ORDER BY sim DESC, chunk_id) AS c_rk

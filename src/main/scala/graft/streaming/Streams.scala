@@ -450,6 +450,37 @@ object Streams {
       }
       .start()
 
+  /** Streaming retrieval through the PERSISTED chunk IVF index — the
+    * scale path for the d15 RAG query ([[chunkRetrievalStreaming]]'s
+    * exact full-index scan is the parity baseline): each arriving
+    * document is embedded whole and answered by
+    * [[graft.operators.Retrieval.indexedChunkTopK]], which probes
+    * only the `nprobe` nearest centroid partitions of the lists scan
+    * (dynamic partition pruning) instead of scoring every corpus
+    * chunk per micro-batch. Answers are per-doc independent given
+    * the index, so micro-batch boundaries never change them and the
+    * accumulated stream equals the batch probe over the same docs
+    * (StreamsSpec pins it cross-batch). Build the index once with
+    * [[graft.operators.Ann.writeIndex]] over
+    * [[graft.operators.Retrieval.chunkIndexCorpus]] (DiskCache it
+    * per corpus fingerprint, like c29). */
+  def indexedRetrievalStreaming(idx: graft.operators.Ann.IvfIndex,
+      docs: DataFrame, id: String, text: String, dim: Int,
+      nprobe: Int, k: Int)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val queries = batch
+          .select(col(id).as("q_id"),
+            graft.functions.TextOps.polyHash(col(text)).as("h"))
+          .select(col("q_id"),
+            transform(graft.functions.VectorOps.mockEmbedding(col("h"), dim),
+              x => x.cast("float")).as("q_emb"))
+        sink(graft.operators.Retrieval.indexedChunkTopK(
+          idx, queries, id, nprobe, k))
+      }
+      .start()
+
   /** Static eval-side shingle table for [[contaminationHitsStreaming]]. */
   def evalShingles(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("eval_id"),

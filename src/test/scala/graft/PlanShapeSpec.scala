@@ -111,7 +111,7 @@ class PlanShapeSpec extends SparkSpec {
       "c42_bigram_counts",     // broadcast 1-row pair totals
       "c43_source_drift",      // broadcast bounded bucket grid + totals
       "c44_chunk_retrieval",   // broadcast query set
-      "d15_stream_retrieval")  // broadcast arriving-query batch
+      "d15_stream_retrieval")  // broadcast centroids (query probe)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -119,6 +119,20 @@ class PlanShapeSpec extends SparkSpec {
       if (!boundedCrossJoins(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin outside the bounded allowlist")
+    }
+  }
+
+  test("IVF probes dynamic-partition-prune the inverted-lists scan") {
+    // The index-probe queries exist to NOT read the whole index: the
+    // lists parquet is partitioned on c_id and the probe side
+    // broadcasts, so the scan must carry a dynamicpruning partition
+    // filter — without it every probe is a full-index scan and the
+    // persisted layout buys nothing at 100 TB.
+    Seq("c29_ann_index_probe", "d15_stream_retrieval").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"$name must DPP-prune the lists scan:\n$plan")
     }
   }
 

@@ -567,4 +567,51 @@ class StreamsSpec extends SparkSpec {
     // every arriving doc gets exactly k answers (corpus >> k docs)
     assert(streamed.groupBy(_._1).forall(_._2.length == 3))
   }
+
+  test("streaming indexed retrieval matches the batch IVF probe across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Ann, Retrieval}
+    import graft.functions.{TextOps, VectorOps}
+    val docs = Tables.documents(spark, sf)
+    val isArr = pmod($"doc_id", lit(10)) >= 8
+    val corpus = Retrieval.chunkIndexCorpus(docs.where(!isArr), "doc_id",
+      "text", win = 32L, stride = 24L, dim = 16)
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "chunk-idx-spec").toString
+    Ann.writeIndex(corpus, "ckey", "emb", k = 8, iters = 2, base)
+    val idx = Ann.readIndex(spark, base)
+    val arriving = docs.where(isArr)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val collected = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.indexedRetrievalStreaming(idx,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      dim = 16, nprobe = 2, k = 3) { df =>
+      collected.synchronized { collected ++= df.collect() }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collected.synchronized {
+      collected.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Double]("sim"))).sortBy(t => (t._1, t._2)).toSeq
+    }
+    val batchQueries = docs.where(isArr)
+      .select($"doc_id".as("q_id"), TextOps.polyHash($"text").as("h"))
+      .select($"q_id", transform(VectorOps.mockEmbedding($"h", 16),
+        x => x.cast("float")).as("q_emb"))
+    val batch = Retrieval.indexedChunkTopK(idx, batchQueries, "doc_id",
+        nprobe = 2, k = 3)
+      .orderBy($"q_id", $"rank").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Double]("sim"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    // every arriving doc gets exactly k answers (probed lists >> k docs)
+    assert(streamed.groupBy(_._1).forall(_._2.length == 3))
+  }
 }
