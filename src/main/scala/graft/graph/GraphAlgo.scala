@@ -41,19 +41,13 @@ object GraphAlgo {
         least(col("src"), col("dst")).as("v"))
       .distinct()
 
-    // Each phase is ONE shuffle: an explicit repartition on the
-    // phase's center column, then BOTH a duplicate-eliminating
-    // row_number window (keyed by the full edge) and the min window
-    // (keyed by the center) run inside that single exchange —
-    // HashPartitioning(center) satisfies both clustering
-    // requirements, and the dedup sort (center, other) is a prefix
-    // superset of the min window's (center) sort, so neither adds an
-    // exchange or a re-sort. Phase outputs carry bounded cross-
-    // partition duplicates (the next phase's in-exchange dedup
-    // removes them), which trades the old standalone distinct —
-    // a third full shuffle per round — for a partition-local filter.
-    // At the fixed point both phases emit each star-forest edge
-    // exactly once, so the convergence signature still stabilizes.
+    // Each phase is one min-window over the phase's center column;
+    // duplicates flow through large-star untouched (window mins are
+    // duplicate-insensitive) and the round's output is bounded by
+    // small-star's single distinct — two exchanges per phase pair.
+    // (The in-exchange row_number-dedup alternative was measured
+    // SLOWER on this shape — see the round-5 numbers at the
+    // convergence loop below — so it was rejected.)
     import org.apache.spark.sql.expressions.Window
 
     // large-star: around each center c, link every LARGER neighbor to

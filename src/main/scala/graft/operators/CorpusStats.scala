@@ -249,8 +249,11 @@ object CorpusStats {
   }
 
   /** DuckDB mirror of [[bigramCounts]]. `maxLen` bounds the unnested
-    * position range (range() cannot take lateral arguments); it must
-    * be >= the longest document's token count. */
+    * position range — range() rejects ANY non-constant bound in this
+    * DuckDB build (lateral columns and scalar subqueries both), so
+    * the bound must be a literal; a corpus whose longest document
+    * exceeds it makes the oracle ERROR (the CASE/error() guard)
+    * instead of silently dropping rows the Spark side produces. */
   def bigramCountsSql(text: String, topK: Int,
                       maxLen: Int = 4096): String = {
     val tk = TextOps.tokensSql(text)
@@ -258,7 +261,11 @@ object CorpusStats {
       WITH t AS (SELECT $tk AS toks FROM documents),
       i AS (SELECT toks, unnest(range(1, $maxLen)) AS i FROM t),
       p AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair
-            FROM i WHERE i + 1 <= len(toks)),
+            FROM i
+            WHERE i + 1 <= len(toks)
+              AND CASE WHEN (SELECT MAX(len(toks)) FROM t) > $maxLen
+                  THEN error('bigram maxLen $maxLen exceeded')
+                  ELSE TRUE END),
       g AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1),
       tot AS (SELECT SUM(cnt) AS n_pairs, COUNT(*) AS n_distinct
               FROM g),

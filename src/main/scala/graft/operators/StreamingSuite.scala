@@ -468,6 +468,8 @@ object StreamingSuite extends Suite {
                ' ') AS chunk_text
       FROM c
       WHERE chunk_id <= kmax
+        AND CASE WHEN (SELECT MAX(kmax) FROM k) >= 64
+            THEN error('chunk bound 64 exceeded') ELSE TRUE END
       ORDER BY doc_id, chunk_id"""
     })
 
@@ -530,7 +532,9 @@ object StreamingSuite extends Suite {
         FROM (SELECT doc_id, toks, n_tokens, kmax,
                      unnest(range(0, 64)) AS chunk_id
               FROM k) x
-        WHERE chunk_id <= kmax),
+        WHERE chunk_id <= kmax
+        AND CASE WHEN (SELECT MAX(kmax) FROM k) >= 64
+            THEN error('chunk bound 64 exceeded') ELSE TRUE END),
       ce AS (
         SELECT doc_id, chunk_id,
                list_transform(${VectorOps.mockEmbeddingSql("h", 16)},

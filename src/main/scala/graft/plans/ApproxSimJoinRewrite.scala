@@ -26,7 +26,14 @@ import graft.functions.expr.FloatDotProduct
   * O(n²) pair scan becomes a bounded equi-join; surviving rows carry
   * exact similarities. The rewrite can only MISS pairs (recall < 1 —
   * why it is opt-in and never a default; measured in
-  * ApproxSimJoinSpec), never fabricate them.
+  * ApproxSimJoinSpec), never fabricate them. One further documented
+  * semantics change: the multi-probe dedup groups on the candidate
+  * OUTPUT columns, so input-row multiplicity is NOT preserved —
+  * duplicate rows in a base relation collapse to one output pair
+  * where the exact join would emit one pair per duplicate
+  * combination. Similarity joins key on ids in practice (every
+  * in-repo caller joins distinct-id vector tables), so value-equal
+  * input rows are already degenerate under this rewrite's contract.
   *
   * Fires only when: the join is Inner with a `>= Literal(tau > 0)`
   * conjunct whose expression contains a cross-side FloatDotProduct

@@ -509,7 +509,7 @@ object Streams {
     * scored map-side against the STATIC hashed contrastive model
     * ([[graft.operators.CorpusStats.importanceScore]] — a broadcast
     * join on the fixed-size dense bucket table, then a per-doc sum
-    * that never leaves the batch) and kept iff score >= `minScore`.
+    * that never leaves the batch).
     * Decisions are per-doc independent given the model, so
     * micro-batch boundaries never change them and the accumulated
     * stream output equals the batch operator over the same docs
