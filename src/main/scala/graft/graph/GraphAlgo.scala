@@ -381,7 +381,13 @@ object GraphAlgo {
       // BOTH the (node, label) vote count's clustered distribution
       // (subset key) and the top-1 heap's, so the count agg and the
       // rank filter run exchange-free on the repartitioned join
-      // output
+      // output. (Round-6 quiet-box alternative — dropping the
+      // explicit repartition so the count agg gets its natural
+      // (node, label) exchange WITH map-side partial combine, then a
+      // second exchange on node for the heap — measured SLOWER:
+      // 7.6-8.4 s vs 6.8-7.8 s for this shape at sf0.1/local, 3-run
+      // min-median; the combine doesn't pay for the extra shuffle of
+      // the already-aggregated votes.)
       lab = adj
         .join(lab.select(col("node").as("nbr"), col("label")), "nbr")
         .repartition(col("node"))

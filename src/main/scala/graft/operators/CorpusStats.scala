@@ -248,6 +248,111 @@ object CorpusStats {
         col("n_pairs"), col("n_distinct"))
   }
 
+  /** BPE merge-iteration trainer (Sennrich et al. 2016) — the loop
+    * that makes [[bigramCounts]] (= one round's candidate table) an
+    * actual tokenizer-training step: `k` rounds of count adjacent
+    * pairs → take the argmax pair (ties to the lexicographically
+    * smaller (a, b)) → re-segment every document by merging each
+    * left-to-right non-overlapping occurrence of that pair into one
+    * token, then re-count on the MERGED corpus. Documents are carried
+    * between rounds as control-char framed strings (\u0002 tok \u0003 per
+    * token), so the merge-apply is ONE string replace per doc per
+    * round — replace() scans left-to-right non-overlapping in both
+    * engines, which is exactly the BPE merge-apply order — and the
+    * winning pair joins in as a BROADCAST one-row table, so the loop
+    * moves no data to the driver and each round is one
+    * map-side-combinable pair groupBy + a 1-row
+    * TakeOrderedAndProject + one map stage: linear in corpus tokens,
+    * k rounds, distributed end to end. Output: the learned merge
+    * table (step, pair, cnt, n_pairs) — the ordered merge list a BPE
+    * tokenizer ships as its training artifact. */
+  def bpeTrain(docs: DataFrame, text: String, k: Int): DataFrame = {
+    val open = "\u0002"; val close = "\u0003"
+    var cur = docs.select(
+      concat(lit(open),
+        concat_ws(close + open, TextOps.tokens(col(text))),
+        lit(close)).as("s"))
+    var out: DataFrame = null
+    for (step <- 1 to k) {
+      // framed string -> token list (frame chars cannot occur in
+      // whitespace-split text tokens; merged tokens only add spaces)
+      val toks = split(trim(col("s"), open + close), close + open)
+      val pairs = cur.select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .barrier(true) // read twice: totals row + argmax head
+      val tot = pairs.agg(sum(col("cnt")).cast("long").as("n_pairs"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      val row = best.crossJoin(broadcast(tot))
+        .select(lit(step.toLong).as("step"),
+          concat(col("a"), lit(" "), col("b")).as("pair"),
+          col("cnt"), col("n_pairs"))
+      out = if (out == null) row else out.unionAll(row)
+      if (step < k)
+        // lazy barrier between rounds (the LPA shape): each round's
+        // corpus is read twice (pair counts + merge-apply), never
+        // recomputed from the whole merge lineage
+        cur = cur.crossJoin(broadcast(best))
+          .select(replace(col("s"),
+            concat(lit(open), col("a"), lit(close),
+              lit(open), col("b"), lit(close)),
+            concat(lit(open), col("a"), lit(" "), col("b"),
+              lit(close))).as("s"))
+          .barrier(false)
+    }
+    out.orderBy(col("step"))
+  }
+
+  /** DuckDB mirror of [[bpeTrain]], the k merge rounds unrolled as
+    * CTE stages (data-dependent loop bounds aren't SQL; k is a
+    * literal here exactly as it is in the Spark call). Each stage is
+    * the [[bigramCountsSql]] position-unnest pair count (same maxLen
+    * bound + error() guard) plus the framed-string replace with the
+    * stage's argmax pair. */
+  def bpeTrainSql(text: String, k: Int, maxLen: Int = 4096): String = {
+    val tk = TextOps.tokensSql(text)
+    val stages = (1 to k).map { i =>
+      s"""t$i AS (
+        SELECT doc_id, str_split(trim(s, chr(2) || chr(3)),
+                 chr(3) || chr(2)) AS toks
+        FROM d${i - 1}),
+      p$i AS (
+        SELECT toks[i] AS a, toks[i + 1] AS b
+        FROM (SELECT toks, unnest(range(1, $maxLen)) AS i FROM t$i) x
+        WHERE i + 1 <= len(toks)
+          AND CASE WHEN (SELECT MAX(len(toks)) FROM t$i) > $maxLen
+              THEN error('bpe maxLen $maxLen exceeded') ELSE TRUE END),
+      g$i AS (SELECT a, b, COUNT(*) AS cnt FROM p$i GROUP BY 1, 2),
+      best$i AS (SELECT a, b, cnt FROM g$i ORDER BY cnt DESC, a, b
+                 LIMIT 1),
+      tot$i AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_pairs FROM g$i),
+      d$i AS (
+        SELECT doc_id,
+               replace(s, chr(2) || a || chr(3) || chr(2) || b || chr(3),
+                 chr(2) || a || ' ' || b || chr(3)) AS s
+        FROM d${i - 1} CROSS JOIN best$i)"""
+    }.mkString(",\n      ")
+    val rows = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, a || ' ' || b AS pair,
+             cnt, n_pairs
+      FROM best$i CROSS JOIN tot$i"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH d0 AS (
+        SELECT doc_id,
+               chr(2) || array_to_string($tk, chr(3) || chr(2)) ||
+                 chr(3) AS s
+        FROM documents),
+      $stages
+      SELECT * FROM (
+      $rows)
+      ORDER BY step"""
+  }
+
   /** DuckDB mirror of [[bigramCounts]]. `maxLen` bounds the unnested
     * position range — range() rejects ANY non-constant bound in this
     * DuckDB build (lateral columns and scalar subqueries both), so

@@ -1488,9 +1488,25 @@ object PipelineSuite extends Suite {
       WHERE rank <= 3
       ORDER BY q_id, rank"""))
 
+  val c45 = Q(
+    "c45_bpe_train",
+    // BPE merge-iteration trainer: k=3 rounds of (count adjacent
+    // pairs -> argmax pair -> re-segment the corpus by merging that
+    // pair left-to-right non-overlapping), re-counting on the MERGED
+    // corpus each round — the trainer loop that makes c42 (= one
+    // round's candidate table) an actual tokenizer-training step
+    // (Sennrich et al. 2016). Fully distributed: the winning pair is
+    // a broadcast one-row table feeding a per-doc string replace
+    // (identical greedy left-to-right semantics in both engines), so
+    // no round pulls data to the driver; the oracle unrolls the three
+    // rounds as CTE stages. Output = the ordered merge list with
+    // counts — the artifact a BPE tokenizer ships.
+    (s, d) => CorpusStats.bpeTrain(Tables.documents(s, d), "text", k = 3),
+    Some(CorpusStats.bpeTrainSql("text", k = 3, maxLen = 256)))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
-      c44)
+      c44, c45)
 }

@@ -129,6 +129,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_distinct") == 3L))
   }
 
+  test("bpeTrain: hand-checked 3-round merge list, greedy re-segmentation") {
+    val docs = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bpeTrain(docs, "text", k = 3)
+      .orderBy($"step").collect()
+    assert(out.length == 3)
+    // round 1: (a,b)x3 of 5 pairs; merge -> doc1 [a b, a b, c], doc2 [a b]
+    assert(out(0).getAs[String]("pair") == "a b")
+    assert(out(0).getAs[Long]("cnt") == 3L)
+    assert(out(0).getAs[Long]("n_pairs") == 5L)
+    // round 2: ("a b","a b") and ("a b","c") tie at 1 -> lexicographic
+    // smaller b wins; greedy left-to-right merges ONE pair of doc1's
+    // [a b, a b, c] (non-overlapping) -> [a b a b, c]
+    assert(out(1).getAs[String]("pair") == "a b a b")
+    assert(out(1).getAs[Long]("cnt") == 1L)
+    assert(out(1).getAs[Long]("n_pairs") == 2L)
+    // round 3: only ("a b a b","c") remains
+    assert(out(2).getAs[String]("pair") == "a b a b c")
+    assert(out(2).getAs[Long]("cnt") == 1L)
+    assert(out(2).getAs[Long]("n_pairs") == 1L)
+  }
+
   test("sourceDrift: identical mix scores 0, disjoint sources score 1e6") {
     // A and B are fully disjoint single-token sources of equal size:
     // corpus = 50/50, each source is all-or-nothing per bucket, so

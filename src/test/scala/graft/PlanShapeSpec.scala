@@ -109,6 +109,7 @@ class PlanShapeSpec extends SparkSpec {
       "c40_importance_select", // broadcast 1-row model totals
       "d13_stream_importance", // broadcast 1-row totals + threshold row
       "c42_bigram_counts",     // broadcast 1-row pair totals
+      "c45_bpe_train",         // broadcast 1-row argmax pair + totals
       "c43_source_drift",      // broadcast bounded bucket grid + totals
       "c44_chunk_retrieval",   // broadcast query set
       "d15_stream_retrieval")  // broadcast centroids (query probe)
