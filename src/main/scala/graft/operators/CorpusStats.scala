@@ -401,11 +401,31 @@ object CorpusStats {
     * still contribute their |0 − p_corpus| term. All-integer
     * multiply-then-div ppm (§4). */
   def sourceDrift(docs: DataFrame, group: String, text: String,
-                  buckets: Int): DataFrame = {
-    val tok = docs.select(col(group).as("grp"),
-      tokenBuckets(text, buckets).as("bk"))
-    val scnt = tok.groupBy(col("grp"), col("bk"))
-      .agg(count(lit(1)).as("cnt")).barrier(true)
+                  buckets: Int): DataFrame =
+    sourceDriftFromCounters(
+      sourceDriftCounters(docs, group, text, buckets), group)
+
+  /** The (group, bucket) token-counter table [[sourceDrift]] reduces
+    * over — split out so the STREAMING flavor
+    * ([[graft.streaming.Streams.sourceDriftStreaming]]) can run it
+    * as a running aggregate (state = O(groups × buckets) counters by
+    * construction) and derive the drift table per micro-batch with
+    * [[sourceDriftFromCounters]]. */
+  def sourceDriftCounters(docs: DataFrame, group: String, text: String,
+                          buckets: Int): DataFrame =
+    docs.select(col(group).as("grp"),
+        tokenBuckets(text, buckets).as("bk"))
+      .groupBy(col("grp"), col("bk"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Drift derivation from the counter table: corpus marginal,
+    * per-group totals, dense grid (absent buckets contribute their
+    * |0 − p_corpus| term), integer-ppm l1. The counter table is
+    * groups × buckets rows — materialized once (barrier), every
+    * stage below reads the materialization. */
+  def sourceDriftFromCounters(counters: DataFrame,
+                              group: String): DataFrame = {
+    val scnt = counters.barrier(true)
     val corp = scnt.groupBy(col("bk")).agg(sum(col("cnt")).as("ccnt"))
     val stot = scnt.groupBy(col("grp")).agg(sum(col("cnt")).as("stot"))
     val ctot = corp.agg(sum(col("ccnt")).as("ctot"))

@@ -584,6 +584,28 @@ object StreamingSuite extends Suite {
       ORDER BY q_id, rank"""
     })
 
+  val d16 = Q(
+    "d16_stream_source_drift",
+    // Stateful streaming source drift, batch-replayed: c43's
+    // ingest-QA monitor as a RUNNING streaming aggregate — arriving
+    // docs fold into per-(source, bucket) token counters (no window,
+    // no watermark; state = O(sources × buckets) by construction
+    // since the hashed bucket space is fixed at 512 here), and each
+    // micro-batch derives the full drift table from the current
+    // counter state with the identical batch stages
+    // (Streams.sourceDriftStreaming; complete-mode counters because
+    // the l1 score reads the WHOLE counter table). After the stream
+    // drains the last emission equals this batch operator —
+    // StreamsSpec pins it cross-batch. Distinct bucket count from
+    // c43 (512 vs 1024) so the two rows exercise different grids.
+    (s, d) => CorpusStats.sourceDrift(Tables.documents(s, d), "source",
+        "text", buckets = 512)
+      .orderBy(col("source")),
+    Some(s"""
+      ${CorpusStats.sourceDriftSql("source", "text", 512)}
+      ORDER BY source"""))
+
   override val queries: Seq[Q] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
+      d16)
 }

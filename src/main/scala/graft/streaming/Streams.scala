@@ -481,6 +481,32 @@ object Streams {
       }
       .start()
 
+  /** Stateful streaming source drift — c43 as a RUNNING streaming
+    * aggregate: the per-(source, bucket) token counters fold arriving
+    * docs with no window or watermark (state = O(sources × buckets)
+    * counters BY CONSTRUCTION — the hashed bucket space is fixed, so
+    * unbounded vocabulary and unbounded docs never grow the state),
+    * and every micro-batch derives the full drift table (corpus
+    * marginal, totals, dense grid, integer-ppm l1) from the CURRENT
+    * counter state with the identical batch stages. The counter agg
+    * publishes in COMPLETE mode: update mode would emit only the
+    * counters a batch changed, but the drift score is a function of
+    * the whole counter table — state size is the same either way,
+    * and the emitted table IS the running ingest-QA monitor. After
+    * the stream drains, the last emission equals the batch operator
+    * over the same docs (StreamsSpec pins it cross-batch). */
+  def sourceDriftStreaming(docs: DataFrame, group: String, text: String,
+      buckets: Int)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.operators.CorpusStats
+      .sourceDriftCounters(docs, group, text, buckets)
+      .writeStream.outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.CorpusStats
+          .sourceDriftFromCounters(batch, group))
+      }
+      .start()
+
   /** Static eval-side shingle table for [[contaminationHitsStreaming]]. */
   def evalShingles(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("eval_id"),

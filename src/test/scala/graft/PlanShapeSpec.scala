@@ -111,6 +111,7 @@ class PlanShapeSpec extends SparkSpec {
       "c42_bigram_counts",     // broadcast 1-row pair totals
       "c45_bpe_train",         // broadcast 1-row argmax pair + totals
       "c43_source_drift",      // broadcast bounded bucket grid + totals
+      "d16_stream_source_drift", // broadcast bounded bucket grid + totals
       "c44_chunk_retrieval",   // broadcast query set
       "d15_stream_retrieval")  // broadcast centroids (query probe)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

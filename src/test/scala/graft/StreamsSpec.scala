@@ -568,6 +568,37 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.groupBy(_._1).forall(_._2.length == 3))
   }
 
+  test("streaming source drift: last emission equals batch drift after drain") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusStats
+    val docs = Tables.documents(spark, sf)
+    val arriving = docs.select($"source", $"text")
+      .as[(String, String)].collect()
+    var last: Seq[(String, Long, Long, Long)] = Seq.empty
+    var emissions = 0
+    val ms = MemoryStream[(String, String)]
+    val q = Streams.sourceDriftStreaming(
+      ms.toDF().toDF("source", "text"), "source", "text",
+      buckets = 512) { df =>
+      val rows = df.orderBy($"source").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_buckets"), r.getAs[Long]("l1_ppm"))).toSeq
+      this.synchronized { last = rows; emissions += 1 }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = CorpusStats.sourceDrift(docs, "source", "text",
+        buckets = 512)
+      .orderBy($"source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_buckets"), r.getAs[Long]("l1_ppm"))).toSeq
+    assert(emissions >= 2, "expected one emission per micro-batch")
+    assert(last.nonEmpty && last === batch)
+  }
+
   test("streaming indexed retrieval matches the batch IVF probe across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Ann, Retrieval}
