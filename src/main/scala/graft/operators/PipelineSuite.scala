@@ -1504,9 +1504,143 @@ object PipelineSuite extends Suite {
     (s, d) => CorpusStats.bpeTrain(Tables.documents(s, d), "text", k = 3),
     Some(CorpusStats.bpeTrainSql("text", k = 3, maxLen = 256)))
 
+  val c46 = Q(
+    "c46_chunk_index_recall",
+    // Chunk retrieval THROUGH the persisted IVF index, recall-graded
+    // per query against c44's exact full-scan baseline — the c17↔c29
+    // mirror for the chunk corpus: the same %101 corpus/query split
+    // as c44, the chunk index built once per corpus fingerprint
+    // (chunkIndexCorpus -> Ann.writeIndex, DiskCache) and probed at
+    // nprobe=2 with DPP-pruned lists (indexedChunkTopK, d15's batch
+    // twin), the exact chunkTopK as truth; output = recall@3 per
+    // query. The oracle rebuilds the same deterministic index from
+    // scratch (kmeansCtes dim=16).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isQ = pmod(col("doc_id"), lit(101)) === 0
+      val corpus = Retrieval.chunkIndexCorpus(docs.where(!isQ),
+        "doc_id", "text", win = 32L, stride = 24L, dim = 16)
+      val idx = graft.util.DiskCache.cached(s, "chunk-index", "v1",
+        Seq(s"$d/documents.parquet"), "mod101-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(corpus, "ckey", "emb", k = 8, iters = 2, tmp)
+      } { base => Ann.readIndex(s, base) }
+      val queries = docs.where(isQ)
+        .select(col("doc_id").as("q_id"),
+          TextOps.polyHash(col("text")).as("h"))
+        .select(col("q_id"),
+          transform(VectorOps.mockEmbedding(col("h"), 16),
+            x => x.cast("float")).as("q_emb"))
+      val ivf = Retrieval.indexedChunkTopK(idx, queries, "doc_id",
+        nprobe = 2, k = 3)
+      val exact = Retrieval.chunkTopK(
+        Retrieval.chunkEmbed(docs.where(!isQ), "doc_id", "text",
+          win = 32L, stride = 24L, dim = 16),
+        queries, "doc_id", k = 3)
+      exact.alias("e")
+        .join(ivf.alias("i"),
+          col("e.q_id") === col("i.q_id") &&
+            col("e.doc_id") === col("i.doc_id"),
+          "left")
+        .groupBy(col("e.q_id").as("q_id"))
+        .agg(round(sum(when(col("i.doc_id").isNotNull, 1).otherwise(0))
+          .cast("double") / 3, 6).as("recall"))
+        .orderBy(col("q_id"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH t AS (
+        SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+        FROM documents WHERE doc_id % 101 <> 0),
+      n AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t),
+      k AS (
+        SELECT *, CASE WHEN n_tokens > 32
+          THEN (n_tokens - 32 + 23) // 24 ELSE 0 END AS kmax
+        FROM n),
+      ch AS (
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(toks, chunk_id * 24 + 1,
+                 chunk_id * 24 + LEAST(32, n_tokens - chunk_id * 24)),
+                 ' ') AS chunk_text
+        FROM (SELECT doc_id, toks, n_tokens, kmax,
+                     unnest(range(0, 64)) AS chunk_id
+              FROM k) x
+        WHERE chunk_id <= kmax
+        AND CASE WHEN (SELECT MAX(kmax) FROM k) >= 64
+            THEN error('chunk bound 64 exceeded') ELSE TRUE END),
+      ce AS (
+        SELECT doc_id, chunk_id,
+               list_transform(${VectorOps.mockEmbeddingSql("h", 16)},
+                 x -> CAST(x AS FLOAT)) AS emb
+        FROM (SELECT doc_id, chunk_id,
+                     ${TextOps.polyHashSql("chunk_text")} AS h
+              FROM ch) y),
+      corpus AS (
+        SELECT doc_id * 64 + chunk_id AS vec_id, emb AS embedding
+        FROM ce),
+      qe AS (
+        SELECT doc_id AS q_id,
+               list_transform(${VectorOps.mockEmbeddingSql("h", 16)},
+                 x -> CAST(x AS FLOAT)) AS q_emb
+        FROM (SELECT doc_id, ${TextOps.polyHashSql("text")} AS h
+              FROM documents WHERE doc_id % 101 = 0) z),
+      ${kmeansCtes(k = 8, iters = 2, dim = 16)},
+      qprobe AS (
+        SELECT q_id, cid FROM (
+          SELECT q.q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY ${cos("q.q_emb", "c.cv")} DESC, c.cid) AS rk
+          FROM qe q CROSS JOIN cent2 c) t
+        WHERE rk <= 2),
+      iscored AS (
+        SELECT p.q_id,
+               CAST(a.vec_id // 64 AS BIGINT) AS doc_id,
+               CAST(a.vec_id % 64 AS BIGINT) AS chunk_id,
+               ${cos("v.embedding", "q.q_emb")} AS sim
+        FROM qprobe p
+          JOIN pick3 a ON a.cid = p.cid
+          JOIN corpus v ON v.vec_id = a.vec_id
+          JOIN qe q ON q.q_id = p.q_id),
+      ivf AS (
+        SELECT q_id, doc_id FROM (
+          SELECT q_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, doc_id) AS rank
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, doc_id
+                       ORDER BY sim DESC, chunk_id) AS c_rk
+                FROM iscored) b
+          WHERE c_rk = 1) r
+        WHERE rank <= 3),
+      escored AS (
+        SELECT q.q_id, c.doc_id, c.chunk_id,
+               ${cos("c.emb", "q.q_emb")} AS sim
+        FROM ce c CROSS JOIN qe q),
+      exact AS (
+        SELECT q_id, doc_id FROM (
+          SELECT q_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, doc_id) AS rank
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, doc_id
+                       ORDER BY sim DESC, chunk_id) AS c_rk
+                FROM escored) b
+          WHERE c_rk = 1) r
+        WHERE rank <= 3)
+      SELECT e.q_id,
+             round(CAST(SUM(CASE WHEN i.doc_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS DOUBLE) / 3, 6)
+               AS recall
+      FROM exact e LEFT JOIN ivf i
+        ON i.q_id = e.q_id AND i.doc_id = e.doc_id
+      GROUP BY e.q_id
+      ORDER BY e.q_id"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
-      c44, c45)
+      c44, c45, c46)
 }

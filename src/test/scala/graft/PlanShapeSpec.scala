@@ -113,6 +113,7 @@ class PlanShapeSpec extends SparkSpec {
       "c43_source_drift",      // broadcast bounded bucket grid + totals
       "d16_stream_source_drift", // broadcast bounded bucket grid + totals
       "c44_chunk_retrieval",   // broadcast query set
+      "c46_chunk_index_recall", // broadcast query set + centroids
       "d15_stream_retrieval")  // broadcast centroids (query probe)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
