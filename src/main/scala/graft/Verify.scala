@@ -15,6 +15,7 @@ object Verify {
       // events.parquet stores INT64 TIMESTAMP(NANOS): read as long,
       // Tables.events normalizes to a microsecond timestamp.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -16,7 +16,28 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** The driver has regenerated the testdata with drifting physical
+    * timestamp encodings across rounds: INT64 TIMESTAMP(NANOS) (read as
+    * LongType under legacy nanosAsLong), then tz-aware micros (read as
+    * TimestampType), currently naive micros (read as TimestampNTZType
+    * unless spark.sql.parquet.inferTimestampNTZ.enabled=false). All
+    * sessions here pin timeZone=UTC, so NTZ->LTZ casting preserves the
+    * stored micros exactly; normalize every timestamp-ish column to
+    * plain TimestampType so query code sees one stable type regardless
+    * of which session config the caller built (the driver's smoke
+    * session is not under our control). */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          d.withColumn(f.name, d.col(f.name).cast(TimestampType))
+        case _ => d
+      }
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
