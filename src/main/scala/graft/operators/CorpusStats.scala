@@ -266,12 +266,50 @@ object CorpusStats {
     * k rounds, distributed end to end. Output: the learned merge
     * table (step, pair, cnt, n_pairs) — the ordered merge list a BPE
     * tokenizer ships as its training artifact. */
-  def bpeTrain(docs: DataFrame, text: String, k: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, text: String, k: Int): DataFrame =
+    bpeRounds(docs, "doc_id", text, k)._1.orderBy(col("step"))
+
+  /** Apply the [[bpeTrain]]-learned merges to the corpus they were
+    * trained on and report the per-document encoding effect: token
+    * count before (`n_raw`) / after (`n_enc`) the k merges and the
+    * integer-ppm compression `saved_ppm` — the "what did this
+    * tokenizer buy us" audit a trainer emits next to its merge list.
+    * Runs the identical k-round loop (same argmax, same greedy
+    * left-to-right merge-apply), so the merges ARE c45's; only the
+    * final projection differs: per-doc sizes of the merged framed
+    * string instead of the merge rows. No work beyond the loop's own
+    * stages — sizes come from the doc's own carried string, no extra
+    * join or shuffle (n_raw rides along from the pre-merge
+    * tokenization). */
+  def bpeEncode(docs: DataFrame, id: String, text: String,
+                k: Int): DataFrame = {
+    val (_, corpus) = bpeRounds(docs, id, text, k)
     val open = "\u0002"; val close = "\u0003"
-    var cur = docs.select(
-      concat(lit(open),
-        concat_ws(close + open, TextOps.tokens(col(text))),
-        lit(close)).as("s"))
+    val toks = split(trim(col("s"), open + close), close + open)
+    corpus
+      .select(col(id), col("n_raw"), size(toks).cast("long").as("n_enc"))
+      .select(col(id), col("n_raw"), col("n_enc"),
+        ppmExpr("n_raw - n_enc", "n_raw").cast("long").as("saved_ppm"))
+  }
+
+  /** The shared k-round BPE merge loop behind [[bpeTrain]] (merge
+    * rows) and [[bpeEncode]] (merged corpus): each round counts
+    * adjacent pairs, takes the argmax pair (ties to the
+    * lexicographically smaller (a, b)) and re-segments every document
+    * by merging that pair left-to-right non-overlapping. Returns
+    * (merge rows unioned over rounds, final corpus (id, n_raw, s))
+    * with every merge applied. Both outputs are lazy slices of the
+    * same plan: Catalyst prunes the id/n_raw carry out of the
+    * train-only path, and the k-th merge-apply stage only executes
+    * for consumers that read the corpus side (the train side's rows
+    * reference only that round's pair counts). */
+  private def bpeRounds(docs: DataFrame, id: String, text: String,
+                        k: Int): (DataFrame, DataFrame) = {
+    val open = "\u0002"; val close = "\u0003"
+    val tk = TextOps.tokens(col(text))
+    var cur = docs.select(col(id),
+      size(tk).cast("long").as("n_raw"),
+      concat(lit(open), concat_ws(close + open, tk), lit(close)).as("s"))
     var out: DataFrame = null
     for (step <- 1 to k) {
       // framed string -> token list (frame chars cannot occur in
@@ -292,19 +330,20 @@ object CorpusStats {
           concat(col("a"), lit(" "), col("b")).as("pair"),
           col("cnt"), col("n_pairs"))
       out = if (out == null) row else out.unionAll(row)
-      if (step < k)
-        // lazy barrier between rounds (the LPA shape): each round's
-        // corpus is read twice (pair counts + merge-apply), never
-        // recomputed from the whole merge lineage
-        cur = cur.crossJoin(broadcast(best))
-          .select(replace(col("s"),
+      // lazy barrier between rounds (the LPA shape): each round's
+      // corpus is read twice (pair counts + merge-apply), never
+      // recomputed from the whole merge lineage; the k-th apply is
+      // dead weight for the train side and lazily skipped there
+      cur = cur.crossJoin(broadcast(best))
+        .select(col(id), col("n_raw"),
+          replace(col("s"),
             concat(lit(open), col("a"), lit(close),
               lit(open), col("b"), lit(close)),
             concat(lit(open), col("a"), lit(" "), col("b"),
               lit(close))).as("s"))
-          .barrier(false)
+        .barrier(false)
     }
-    out.orderBy(col("step"))
+    (out, cur)
   }
 
   /** DuckDB mirror of [[bpeTrain]], the k merge rounds unrolled as
@@ -314,6 +353,43 @@ object CorpusStats {
     * bound + error() guard) plus the framed-string replace with the
     * stage's argmax pair. */
   def bpeTrainSql(text: String, k: Int, maxLen: Int = 4096): String = {
+    val rows = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, a || ' ' || b AS pair,
+             cnt, n_pairs
+      FROM best$i CROSS JOIN tot$i"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH ${bpeStagesSql(text, k, maxLen)}
+      SELECT * FROM (
+      $rows)
+      ORDER BY step"""
+  }
+
+  /** DuckDB mirror of [[bpeEncode]]: the same unrolled merge stages,
+    * final projection = per-doc framed-string sizes before (d0) and
+    * after (dk) the k merges plus the integer-ppm saving. */
+  def bpeEncodeSql(text: String, k: Int, maxLen: Int = 4096): String =
+    s"""
+      WITH ${bpeStagesSql(text, k, maxLen)},
+      raw AS (
+        SELECT doc_id, CAST(len(str_split(trim(s, chr(2) || chr(3)),
+                 chr(3) || chr(2))) AS BIGINT) AS n_raw
+        FROM d0),
+      enc AS (
+        SELECT doc_id, CAST(len(str_split(trim(s, chr(2) || chr(3)),
+                 chr(3) || chr(2))) AS BIGINT) AS n_enc
+        FROM d$k)
+      SELECT r.doc_id, r.n_raw, e.n_enc,
+             ${ppmSql("r.n_raw - e.n_enc", "r.n_raw")} AS saved_ppm
+      FROM raw r JOIN enc e ON r.doc_id = e.doc_id
+      ORDER BY r.doc_id"""
+
+  /** The shared CTE body of [[bpeTrainSql]]/[[bpeEncodeSql]]: `d0` =
+    * framed corpus, then per round i the pair unnest (`maxLen` bound +
+    * error() guard — see [[bigramCountsSql]] for why the bound must be
+    * a literal), pair counts `g_i`, argmax `best_i`, totals `tot_i`
+    * and the merged corpus `d_i`. */
+  private def bpeStagesSql(text: String, k: Int, maxLen: Int): String = {
     val tk = TextOps.tokensSql(text)
     val stages = (1 to k).map { i =>
       s"""t$i AS (
@@ -336,21 +412,12 @@ object CorpusStats {
                  chr(2) || a || ' ' || b || chr(3)) AS s
         FROM d${i - 1} CROSS JOIN best$i)"""
     }.mkString(",\n      ")
-    val rows = (1 to k).map { i =>
-      s"""SELECT CAST($i AS BIGINT) AS step, a || ' ' || b AS pair,
-             cnt, n_pairs
-      FROM best$i CROSS JOIN tot$i"""
-    }.mkString("\n      UNION ALL\n      ")
-    s"""
-      WITH d0 AS (
+    s"""d0 AS (
         SELECT doc_id,
                chr(2) || array_to_string($tk, chr(3) || chr(2)) ||
                  chr(3) AS s
         FROM documents),
-      $stages
-      SELECT * FROM (
-      $rows)
-      ORDER BY step"""
+      $stages"""
   }
 
   /** DuckDB mirror of [[bigramCounts]]. `maxLen` bounds the unnested

@@ -101,4 +101,104 @@ object Packing {
       .select(col(id), col("n_tokens"), col("chunk_id"),
         col("start_tok"), col("n_chunk_tokens"), col("chunk_text"))
   }
+
+  // --- shard export --------------------------------------------------
+  /** Checksum modulus for [[shardManifest]]'s order checksum. */
+  val ShardMod = 1000000007L
+  private val HashFold = 1000003L
+
+  /** Content-hash shard assignment: `shard = mixedPolyHash(text) mod
+    * shards` — the deterministic router in front of a sharded
+    * training-data writer. Map-only; the MIXED hash because the
+    * VALUE's distribution matters for balance (TextOps.polyHashMixed
+    * scaladoc). `shards` is the output-file-count knob: pick it from
+    * corpus size / target file size (thousands at scale), and the
+    * hash keeps shard sizes balanced without a sampling pass. */
+  def shardAssign(docs: DataFrame, id: String, text: String,
+                  shards: Int): DataFrame = {
+    require(shards > 0, s"need shards > 0, got $shards")
+    docs.select(col(id), col(text),
+        TextOps.polyHashMixed(col(text)).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+  }
+
+  /** Per-shard routing counts (shard, n_docs, n_tokens) — the
+    * balance monitor over [[shardAssign]]: one map-only assignment +
+    * one partial-aggregable groupBy over `shards` keys. Also the
+    * batch-parity target of the streaming router flavor
+    * (Streams.shardCountsStreaming), whose running state is O(shards)
+    * BY CONSTRUCTION. */
+  def shardCounts(docs: DataFrame, id: String, text: String,
+                  shards: Int): DataFrame =
+    shardAssign(docs, id, text, shards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(text))).cast("long")).as("n_tokens"))
+
+  /** Shard manifest for a deterministic sharded corpus export — the
+    * "write the training data as S reproducibly-shuffled files" plan:
+    * each document routes to `shard` by content hash
+    * ([[shardAssign]]) and takes a within-shard position by (hash,
+    * id) order — a content-keyed order that is decorrelated from
+    * ingest order, i.e. the reproducible global shuffle a pretraining
+    * loader wants, without a random seed to ship. Output per shard:
+    * doc/token/char totals plus `order_checksum` =
+    * Σ rank·(h mod $HashFold) mod [[ShardMod]] — order-SENSITIVE, so
+    * the oracle only matches if both engines assign the exact same
+    * position to every document (the determinism of the layout is
+    * verified, not asserted).
+    *
+    * Scale shape: the rank window partitions by shard — that exchange
+    * IS the writer's `repartition(shard).sortWithinPartitions` and
+    * the only shuffle in the plan; with `shards` sized to the corpus
+    * (thousands of files at 100 TB) per-shard sorts are bounded and
+    * hash-balanced. The manifest aggregation inherits the window's
+    * hash(shard) partitioning (ClusteredDistribution on a superset
+    * key), so it adds NO exchange; checksum terms widen to
+    * decimal(38,0) before summing (§4 — no 64-bit overflow at corpus
+    * scale). */
+  def shardManifest(docs: DataFrame, id: String, text: String,
+                    shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(id))
+    shardAssign(docs, id, text, shards)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(text))).cast("long")).as("n_tokens"),
+        sum(length(col(text)).cast("long")).as("n_chars"),
+        (sum(expr(s"cast(rank as decimal(38,0)) * (h % $HashFold)" +
+            s" % $ShardMod")) % lit(ShardMod))
+          .cast("long").as("order_checksum"))
+  }
+
+  /** DuckDB mirror of [[shardManifest]]. */
+  def shardManifestSql(id: String, text: String, shards: Int): String = {
+    val tk = TextOps.tokensSql(text)
+    s"""
+      WITH a AS (
+        SELECT $id, $text,
+               ${TextOps.polyHashMixedSql(text)} AS h
+        FROM documents),
+      s AS (
+        SELECT $id, $text, h, h % $shards AS shard,
+               ROW_NUMBER() OVER (PARTITION BY h % $shards
+                 ORDER BY h, $id) AS rank
+        FROM a)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len($tk)) AS BIGINT) AS n_tokens,
+             CAST(SUM(length($text)) AS BIGINT) AS n_chars,
+             CAST(CAST(SUM(CAST(rank AS HUGEINT) * (h % $HashFold)
+                 % $ShardMod) AS HUGEINT) % $ShardMod AS BIGINT)
+               AS order_checksum
+      FROM s GROUP BY shard ORDER BY shard"""
+  }
+
+  /** DuckDB mirror of [[shardCounts]]. */
+  def shardCountsSql(id: String, text: String, shards: Int): String =
+    s"""
+      SELECT ${TextOps.polyHashMixedSql(text)} % $shards AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(${TextOps.tokensSql(text)})) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1 ORDER BY shard"""
 }

@@ -1638,9 +1638,39 @@ object PipelineSuite extends Suite {
       ORDER BY e.q_id"""
     })
 
+  val c47 = Q(
+    "c47_bpe_encode",
+    // The c45 merges APPLIED: run the identical k=3 merge loop and
+    // report the per-document encoding effect — token count before/
+    // after the merges and the integer-ppm compression — the "what
+    // did this tokenizer buy us" audit a trainer ships next to its
+    // merge list. Same loop = same broadcast-argmax rounds; the only
+    // extra work is the final per-doc size projection (map-only, no
+    // join — n_raw rides along from the pre-merge tokenization).
+    (s, d) => CorpusStats.bpeEncode(Tables.documents(s, d), "doc_id",
+        "text", k = 3)
+      .orderBy(col("doc_id")),
+    Some(CorpusStats.bpeEncodeSql("text", k = 3, maxLen = 256)))
+
+  val c48 = Q(
+    "c48_shard_export",
+    // Deterministic sharded-corpus export plan: content-hash shard
+    // routing + a reproducible within-shard (hash, id) order — the
+    // "write the corpus as S shuffled training files" layout — with a
+    // per-shard manifest whose order_checksum is ORDER-SENSITIVE
+    // (Σ rank·(h mod p) mod M), so the oracle verifies both engines
+    // assign the exact same position to every document, not just the
+    // same totals. One shuffle total: the per-shard rank window's
+    // exchange IS the writer's repartition(shard); the manifest agg
+    // reuses that partitioning (no second exchange).
+    (s, d) => Packing.shardManifest(Tables.documents(s, d), "doc_id",
+        "text", shards = 16)
+      .orderBy(col("shard")),
+    Some(Packing.shardManifestSql("doc_id", "text", shards = 16)))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
-      c44, c45, c46)
+      c44, c45, c46, c47, c48)
 }

@@ -605,7 +605,23 @@ object StreamingSuite extends Suite {
       ${CorpusStats.sourceDriftSql("source", "text", 512)}
       ORDER BY source"""))
 
+  val d17 = Q(
+    "d17_stream_shard_router",
+    // Streaming shard router, batch-replayed: arriving docs route to
+    // their content-hash shard map-side (stateless — micro-batch
+    // boundaries can never change an assignment) while a running
+    // per-shard (n_docs, n_tokens) aggregate monitors balance; state
+    // O(shards) by construction (Streams.shardCountsStreaming,
+    // complete mode — the emission IS the running manifest). After
+    // the stream drains the last emission equals this batch operator
+    // — StreamsSpec pins it cross-batch. Shard count distinct from
+    // c48 (8 vs 16) so the two exercise different routing grids.
+    (s, d) => Packing.shardCounts(Tables.documents(s, d), "doc_id",
+        "text", shards = 8)
+      .orderBy(col("shard")),
+    Some(Packing.shardCountsSql("doc_id", "text", shards = 8)))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16)
+      d16, d17)
 }

@@ -507,6 +507,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming shard router with a running balance monitor: each
+    * arriving doc routes to its content-hash shard map-side
+    * (graft.operators.Packing.shardAssign — stateless, so micro-batch
+    * boundaries can never change an assignment; the sink appends the
+    * doc to its shard file) while a running per-shard (n_docs,
+    * n_tokens) aggregate watches balance. State is O(shards) BY
+    * CONSTRUCTION — `shards` keys, two long counters each; COMPLETE
+    * mode because the emitted table IS the whole running manifest
+    * (same reasoning as [[sourceDriftStreaming]]'s counters). After
+    * the stream drains the last emission equals the batch
+    * Packing.shardCounts over the same docs (StreamsSpec pins it
+    * cross-batch). */
+  def shardCountsStreaming(docs: DataFrame, id: String, text: String,
+      shards: Int)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.operators.Packing.shardCounts(docs, id, text, shards)
+      .writeStream.outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+
   /** Static eval-side shingle table for [[contaminationHitsStreaming]]. */
   def evalShingles(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("eval_id"),

@@ -154,6 +154,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_pairs") == 1L)
   }
 
+  test("bpeEncode: per-doc sizes track the hand-checked merge cascade") {
+    // same corpus as the bpeTrain test; merges are "a b", "a b a b",
+    // "a b a b c", so doc 1 collapses 5 -> 1 tokens, doc 2 2 -> 1
+    // (round 1's merge), doc 3 is untouched
+    val docs = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bpeEncode(docs, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_raw"),
+      r.getAs[Long]("n_enc"), r.getAs[Long]("saved_ppm"))).toSeq ===
+      Seq((1L, 5L, 1L, 800000L), (2L, 2L, 1L, 500000L), (3L, 1L, 1L, 0L)))
+  }
+
   test("sourceDrift: identical mix scores 0, disjoint sources score 1e6") {
     // A and B are fully disjoint single-token sources of equal size:
     // corpus = 50/50, each source is all-or-nothing per bucket, so

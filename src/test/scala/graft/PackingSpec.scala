@@ -102,4 +102,31 @@ class PackingSpec extends SparkSpec {
       }
     }
   }
+
+  test("shardManifest: totals partition the corpus, layout is physical-" +
+      "plan-independent") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = Packing.shardManifest(docs, "doc_id", "text", shards = 16)
+      .orderBy($"shard").collect()
+    val n = docs.count()
+    // every doc lands in exactly one shard; ids cover [0, 16)
+    assert(m.map(_.getAs[Long]("n_docs")).sum === n)
+    assert(m.forall { r =>
+      val s = r.getAs[Long]("shard"); s >= 0 && s < 16
+    })
+    // the order checksum is a function of the DATA, not of the input's
+    // physical layout: a different partitioning (and so different
+    // window task boundaries) must reproduce every rank bit-for-bit
+    val re = Packing.shardManifest(docs.repartition(7), "doc_id", "text",
+        shards = 16)
+      .orderBy($"shard").collect()
+    assert(m.toSeq === re.toSeq)
+    // counts view agrees with the manifest on the shared columns
+    val c = Packing.shardCounts(docs, "doc_id", "text", shards = 16)
+      .orderBy($"shard").collect()
+    assert(c.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_tokens"))).toSeq ===
+      m.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).toSeq)
+  }
 }

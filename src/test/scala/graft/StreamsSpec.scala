@@ -599,6 +599,35 @@ class StreamsSpec extends SparkSpec {
     assert(last.nonEmpty && last === batch)
   }
 
+  test("streaming shard router: last emission equals batch counts after drain") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Packing
+    val docs = Tables.documents(spark, sf)
+    val arriving = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    var last: Seq[(Long, Long, Long)] = Seq.empty
+    var emissions = 0
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.shardCountsStreaming(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", shards = 8) { df =>
+      val rows = df.orderBy($"shard").collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"))).toSeq
+      this.synchronized { last = rows; emissions += 1 }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Packing.shardCounts(docs, "doc_id", "text", shards = 8)
+      .orderBy($"shard").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).toSeq
+    assert(emissions >= 2, "expected one emission per micro-batch")
+    assert(last.nonEmpty && last === batch)
+  }
+
   test("streaming indexed retrieval matches the batch IVF probe across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Ann, Retrieval}
