@@ -267,7 +267,50 @@ object CorpusStats {
     * table (step, pair, cnt, n_pairs) — the ordered merge list a BPE
     * tokenizer ships as its training artifact. */
   def bpeTrain(docs: DataFrame, text: String, k: Int): DataFrame =
-    bpeRounds(docs, "doc_id", text, k)._1.orderBy(col("step"))
+    bpeRounds(docs, "doc_id", text, k)._1
+      .select(col("step"), col("pair"), col("cnt"), col("n_pairs"))
+      .orderBy(col("step"))
+
+  /** Encode docs with an ALREADY-TRAINED merge list — the production
+    * "train the tokenizer once, encode everywhere" seam: `merges` is
+    * [[bpeRounds]]' internal merge table (one row per step with the
+    * (a, b) split — the public `pair` string is ambiguous once merged
+    * tokens contain spaces), applied to `docs` as k sequential
+    * broadcast one-row joins + framed-string replaces. Stateless and
+    * map-only per doc given the merges, so it runs on any split (or
+    * any stream) independent of the training corpus; output matches
+    * [[bpeEncode]]'s per-doc schema. Train the merges once and
+    * barrier/persist them so they never re-derive per consumer. */
+  def bpeApply(merges: DataFrame, docs: DataFrame, id: String,
+               text: String, k: Int): DataFrame = {
+    val open = "\u0002"; val close = "\u0003"
+    val tk = TextOps.tokens(col(text))
+    var cur = docs.select(col(id),
+      size(tk).cast("long").as("n_raw"),
+      concat(lit(open), concat_ws(close + open, tk), lit(close)).as("s"))
+    for (step <- 1 to k) {
+      val m = merges.where(col("step") === step)
+        .select(col("a"), col("b"))
+      cur = cur.crossJoin(broadcast(m))
+        .select(col(id), col("n_raw"),
+          replace(col("s"),
+            concat(lit(open), col("a"), lit(close),
+              lit(open), col("b"), lit(close)),
+            concat(lit(open), col("a"), lit(" "), col("b"),
+              lit(close))).as("s"))
+    }
+    val toks = split(trim(col("s"), open + close), close + open)
+    cur
+      .select(col(id), col("n_raw"), size(toks).cast("long").as("n_enc"))
+      .select(col(id), col("n_raw"), col("n_enc"),
+        ppmExpr("n_raw - n_enc", "n_raw").cast("long").as("saved_ppm"))
+  }
+
+  /** [[bpeRounds]]' merge table with the (a, b) split, for
+    * [[bpeApply]] consumers. */
+  def bpeMerges(docs: DataFrame, id: String, text: String,
+                k: Int): DataFrame =
+    bpeRounds(docs, id, text, k)._1
 
   /** Apply the [[bpeTrain]]-learned merges to the corpus they were
     * trained on and report the per-document encoding effect: token
@@ -328,7 +371,7 @@ object CorpusStats {
       val row = best.crossJoin(broadcast(tot))
         .select(lit(step.toLong).as("step"),
           concat(col("a"), lit(" "), col("b")).as("pair"),
-          col("cnt"), col("n_pairs"))
+          col("cnt"), col("n_pairs"), col("a"), col("b"))
       out = if (out == null) row else out.unionAll(row)
       // lazy barrier between rounds (the LPA shape): each round's
       // corpus is read twice (pair counts + merge-apply), never
@@ -384,12 +427,51 @@ object CorpusStats {
       FROM raw r JOIN enc e ON r.doc_id = e.doc_id
       ORDER BY r.doc_id"""
 
+  /** DuckDB mirror of the c49 split query: merges trained on
+    * `trainWhere` docs via the shared unrolled stages, applied to the
+    * disjoint `applyWhere` docs as k sequential replaces (no pair
+    * unnest on the apply side, so `maxLen` only guards the train
+    * split), final projection = per-doc before/after sizes. */
+  def bpeApplySql(text: String, k: Int, maxLen: Int,
+                  trainWhere: String, applyWhere: String): String = {
+    val tk = TextOps.tokensSql(text)
+    val applies = (1 to k).map { i =>
+      s"""a$i AS (
+        SELECT doc_id,
+               replace(s, chr(2) || a || chr(3) || chr(2) || b || chr(3),
+                 chr(2) || a || ' ' || b || chr(3)) AS s
+        FROM a${i - 1} CROSS JOIN best$i)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH ${bpeStagesSql(text, k, maxLen,
+        s"(SELECT * FROM documents WHERE $trainWhere)")},
+      a0 AS (
+        SELECT doc_id,
+               chr(2) || array_to_string($tk, chr(3) || chr(2)) ||
+                 chr(3) AS s
+        FROM documents WHERE $applyWhere),
+      $applies,
+      raw AS (
+        SELECT doc_id, CAST(len(str_split(trim(s, chr(2) || chr(3)),
+                 chr(3) || chr(2))) AS BIGINT) AS n_raw
+        FROM a0),
+      enc AS (
+        SELECT doc_id, CAST(len(str_split(trim(s, chr(2) || chr(3)),
+                 chr(3) || chr(2))) AS BIGINT) AS n_enc
+        FROM a$k)
+      SELECT r.doc_id, r.n_raw, e.n_enc,
+             ${ppmSql("r.n_raw - e.n_enc", "r.n_raw")} AS saved_ppm
+      FROM raw r JOIN enc e ON r.doc_id = e.doc_id
+      ORDER BY r.doc_id"""
+  }
+
   /** The shared CTE body of [[bpeTrainSql]]/[[bpeEncodeSql]]: `d0` =
     * framed corpus, then per round i the pair unnest (`maxLen` bound +
     * error() guard — see [[bigramCountsSql]] for why the bound must be
     * a literal), pair counts `g_i`, argmax `best_i`, totals `tot_i`
     * and the merged corpus `d_i`. */
-  private def bpeStagesSql(text: String, k: Int, maxLen: Int): String = {
+  private def bpeStagesSql(text: String, k: Int, maxLen: Int,
+                           from: String = "documents"): String = {
     val tk = TextOps.tokensSql(text)
     val stages = (1 to k).map { i =>
       s"""t$i AS (
@@ -416,7 +498,7 @@ object CorpusStats {
         SELECT doc_id,
                chr(2) || array_to_string($tk, chr(3) || chr(2)) ||
                  chr(3) AS s
-        FROM documents),
+        FROM $from),
       $stages"""
   }
 

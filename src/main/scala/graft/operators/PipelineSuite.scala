@@ -1668,9 +1668,34 @@ object PipelineSuite extends Suite {
       .orderBy(col("shard")),
     Some(Packing.shardManifestSql("doc_id", "text", shards = 16)))
 
+  val c49 = Q(
+    "c49_bpe_apply",
+    // Train-once/encode-everywhere: merges trained on the %101<>0
+    // corpus split (the c36/c44 eval-split convention), then APPLIED
+    // to the held-out docs — the production seam where the tokenizer
+    // artifact (the 3-row merge table, barriered so it never
+    // re-derives) meets data it was not trained on. The apply side is
+    // k broadcast one-row joins + framed-string replaces: stateless,
+    // map-only per doc, no pair counting — encoding new data costs a
+    // scan regardless of corpus size (and the same call encodes an
+    // arriving stream). Oracle trains the same unrolled stages on the
+    // train split and replays the replaces on the apply split.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isQ = pmod(col("doc_id"), lit(101)) === 0
+      val merges = CorpusStats.bpeMerges(docs.where(!isQ), "doc_id",
+          "text", k = 3)
+        .barrier(true)
+      CorpusStats.bpeApply(merges, docs.where(isQ), "doc_id", "text",
+          k = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(CorpusStats.bpeApplySql("text", k = 3, maxLen = 256,
+      trainWhere = "doc_id % 101 <> 0", applyWhere = "doc_id % 101 = 0")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
-      c44, c45, c46, c47, c48)
+      c44, c45, c46, c47, c48, c49)
 }

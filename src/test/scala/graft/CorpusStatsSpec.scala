@@ -170,6 +170,35 @@ class CorpusStatsSpec extends SparkSpec {
       Seq((1L, 5L, 1L, 800000L), (2L, 2L, 1L, 500000L), (3L, 1L, 1L, 0L)))
   }
 
+  test("bpeApply: trained merges encode held-out docs, unknown tokens " +
+      "pass through") {
+    val train = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val merges = CorpusStats.bpeMerges(train, "doc_id", "text", k = 3)
+    // held-out doc "a b c a b": merge 1 ("a b") fires twice -> 3
+    // tokens; merges 2/3 need adjacency that doesn't occur here;
+    // "z z" shares no vocabulary -> untouched
+    val apply = Seq(
+      (10L, "a b c a b"),
+      (11L, "z z")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bpeApply(merges, apply, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_raw"),
+      r.getAs[Long]("n_enc"), r.getAs[Long]("saved_ppm"))).toSeq ===
+      Seq((10L, 5L, 3L, 400000L), (11L, 2L, 2L, 0L)))
+    // applying to the training corpus itself reproduces bpeEncode
+    val viaApply = CorpusStats.bpeApply(merges, train, "doc_id", "text",
+        k = 3)
+      .orderBy($"doc_id").collect().toSeq
+    val viaEncode = CorpusStats.bpeEncode(train, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect().toSeq
+    assert(viaApply === viaEncode)
+  }
+
   test("sourceDrift: identical mix scores 0, disjoint sources score 1e6") {
     // A and B are fully disjoint single-token sources of equal size:
     // corpus = 50/50, each source is all-or-nothing per bucket, so
