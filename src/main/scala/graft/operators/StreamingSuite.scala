@@ -621,7 +621,33 @@ object StreamingSuite extends Suite {
       .orderBy(col("shard")),
     Some(Packing.shardCountsSql("doc_id", "text", shards = 8)))
 
+  val d18 = Q(
+    "d18_stream_bpe_encode",
+    // Streaming tokenizer encode, batch-replayed: arriving docs (the
+    // %11 slice, distinct from c49's %101 apply split) are encoded
+    // map-side against the STATIC merge table trained once on the
+    // %101<>0 corpus split (barriered — the training loop never
+    // re-runs per batch; the d13 static-model argument applied to the
+    // tokenizer artifact). Encodings are per-doc independent given
+    // the merges, so micro-batch boundaries can never change them —
+    // Streams.bpeEncodeStreaming is the foreachBatch flavor,
+    // cross-batch-pinned in StreamsSpec.
+    (s, d) => {
+      import graft.util.Barriers.BarrierOps
+      val docs = Tables.documents(s, d)
+      val merges = CorpusStats.bpeMerges(
+          docs.where(pmod(col("doc_id"), lit(101)) =!= 0),
+          "doc_id", "text", k = 3)
+        .barrier(true)
+      CorpusStats.bpeApply(merges,
+          docs.where(pmod(col("doc_id"), lit(11)) === 0),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(CorpusStats.bpeApplySql("text", k = 3, maxLen = 256,
+      trainWhere = "doc_id % 101 <> 0", applyWhere = "doc_id % 11 = 0")))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17)
+      d16, d17, d18)
 }

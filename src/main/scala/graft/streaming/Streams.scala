@@ -527,6 +527,27 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
       .start()
 
+  /** Streaming tokenizer encode: each arriving micro-batch of docs is
+    * encoded map-side with the STATIC trained merge table
+    * (graft.operators.CorpusStats.bpeApply — k broadcast one-row
+    * joins + framed-string replaces, no pair counting). Encodings are
+    * per-doc independent given the merges, so micro-batch boundaries
+    * can never change them and the accumulated stream output equals
+    * the batch operator over the same docs (StreamsSpec pins it
+    * cross-batch). Train the merges once with CorpusStats.bpeMerges
+    * and barrier/persist them so the training loop never re-runs per
+    * batch — the d13 static-model argument applied to the tokenizer
+    * artifact. */
+  def bpeEncodeStreaming(merges: DataFrame, docs: DataFrame, id: String,
+      text: String, k: Int)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.CorpusStats.bpeApply(merges, batch, id,
+          text, k))
+      }
+      .start()
+
   /** Static eval-side shingle table for [[contaminationHitsStreaming]]. */
   def evalShingles(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("eval_id"),

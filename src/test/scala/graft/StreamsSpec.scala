@@ -628,6 +628,41 @@ class StreamsSpec extends SparkSpec {
     assert(last.nonEmpty && last === batch)
   }
 
+  test("streaming bpe encode matches the batch apply across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusStats
+    import graft.util.Barriers.BarrierOps
+    val docs = Tables.documents(spark, sf)
+    val isArr = pmod($"doc_id", lit(11)) === 0
+    val merges = CorpusStats.bpeMerges(docs.where(!isArr), "doc_id",
+        "text", k = 3)
+      .barrier(true)
+    val arriving = docs.where(isArr)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val collected = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Long, Long)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.bpeEncodeStreaming(merges,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", k = 3) { df =>
+      val rows = df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_raw"), r.getAs[Long]("n_enc"),
+        r.getAs[Long]("saved_ppm")))
+      this.synchronized { collected ++= rows }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = CorpusStats.bpeApply(merges, docs.where(isArr), "doc_id",
+        "text", k = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_raw"),
+        r.getAs[Long]("n_enc"), r.getAs[Long]("saved_ppm"))).toSeq
+    assert(collected.nonEmpty &&
+      collected.sortBy(_._1).toSeq === batch)
+  }
+
   test("streaming indexed retrieval matches the batch IVF probe across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Ann, Retrieval}
