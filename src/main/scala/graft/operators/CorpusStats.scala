@@ -682,6 +682,157 @@ object CorpusStats {
       FROM per_doc"""
   }
 
+  // --- bigram-backoff LM surprisal ----------------------------------
+  /** Per-document mean BIGRAM surprisal with unigram backoff — c28's
+    * next-order upgrade and the shape of a CCNet-style perplexity
+    * filter: the LM is trained on `train` (unigram counts, adjacent-
+    * pair counts, per-context totals) and SCORES docs it need not
+    * have seen, so the backoff path actually fires. Token t after
+    * context p costs, in whole bits (bitlength = floor(log2)+1,
+    * exact-integer — no float log, §4):
+    *   - bigram hit:    bitlen(ctx(p) div cnt2(p,t))   [path 0]
+    *   - unigram backoff (pair unseen, t known):
+    *                    bitlen(N div cnt1(t)) + 1      [path 1]
+    *     (a doc's FIRST token has no context: unigram bits with NO
+    *     penalty, also path 1)
+    *   - OOV (t unseen): bitlen(N) + 2 (one past the rarest-known
+    *     cost + the backoff penalty)                   [path 2]
+    * Output per doc: token count, per-path occurrence counts (the
+    * hit/backoff/OOV mix is itself the QA signal) and the mean in
+    * integer ppm of a bit.
+    *
+    * Shape: train tables are CORPUS-SIZED — vocab/bigram/context
+    * tables are shuffle-hash-joined on token-hash keys, never
+    * broadcast (the c28 argument); the scoring side pre-aggregates
+    * per (doc, context, token) so each join moves distinct-per-doc
+    * rows, not raw tokens; one final groupBy(doc) of exact long
+    * sums. Train once and barrier/persist the three tables as the LM
+    * artifact (the c40/c49 static-model seam). */
+  def bigramSurprisal(train: DataFrame, docs: DataFrame, id: String,
+                      text: String): DataFrame = {
+    def hashed(df: DataFrame, extra: Column*): DataFrame =
+      df.select(extra :+ transform(TextOps.tokens(col(text)),
+        t => TextOps.polyHash(t)).as("ths"): _*)
+    // sentinel context for a doc's first token: polyHash is
+    // nonnegative, so -1 can never collide with a real token hash
+    def pairs(df: DataFrame, extra: Column*): DataFrame =
+      hashed(df, extra: _*).select(extra :+ explode(zip_with(
+        concat(array(lit(-1L)), slice(col("ths"), lit(1),
+          size(col("ths")) - 1)),
+        col("ths"),
+        (p, t) => struct(p.as("h1"), t.as("h2")))).as("pr"): _*)
+        .select(extra :+ col("pr.h1") :+ col("pr.h2"): _*)
+    val uni = hashed(train)
+      .select(explode(col("ths")).as("th"))
+      .groupBy(col("th")).agg(count(lit(1)).as("cnt1"))
+    val totals = uni.agg(sum(col("cnt1")).as("n_total"))
+    val big = pairs(train).where(col("h1") =!= -1L)
+      .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("cnt2"))
+    val ctx = big.groupBy(col("h1")).agg(sum(col("cnt2")).as("c_ctx"))
+    val dt = pairs(docs, col(id))
+      .groupBy(col(id), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c_dt"))
+    dt
+      .join(big.hint("shuffle_hash"), Seq("h1", "h2"), "left")
+      .join(uni.hint("shuffle_hash").withColumnRenamed("th", "h2"),
+        Seq("h2"), "left")
+      .join(ctx.hint("shuffle_hash"), Seq("h1"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(id), col("c_dt"),
+        when(col("cnt2").isNotNull && col("h1") =!= -1L, lit(0L))
+          .when(col("cnt1").isNotNull, lit(1L))
+          .otherwise(lit(2L)).as("path"),
+        when(col("cnt2").isNotNull && col("h1") =!= -1L,
+            length(bin(expr("c_ctx div cnt2"))).cast("long"))
+          .when(col("cnt1").isNotNull,
+            length(bin(expr("n_total div cnt1"))).cast("long") +
+              when(col("h1") === -1L, 0L).otherwise(1L))
+          .otherwise(length(bin(col("n_total"))).cast("long") + 2L)
+          .as("bits"))
+      .groupBy(col(id))
+      .agg(sum(col("c_dt")).as("n_tokens"),
+        sum(when(col("path") === 0L, col("c_dt")).otherwise(0L))
+          .as("n_bigram"),
+        sum(when(col("path") === 1L, col("c_dt")).otherwise(0L))
+          .as("n_backoff"),
+        sum(when(col("path") === 2L, col("c_dt")).otherwise(0L))
+          .as("n_oov"),
+        sum(col("c_dt") * col("bits")).as("total_bits"))
+      .select(col(id), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_bigram").cast("long").as("n_bigram"),
+        col("n_backoff").cast("long").as("n_backoff"),
+        col("n_oov").cast("long").as("n_oov"),
+        ppmExpr("total_bits", "n_tokens").cast("long")
+          .as("mean_bits_ppm"))
+  }
+
+  /** DuckDB mirror of [[bigramSurprisal]]: positions unnest with the
+    * literal `maxLen` bound + error() guard (see [[bigramCountsSql]]
+    * for why the bound must be a literal). */
+  def bigramSurprisalSql(id: String, text: String, trainWhere: String,
+                         scoreWhere: String,
+                         maxLen: Int = 4096): String = {
+    val tk = TextOps.tokensSql(text)
+    val hs = s"list_transform($tk, tok -> ${TextOps.polyHashSql("tok")})"
+    def prs(rel: String, where: String, cols: String) =
+      s"""SELECT $cols,
+               CASE WHEN i = 1 THEN -1 ELSE ths[i - 1] END AS h1,
+               ths[i] AS h2
+        FROM (SELECT *, unnest(range(1, $maxLen)) AS i
+              FROM (SELECT $id, $hs AS ths FROM $rel WHERE $where))
+        WHERE i <= len(ths)
+          AND CASE WHEN (SELECT MAX(len($tk)) FROM $rel) >= $maxLen
+              THEN error('bigram maxLen $maxLen exceeded')
+              ELSE TRUE END"""
+    s"""
+      WITH uni AS (
+        SELECT th, COUNT(*) AS cnt1
+        FROM (SELECT unnest($hs) AS th
+              FROM documents WHERE $trainWhere)
+        GROUP BY 1),
+      tot AS (SELECT SUM(cnt1) AS n_total FROM uni),
+      tp AS (${prs("documents", trainWhere, id)}),
+      big AS (SELECT h1, h2, COUNT(*) AS cnt2 FROM tp
+              WHERE h1 <> -1 GROUP BY 1, 2),
+      ctx AS (SELECT h1, SUM(cnt2) AS c_ctx FROM big GROUP BY 1),
+      dt AS (
+        SELECT $id, h1, h2, COUNT(*) AS c_dt
+        FROM (${prs("documents", scoreWhere, id)})
+        GROUP BY 1, 2, 3),
+      sc AS (
+        SELECT $id, c_dt,
+               CASE WHEN b.cnt2 IS NOT NULL AND dt.h1 <> -1 THEN 0
+                    WHEN u.cnt1 IS NOT NULL THEN 1
+                    ELSE 2 END AS path,
+               CASE WHEN b.cnt2 IS NOT NULL AND dt.h1 <> -1
+                      THEN CAST(length(bin(x.c_ctx // b.cnt2)) AS BIGINT)
+                    WHEN u.cnt1 IS NOT NULL
+                      THEN CAST(length(bin(n_total // u.cnt1)) AS BIGINT)
+                           + CASE WHEN dt.h1 = -1 THEN 0 ELSE 1 END
+                    ELSE CAST(length(bin(n_total)) AS BIGINT) + 2
+               END AS bits
+        FROM dt
+          LEFT JOIN big b ON dt.h1 = b.h1 AND dt.h2 = b.h2
+          LEFT JOIN uni u ON dt.h2 = u.th
+          LEFT JOIN ctx x ON dt.h1 = x.h1
+          CROSS JOIN tot),
+      per_doc AS (
+        SELECT $id,
+               CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN path = 0 THEN c_dt ELSE 0 END)
+                 AS BIGINT) AS n_bigram,
+               CAST(SUM(CASE WHEN path = 1 THEN c_dt ELSE 0 END)
+                 AS BIGINT) AS n_backoff,
+               CAST(SUM(CASE WHEN path = 2 THEN c_dt ELSE 0 END)
+                 AS BIGINT) AS n_oov,
+               CAST(SUM(c_dt * bits) AS BIGINT) AS total_bits
+        FROM sc GROUP BY 1)
+      SELECT $id, n_tokens, n_bigram, n_backoff, n_oov,
+             ${ppmSql("total_bits", "n_tokens")} AS mean_bits_ppm
+      FROM per_doc
+      ORDER BY $id"""
+  }
+
   // --- hashed contrastive importance selection ----------------------
   /** DSIR-style importance selection (Xie et al. 2023,
     * arXiv:2302.03169): score raw documents by how target-like their

@@ -1693,9 +1693,33 @@ object PipelineSuite extends Suite {
     Some(CorpusStats.bpeApplySql("text", k = 3, maxLen = 256,
       trainWhere = "doc_id % 101 <> 0", applyWhere = "doc_id % 101 = 0")))
 
+  val c50 = Q(
+    "c50_bigram_surprisal",
+    // c28's next-order upgrade, split so the backoff fires: a bigram
+    // LM (unigram + adjacent-pair + context-total tables) trained on
+    // the %101<>0 corpus scores the held-out docs — bigram hit /
+    // unigram backoff (+1 bit) / OOV (+2 past the rarest known) per
+    // token occurrence, whole-bit integer surprisal (bitlength, no
+    // float log), per-path occurrence counts in the output (the
+    // hit/backoff/OOV mix IS the QA signal), mean in ppm of a bit.
+    // Train tables are corpus-sized: shuffle-hash joins on token-hash
+    // keys, never broadcast (c28's argument); the scoring side
+    // pre-aggregates per (doc, context, token) so joins move
+    // distinct-per-doc rows, not raw tokens.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isQ = pmod(col("doc_id"), lit(101)) === 0
+      CorpusStats.bigramSurprisal(docs.where(!isQ), docs.where(isQ),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(CorpusStats.bigramSurprisalSql("doc_id", "text",
+      trainWhere = "doc_id % 101 <> 0", scoreWhere = "doc_id % 101 = 0",
+      maxLen = 256)))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
-      c44, c45, c46, c47, c48, c49)
+      c44, c45, c46, c47, c48, c49, c50)
 }

@@ -199,6 +199,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(viaApply === viaEncode)
   }
 
+  test("bigramSurprisal: hit, backoff and OOV paths hand-checked") {
+    // train: cnt1 = {a:3, b:2, c:1}, N=6; cnt2 = {(a,b):2, (b,a):1,
+    // (a,c):1}; ctx = {a:3, b:1}
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // score "a b z c": first token a = unigram, no penalty:
+    // bitlen(6/3)=2; (a,b) bigram hit: bitlen(3/2)=1; (b,z) OOV:
+    // bitlen(6)+2=5; (z,c) backoff: bitlen(6/1)+1=4 -> 12 bits over 4
+    val score = Seq((10L, "a b z c")).toDF("doc_id", "text")
+    val out = CorpusStats.bigramSurprisal(train, score, "doc_id", "text")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_bigram"),
+      r.getAs[Long]("n_backoff"), r.getAs[Long]("n_oov"),
+      r.getAs[Long]("mean_bits_ppm")) === ((4L, 1L, 2L, 1L, 3000000L)))
+  }
+
   test("sourceDrift: identical mix scores 0, disjoint sources score 1e6") {
     // A and B are fully disjoint single-token sources of equal size:
     // corpus = 50/50, each source is all-or-nothing per bucket, so
