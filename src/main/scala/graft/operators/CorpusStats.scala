@@ -710,26 +710,53 @@ object CorpusStats {
     * artifact (the c40/c49 static-model seam). */
   def bigramSurprisal(train: DataFrame, docs: DataFrame, id: String,
                       text: String): DataFrame = {
-    def hashed(df: DataFrame, extra: Column*): DataFrame =
-      df.select(extra :+ transform(TextOps.tokens(col(text)),
-        t => TextOps.polyHash(t)).as("ths"): _*)
-    // sentinel context for a doc's first token: polyHash is
-    // nonnegative, so -1 can never collide with a real token hash
-    def pairs(df: DataFrame, extra: Column*): DataFrame =
-      hashed(df, extra: _*).select(extra :+ explode(zip_with(
-        concat(array(lit(-1L)), slice(col("ths"), lit(1),
-          size(col("ths")) - 1)),
-        col("ths"),
-        (p, t) => struct(p.as("h1"), t.as("h2")))).as("pr"): _*)
-        .select(extra :+ col("pr.h1") :+ col("pr.h2"): _*)
-    val uni = hashed(train)
+    val lm = bigramLm(train, text)
+    bigramScore(lm, docs, id, text)
+  }
+
+  /** The trained bigram-LM artifact: unigram counts, adjacent-pair
+    * counts, per-context totals. Train once; barrier/persist each
+    * table before handing the artifact to per-batch scoring
+    * ([[bigramScore]] / Streams.surprisalScoreStreaming) so the
+    * training pass never re-runs per consumer. */
+  case class BigramLm(uni: DataFrame, big: DataFrame, ctx: DataFrame)
+
+  private def hashedToks(df: DataFrame, text: String,
+                         extra: Column*): DataFrame =
+    df.select(extra :+ transform(TextOps.tokens(col(text)),
+      t => TextOps.polyHash(t)).as("ths"): _*)
+
+  // sentinel context for a doc's first token: polyHash is
+  // nonnegative, so -1 can never collide with a real token hash
+  private def tokenPairs(df: DataFrame, text: String,
+                         extra: Column*): DataFrame =
+    hashedToks(df, text, extra: _*).select(extra :+ explode(zip_with(
+      concat(array(lit(-1L)), slice(col("ths"), lit(1),
+        size(col("ths")) - 1)),
+      col("ths"),
+      (p, t) => struct(p.as("h1"), t.as("h2")))).as("pr"): _*)
+      .select(extra :+ col("pr.h1") :+ col("pr.h2"): _*)
+
+  /** Train the [[BigramLm]] tables on `train`. */
+  def bigramLm(train: DataFrame, text: String): BigramLm = {
+    val uni = hashedToks(train, text)
       .select(explode(col("ths")).as("th"))
       .groupBy(col("th")).agg(count(lit(1)).as("cnt1"))
-    val totals = uni.agg(sum(col("cnt1")).as("n_total"))
-    val big = pairs(train).where(col("h1") =!= -1L)
+    val big = tokenPairs(train, text).where(col("h1") =!= -1L)
       .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("cnt2"))
     val ctx = big.groupBy(col("h1")).agg(sum(col("cnt2")).as("c_ctx"))
-    val dt = pairs(docs, col(id))
+    BigramLm(uni, big, ctx)
+  }
+
+  /** Score `docs` against a trained [[BigramLm]] — see
+    * [[bigramSurprisal]] for the per-path bit costs. Per-doc
+    * independent given the LM tables, so the same call scores an
+    * arriving micro-batch. */
+  def bigramScore(lm: BigramLm, docs: DataFrame, id: String,
+                  text: String): DataFrame = {
+    val uni = lm.uni; val big = lm.big; val ctx = lm.ctx
+    val totals = uni.agg(sum(col("cnt1")).as("n_total"))
+    val dt = tokenPairs(docs, text, col(id))
       .groupBy(col(id), col("h1"), col("h2"))
       .agg(count(lit(1)).as("c_dt"))
     dt

@@ -647,7 +647,33 @@ object StreamingSuite extends Suite {
     Some(CorpusStats.bpeApplySql("text", k = 3, maxLen = 256,
       trainWhere = "doc_id % 101 <> 0", applyWhere = "doc_id % 11 = 0")))
 
+  val d19 = Q(
+    "d19_stream_surprisal",
+    // Streaming LM scoring, batch-replayed: arriving docs (the %13
+    // slice, distinct from c50's %101 apply split) scored against the
+    // STATIC bigram LM trained once on the %101<>0 corpus split
+    // (tables barriered — the training pass never re-runs per batch;
+    // the d13/d18 static-artifact seam). Scores are per-doc
+    // independent given the LM, so micro-batch boundaries can never
+    // change them — Streams.surprisalScoreStreaming is the
+    // foreachBatch flavor, cross-batch-pinned in StreamsSpec.
+    (s, d) => {
+      import graft.util.Barriers.BarrierOps
+      val docs = Tables.documents(s, d)
+      val lm0 = CorpusStats.bigramLm(
+        docs.where(pmod(col("doc_id"), lit(101)) =!= 0), "text")
+      val lm = CorpusStats.BigramLm(lm0.uni.barrier(true),
+        lm0.big.barrier(true), lm0.ctx.barrier(true))
+      CorpusStats.bigramScore(lm,
+          docs.where(pmod(col("doc_id"), lit(13)) === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(CorpusStats.bigramSurprisalSql("doc_id", "text",
+      trainWhere = "doc_id % 101 <> 0", scoreWhere = "doc_id % 13 = 0",
+      maxLen = 256)))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18)
+      d16, d17, d18, d19)
 }

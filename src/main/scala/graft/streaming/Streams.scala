@@ -548,6 +548,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming LM-surprisal scoring: each arriving micro-batch of
+    * docs is scored against the STATIC trained bigram LM
+    * (graft.operators.CorpusStats.bigramScore over a [[graft.operators.CorpusStats.BigramLm]]
+    * whose tables were trained once and barriered/persisted — the
+    * d13/d18 static-artifact seam). Scores are per-doc independent
+    * given the LM tables, so micro-batch boundaries can never change
+    * them and the accumulated stream output equals the batch operator
+    * over the same docs (StreamsSpec pins it cross-batch). The
+    * hit/backoff/OOV counts ride along, so the same stream drives a
+    * perplexity gate or an ingest-QA monitor. */
+  def surprisalScoreStreaming(lm: graft.operators.CorpusStats.BigramLm,
+      docs: DataFrame, id: String, text: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.CorpusStats.bigramScore(lm, batch, id, text))
+      }
+      .start()
+
   /** Static eval-side shingle table for [[contaminationHitsStreaming]]. */
   def evalShingles(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("eval_id"),

@@ -663,6 +663,42 @@ class StreamsSpec extends SparkSpec {
       collected.sortBy(_._1).toSeq === batch)
   }
 
+  test("streaming surprisal scoring matches the batch LM score across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusStats
+    import graft.util.Barriers.BarrierOps
+    val docs = Tables.documents(spark, sf)
+    val isArr = pmod($"doc_id", lit(13)) === 0
+    val lm0 = CorpusStats.bigramLm(docs.where(!isArr), "text")
+    val lm = CorpusStats.BigramLm(lm0.uni.barrier(true),
+      lm0.big.barrier(true), lm0.ctx.barrier(true))
+    val arriving = docs.where(isArr)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val collected = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Long, Long, Long, Long)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.surprisalScoreStreaming(lm,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text") { df =>
+      val rows = df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_bigram"),
+        r.getAs[Long]("n_backoff"), r.getAs[Long]("n_oov"),
+        r.getAs[Long]("mean_bits_ppm")))
+      this.synchronized { collected ++= rows }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = CorpusStats.bigramScore(lm, docs.where(isArr), "doc_id",
+        "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_bigram"), r.getAs[Long]("n_backoff"),
+        r.getAs[Long]("n_oov"), r.getAs[Long]("mean_bits_ppm"))).toSeq
+    assert(collected.nonEmpty && collected.sortBy(_._1).toSeq === batch)
+  }
+
   test("streaming indexed retrieval matches the batch IVF probe across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Ann, Retrieval}
