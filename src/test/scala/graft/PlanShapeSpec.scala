@@ -114,7 +114,11 @@ class PlanShapeSpec extends SparkSpec {
       "d16_stream_source_drift", // broadcast bounded bucket grid + totals
       "c44_chunk_retrieval",   // broadcast query set
       "c46_chunk_index_recall", // broadcast query set + centroids
-      "d15_stream_retrieval")  // broadcast centroids (query probe)
+      "d15_stream_retrieval",  // broadcast centroids (query probe)
+      "c49_bpe_apply",         // broadcast 1-row merge per step (k=3)
+      "d18_stream_bpe_encode", // broadcast 1-row merge per step (k=3)
+      "c50_bigram_surprisal",  // broadcast 1-row total-token count
+      "d19_stream_surprisal")  // broadcast 1-row total-token count
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
