@@ -201,4 +201,78 @@ object Packing {
              CAST(SUM(len(${TextOps.tokensSql(text)})) AS BIGINT)
                AS n_tokens
       FROM documents GROUP BY 1 ORDER BY shard"""
+
+  /** Per-shard sequence packing — [[shardManifest]]'s routing + the
+    * c37 offset math composed into the layout a pretraining writer
+    * actually emits: each shard's documents concatenate in the
+    * deterministic (hash, id) order and chop into `budget`-token
+    * sequences INDEPENDENTLY per shard (shards are separate files;
+    * sequences never span shards). Per shard: doc/token totals,
+    * `n_seqs` = ceil(tokens/budget), `n_straddle` = docs crossing a
+    * sequence boundary (the loader's split count), `tail_fill` = the
+    * last sequence's fill in integer ppm of the budget (the padding-
+    * waste audit).
+    *
+    * Scale shape: ONE exchange (the same shard window as
+    * [[shardManifest]] — the writer's repartition); the running
+    * offset is a window prefix sum WITHIN each shard partition
+    * (bounded by shard size, which `shards` controls — no global
+    * scan, the c37 two-level trick is unnecessary because the shard
+    * grid already partitions the order), and the manifest aggregate
+    * reuses the window's partitioning exchange-free. All-integer
+    * (§4). */
+  def shardPack(docs: DataFrame, id: String, text: String,
+                shards: Int, budget: Long): DataFrame = {
+    require(budget > 0, s"need budget > 0, got $budget")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shardAssign(docs, id, text, shards)
+      .withColumn("n_tok",
+        size(TextOps.tokens(col(text))).cast("long"))
+      .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("straddle",
+        when(expr(s"off div $budget") =!=
+             expr(s"(off + n_tok - 1) div $budget"), 1L).otherwise(0L))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("straddle")).as("n_straddle"))
+      .select(col("shard"), col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        expr(s"(n_tokens + ${budget - 1}) div $budget").as("n_seqs"),
+        col("n_straddle").cast("long").as("n_straddle"),
+        when(col("n_tokens") % budget === 0, lit(1000000L))
+          .otherwise(expr(s"(cast(n_tokens % $budget as decimal(38,0))" +
+            s" * 1000000) div $budget").cast("long"))
+          .as("tail_fill_ppm"))
+  }
+
+  /** DuckDB mirror of [[shardPack]]. */
+  def shardPackSql(id: String, text: String, shards: Int,
+                   budget: Long): String = {
+    val tk = TextOps.tokensSql(text)
+    s"""
+      WITH a AS (
+        SELECT $id, ${TextOps.polyHashMixedSql(text)} AS h,
+               CAST(len($tk) AS BIGINT) AS n_tok
+        FROM documents),
+      s AS (
+        SELECT $id, h, n_tok, h % $shards AS shard,
+               SUM(n_tok) OVER (PARTITION BY h % $shards
+                 ORDER BY h, $id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tok AS off
+        FROM a)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST((SUM(n_tok) + ${budget - 1}) // $budget AS BIGINT)
+               AS n_seqs,
+             CAST(SUM(CASE WHEN off // $budget <>
+                 (off + n_tok - 1) // $budget THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_straddle,
+             CAST(CASE WHEN SUM(n_tok) % $budget = 0 THEN 1000000
+               ELSE (CAST(SUM(n_tok) % $budget AS HUGEINT) * 1000000)
+                 // $budget END AS BIGINT) AS tail_fill_ppm
+      FROM s GROUP BY shard ORDER BY shard"""
+  }
 }

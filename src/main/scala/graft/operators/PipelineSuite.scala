@@ -1717,9 +1717,27 @@ object PipelineSuite extends Suite {
       trainWhere = "doc_id % 101 <> 0", scoreWhere = "doc_id % 101 = 0",
       maxLen = 256)))
 
+  val c51 = Q(
+    "c51_shard_pack",
+    // c48's routing + c37's offset math composed into the layout a
+    // pretraining writer actually emits: each shard's docs
+    // concatenate in the deterministic (hash, id) order and chop
+    // into 512-token sequences INDEPENDENTLY per shard (shards are
+    // separate files — sequences never span them). Per shard:
+    // totals, sequence count, boundary-straddler count (the loader's
+    // split count) and the last sequence's fill in ppm (the
+    // padding-waste audit). One exchange — the same shard window as
+    // c48; the in-shard prefix sum needs no two-level scan because
+    // the shard grid already partitions the order.
+    (s, d) => Packing.shardPack(Tables.documents(s, d), "doc_id",
+        "text", shards = 16, budget = 512L)
+      .orderBy(col("shard")),
+    Some(Packing.shardPackSql("doc_id", "text", shards = 16,
+      budget = 512L)))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
-      c44, c45, c46, c47, c48, c49, c50)
+      c44, c45, c46, c47, c48, c49, c50, c51)
 }

@@ -129,4 +129,37 @@ class PackingSpec extends SparkSpec {
       m.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("n_tokens"))).toSeq)
   }
+
+  test("shardPack: per-shard packing matches a brute-force replay") {
+    import graft.functions.TextOps
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val budget = 512L
+    val out = Packing.shardPack(docs, "doc_id", "text", shards = 16,
+        budget = budget)
+      .orderBy($"shard").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_seqs"),
+        r.getAs[Long]("n_straddle"), r.getAs[Long]("tail_fill_ppm")))
+    // brute force: route, order by (h, id), simulate the concat-chop
+    val rows = docs.select($"doc_id",
+        TextOps.polyHashMixed($"text").as("h"),
+        size(TextOps.tokens($"text")).cast("long").as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("h") % 16, r.getAs[Long]("h"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n")))
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (shard, ds) =>
+        val ordered = ds.sortBy(d => (d._2, d._3))
+        var off = 0L; var straddle = 0L
+        ordered.foreach { d =>
+          if (off / budget != (off + d._4 - 1) / budget) straddle += 1
+          off += d._4
+        }
+        val tail = if (off % budget == 0) 1000000L
+          else (off % budget) * 1000000L / budget
+        (shard, ordered.size.toLong, off,
+          (off + budget - 1) / budget, straddle, tail)
+    }
+    assert(out.toSeq === expect)
+  }
 }
