@@ -409,6 +409,41 @@ object RelationalSuite extends Suite {
       GROUP BY 1, 2
       ORDER BY event_id"""))
 
+  val a16 = Q(
+    "a16_grouping_sets",
+    // GROUPING SETS ((segment), (status)): two independent
+    // aggregation grids from ONE scan + one Expand — the grouping
+    // family's third member next to a9's ROLLUP (prefix lattice) and
+    // a13's CUBE (full lattice); the shape a reporting layer uses
+    // when it wants disjoint slices without rescanning. Customer dim
+    // broadcasts into the fact join; sums decimal-exact (§4).
+    (s, d) => {
+      val j = Tables.orders(s, d).join(
+        broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      j.groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("o_orderstatus"))),
+          col("c_mktsegment"), col("o_orderstatus"))
+        .agg(
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("sum_price"), col("n_orders"))
+        .orderBy(col("segment"), col("status"))
+    },
+    Some("""
+      SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+        COALESCE(o_orderstatus, 'ALL') AS status,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+        COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))
+      ORDER BY segment, status"""))
+
   override val queries: Seq[Q] =
-    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15)
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15,
+      a16)
 }
