@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
@@ -222,9 +222,24 @@ object Packing {
     * reuses the window's partitioning exchange-free. All-integer
     * (§4). */
   def shardPack(docs: DataFrame, id: String, text: String,
-                shards: Int, budget: Long): DataFrame = {
+                shards: Int, budget: Long): DataFrame =
+    shardPackOrdered(docs, id, text, shards, budget,
+      Seq(col("h"), col(id)))
+
+  /** [[shardPack]] in ARRIVAL order — within-shard concatenation by
+    * `id` alone, i.e. the append-as-it-lands layout a STREAMING
+    * writer produces (the batch-parity target of
+    * Streams.shardPackStreaming under the d2/d3 ordered-feed
+    * convention). Same manifest columns and cost shape. */
+  def shardPackArrival(docs: DataFrame, id: String, text: String,
+                       shards: Int, budget: Long): DataFrame =
+    shardPackOrdered(docs, id, text, shards, budget, Seq(col(id)))
+
+  private def shardPackOrdered(docs: DataFrame, id: String,
+      text: String, shards: Int, budget: Long,
+      order: Seq[Column]): DataFrame = {
     require(budget > 0, s"need budget > 0, got $budget")
-    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(id))
+    val w = Window.partitionBy(col("shard")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     shardAssign(docs, id, text, shards)
       .withColumn("n_tok",
@@ -247,9 +262,11 @@ object Packing {
           .as("tail_fill_ppm"))
   }
 
-  /** DuckDB mirror of [[shardPack]]. */
+  /** DuckDB mirror of [[shardPack]] (`orderBy = "h, <id>"`) and
+    * [[shardPackArrival]] (`orderBy = "<id>"`). */
   def shardPackSql(id: String, text: String, shards: Int,
-                   budget: Long): String = {
+                   budget: Long, orderBy: String = ""): String = {
+    val ord = if (orderBy.nonEmpty) orderBy else s"h, $id"
     val tk = TextOps.tokensSql(text)
     s"""
       WITH a AS (
@@ -259,7 +276,7 @@ object Packing {
       s AS (
         SELECT $id, h, n_tok, h % $shards AS shard,
                SUM(n_tok) OVER (PARTITION BY h % $shards
-                 ORDER BY h, $id
+                 ORDER BY $ord
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  - n_tok AS off
         FROM a)

@@ -673,7 +673,26 @@ object StreamingSuite extends Suite {
       trainWhere = "doc_id % 101 <> 0", scoreWhere = "doc_id % 13 = 0",
       maxLen = 256)))
 
+  val d20 = Q(
+    "d20_stream_shard_pack",
+    // Stateful streaming shard packing, batch-replayed: arriving docs
+    // append to their content-hash shard's running concatenation in
+    // arrival order and the keyed state carries exactly (doc count,
+    // token offset, straddler count) per shard — O(shards) state, the
+    // offsets a streaming training-data writer needs to chop
+    // 512-token sequences as its files grow (c51's streaming
+    // completion; Streams.shardPackStreaming is the
+    // flatMapGroupsWithState flavor, cross-batch-pinned in
+    // StreamsSpec). The batch replay is the ARRIVAL-order manifest:
+    // within-shard concatenation by id alone (the d2/d3 ordered-feed
+    // convention), vs c51's (hash, id) shuffled layout.
+    (s, d) => Packing.shardPackArrival(Tables.documents(s, d), "doc_id",
+        "text", shards = 16, budget = 512L)
+      .orderBy(col("shard")),
+    Some(Packing.shardPackSql("doc_id", "text", shards = 16,
+      budget = 512L, orderBy = "doc_id")))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19)
+      d16, d17, d18, d19, d20)
 }

@@ -527,6 +527,63 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
       .start()
 
+  /** Keyed state of [[shardPackStreaming]]: running totals of one
+    * shard's append-order packing. */
+  case class PackSt(n_docs: Long, n_tokens: Long, n_straddle: Long)
+
+  /** Streaming per-shard sequence packing — the stateful streaming
+    * completion of the batch shard-pack manifest: arriving docs route
+    * to their content-hash shard and APPEND to that shard's running
+    * concatenation in arrival order (within a micro-batch: by id —
+    * the d2/d3 ordered-feed convention), so each shard key carries
+    * exactly (doc count, token offset, straddler count) —
+    * O(shards) state BY CONSTRUCTION, the offsets a streaming
+    * training-data writer needs to chop `budget`-token sequences as
+    * files grow. Each batch emits every updated shard's running
+    * manifest row (same columns as the batch operator). After the
+    * stream drains over an id-ordered feed, the final per-shard rows
+    * equal Packing.shardPackArrival (StreamsSpec pins it
+    * cross-batch). */
+  def shardPackStreaming(docs: DataFrame, id: String, text: String,
+      shards: Int, budget: Long)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val assigned = graft.operators.Packing
+      .shardAssign(docs, id, text, shards)
+      .select(col("shard"), col(id).as("doc_id"),
+        size(graft.functions.TextOps.tokens(col(text)))
+          .cast("long").as("n_tok"))
+      .as[(Long, Long, Long)]
+    assigned
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackSt,
+          (Long, Long, Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[PackSt]) =>
+          val rows = it.toArray.sortBy(_._2)
+          var st = state.getOption.getOrElse(PackSt(0L, 0L, 0L))
+          rows.foreach { case (_, _, n) =>
+            val off = st.n_tokens
+            val straddles =
+              if (off / budget != (off + n - 1) / budget) 1L else 0L
+            st = PackSt(st.n_docs + 1, off + n, st.n_straddle + straddles)
+          }
+          state.update(st)
+          val tail =
+            if (st.n_tokens % budget == 0) 1000000L
+            else st.n_tokens % budget * 1000000L / budget
+          Iterator((shard, st.n_docs, st.n_tokens,
+            (st.n_tokens + budget - 1) / budget, st.n_straddle, tail))
+      }
+      .toDF("shard", "n_docs", "n_tokens", "n_seqs", "n_straddle",
+        "tail_fill_ppm")
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+  }
+
   /** Streaming tokenizer encode: each arriving micro-batch of docs is
     * encoded map-side with the STATIC trained merge table
     * (graft.operators.CorpusStats.bpeApply — k broadcast one-row

@@ -699,6 +699,40 @@ class StreamsSpec extends SparkSpec {
     assert(collected.nonEmpty && collected.sortBy(_._1).toSeq === batch)
   }
 
+  test("streaming shard pack: final state equals the arrival-order batch " +
+      "manifest") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Packing
+    val docs = Tables.documents(spark, sf)
+    // id-ordered feed split across two batches (the d2/d3 convention)
+    val arriving = docs.select($"doc_id", $"text")
+      .orderBy($"doc_id").as[(Long, String)].collect()
+    val last = scala.collection.mutable.Map[Long,
+      (Long, Long, Long, Long, Long)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.shardPackStreaming(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", shards = 16,
+      budget = 512L) { df =>
+      val rows = df.collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_seqs"), r.getAs[Long]("n_straddle"),
+          r.getAs[Long]("tail_fill_ppm")))
+      this.synchronized { rows.foreach { case (k, v) => last(k) = v } }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Packing.shardPackArrival(docs, "doc_id", "text",
+        shards = 16, budget = 512L)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_seqs"), r.getAs[Long]("n_straddle"),
+          r.getAs[Long]("tail_fill_ppm"))).toMap
+    assert(last.nonEmpty && last.toMap === batch)
+  }
+
   test("streaming indexed retrieval matches the batch IVF probe across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Ann, Retrieval}
