@@ -860,6 +860,293 @@ object CorpusStats {
       ORDER BY $id"""
   }
 
+  // --- trigram-backoff LM surprisal ---------------------------------
+  /** Per-document mean TRIGRAM surprisal with the full
+    * trigram→bigram→unigram backoff chain — c50's next order and the
+    * classic Katz-style cascade (Chen & Goodman 1999 shape, integer
+    * arithmetic per §4). Contexts are PADDED with the -1 sentinel
+    * (two for a doc's first token), so begin-of-doc contexts are
+    * ordinary rows of the train tables — exactly the `<s>` convention
+    * of real n-gram LMs — and scoring needs no first-token special
+    * case: unlike c50, the sentinel-context n-grams ARE in the model.
+    * Token t after context (p2, p1) costs, in whole bits
+    * (bitlength = floor(log2)+1, exact-integer — no float log):
+    *   - trigram hit:   bitlen(ctx3(p2,p1) div cnt3(p2,p1,t)) [path 0]
+    *   - bigram backoff: bitlen(ctx2(p1) div cnt2(p1,t)) + 1  [path 1]
+    *   - unigram backoff: bitlen(N div cnt1(t)) + 2           [path 2]
+    *   - OOV:            bitlen(N) + 3                        [path 3]
+    * Output per doc: token count, per-path occurrence counts (the
+    * hit/backoff mix is the QA signal — a drifted doc slides down
+    * the chain before it ever reaches OOV) and the mean in ppm of a
+    * bit.
+    *
+    * Shape: identical scale argument to c50 — every train table is
+    * CORPUS-SIZED (the trigram table especially), so all scoring
+    * joins are shuffle-hash on token-hash keys, never broadcast; the
+    * scoring side pre-aggregates per (doc, h0, h1, h2) so each join
+    * moves distinct-per-doc rows, not raw tokens; one final
+    * groupBy(doc) of exact long sums. */
+  case class TrigramLm(uni: DataFrame, big: DataFrame, ctx2: DataFrame,
+                       tri: DataFrame, ctx3: DataFrame)
+
+  /** (h0, h1, h2) rows per token position, contexts padded with the
+    * -1 sentinel: h0/h1 are the two previous token hashes (-1 when
+    * the position has no such predecessor). polyHash is nonnegative,
+    * so the sentinel never collides with a real token. */
+  private def tokenTriples(df: DataFrame, text: String,
+                           extra: Column*): DataFrame = {
+    val padded2 = (ths: Column) => slice(
+      concat(array(lit(-1L), lit(-1L)), ths), lit(1), size(ths))
+    val padded1 = (ths: Column) => slice(
+      concat(array(lit(-1L)), ths), lit(1), size(ths))
+    hashedToks(df, text, extra: _*).select(extra :+ explode(zip_with(
+      zip_with(padded2(col("ths")), padded1(col("ths")),
+        (a, b) => struct(a.as("h0"), b.as("h1"))),
+      col("ths"),
+      (c, t) => struct(c.getField("h0").as("h0"),
+        c.getField("h1").as("h1"), t.as("h2")))).as("tr"): _*)
+      .select(extra :+ col("tr.h0") :+ col("tr.h1") :+ col("tr.h2"): _*)
+  }
+
+  /** Train the [[TrigramLm]] tables on `train` — five tables, all
+    * derived from ONE triple explosion (uni/big/ctx2 reuse the same
+    * rows at lower arity, so training costs one corpus scan + the
+    * count aggs). */
+  def trigramLm(train: DataFrame, text: String): TrigramLm = {
+    val trip = tokenTriples(train, text)
+    val uni = trip.groupBy(col("h2").as("th"))
+      .agg(count(lit(1)).as("cnt1"))
+    val big = trip.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("cnt2"))
+    val ctx2 = big.groupBy(col("h1")).agg(sum(col("cnt2")).as("c_ctx2"))
+    val tri = trip.groupBy(col("h0"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("cnt3"))
+    val ctx3 = tri.groupBy(col("h0"), col("h1"))
+      .agg(sum(col("cnt3")).as("c_ctx3"))
+    TrigramLm(uni, big, ctx2, tri, ctx3)
+  }
+
+  /** Score `docs` against a trained [[TrigramLm]] — see the class doc
+    * for the per-path bit costs. Per-doc independent given the LM
+    * tables, so the same call scores an arriving micro-batch. */
+  def trigramScore(lm: TrigramLm, docs: DataFrame, id: String,
+                   text: String): DataFrame = {
+    val totals = lm.uni.agg(sum(col("cnt1")).as("n_total"))
+    val dt = tokenTriples(docs, text, col(id))
+      .groupBy(col(id), col("h0"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c_dt"))
+    dt
+      .join(lm.tri.hint("shuffle_hash"), Seq("h0", "h1", "h2"), "left")
+      .join(lm.ctx3.hint("shuffle_hash"), Seq("h0", "h1"), "left")
+      .join(lm.big.hint("shuffle_hash"), Seq("h1", "h2"), "left")
+      .join(lm.ctx2.hint("shuffle_hash"), Seq("h1"), "left")
+      .join(lm.uni.hint("shuffle_hash").withColumnRenamed("th", "h2"),
+        Seq("h2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(id), col("c_dt"),
+        when(col("cnt3").isNotNull, lit(0L))
+          .when(col("cnt2").isNotNull, lit(1L))
+          .when(col("cnt1").isNotNull, lit(2L))
+          .otherwise(lit(3L)).as("path"),
+        when(col("cnt3").isNotNull,
+            length(bin(expr("c_ctx3 div cnt3"))).cast("long"))
+          .when(col("cnt2").isNotNull,
+            length(bin(expr("c_ctx2 div cnt2"))).cast("long") + 1L)
+          .when(col("cnt1").isNotNull,
+            length(bin(expr("n_total div cnt1"))).cast("long") + 2L)
+          .otherwise(length(bin(col("n_total"))).cast("long") + 3L)
+          .as("bits"))
+      .groupBy(col(id))
+      .agg(sum(col("c_dt")).as("n_tokens"),
+        sum(when(col("path") === 0L, col("c_dt")).otherwise(0L))
+          .as("n_tri"),
+        sum(when(col("path") === 1L, col("c_dt")).otherwise(0L))
+          .as("n_big"),
+        sum(when(col("path") === 2L, col("c_dt")).otherwise(0L))
+          .as("n_uni"),
+        sum(when(col("path") === 3L, col("c_dt")).otherwise(0L))
+          .as("n_oov"),
+        sum(col("c_dt") * col("bits")).as("total_bits"))
+      .select(col(id), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_tri").cast("long").as("n_tri"),
+        col("n_big").cast("long").as("n_big"),
+        col("n_uni").cast("long").as("n_uni"),
+        col("n_oov").cast("long").as("n_oov"),
+        ppmExpr("total_bits", "n_tokens").cast("long")
+          .as("mean_bits_ppm"))
+  }
+
+  def trigramSurprisal(train: DataFrame, docs: DataFrame, id: String,
+                       text: String): DataFrame =
+    trigramScore(trigramLm(train, text), docs, id, text)
+
+  /** DuckDB mirror of [[trigramSurprisal]]: positions unnest with the
+    * literal `maxLen` bound + error() guard (see [[bigramCountsSql]]
+    * for why the bound must be a literal). */
+  def trigramSurprisalSql(id: String, text: String, trainWhere: String,
+                          scoreWhere: String,
+                          maxLen: Int = 4096): String = {
+    val tk = TextOps.tokensSql(text)
+    val hs = s"list_transform($tk, tok -> ${TextOps.polyHashSql("tok")})"
+    def trs(where: String, cols: String) =
+      s"""SELECT $cols,
+               CASE WHEN i <= 2 THEN -1 ELSE ths[i - 2] END AS h0,
+               CASE WHEN i = 1 THEN -1 ELSE ths[i - 1] END AS h1,
+               ths[i] AS h2
+        FROM (SELECT *, unnest(range(1, $maxLen)) AS i
+              FROM (SELECT $id, $hs AS ths
+                    FROM documents WHERE $where))
+        WHERE i <= len(ths)
+          AND CASE WHEN (SELECT MAX(len($tk)) FROM documents
+                         WHERE $where) >= $maxLen
+              THEN error('trigram maxLen $maxLen exceeded')
+              ELSE TRUE END"""
+    s"""
+      WITH tp AS (${trs(trainWhere, id)}),
+      uni AS (SELECT h2 AS th, COUNT(*) AS cnt1 FROM tp GROUP BY 1),
+      tot AS (SELECT SUM(cnt1) AS n_total FROM uni),
+      big AS (SELECT h1, h2, COUNT(*) AS cnt2 FROM tp GROUP BY 1, 2),
+      ctx2 AS (SELECT h1, SUM(cnt2) AS c_ctx2 FROM big GROUP BY 1),
+      tri AS (SELECT h0, h1, h2, COUNT(*) AS cnt3 FROM tp
+              GROUP BY 1, 2, 3),
+      ctx3 AS (SELECT h0, h1, SUM(cnt3) AS c_ctx3 FROM tri
+               GROUP BY 1, 2),
+      dt AS (
+        SELECT $id, h0, h1, h2, COUNT(*) AS c_dt
+        FROM (${trs(scoreWhere, id)})
+        GROUP BY 1, 2, 3, 4),
+      sc AS (
+        SELECT $id, c_dt,
+               CASE WHEN t3.cnt3 IS NOT NULL THEN 0
+                    WHEN b.cnt2 IS NOT NULL THEN 1
+                    WHEN u.cnt1 IS NOT NULL THEN 2
+                    ELSE 3 END AS path,
+               CASE WHEN t3.cnt3 IS NOT NULL
+                      THEN CAST(length(bin(x3.c_ctx3 // t3.cnt3))
+                        AS BIGINT)
+                    WHEN b.cnt2 IS NOT NULL
+                      THEN CAST(length(bin(x2.c_ctx2 // b.cnt2))
+                        AS BIGINT) + 1
+                    WHEN u.cnt1 IS NOT NULL
+                      THEN CAST(length(bin(n_total // u.cnt1))
+                        AS BIGINT) + 2
+                    ELSE CAST(length(bin(n_total)) AS BIGINT) + 3
+               END AS bits
+        FROM dt
+          LEFT JOIN tri t3 ON dt.h0 = t3.h0 AND dt.h1 = t3.h1
+            AND dt.h2 = t3.h2
+          LEFT JOIN ctx3 x3 ON dt.h0 = x3.h0 AND dt.h1 = x3.h1
+          LEFT JOIN big b ON dt.h1 = b.h1 AND dt.h2 = b.h2
+          LEFT JOIN ctx2 x2 ON dt.h1 = x2.h1
+          LEFT JOIN uni u ON dt.h2 = u.th
+          CROSS JOIN tot),
+      per_doc AS (
+        SELECT $id,
+               CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN path = 0 THEN c_dt ELSE 0 END)
+                 AS BIGINT) AS n_tri,
+               CAST(SUM(CASE WHEN path = 1 THEN c_dt ELSE 0 END)
+                 AS BIGINT) AS n_big,
+               CAST(SUM(CASE WHEN path = 2 THEN c_dt ELSE 0 END)
+                 AS BIGINT) AS n_uni,
+               CAST(SUM(CASE WHEN path = 3 THEN c_dt ELSE 0 END)
+                 AS BIGINT) AS n_oov,
+               CAST(SUM(c_dt * bits) AS BIGINT) AS total_bits
+        FROM sc GROUP BY 1)
+      SELECT $id, n_tokens, n_tri, n_big, n_uni, n_oov,
+             ${ppmSql("total_bits", "n_tokens")} AS mean_bits_ppm
+      FROM per_doc
+      ORDER BY $id"""
+  }
+
+  // --- vocabulary coverage audit ------------------------------------
+  /** Token-TYPE-level vocabulary coverage of evaluation splits vs a
+    * training vocabulary — the audit that accompanies the LM/tokenizer
+    * family (c50/c52's `n_oov` counts OCCURRENCES; a tokenizer team
+    * asks about TYPES: "how much of this split's vocabulary did
+    * training never see, and what does frequency truncation cost").
+    * Per eval group (e.g. source): distinct-token and occurrence
+    * totals, OOV counts at two vocabulary tiers — the FULL train
+    * vocab and the min-count≥2 truncation (hapax pruning, the
+    * standard tokenizer-vocab cut) — and type/occurrence coverage in
+    * integer ppm.
+    *
+    * Shape: the train vocab is CORPUS-SIZED, so the membership join
+    * is shuffle-hash on the token hash, never broadcast; the eval
+    * side pre-aggregates per (group, token) FIRST so the join moves
+    * distinct-per-group rows, not raw tokens; the final groupBy is
+    * O(groups). One pass over each side. */
+  def vocabCoverage(train: DataFrame, eval: DataFrame, group: String,
+                    text: String): DataFrame = {
+    val vocab = hashedToks(train, text)
+      .select(explode(col("ths")).as("th"))
+      .groupBy(col("th")).agg(count(lit(1)).as("cnt"))
+    val ev = hashedToks(eval, text, col(group))
+      .select(col(group), explode(col("ths")).as("th"))
+      .groupBy(col(group), col("th")).agg(count(lit(1)).as("n_occ_t"))
+    ev.join(vocab.hint("shuffle_hash"), Seq("th"), "left")
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("n_occ_t")).as("n_occ"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("oov_types"),
+        sum(when(col("cnt").isNull, col("n_occ_t")).otherwise(0L))
+          .as("oov_occ"),
+        sum(when(col("cnt").isNull || col("cnt") < 2, 1L).otherwise(0L))
+          .as("oov_types_min2"),
+        sum(when(col("cnt").isNull || col("cnt") < 2, col("n_occ_t"))
+          .otherwise(0L)).as("oov_occ_min2"))
+      .select(col(group),
+        col("n_types").cast("long").as("n_types"),
+        col("n_occ").cast("long").as("n_occ"),
+        col("oov_types").cast("long").as("oov_types"),
+        col("oov_occ").cast("long").as("oov_occ"),
+        col("oov_types_min2").cast("long").as("oov_types_min2"),
+        col("oov_occ_min2").cast("long").as("oov_occ_min2"),
+        ppmExpr("n_types - oov_types", "n_types").cast("long")
+          .as("type_cov_ppm"),
+        ppmExpr("n_occ - oov_occ", "n_occ").cast("long")
+          .as("occ_cov_ppm"))
+  }
+
+  /** DuckDB mirror of [[vocabCoverage]]. */
+  def vocabCoverageSql(group: String, text: String, trainWhere: String,
+                       evalWhere: String): String = {
+    val tk = TextOps.tokensSql(text)
+    val hs = s"list_transform($tk, tok -> ${TextOps.polyHashSql("tok")})"
+    s"""
+      WITH vocab AS (
+        SELECT th, COUNT(*) AS cnt
+        FROM (SELECT unnest($hs) AS th
+              FROM documents WHERE $trainWhere)
+        GROUP BY 1),
+      ev AS (
+        SELECT $group, th, COUNT(*) AS n_occ_t
+        FROM (SELECT $group, unnest($hs) AS th
+              FROM documents WHERE $evalWhere)
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT $group,
+               COUNT(*) AS n_types,
+               CAST(SUM(n_occ_t) AS BIGINT) AS n_occ,
+               CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS oov_types,
+               CAST(SUM(CASE WHEN cnt IS NULL THEN n_occ_t ELSE 0 END)
+                 AS BIGINT) AS oov_occ,
+               CAST(SUM(CASE WHEN cnt IS NULL OR cnt < 2 THEN 1
+                 ELSE 0 END) AS BIGINT) AS oov_types_min2,
+               CAST(SUM(CASE WHEN cnt IS NULL OR cnt < 2 THEN n_occ_t
+                 ELSE 0 END) AS BIGINT) AS oov_occ_min2
+        FROM ev LEFT JOIN vocab USING (th)
+        GROUP BY 1)
+      SELECT $group, n_types, n_occ, oov_types, oov_occ,
+             oov_types_min2, oov_occ_min2,
+             ${ppmSql("n_types - oov_types", "n_types")}
+               AS type_cov_ppm,
+             ${ppmSql("n_occ - oov_occ", "n_occ")} AS occ_cov_ppm
+      FROM agg
+      ORDER BY $group"""
+  }
+
   // --- hashed contrastive importance selection ----------------------
   /** DSIR-style importance selection (Xie et al. 2023,
     * arXiv:2302.03169): score raw documents by how target-like their

@@ -1717,6 +1717,52 @@ object PipelineSuite extends Suite {
       trainWhere = "doc_id % 101 <> 0", scoreWhere = "doc_id % 101 = 0",
       maxLen = 256)))
 
+  val c52 = Q(
+    "c52_trigram_surprisal",
+    // c50's next order and the full Katz-style backoff chain:
+    // trigram→bigram→unigram→OOV, +1 whole bit per backoff level,
+    // contexts padded with the -1 sentinel so begin-of-doc contexts
+    // are ordinary train rows (the <s> convention) and scoring has
+    // no first-token special case. Same split discipline as c50
+    // (train %101<>0, score the held-out %101=0) and the same scale
+    // shape: the trigram/bigram/unigram tables are corpus-sized, so
+    // every scoring join is shuffle-hash on token-hash keys — never
+    // broadcast — and the scoring side pre-aggregates per
+    // (doc, h0, h1, h2) so joins move distinct-per-doc rows. The
+    // per-path counts expose the backoff slide a drifted doc takes
+    // before it ever reaches OOV.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isQ = pmod(col("doc_id"), lit(101)) === 0
+      CorpusStats.trigramSurprisal(docs.where(!isQ), docs.where(isQ),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(CorpusStats.trigramSurprisalSql("doc_id", "text",
+      trainWhere = "doc_id % 101 <> 0", scoreWhere = "doc_id % 101 = 0",
+      maxLen = 256)))
+
+  val c53 = Q(
+    "c53_vocab_coverage",
+    // The tokenizer team's coverage audit next to c50/c52's
+    // occurrence-level n_oov: per SOURCE of the held-out split, how
+    // many token TYPES (and occurrences) the %101<>0 train vocabulary
+    // covers, at two tiers — the full vocab and the min-count>=2
+    // truncation (hapax pruning, the standard vocab cut). The train
+    // vocab is corpus-sized so the membership join is shuffle-hash,
+    // never broadcast; the eval side pre-aggregates per (source,
+    // token) so the join moves distinct rows; final groupBy is
+    // O(sources).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isQ = pmod(col("doc_id"), lit(101)) === 0
+      CorpusStats.vocabCoverage(docs.where(!isQ), docs.where(isQ),
+          "source", "text")
+        .orderBy(col("source"))
+    },
+    Some(CorpusStats.vocabCoverageSql("source", "text",
+      trainWhere = "doc_id % 101 <> 0", evalWhere = "doc_id % 101 = 0")))
+
   val c51 = Q(
     "c51_shard_pack",
     // c48's routing + c37's offset math composed into the layout a
@@ -1739,5 +1785,5 @@ object PipelineSuite extends Suite {
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
-      c44, c45, c46, c47, c48, c49, c50, c51)
+      c44, c45, c46, c47, c48, c49, c50, c51, c52, c53)
 }

@@ -216,6 +216,50 @@ class CorpusStatsSpec extends SparkSpec {
       r.getAs[Long]("mean_bits_ppm")) === ((4L, 1L, 2L, 1L, 3000000L)))
   }
 
+  test("trigramSurprisal: all four backoff paths hand-checked") {
+    // train "a b a b a": uni {a:3,b:2}, N=5; tri (with -1 padding)
+    // {(-1,-1,a):1, (-1,a,b):1, (a,b,a):2, (b,a,b):1}; big
+    // {(-1,a):1, (a,b):2, (b,a):2}; ctx3 {(-1,-1):1, (-1,a):1,
+    // (a,b):2, (b,a):1}; ctx2 {-1:1, a:2, b:2}
+    val train = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    // "a b z a": tri-hit bitlen(1/1)=1, tri-hit 1, OOV bitlen(5)+3=6,
+    //   uni-backoff bitlen(5/3)+2=3 -> 11 bits / 4 = 2750000 ppm
+    // "b a b a": uni-backoff bitlen(5/2)+2=4 ((-1,-1,b) and (-1,b)
+    //   unseen), big-backoff bitlen(2/2)+1=2, tri-hit 1, tri-hit 1
+    //   -> 8 bits / 4 = 2000000 ppm
+    val score = Seq((10L, "a b z a"), (11L, "b a b a"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.trigramSurprisal(train, score, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out.length == 2)
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_tri"),
+        r.getAs[Long]("n_big"), r.getAs[Long]("n_uni"),
+        r.getAs[Long]("n_oov"), r.getAs[Long]("mean_bits_ppm"))
+    assert(row(out(0)) === ((4L, 2L, 0L, 1L, 1L, 2750000L)))
+    assert(row(out(1)) === ((4L, 2L, 1L, 1L, 0L, 2000000L)))
+  }
+
+  test("vocabCoverage: per-group OOV at both vocab tiers hand-checked") {
+    // train vocab: a:2, b:1, c:1 (b and c are hapax — pruned at min2)
+    val train = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    // X "a b d": 3 types / 3 occ; d is OOV (1/1); min2 also drops b
+    //   (hapax) -> 2/2; type_cov = occ_cov = 2/3 = 666666 ppm
+    // Y "a a a": fully covered at both tiers
+    val eval = Seq((10L, "a b d", "X"), (11L, "a a a", "Y"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusStats.vocabCoverage(train, eval, "source", "text")
+      .orderBy($"source").collect()
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_types"), r.getAs[Long]("n_occ"),
+        r.getAs[Long]("oov_types"), r.getAs[Long]("oov_occ"),
+        r.getAs[Long]("oov_types_min2"), r.getAs[Long]("oov_occ_min2"),
+        r.getAs[Long]("type_cov_ppm"), r.getAs[Long]("occ_cov_ppm"))
+    assert(out.map(_.getAs[String]("source")).toSeq === Seq("X", "Y"))
+    assert(row(out(0)) === ((3L, 3L, 1L, 1L, 2L, 2L, 666666L, 666666L)))
+    assert(row(out(1)) === ((1L, 3L, 0L, 0L, 0L, 0L, 1000000L, 1000000L)))
+  }
+
   test("sourceDrift: identical mix scores 0, disjoint sources score 1e6") {
     // A and B are fully disjoint single-token sources of equal size:
     // corpus = 50/50, each source is all-or-nothing per bucket, so
