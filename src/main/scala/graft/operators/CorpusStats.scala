@@ -1059,6 +1059,156 @@ object CorpusStats {
       ORDER BY $id"""
   }
 
+  // --- batched BPE training -----------------------------------------
+  /** BPE training with `m` merges PER COUNTING ROUND — the production
+    * approximation of c45's one-merge-per-pass loop (the YTTM/
+    * parallel-BPE trick): at 100 TB each pair-count pass is a full
+    * corpus scan, so a 32k-vocab trainer cannot afford one scan per
+    * merge; batching 100s of merges per scan cuts passes by that
+    * factor at a small quality cost. Batch safety comes from SYMBOL
+    * DISJOINTNESS: within a round, a candidate is selected only if it
+    * shares no symbol with any higher-ranked pool candidate — then no
+    * selected merge can create or destroy another's adjacencies, so
+    * the batch applies in any order with the counts still exact and
+    * the result identical to applying them sequentially. The
+    * dominance rule is deliberately one-pass (a pair is excluded by
+    * ANY higher-ranked pool member, selected or not, rather than
+    * greedy-with-reinstatement): each candidate's fate depends only
+    * on the static ranked pool, so selection is parallel-decidable —
+    * the same reason the batch exists at all.
+    *
+    * Per round: one pair-count pass (map-side-combinable groupBy), a
+    * `pool`-row TakeOrderedAndProject head (pool = 4m), the dominance
+    * anti-join on that ≤pool-row table (tiny, barriered), and m
+    * broadcast one-row conditional merge-applies (a round may select
+    * FEWER than m pairs — unfilled slots pass the corpus through).
+    * Output: (round, j, pair, cnt) — the ordered merge artifact;
+    * c45 at the same total merge count is the quality bracket. */
+  def bpeBatchTrain(docs: DataFrame, id: String, text: String,
+                    rounds: Int, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val open = "\u0002"; val close = "\u0003"
+    val pool = m * 4
+    val tk = TextOps.tokens(col(text))
+    var cur = docs.select(col(id),
+      concat(lit(open), concat_ws(close + open, tk), lit(close)).as("s"))
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val toks = split(trim(col("s"), open + close), close + open)
+      val pairs = cur.select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      // pool head first (TakeOrderedAndProject), THEN the rank window
+      // — the window runs over <=pool rows, never the full pair table
+      val ranked = pairs
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(pool)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("a"), col("b")))
+          .cast("long"))
+        .barrier(true) // tiny; read by both dominance sides + sel
+      val blocked = ranked.as("p").join(ranked.as("q"),
+          col("q.rk") < col("p.rk") &&
+            (col("q.a") === col("p.a") || col("q.a") === col("p.b") ||
+             col("q.b") === col("p.a") || col("q.b") === col("p.b")))
+        .select(col("p.rk").as("rk")).distinct()
+      val sel = ranked.join(blocked, Seq("rk"), "left_anti")
+        .withColumn("j",
+          row_number().over(Window.orderBy(col("rk"))).cast("long"))
+        .where(col("j") <= m)
+        .barrier(true) // read m+1 times: merge rows + each apply slot
+      val rows = sel.select(lit(r.toLong).as("round"), col("j"),
+        concat(col("a"), lit(" "), col("b")).as("pair"), col("cnt"))
+      out = if (out == null) rows else out.unionAll(rows)
+      for (j <- 1 to m) {
+        // always exactly one row (nulls when the slot is unfilled) so
+        // the crossJoin can never zero the corpus
+        val mj = sel.where(col("j") === j)
+          .agg(max(col("a")).as("ma"), max(col("b")).as("mb"))
+        cur = cur.crossJoin(broadcast(mj))
+          .select(col(id),
+            when(col("ma").isNull, col("s")).otherwise(
+              replace(col("s"),
+                concat(lit(open), col("ma"), lit(close),
+                  lit(open), col("mb"), lit(close)),
+                concat(lit(open), col("ma"), lit(" "), col("mb"),
+                  lit(close)))).as("s"))
+      }
+      cur = cur.barrier(false)
+    }
+    out.orderBy(col("round"), col("j"))
+  }
+
+  /** DuckDB mirror of [[bpeBatchTrain]]: rounds unrolled as CTE
+    * stages (same literal-bound position unnest as [[bpeStagesSql]]),
+    * the dominance rule as a NOT EXISTS over the ranked pool, the m
+    * apply slots as LEFT JOIN ON TRUE one-row conditional replaces. */
+  def bpeBatchTrainSql(text: String, rounds: Int, m: Int,
+                       maxLen: Int = 4096): String = {
+    val tk = TextOps.tokensSql(text)
+    val pool = m * 4
+    val stages = (1 to rounds).map { i =>
+      val applies = (1 to m).map { j =>
+        s"""e${i}_$j AS (
+        SELECT doc_id,
+               CASE WHEN mj.a IS NULL THEN s
+                    ELSE replace(s,
+                      chr(2) || mj.a || chr(3) || chr(2) || mj.b ||
+                        chr(3),
+                      chr(2) || mj.a || ' ' || mj.b || chr(3))
+               END AS s
+        FROM e${i}_${j - 1}
+          LEFT JOIN (SELECT a, b FROM sel$i WHERE j = $j) mj ON TRUE)"""
+      }.mkString(",\n      ")
+      s"""t$i AS (
+        SELECT doc_id, str_split(trim(s, chr(2) || chr(3)),
+                 chr(3) || chr(2)) AS toks
+        FROM d${i - 1}),
+      p$i AS (
+        SELECT toks[i] AS a, toks[i + 1] AS b
+        FROM (SELECT toks, unnest(range(1, $maxLen)) AS i FROM t$i) x
+        WHERE i + 1 <= len(toks)
+          AND CASE WHEN (SELECT MAX(len(toks)) FROM t$i) > $maxLen
+              THEN error('bpe maxLen $maxLen exceeded') ELSE TRUE END),
+      g$i AS (SELECT a, b, COUNT(*) AS cnt FROM p$i GROUP BY 1, 2),
+      pool$i AS (
+        SELECT * FROM (
+          SELECT a, b, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rk
+          FROM g$i) WHERE rk <= $pool),
+      kept$i AS (
+        SELECT * FROM pool$i p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pool$i q
+          WHERE q.rk < p.rk AND (q.a = p.a OR q.a = p.b OR
+                q.b = p.a OR q.b = p.b))),
+      sel$i AS (
+        SELECT * FROM (
+          SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY rk) AS j
+          FROM kept$i) WHERE j <= $m),
+      e${i}_0 AS (SELECT doc_id, s FROM d${i - 1}),
+      $applies,
+      d$i AS (SELECT doc_id, s FROM e${i}_$m)"""
+    }.mkString(",\n      ")
+    val rows = (1 to rounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, CAST(j AS BIGINT) AS j,
+             a || ' ' || b AS pair, cnt
+      FROM sel$i"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH d0 AS (
+        SELECT doc_id,
+               chr(2) || array_to_string($tk, chr(3) || chr(2)) ||
+                 chr(3) AS s
+        FROM documents),
+      $stages
+      SELECT * FROM (
+      $rows)
+      ORDER BY round, j"""
+  }
+
   // --- vocabulary coverage audit ------------------------------------
   /** Token-TYPE-level vocabulary coverage of evaluation splits vs a
     * training vocabulary — the audit that accompanies the LM/tokenizer

@@ -1763,6 +1763,24 @@ object PipelineSuite extends Suite {
     Some(CorpusStats.vocabCoverageSql("source", "text",
       trainWhere = "doc_id % 101 <> 0", evalWhere = "doc_id % 101 = 0")))
 
+  val c54 = Q(
+    "c54_bpe_batch_train",
+    // c45's production approximation: m=4 symbol-disjoint merges per
+    // counting round (2 rounds) instead of one merge per pass — at
+    // 100 TB each pair count is a full corpus scan, so a 32k-vocab
+    // trainer batches hundreds of merges per scan. Disjointness
+    // (one-pass dominance rule over the 4m-row ranked pool: a
+    // candidate is excluded by ANY higher-ranked pool member sharing
+    // a symbol) makes the batch order-independent with exact counts;
+    // rounds may select fewer than m pairs — unfilled slots pass the
+    // corpus through. Output = the ordered (round, j, pair, cnt)
+    // merge artifact; c45 at equal total merges is the quality
+    // bracket.
+    (s, d) => CorpusStats.bpeBatchTrain(Tables.documents(s, d),
+      "doc_id", "text", rounds = 2, m = 4),
+    Some(CorpusStats.bpeBatchTrainSql("text", rounds = 2, m = 4,
+      maxLen = 256)))
+
   val c51 = Q(
     "c51_shard_pack",
     // c48's routing + c37's offset math composed into the layout a
@@ -1785,5 +1803,5 @@ object PipelineSuite extends Suite {
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
-      c44, c45, c46, c47, c48, c49, c50, c51, c52, c53)
+      c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54)
 }

@@ -260,6 +260,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(row(out(1)) === ((1L, 3L, 0L, 0L, 0L, 0L, 1000000L, 1000000L)))
   }
 
+  test("bpeBatchTrain: dominance selection + underfilled round hand-checked") {
+    // round 1 pairs: ab:3, cd:3, bc:2, ba:1, dc:1 -> ranked ab, cd,
+    // bc, ba, dc; bc/ba/dc all share a symbol with a higher rank ->
+    // sel = [(a b, 3), (c d, 3)] (disjoint, both apply)
+    // round 2 (docs now [ab ab cd cd] and [ab cd]): (ab,cd):2,
+    // (ab,ab):1, (cd,cd):1 -> rk2/rk3 each share a symbol with rk1
+    // -> sel = just ("a b c d", 2): the round underfills (m=2)
+    val docs = Seq((1L, "a b a b c d c d"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bpeBatchTrain(docs, "doc_id", "text",
+        rounds = 2, m = 2)
+      .collect().map(r => (r.getAs[Long]("round"), r.getAs[Long]("j"),
+        r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toSeq
+    assert(out === Seq((1L, 1L, "a b", 3L), (1L, 2L, "c d", 3L),
+      (2L, 1L, "a b c d", 2L)))
+  }
+
   test("sourceDrift: identical mix scores 0, disjoint sources score 1e6") {
     // A and B are fully disjoint single-token sources of equal size:
     // corpus = 50/50, each source is all-or-nothing per bucket, so
