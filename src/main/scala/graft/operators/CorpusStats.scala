@@ -798,7 +798,23 @@ object CorpusStats {
     * for why the bound must be a literal). */
   def bigramSurprisalSql(id: String, text: String, trainWhere: String,
                          scoreWhere: String,
-                         maxLen: Int = 4096): String = {
+                         maxLen: Int = 4096): String =
+    s"""
+      WITH ${bigramScoreCtes("", id, text, trainWhere, scoreWhere,
+        maxLen)}
+      SELECT $id, n_tokens, n_bigram, n_backoff, n_oov,
+             ${ppmSql("total_bits", "n_tokens")} AS mean_bits_ppm
+      FROM per_doc
+      ORDER BY $id"""
+
+  /** The [[bigramSurprisalSql]] CTE chain with every CTE name
+    * prefixed, so two independently-trained bigram LMs can score the
+    * same docs inside ONE oracle query (the c55 Moore-Lewis shape).
+    * Ends with `<p>per_doc` = ($id, n_tokens, n_bigram, n_backoff,
+    * n_oov, total_bits). */
+  private def bigramScoreCtes(p: String, id: String, text: String,
+                              trainWhere: String, scoreWhere: String,
+                              maxLen: Int): String = {
     val tk = TextOps.tokensSql(text)
     val hs = s"list_transform($tk, tok -> ${TextOps.polyHashSql("tok")})"
     def prs(rel: String, where: String, cols: String) =
@@ -811,22 +827,22 @@ object CorpusStats {
           AND CASE WHEN (SELECT MAX(len($tk)) FROM $rel) >= $maxLen
               THEN error('bigram maxLen $maxLen exceeded')
               ELSE TRUE END"""
-    s"""
-      WITH uni AS (
+    s"""${p}uni AS (
         SELECT th, COUNT(*) AS cnt1
         FROM (SELECT unnest($hs) AS th
               FROM documents WHERE $trainWhere)
         GROUP BY 1),
-      tot AS (SELECT SUM(cnt1) AS n_total FROM uni),
-      tp AS (${prs("documents", trainWhere, id)}),
-      big AS (SELECT h1, h2, COUNT(*) AS cnt2 FROM tp
+      ${p}tot AS (SELECT SUM(cnt1) AS n_total FROM ${p}uni),
+      ${p}tp AS (${prs("documents", trainWhere, id)}),
+      ${p}big AS (SELECT h1, h2, COUNT(*) AS cnt2 FROM ${p}tp
               WHERE h1 <> -1 GROUP BY 1, 2),
-      ctx AS (SELECT h1, SUM(cnt2) AS c_ctx FROM big GROUP BY 1),
-      dt AS (
+      ${p}ctx AS (SELECT h1, SUM(cnt2) AS c_ctx FROM ${p}big
+              GROUP BY 1),
+      ${p}dt AS (
         SELECT $id, h1, h2, COUNT(*) AS c_dt
         FROM (${prs("documents", scoreWhere, id)})
         GROUP BY 1, 2, 3),
-      sc AS (
+      ${p}sc AS (
         SELECT $id, c_dt,
                CASE WHEN b.cnt2 IS NOT NULL AND dt.h1 <> -1 THEN 0
                     WHEN u.cnt1 IS NOT NULL THEN 1
@@ -838,12 +854,12 @@ object CorpusStats {
                            + CASE WHEN dt.h1 = -1 THEN 0 ELSE 1 END
                     ELSE CAST(length(bin(n_total)) AS BIGINT) + 2
                END AS bits
-        FROM dt
-          LEFT JOIN big b ON dt.h1 = b.h1 AND dt.h2 = b.h2
-          LEFT JOIN uni u ON dt.h2 = u.th
-          LEFT JOIN ctx x ON dt.h1 = x.h1
-          CROSS JOIN tot),
-      per_doc AS (
+        FROM ${p}dt dt
+          LEFT JOIN ${p}big b ON dt.h1 = b.h1 AND dt.h2 = b.h2
+          LEFT JOIN ${p}uni u ON dt.h2 = u.th
+          LEFT JOIN ${p}ctx x ON dt.h1 = x.h1
+          CROSS JOIN ${p}tot),
+      ${p}per_doc AS (
         SELECT $id,
                CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
                CAST(SUM(CASE WHEN path = 0 THEN c_dt ELSE 0 END)
@@ -853,11 +869,7 @@ object CorpusStats {
                CAST(SUM(CASE WHEN path = 2 THEN c_dt ELSE 0 END)
                  AS BIGINT) AS n_oov,
                CAST(SUM(c_dt * bits) AS BIGINT) AS total_bits
-        FROM sc GROUP BY 1)
-      SELECT $id, n_tokens, n_bigram, n_backoff, n_oov,
-             ${ppmSql("total_bits", "n_tokens")} AS mean_bits_ppm
-      FROM per_doc
-      ORDER BY $id"""
+        FROM ${p}sc GROUP BY 1)"""
   }
 
   // --- trigram-backoff LM surprisal ---------------------------------
@@ -1058,6 +1070,71 @@ object CorpusStats {
       FROM per_doc
       ORDER BY $id"""
   }
+
+  // --- Moore-Lewis cross-entropy-difference selection ---------------
+  /** Moore & Lewis 2010 in-domain data selection — the third member
+    * of the selection family next to c40's DSIR (hashed unigram
+    * contrast) and c50's absolute perplexity filter: score every
+    * candidate doc under TWO bigram LMs (one trained in-domain, one
+    * on the general corpus) and rank by the cross-entropy DIFFERENCE
+    * `bits_general − bits_in_domain` — docs the in-domain model finds
+    * easy RELATIVE to the background float to the top, which selects
+    * domain-likeness rather than mere simplicity (the failure mode of
+    * the absolute filter: boilerplate is easy under every LM).
+    * All integer (§4): both scores are c50's whole-bit backoff
+    * surprisal in ppm of a bit; delta is their exact difference.
+    *
+    * Shape: two independent [[bigramLm]] trainings + two
+    * [[bigramScore]] passes over the candidates (all corpus-sized
+    * tables shuffle-hash-joined — c50's argument twice), an equi-join
+    * of the two per-doc score tables on id, and a topK
+    * TakeOrderedAndProject — never a global sort of the candidates. */
+  def mooreLewisSelect(inDomain: DataFrame, general: DataFrame,
+                       docs: DataFrame, id: String, text: String,
+                       topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = bigramScore(bigramLm(inDomain, text), docs, id, text)
+      .select(col(id), col("n_tokens"),
+        col("mean_bits_ppm").as("bits_in_ppm"))
+    val b = bigramScore(bigramLm(general, text), docs, id, text)
+      .select(col(id), col("mean_bits_ppm").as("bits_gen_ppm"))
+    val top = a.join(b, Seq(id))
+      .select(col(id), col("n_tokens"), col("bits_in_ppm"),
+        col("bits_gen_ppm"),
+        (col("bits_gen_ppm") - col("bits_in_ppm")).as("delta_ppm"))
+      .orderBy(col("delta_ppm").desc, col(id)).limit(topK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("delta_ppm").desc, col(id))).cast("long"))
+      .select(col("rank"), col(id), col("n_tokens"),
+        col("bits_in_ppm"), col("bits_gen_ppm"), col("delta_ppm"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB mirror of [[mooreLewisSelect]]: the prefixed
+    * [[bigramScoreCtes]] chain twice (a_ = in-domain, b_ = general)
+    * joined per doc. */
+  def mooreLewisSelectSql(id: String, text: String,
+                          inDomainWhere: String, generalWhere: String,
+                          scoreWhere: String, topK: Int,
+                          maxLen: Int = 4096): String =
+    s"""
+      WITH ${bigramScoreCtes("a_", id, text, inDomainWhere, scoreWhere,
+        maxLen)},
+      ${bigramScoreCtes("b_", id, text, generalWhere, scoreWhere,
+        maxLen)},
+      joined AS (
+        SELECT a.$id, a.n_tokens,
+               ${ppmSql("a.total_bits", "a.n_tokens")} AS bits_in_ppm,
+               ${ppmSql("b.total_bits", "b.n_tokens")} AS bits_gen_ppm
+        FROM a_per_doc a JOIN b_per_doc b ON a.$id = b.$id)
+      SELECT CAST(rank AS BIGINT) AS rank, $id, n_tokens,
+             bits_in_ppm, bits_gen_ppm,
+             bits_gen_ppm - bits_in_ppm AS delta_ppm
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY bits_gen_ppm - bits_in_ppm DESC, $id) AS rank
+            FROM joined) t
+      WHERE rank <= $topK
+      ORDER BY rank"""
 
   // --- batched BPE training -----------------------------------------
   /** BPE training with `m` merges PER COUNTING ROUND — the production

@@ -1781,6 +1781,29 @@ object PipelineSuite extends Suite {
     Some(CorpusStats.bpeBatchTrainSql("text", rounds = 2, m = 4,
       maxLen = 256)))
 
+  val c55 = Q(
+    "c55_moore_lewis",
+    // The selection family's third member (next to c40 DSIR and
+    // c50's absolute perplexity filter): Moore-Lewis cross-entropy
+    // difference — held-out docs scored under an in-domain bigram LM
+    // (train split, lang='en') AND the general-corpus LM (whole
+    // train split), ranked by bits_general - bits_in_domain, so
+    // domain-LIKENESS floats up rather than mere simplicity
+    // (boilerplate is easy under every LM — the absolute filter's
+    // failure mode). Two shuffle-hash-scored LM passes + a per-doc
+    // equi-join + TakeOrderedAndProject top-10; all integer ppm.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isQ = pmod(col("doc_id"), lit(101)) === 0
+      CorpusStats.mooreLewisSelect(
+        docs.where(!isQ && col("lang") === "en"), docs.where(!isQ),
+        docs.where(isQ), "doc_id", "text", topK = 10)
+    },
+    Some(CorpusStats.mooreLewisSelectSql("doc_id", "text",
+      inDomainWhere = "doc_id % 101 <> 0 AND lang = 'en'",
+      generalWhere = "doc_id % 101 <> 0",
+      scoreWhere = "doc_id % 101 = 0", topK = 10, maxLen = 256)))
+
   val c51 = Q(
     "c51_shard_pack",
     // c48's routing + c37's offset math composed into the layout a
@@ -1803,5 +1826,5 @@ object PipelineSuite extends Suite {
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
-      c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54)
+      c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55)
 }

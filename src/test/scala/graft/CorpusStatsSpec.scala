@@ -277,6 +277,24 @@ class CorpusStatsSpec extends SparkSpec {
       (2L, 1L, "a b c d", 2L)))
   }
 
+  test("mooreLewisSelect: in-domain-like doc outranks background-like") {
+    // in-domain speaks (x, y); the general corpus speaks both
+    // dialects. Candidate A is pure in-domain, candidate B pure
+    // background: A must rank first with the larger delta (B is OOV
+    // under the in-domain LM -> bits_in(B) high -> delta(B) low/neg).
+    val inD = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val gen = Seq((1L, "x y x y x y"), (2L, "p q p q p q"))
+      .toDF("doc_id", "text")
+    val cands = Seq((10L, "x y x y"), (11L, "p q p q"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.mooreLewisSelect(inD, gen, cands,
+        "doc_id", "text", topK = 2).collect()
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(10L, 11L))
+    assert(out(0).getAs[Long]("delta_ppm") >
+      out(1).getAs[Long]("delta_ppm"))
+  }
+
   test("sourceDrift: identical mix scores 0, disjoint sources score 1e6") {
     // A and B are fully disjoint single-token sources of equal size:
     // corpus = 50/50, each source is all-or-nothing per bucket, so
