@@ -1305,9 +1305,7 @@ object CorpusStats {
     * O(groups). One pass over each side. */
   def vocabCoverage(train: DataFrame, eval: DataFrame, group: String,
                     text: String): DataFrame = {
-    val vocab = hashedToks(train, text)
-      .select(explode(col("ths")).as("th"))
-      .groupBy(col("th")).agg(count(lit(1)).as("cnt"))
+    val vocab = tokenVocab(train, text)
     val ev = hashedToks(eval, text, col(group))
       .select(col(group), explode(col("ths")).as("th"))
       .groupBy(col(group), col("th")).agg(count(lit(1)).as("n_occ_t"))
@@ -1333,6 +1331,82 @@ object CorpusStats {
           .as("type_cov_ppm"),
         ppmExpr("n_occ - oov_occ", "n_occ").cast("long")
           .as("occ_cov_ppm"))
+  }
+
+  /** The (token-hash, count) vocabulary table of a training corpus —
+    * the static artifact behind [[vocabCoverage]]/[[occCoverage]].
+    * Corpus-sized by nature; barrier/persist it before handing it to
+    * per-batch consumers. */
+  def tokenVocab(train: DataFrame, text: String): DataFrame =
+    hashedToks(train, text)
+      .select(explode(col("ths")).as("th"))
+      .groupBy(col("th")).agg(count(lit(1)).as("cnt"))
+
+  /** Occurrence-level running coverage counters per group vs a static
+    * [[tokenVocab]] — the STREAMING-shaped subset of [[vocabCoverage]]
+    * (type-level coverage needs a seen-token set per group, i.e.
+    * unbounded state; occurrence-level needs three long counters per
+    * group, O(groups) BY CONSTRUCTION). Arriving docs explode
+    * map-side, join the static vocab, and fold into per-group sums —
+    * partial-aggregable, so a streaming complete-mode agg carries
+    * exactly these counters as its state. */
+  def occCoverageCounters(vocab: DataFrame, eval: DataFrame,
+                          group: String, text: String): DataFrame =
+    hashedToks(eval, text, col(group))
+      .select(col(group), explode(col("ths")).as("th"))
+      .join(vocab.hint("shuffle_hash"), Seq("th"), "left")
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_occ"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("oov_occ"),
+        sum(when(col("cnt").isNull || col("cnt") < 2, 1L).otherwise(0L))
+          .as("oov_occ_min2"))
+
+  /** Final projection over [[occCoverageCounters]] state: long casts
+    * + the integer-ppm coverage ratio. */
+  def occCoverageFromCounters(counters: DataFrame,
+                              group: String): DataFrame =
+    counters.select(col(group),
+      col("n_occ").cast("long").as("n_occ"),
+      col("oov_occ").cast("long").as("oov_occ"),
+      col("oov_occ_min2").cast("long").as("oov_occ_min2"),
+      ppmExpr("n_occ - oov_occ", "n_occ").cast("long")
+        .as("occ_cov_ppm"))
+
+  /** Batch composition of the two stages — the d21 replay oracle. */
+  def occCoverage(train: DataFrame, eval: DataFrame, group: String,
+                  text: String): DataFrame =
+    occCoverageFromCounters(
+      occCoverageCounters(tokenVocab(train, text), eval, group, text),
+      group)
+
+  /** DuckDB mirror of [[occCoverage]]. */
+  def occCoverageSql(group: String, text: String, trainWhere: String,
+                     evalWhere: String): String = {
+    val tk = TextOps.tokensSql(text)
+    val hs = s"list_transform($tk, tok -> ${TextOps.polyHashSql("tok")})"
+    s"""
+      WITH vocab AS (
+        SELECT th, COUNT(*) AS cnt
+        FROM (SELECT unnest($hs) AS th
+              FROM documents WHERE $trainWhere)
+        GROUP BY 1),
+      ev AS (
+        SELECT $group, th
+        FROM (SELECT $group, unnest($hs) AS th
+              FROM documents WHERE $evalWhere)),
+      agg AS (
+        SELECT $group,
+               COUNT(*) AS n_occ,
+               CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS oov_occ,
+               CAST(SUM(CASE WHEN cnt IS NULL OR cnt < 2 THEN 1
+                 ELSE 0 END) AS BIGINT) AS oov_occ_min2
+        FROM ev LEFT JOIN vocab USING (th)
+        GROUP BY 1)
+      SELECT $group, n_occ, oov_occ, oov_occ_min2,
+             ${ppmSql("n_occ - oov_occ", "n_occ")} AS occ_cov_ppm
+      FROM agg
+      ORDER BY $group"""
   }
 
   /** DuckDB mirror of [[vocabCoverage]]. */

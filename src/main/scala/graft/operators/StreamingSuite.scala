@@ -692,7 +692,35 @@ object StreamingSuite extends Suite {
     Some(Packing.shardPackSql("doc_id", "text", shards = 16,
       budget = 512L, orderBy = "doc_id")))
 
+  val d21 = Q(
+    "d21_stream_vocab_coverage",
+    // Streaming occurrence-level OOV monitor, batch-replayed: the
+    // %7=0 slice (distinct from c53's %101 split) streams against
+    // the STATIC token vocab trained once on the %101<>0 split
+    // (barriered — the d18/d19 static-artifact seam), folding into
+    // per-source (n_occ, oov_occ, oov_occ_min2) counters — O(sources)
+    // state by construction; type-level coverage needs a seen-set
+    // (unbounded state) and stays batch-side in c53. Complete-mode
+    // counters because the emission IS the running coverage monitor.
+    // Streams.occCoverageStreaming is the streaming flavor,
+    // cross-batch-pinned in StreamsSpec.
+    (s, d) => {
+      import graft.util.Barriers.BarrierOps
+      val docs = Tables.documents(s, d)
+      val vocab = CorpusStats.tokenVocab(
+          docs.where(pmod(col("doc_id"), lit(101)) =!= 0), "text")
+        .barrier(true)
+      CorpusStats.occCoverageFromCounters(
+          CorpusStats.occCoverageCounters(vocab,
+            docs.where(pmod(col("doc_id"), lit(7)) === 0),
+            "source", "text"),
+          "source")
+        .orderBy(col("source"))
+    },
+    Some(CorpusStats.occCoverageSql("source", "text",
+      trainWhere = "doc_id % 101 <> 0", evalWhere = "doc_id % 7 = 0")))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20)
+      d16, d17, d18, d19, d20, d21)
 }

@@ -507,6 +507,31 @@ object Streams {
       }
       .start()
 
+  /** Streaming occurrence-level vocabulary-coverage monitor: arriving
+    * docs explode map-side and join the STATIC [[graft.operators
+    * .CorpusStats.tokenVocab]] artifact (trained once, barriered —
+    * the d13/d18/d19 static-artifact seam), folding into per-group
+    * (n_occ, oov_occ, oov_occ_min2) counters — O(groups) state BY
+    * CONSTRUCTION (type-level coverage would need a seen-token set
+    * per group, i.e. unbounded state: that audit stays batch-side in
+    * c53). COMPLETE mode because the emitted table IS the running
+    * coverage monitor (the d16/d17 counter reasoning); each emission
+    * derives the ppm ratios from the whole counter state. After the
+    * stream drains, the last emission equals the batch
+    * CorpusStats.occCoverage over the same docs (StreamsSpec pins it
+    * cross-batch). */
+  def occCoverageStreaming(vocab: DataFrame, docs: DataFrame,
+      group: String, text: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.operators.CorpusStats
+      .occCoverageCounters(vocab, docs, group, text)
+      .writeStream.outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.CorpusStats
+          .occCoverageFromCounters(batch, group))
+      }
+      .start()
+
   /** Streaming shard router with a running balance monitor: each
     * arriving doc routes to its content-hash shard map-side
     * (graft.operators.Packing.shardAssign — stateless, so micro-batch

@@ -568,6 +568,42 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.groupBy(_._1).forall(_._2.length == 3))
   }
 
+  test("streaming vocab coverage: last emission equals batch coverage after drain") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusStats
+    import graft.util.Barriers.BarrierOps
+    val docs = Tables.documents(spark, sf)
+    val vocab = CorpusStats.tokenVocab(
+        docs.where(pmod($"doc_id", lit(101)) =!= 0), "text")
+      .barrier(true)
+    val eval = docs.where(pmod($"doc_id", lit(7)) === 0)
+    val arriving = eval.select($"source", $"text")
+      .as[(String, String)].collect()
+    var last: Seq[(String, Long, Long, Long, Long)] = Seq.empty
+    var emissions = 0
+    val ms = MemoryStream[(String, String)]
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"source").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_occ"),
+          r.getAs[Long]("oov_occ"), r.getAs[Long]("oov_occ_min2"),
+          r.getAs[Long]("occ_cov_ppm"))).toSeq
+    val q = Streams.occCoverageStreaming(vocab,
+      ms.toDF().toDF("source", "text"), "source", "text") { df =>
+      val rows = snap(df)
+      this.synchronized { last = rows; emissions += 1 }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = snap(
+      CorpusStats.occCoverage(docs.where(pmod($"doc_id", lit(101)) =!= 0),
+        eval, "source", "text"))
+    assert(emissions >= 2, "expected one emission per micro-batch")
+    assert(last.nonEmpty && last === batch)
+  }
+
   test("streaming source drift: last emission equals batch drift after drain") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CorpusStats
