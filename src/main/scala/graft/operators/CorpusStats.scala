@@ -465,6 +465,82 @@ object CorpusStats {
       ORDER BY r.doc_id"""
   }
 
+  /** Per-LANGUAGE tokenizer fertility — the multilingual-fairness
+    * audit of the BPE family (a tokenizer trained on a blend encodes
+    * its minority languages at worse compression: their merges never
+    * win the argmax, so their docs pay more tokens per word — the
+    * multilingual-pretraining cost audit): train the merges once on
+    * the train split ([[bpeMerges]], barriered), [[bpeApply]] them to
+    * EVERY doc (map-only given the merges), join each doc's `lang`
+    * and aggregate per language: doc/token totals before and after
+    * the merges and the integer-ppm saving. A language near 0
+    * saved_ppm is one the tokenizer effectively doesn't serve.
+    * Shape: the apply is the c49 scan-only seam; the final groupBy is
+    * O(langs) and partial-aggregable; the lang join is by id on the
+    * same rows the apply already carries. */
+  def bpeFertility(docs: DataFrame, id: String, text: String,
+                   lang: String, trainFilter: Column,
+                   k: Int): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    val merges = bpeMerges(docs.where(trainFilter), id, text, k)
+      .barrier(true)
+    bpeApply(merges, docs, id, text, k)
+      .join(docs.select(col(id), col(lang)), Seq(id))
+      .groupBy(col(lang))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_raw")).as("n_raw"),
+        sum(col("n_enc")).as("n_enc"))
+      .select(col(lang),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_raw").cast("long").as("n_raw"),
+        col("n_enc").cast("long").as("n_enc"),
+        ppmExpr("n_raw - n_enc", "n_raw").cast("long").as("saved_ppm"))
+  }
+
+  /** DuckDB mirror of [[bpeFertility]]: the [[bpeApplySql]] stages
+    * applied to ALL docs, grouped per language. */
+  def bpeFertilitySql(text: String, k: Int, maxLen: Int,
+                      trainWhere: String, lang: String): String = {
+    val tk = TextOps.tokensSql(text)
+    val applies = (1 to k).map { i =>
+      s"""a$i AS (
+        SELECT doc_id,
+               replace(s, chr(2) || a || chr(3) || chr(2) || b || chr(3),
+                 chr(2) || a || ' ' || b || chr(3)) AS s
+        FROM a${i - 1} CROSS JOIN best$i)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH ${bpeStagesSql(text, k, maxLen,
+        s"(SELECT * FROM documents WHERE $trainWhere)")},
+      a0 AS (
+        SELECT doc_id,
+               chr(2) || array_to_string($tk, chr(3) || chr(2)) ||
+                 chr(3) AS s
+        FROM documents),
+      $applies,
+      raw AS (
+        SELECT doc_id, CAST(len(str_split(trim(s, chr(2) || chr(3)),
+                 chr(3) || chr(2))) AS BIGINT) AS n_raw
+        FROM a0),
+      enc AS (
+        SELECT doc_id, CAST(len(str_split(trim(s, chr(2) || chr(3)),
+                 chr(3) || chr(2))) AS BIGINT) AS n_enc
+        FROM a$k),
+      agg AS (
+        SELECT d.$lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(r.n_raw) AS BIGINT) AS n_raw,
+               CAST(SUM(e.n_enc) AS BIGINT) AS n_enc
+        FROM raw r
+          JOIN enc e ON r.doc_id = e.doc_id
+          JOIN documents d ON r.doc_id = d.doc_id
+        GROUP BY 1)
+      SELECT $lang, n_docs, n_raw, n_enc,
+             ${ppmSql("n_raw - n_enc", "n_raw")} AS saved_ppm
+      FROM agg
+      ORDER BY $lang"""
+  }
+
   /** The shared CTE body of [[bpeTrainSql]]/[[bpeEncodeSql]]: `d0` =
     * framed corpus, then per round i the pair unnest (`maxLen` bound +
     * error() guard — see [[bigramCountsSql]] for why the bound must be

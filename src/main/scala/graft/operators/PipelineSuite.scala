@@ -1804,6 +1804,22 @@ object PipelineSuite extends Suite {
       generalWhere = "doc_id % 101 <> 0",
       scoreWhere = "doc_id % 101 = 0", topK = 10, maxLen = 256)))
 
+  val c56 = Q(
+    "c56_tokenizer_fertility",
+    // The BPE family's multilingual-fairness audit: merges trained
+    // on the %101<>0 blend (k=3, barriered) applied to EVERY doc
+    // (c49's scan-only seam), then per-LANGUAGE compression totals —
+    // a minority language whose merges never win the argmax pays
+    // more tokens per word, and its saved_ppm sits near 0: the
+    // multilingual-pretraining cost audit. O(langs) final groupBy,
+    // lang joined by id onto rows the apply already carries.
+    (s, d) => CorpusStats.bpeFertility(Tables.documents(s, d),
+        "doc_id", "text", "lang",
+        trainFilter = pmod(col("doc_id"), lit(101)) =!= 0, k = 3)
+      .orderBy(col("lang")),
+    Some(CorpusStats.bpeFertilitySql("text", k = 3, maxLen = 256,
+      trainWhere = "doc_id % 101 <> 0", lang = "lang")))
+
   val c51 = Q(
     "c51_shard_pack",
     // c48's routing + c37's offset math composed into the layout a
@@ -1826,5 +1842,5 @@ object PipelineSuite extends Suite {
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
-      c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55)
+      c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56)
 }

@@ -295,6 +295,21 @@ class CorpusStatsSpec extends SparkSpec {
       out(1).getAs[Long]("delta_ppm"))
   }
 
+  test("bpeFertility: unserved language shows zero compression") {
+    // merges train on doc 1 only (trainFilter) -> k=1 merge = (x, y);
+    // lang xx compresses 4 -> 2 tokens, lang pp (never in training,
+    // shares no symbols) stays 4 -> 4: saved_ppm 500000 vs 0
+    val docs = Seq((1L, "x y x y", "xx"), (2L, "p q p q", "pp"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusStats.bpeFertility(docs, "doc_id", "text", "lang",
+        trainFilter = $"doc_id" === 1L, k = 1)
+      .orderBy($"lang").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_raw"), r.getAs[Long]("n_enc"),
+        r.getAs[Long]("saved_ppm"))).toSeq
+    assert(out === Seq(("pp", 1L, 4L, 4L, 0L), ("xx", 1L, 4L, 2L, 500000L)))
+  }
+
   test("sourceDrift: identical mix scores 0, disjoint sources score 1e6") {
     // A and B are fully disjoint single-token sources of equal size:
     // corpus = 50/50, each source is all-or-nothing per bucket, so
