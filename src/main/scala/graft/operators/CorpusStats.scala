@@ -1165,19 +1165,32 @@ object CorpusStats {
     * tables shuffle-hash-joined — c50's argument twice), an equi-join
     * of the two per-doc score tables on id, and a topK
     * TakeOrderedAndProject — never a global sort of the candidates. */
+  /** Per-doc Moore-Lewis scores against two TRAINED [[BigramLm]]s —
+    * the scoring core of [[mooreLewisSelect]] and the per-batch body
+    * of the streaming gate (per-doc independent given the LM tables):
+    * both surprisals, their exact delta, and the keep decision
+    * (delta ≥ 0 = closer to in-domain than to the background). */
+  def mooreLewisScore(lmIn: BigramLm, lmGen: BigramLm, docs: DataFrame,
+                      id: String, text: String): DataFrame = {
+    val a = bigramScore(lmIn, docs, id, text)
+      .select(col(id), col("n_tokens"),
+        col("mean_bits_ppm").as("bits_in_ppm"))
+    val b = bigramScore(lmGen, docs, id, text)
+      .select(col(id), col("mean_bits_ppm").as("bits_gen_ppm"))
+    a.join(b, Seq(id))
+      .select(col(id), col("n_tokens"), col("bits_in_ppm"),
+        col("bits_gen_ppm"),
+        (col("bits_gen_ppm") - col("bits_in_ppm")).as("delta_ppm"))
+      .withColumn("keep", col("delta_ppm") >= 0L)
+  }
+
   def mooreLewisSelect(inDomain: DataFrame, general: DataFrame,
                        docs: DataFrame, id: String, text: String,
                        topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = bigramScore(bigramLm(inDomain, text), docs, id, text)
-      .select(col(id), col("n_tokens"),
-        col("mean_bits_ppm").as("bits_in_ppm"))
-    val b = bigramScore(bigramLm(general, text), docs, id, text)
-      .select(col(id), col("mean_bits_ppm").as("bits_gen_ppm"))
-    val top = a.join(b, Seq(id))
-      .select(col(id), col("n_tokens"), col("bits_in_ppm"),
-        col("bits_gen_ppm"),
-        (col("bits_gen_ppm") - col("bits_in_ppm")).as("delta_ppm"))
+    val top = mooreLewisScore(bigramLm(inDomain, text),
+        bigramLm(general, text), docs, id, text)
+      .drop("keep")
       .orderBy(col("delta_ppm").desc, col(id)).limit(topK)
     top.withColumn("rank", row_number().over(
         Window.orderBy(col("delta_ppm").desc, col(id))).cast("long"))
@@ -1211,6 +1224,27 @@ object CorpusStats {
             FROM joined) t
       WHERE rank <= $topK
       ORDER BY rank"""
+
+  /** DuckDB mirror of [[mooreLewisScore]] over a split corpus — the
+    * d22 streaming-replay oracle (per-doc rows, no topK). */
+  def mooreLewisScoreSql(id: String, text: String,
+                         inDomainWhere: String, generalWhere: String,
+                         scoreWhere: String,
+                         maxLen: Int = 4096): String =
+    s"""
+      WITH ${bigramScoreCtes("a_", id, text, inDomainWhere, scoreWhere,
+        maxLen)},
+      ${bigramScoreCtes("b_", id, text, generalWhere, scoreWhere,
+        maxLen)}
+      SELECT a.$id, a.n_tokens,
+             ${ppmSql("a.total_bits", "a.n_tokens")} AS bits_in_ppm,
+             ${ppmSql("b.total_bits", "b.n_tokens")} AS bits_gen_ppm,
+             ${ppmSql("b.total_bits", "b.n_tokens")} -
+               ${ppmSql("a.total_bits", "a.n_tokens")} AS delta_ppm,
+             (${ppmSql("b.total_bits", "b.n_tokens")} -
+               ${ppmSql("a.total_bits", "a.n_tokens")}) >= 0 AS keep
+      FROM a_per_doc a JOIN b_per_doc b ON a.$id = b.$id
+      ORDER BY a.$id"""
 
   // --- batched BPE training -----------------------------------------
   /** BPE training with `m` merges PER COUNTING ROUND — the production

@@ -720,7 +720,40 @@ object StreamingSuite extends Suite {
     Some(CorpusStats.occCoverageSql("source", "text",
       trainWhere = "doc_id % 101 <> 0", evalWhere = "doc_id % 7 = 0")))
 
+  val d22 = Q(
+    "d22_stream_moore_lewis",
+    // Streaming Moore-Lewis gate, batch-replayed: the %17=0 slice
+    // (distinct from c55's %101 split) scored against TWO static
+    // bigram LMs trained once on the %101<>0 corpus (in-domain =
+    // lang='en' subset, general = whole split; both barriered — the
+    // d19 static-artifact seam doubled) and keep/drop-decided by the
+    // cross-entropy difference delta >= 0 — per-doc independent
+    // given the LMs, so micro-batch boundaries can never change a
+    // decision; the threshold gate is the streaming-shaped selection
+    // (c55's global topK needs a total order and stays batch-side).
+    // Streams.mooreLewisStreaming is the foreachBatch flavor,
+    // cross-batch-pinned in StreamsSpec.
+    (s, d) => {
+      import graft.util.Barriers.BarrierOps
+      val docs = Tables.documents(s, d)
+      val train = docs.where(pmod(col("doc_id"), lit(101)) =!= 0)
+      def b(lm0: CorpusStats.BigramLm) = CorpusStats.BigramLm(
+        lm0.uni.barrier(true), lm0.big.barrier(true),
+        lm0.ctx.barrier(true))
+      val lmIn = b(CorpusStats.bigramLm(
+        train.where(col("lang") === "en"), "text"))
+      val lmGen = b(CorpusStats.bigramLm(train, "text"))
+      CorpusStats.mooreLewisScore(lmIn, lmGen,
+          docs.where(pmod(col("doc_id"), lit(17)) === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(CorpusStats.mooreLewisScoreSql("doc_id", "text",
+      inDomainWhere = "doc_id % 101 <> 0 AND lang = 'en'",
+      generalWhere = "doc_id % 101 <> 0",
+      scoreWhere = "doc_id % 17 = 0", maxLen = 256)))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21)
+      d16, d17, d18, d19, d20, d21, d22)
 }

@@ -649,6 +649,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming Moore-Lewis selection gate: arriving docs are scored
+    * against TWO static trained bigram LMs (in-domain + general,
+    * both barriered — the d19 static-artifact seam doubled) and
+    * keep/drop-decided by the cross-entropy difference, map-reduce
+    * per batch with NO cross-batch state: scores are per-doc
+    * independent given the LM tables, so micro-batch boundaries can
+    * never change a decision. The threshold gate (delta ≥ 0) is the
+    * streaming-shaped selection — c55's global topK needs a total
+    * order over all candidates and stays batch-side. */
+  def mooreLewisStreaming(lmIn: graft.operators.CorpusStats.BigramLm,
+      lmGen: graft.operators.CorpusStats.BigramLm,
+      docs: DataFrame, id: String, text: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.CorpusStats
+          .mooreLewisScore(lmIn, lmGen, batch, id, text))
+      }
+      .start()
+
   /** Static eval-side shingle table for [[contaminationHitsStreaming]]. */
   def evalShingles(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("eval_id"),

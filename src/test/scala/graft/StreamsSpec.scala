@@ -604,6 +604,45 @@ class StreamsSpec extends SparkSpec {
     assert(last.nonEmpty && last === batch)
   }
 
+  test("streaming moore-lewis gate: union of emissions equals batch scores") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusStats
+    import graft.util.Barriers.BarrierOps
+    val docs = Tables.documents(spark, sf)
+    val train = docs.where(pmod($"doc_id", lit(101)) =!= 0)
+    def b(lm0: CorpusStats.BigramLm) = CorpusStats.BigramLm(
+      lm0.uni.barrier(true), lm0.big.barrier(true),
+      lm0.ctx.barrier(true))
+    val lmIn = b(CorpusStats.bigramLm(
+      train.where($"lang" === "en"), "text"))
+    val lmGen = b(CorpusStats.bigramLm(train, "text"))
+    val eval = docs.where(pmod($"doc_id", lit(17)) === 0)
+    val arriving = eval.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Boolean)]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.mooreLewisStreaming(lmIn, lmGen,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text") { df =>
+      val rows = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("bits_in_ppm"), r.getAs[Long]("bits_gen_ppm"),
+          r.getAs[Long]("delta_ppm"), r.getAs[Boolean]("keep")))
+      this.synchronized { got ++= rows }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = CorpusStats.mooreLewisScore(lmIn, lmGen, eval,
+        "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bits_in_ppm"), r.getAs[Long]("bits_gen_ppm"),
+        r.getAs[Long]("delta_ppm"), r.getAs[Boolean]("keep"))).toSeq
+    assert(got.nonEmpty && got.sortBy(_._1).toSeq === batch.sortBy(_._1))
+  }
+
   test("streaming source drift: last emission equals batch drift after drain") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CorpusStats
