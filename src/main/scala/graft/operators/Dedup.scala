@@ -480,6 +480,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-document duplicated-window rate — the memorization-risk
+    * AUDIT over the same rolling w-token window hashes c30 dedups
+    * with (Lee et al. measure verbatim duplication this way before
+    * and after dedup): for each doc, the fraction of its distinct
+    * w-token windows that also occur in at least one OTHER document.
+    * A doc near 1e6 ppm is boilerplate/verbatim-heavy (memorization
+    * risk if kept); the corpus-level distribution of this score is
+    * the before/after evidence a dedup pipeline reports. Unlike
+    * c30's pair output this is per-doc and has NO quadratic bucket
+    * risk: the window table joins its own ≤|windows|-row count
+    * table, both sides partitioned by the window hash (one shuffle
+    * key reused), then one per-doc partial-aggregable groupBy. Docs
+    * shorter than w tokens have no windows and are absent by
+    * construction. */
+  def dupWindowRate(docs: DataFrame, id: String, text: String,
+                    w: Int): DataFrame = {
+    val wh = docs.select(col(id).as("did"),
+      explode(array_distinct(TextOps.ngramHashes(
+        transform(TextOps.tokens(col(text)),
+          t => TextOps.polyHash(t)), w))).as("h"))
+    // count(*) = distinct docs per hash: wh is distinct per doc
+    val sizes = wh.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    wh.join(sizes, Seq("h"))
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L))
+          .as("n_dup_windows"))
+      .select(col("did").as(id),
+        col("n_windows").cast("long").as("n_windows"),
+        col("n_dup_windows").cast("long").as("n_dup_windows"),
+        CorpusStats.ppmExpr("n_dup_windows", "n_windows").cast("long")
+          .as("dup_ppm"))
+  }
+
   /** Same-key exact cosine pairs (conflict detection shape): all
     * id-ordered pairs sharing `key` with cosine >= tau, via the
     * triangle-blocked equi-join — the key joins the block columns in

@@ -1820,6 +1820,44 @@ object PipelineSuite extends Suite {
     Some(CorpusStats.bpeFertilitySql("text", k = 3, maxLen = 256,
       trainWhere = "doc_id % 101 <> 0", lang = "lang")))
 
+  val c57 = Q(
+    "c57_dup_window_rate",
+    // The memorization-risk audit over c30's rolling 16-token window
+    // hashes: per doc, the ppm fraction of its distinct windows that
+    // occur in at least one OTHER document — the before/after
+    // duplication evidence a dedup pipeline reports (Lee et al.'s
+    // measurement side). Per-doc output, no quadratic bucket risk:
+    // the window table joins its own count table on the window hash
+    // (one shuffle key reused) + a per-doc partial-aggregable
+    // groupBy; docs shorter than 16 tokens are absent by
+    // construction.
+    (s, d) => Dedup.dupWindowRate(Tables.documents(s, d), "doc_id",
+        "text", w = 16)
+      .orderBy(col("doc_id")),
+    Some {
+      val th = s"""list_transform(${TextOps.tokensSql("text")},
+        tok -> ${TextOps.polyHashSql("tok")})"""
+      s"""
+      WITH th AS (SELECT doc_id, $th AS th FROM documents),
+      wh AS (SELECT doc_id,
+               unnest(list_distinct(${TextOps.ngramHashesSql("th", 16)}))
+                 AS h
+             FROM th),
+      sizes AS (SELECT h, COUNT(*) AS nd FROM wh GROUP BY 1),
+      agg AS (
+        SELECT doc_id,
+               COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dup_windows
+        FROM wh JOIN sizes USING (h)
+        GROUP BY 1)
+      SELECT doc_id, n_windows, n_dup_windows,
+             CAST((CAST(n_dup_windows AS HUGEINT) * 1000000)
+               // n_windows AS BIGINT) AS dup_ppm
+      FROM agg
+      ORDER BY doc_id"""
+    })
+
   val c51 = Q(
     "c51_shard_pack",
     // c48's routing + c37's offset math composed into the layout a
@@ -1842,5 +1880,6 @@ object PipelineSuite extends Suite {
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
-      c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56)
+      c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
+      c57)
 }

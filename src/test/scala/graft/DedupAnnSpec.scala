@@ -17,6 +17,20 @@ class DedupAnnSpec extends SparkSpec {
     assert(cl.where($"keeper" < 0).isEmpty)
   }
 
+  test("dupWindowRate: shared window counted, short docs absent") {
+    // w=2: doc1 windows {ab, bc}, doc2 {ab, bx} -> ab shared (nd=2)
+    // -> both 1/2 = 500000 ppm; doc3's only window zz is unique -> 0;
+    // doc4 has one token -> no windows -> absent
+    val d = Seq((1L, "a b c"), (2L, "a b x"), (3L, "z z"), (4L, "q"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupWindowRate(d, "doc_id", "text", w = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_dup_windows"), r.getAs[Long]("dup_ppm"))).toSeq
+    assert(out === Seq((1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L),
+      (3L, 1L, 0L, 0L)))
+  }
+
   test("ngram jaccard finds the planted near-duplicates symmetrically") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).cache()
     assert(pairs.count() > 0, "testdata plants >0 near-dup pairs")

@@ -118,7 +118,12 @@ class PlanShapeSpec extends SparkSpec {
       "c49_bpe_apply",         // broadcast 1-row merge per step (k=3)
       "d18_stream_bpe_encode", // broadcast 1-row merge per step (k=3)
       "c50_bigram_surprisal",  // broadcast 1-row total-token count
-      "d19_stream_surprisal")  // broadcast 1-row total-token count
+      "d19_stream_surprisal",  // broadcast 1-row total-token count
+      "c52_trigram_surprisal", // broadcast 1-row total-token count
+      "c54_bpe_batch_train",   // broadcast 1-row merge slot per (r, j)
+      "c55_moore_lewis",       // broadcast 1-row totals, both LMs
+      "c56_tokenizer_fertility", // broadcast 1-row merge per step
+      "d22_stream_moore_lewis")  // broadcast 1-row totals, both LMs
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
