@@ -496,13 +496,20 @@ object Dedup {
     * construction. */
   def dupWindowRate(docs: DataFrame, id: String, text: String,
                     w: Int): DataFrame = {
-    val wh = docs.select(col(id).as("did"),
-      explode(array_distinct(TextOps.ngramHashes(
-        transform(TextOps.tokens(col(text)),
-          t => TextOps.polyHash(t)), w))).as("h"))
-    // count(*) = distinct docs per hash: wh is distinct per doc
-    val sizes = wh.groupBy(col("h")).agg(count(lit(1)).as("nd"))
-    wh.join(sizes, Seq("h"))
+    import org.apache.spark.sql.expressions.Window
+    // th is projected FIRST so ngramHashes' lambdas bind an attribute
+    // — an inline subtree re-evaluates the whole tokenize+hash once
+    // per element (TextOps.ngramHashes doc; measured 30 s vs 2 s at
+    // sf0.1), and the window-count shape replaces the join-back: the
+    // per-hash doc count rides ONE exchange on h (wh is distinct per
+    // doc, so count(*) over h = distinct docs) instead of a second
+    // scan + aggregate + join of the same window table.
+    val th = docs.select(col(id).as("did"),
+      transform(TextOps.tokens(col(text)),
+        t => TextOps.polyHash(t)).as("th"))
+    val wh = th.select(col("did"),
+      explode(array_distinct(TextOps.ngramHashes(col("th"), w))).as("h"))
+    wh.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("did"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L))

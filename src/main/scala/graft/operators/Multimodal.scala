@@ -156,6 +156,144 @@ object Multimodal {
   /** Back-compat alias for the c12 oracle entry: the stub codec. */
   def decodeStub(blobs: DataFrame): DataFrame = decode(blobs, ChecksumCodec)
 
+  /** 64-bit BLOCK-MEAN perceptual hash per blob — the image-dedup
+    * primitive (pHash/blockhash family): split the payload into 64
+    * equal-ish byte blocks (block k covers positions
+    * [k·n/64, (k+1)·n/64)), bit k = 1 iff block k's mean exceeds the
+    * whole-payload mean, folded MSB-first into one BIGINT. The
+    * compare is EXACT integer cross-multiplication
+    * (sum_block·n ≥ total·n_block — no float mean), so the hash is
+    * engine-portable. Near-identical payloads (a re-encode, a few
+    * changed bytes) flip few bits → small Hamming distance; the hash
+    * is computed ENTIRELY per-row with higher-order array functions —
+    * map-only, no shuffle, no UDF. Payloads shorter than 64 bytes
+    * populate only their leading blocks (documented; empty payloads
+    * hash to 0). The 64 bits are carried as TWO 32-bit halves
+    * (`hi` = blocks 0-31 MSB-first, `lo` = blocks 32-63): a single
+    * 64-bit positive fold would overflow the signed long whenever
+    * block 0's bit is set (ANSI mode makes that an error, and the
+    * two-halves form keeps every intermediate exactly representable
+    * in BOTH engines). For this container's ascii corpus the blob
+    * bytes ARE the text's ascii codes, so the oracle recomputes the
+    * identical hash from the text — a real image path feeds decoded
+    * pixel buffers through the same column. */
+  def blockMeanHash(docs: DataFrame, id: String, text: String): DataFrame =
+    docs
+      .select(col(id).as("did"), expr(
+        s"transform(sequence(1, length($text)), i -> " +
+          s"cast(ascii(substr($text, i, 1)) as bigint))").as("bs"))
+      .select(col("did"), col("bs"), size(col("bs")).cast("long").as("n"),
+        expr("aggregate(bs, cast(0 as bigint), (a, x) -> a + x)")
+          .as("tot"))
+      .select(col("did"), expr("""
+        transform(sequence(0, 63), k -> CASE
+          WHEN ((k + 1) * n) div 64 > (k * n) div 64
+           AND aggregate(
+                 slice(bs, cast((k * n) div 64 + 1 as int),
+                   cast(((k + 1) * n) div 64 - (k * n) div 64 as int)),
+                 cast(0 as bigint), (a, x) -> a + x) * n
+               >= tot * (((k + 1) * n) div 64 - (k * n) div 64)
+          THEN cast(1 as bigint) ELSE cast(0 as bigint) END)""")
+        .as("bits"))
+      .select(col("did"),
+        expr("""aggregate(slice(bits, 1, 32), cast(0 as bigint),
+          (a, b) -> a * 2 + b)""").as("hi"),
+        expr("""aggregate(slice(bits, 33, 32), cast(0 as bigint),
+          (a, b) -> a * 2 + b)""").as("lo"))
+
+  /** Near-duplicate blob pairs by block-mean hash — c4's
+    * band-and-verify applied to the MULTIMODAL column (the image
+    * near-dup production shape): the 64-bit [[blockMeanHash]] splits
+    * into 8 byte-bands, candidates share at least one band value
+    * (equi-join on (band, value) — banded by construction, never
+    * all-pairs), verification is bit_count(xor) ≤ `tau` on the two
+    * hashes alone (no payload rescan). Emits (id_a, id_b, hamming).
+    * A same-band hot value (e.g. the all-zero band of short blobs)
+    * is the same hot-bucket trade every banded family documents. */
+  def blobNearDup(docs: DataFrame, id: String, text: String,
+                  tau: Int): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    // barrier the per-doc hash table (3 longs/doc): both sides of the
+    // band self-join and the hamming verify read it, and without the
+    // barrier Catalyst collapses the hash expression into every
+    // candidate-pair evaluation — measured 449 s vs 1.3 s at sf0.001
+    // (the LSH-family two-step materialization argument)
+    val hashed = blockMeanHash(docs, id, text).barrier(true)
+    val bands = hashed.select(col("did"), col("hi"), col("lo"),
+      explode(array((0 until 8).map { b =>
+        val half = if (b < 4) "hi" else "lo"
+        struct(lit(b).as("band"),
+          pmod(expr(s"$half div ${1L << (8 * (3 - b % 4))}"), lit(256L))
+            .as("bv"))
+      }: _*)).as("s"))
+      .select(col("did"), col("hi"), col("lo"),
+        col("s.band").as("band"), col("s.bv").as("bv"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
+        col("a.hi").as("hia"), col("a.lo").as("loa"),
+        col("b.hi").as("hib"), col("b.lo").as("lob"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(hia ^ hib) + bit_count(loa ^ lob)" +
+          " as bigint)").as("hamming"))
+      .where(col("hamming") <= tau)
+  }
+
+  /** DuckDB mirror of [[blobNearDup]] (same integer block-mean hash
+    * recomputed from the ascii text — see [[blockMeanHash]]). */
+  def blobNearDupSql(id: String, text: String, tau: Int): String =
+    s"""
+      WITH bs AS (
+        SELECT $id, list_transform(range(1, length($text) + 1),
+                 i -> CAST(ascii($text[i]) AS BIGINT)) AS bs
+        FROM documents),
+      pre AS (
+        -- every list_reduce input is list_prepend(0, ...)-guarded:
+        -- DuckDB may evaluate a CASE arm on rows its condition
+        -- rejects, and list_reduce errors on an empty list (an empty
+        -- doc at sf0.1 trips it); the prepended 0 is sum-neutral
+        SELECT $id, bs, CAST(len(bs) AS BIGINT) AS n,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+                 (a, x) -> a + x) AS tot
+        FROM bs),
+      bits AS (
+        SELECT $id,
+               list_transform(range(0, 64), k -> CASE
+                 WHEN ((k + 1) * n) // 64 > (k * n) // 64
+                  AND list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        bs[CAST((k * n) // 64 + 1 AS BIGINT) :
+                           CAST(((k + 1) * n) // 64 AS BIGINT)]),
+                        (a, x) -> a + x) * n
+                      >= tot * (((k + 1) * n) // 64 - (k * n) // 64)
+                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+                 AS bits
+        FROM pre),
+      h AS (
+        SELECT $id,
+               list_reduce(bits[1:32], (a, b) -> a * 2 + b) AS hi,
+               list_reduce(bits[33:64], (a, b) -> a * 2 + b) AS lo
+        FROM bits),
+      bands AS (
+        SELECT $id, hi, lo, b,
+               (CASE WHEN b < 4 THEN hi ELSE lo END
+                 >> CAST((3 - b % 4) * 8 AS INTEGER)) & 255 AS bv
+        FROM (SELECT *, unnest(range(0, 8)) AS b FROM h)),
+      cand AS (
+        SELECT DISTINCT a.$id AS id_a, b.$id AS id_b,
+               a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bv = b.bv AND a.$id < b.$id)
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(hia, hib)) +
+                  bit_count(xor(loa, lob)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE CAST(bit_count(xor(hia, hib)) +
+                 bit_count(xor(loa, lob)) AS BIGINT) <= $tau
+      ORDER BY id_a, id_b"""
+
   /** Audio-frame windowing over raw PCM-style payloads — REAL DSP,
     * fully implemented: 16-bit little-endian offset-binary samples,
     * framed at (frameSize, hop), per-frame energy (sum of squares,

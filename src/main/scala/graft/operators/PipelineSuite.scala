@@ -1858,6 +1858,24 @@ object PipelineSuite extends Suite {
       ORDER BY doc_id"""
     })
 
+  val c58 = Q(
+    "c58_blob_neardup",
+    // The multimodal family's near-dup member: a 64-bit block-mean
+    // perceptual hash per blob (exact integer cross-multiply, no
+    // float mean — engine-portable), computed entirely per-row with
+    // higher-order array functions (map-only, no UDF), then c4's
+    // band-and-verify: 8 byte-bands, candidates share a band value
+    // (never all-pairs), verification = bit_count(xor) <= 12 on the
+    // hashes alone (this corpus's closest payload pair sits at
+    // hamming 9 — no exact dups — so 12 keeps the head selective).
+    // The image-dedup production shape; on this ascii corpus the
+    // blob bytes are the text's ascii codes, so the oracle
+    // recomputes the identical hash from the text.
+    (s, d) => Multimodal.blobNearDup(Tables.documents(s, d), "doc_id",
+        "text", tau = 12)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(Multimodal.blobNearDupSql("doc_id", "text", tau = 12)))
+
   val c51 = Q(
     "c51_shard_pack",
     // c48's routing + c37's offset math composed into the layout a
@@ -1881,5 +1899,5 @@ object PipelineSuite extends Suite {
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-      c57)
+      c57, c58)
 }

@@ -10,6 +10,28 @@ import graft.operators.{Curate, Sampling, TextQuality}
 class TextPipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("blobNearDup: block-mean hash bits and hamming hand-checked") {
+    import graft.operators.Multimodal
+    // n=8 -> only blocks k=8j+7 are nonempty (one byte each), so the
+    // hash has bits at every 8th position. "aaaabbbb": tot=780,
+    // a:97*8=776<780 -> 0, b:98*8=784>=780 -> 1 -> (hi, lo) =
+    // (0, 0x01010101). "aaaabbba": tot=779 -> (0, 0x01010100).
+    // "zzzzzzzz": uniform -> every block mean == total mean -> all
+    // eight bits -> (0x01010101, 0x01010101).
+    val docs = Seq((1L, "aaaabbbb"), (2L, "aaaabbba"), (3L, "zzzzzzzz"))
+      .toDF("doc_id", "text")
+    val h = Multimodal.blockMeanHash(docs, "doc_id", "text")
+      .orderBy($"did").collect()
+      .map(r => (r.getAs[Long]("hi"), r.getAs[Long]("lo"))).toSeq
+    assert(h === Seq((0L, 16843009L), (0L, 16843008L),
+      (16843009L, 16843009L)))
+    val pairs = Multimodal.blobNearDup(docs, "doc_id", "text", tau = 6)
+      .orderBy($"id_a", $"id_b").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming"))).toSeq
+    assert(pairs === Seq((1L, 2L, 1L), (1L, 3L, 4L), (2L, 3L, 5L)))
+  }
+
   test("piiScrub redacts emails, phones and ids, and counts each class") {
     val docs = Seq(
       (1L, "mail bob@x.example.org and carol@y.example.net today"),
