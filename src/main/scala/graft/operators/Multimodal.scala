@@ -219,15 +219,7 @@ object Multimodal {
     // candidate-pair evaluation — measured 449 s vs 1.3 s at sf0.001
     // (the LSH-family two-step materialization argument)
     val hashed = blockMeanHash(docs, id, text).barrier(true)
-    val bands = hashed.select(col("did"), col("hi"), col("lo"),
-      explode(array((0 until 8).map { b =>
-        val half = if (b < 4) "hi" else "lo"
-        struct(lit(b).as("band"),
-          pmod(expr(s"$half div ${1L << (8 * (3 - b % 4))}"), lit(256L))
-            .as("bv"))
-      }: _*)).as("s"))
-      .select(col("did"), col("hi"), col("lo"),
-        col("s.band").as("band"), col("s.bv").as("bv"))
+    val bands = bandRows(hashed)
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -242,15 +234,56 @@ object Multimodal {
       .where(col("hamming") <= tau)
   }
 
-  /** DuckDB mirror of [[blobNearDup]] (same integer block-mean hash
-    * recomputed from the ascii text — see [[blockMeanHash]]). */
-  def blobNearDupSql(id: String, text: String, tau: Int): String =
-    s"""
-      WITH bs AS (
+  /** Byte-band rows of a hash table — the shared banding of
+    * [[blobNearDup]]/[[blobNearDupAgainst]]. Input must carry
+    * (did, hi, lo). */
+  private def bandRows(hashed: DataFrame): DataFrame =
+    hashed.select(col("did"), col("hi"), col("lo"),
+      explode(array((0 until 8).map { b =>
+        val half = if (b < 4) "hi" else "lo"
+        struct(lit(b).as("band"),
+          pmod(expr(s"$half div ${1L << (8 * (3 - b % 4))}"), lit(256L))
+            .as("bv"))
+      }: _*)).as("s"))
+      .select(col("did"), col("hi"), col("lo"),
+        col("s.band").as("band"), col("s.bv").as("bv"))
+
+  /** Near-dup matches of `docs` AGAINST a static hash index (the
+    * incremental / streaming flavor of [[blobNearDup]] — c25's
+    * batch-vs-persisted-index shape for blobs): `index` is a
+    * [[blockMeanHash]] table built once on the corpus and barriered;
+    * arriving docs hash map-side, candidates share a byte-band value
+    * with an index row, verification reads only the two hashes.
+    * Per-doc independent given the index, so the same call filters an
+    * arriving micro-batch. Emits ($id, match_id, hamming). */
+  def blobNearDupAgainst(index: DataFrame, docs: DataFrame, id: String,
+                         text: String, tau: Int): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    val q = blockMeanHash(docs, id, text).barrier(true)
+    val qb = bandRows(q).alias("q")
+    val ib = bandRows(index).alias("i")
+    qb.join(ib, col("q.band") === col("i.band") &&
+        col("q.bv") === col("i.bv"))
+      .select(col("q.did").as(id), col("i.did").as("match_id"),
+        col("q.hi").as("hiq"), col("q.lo").as("loq"),
+        col("i.hi").as("hii"), col("i.lo").as("loi"))
+      .distinct()
+      .select(col(id), col("match_id"),
+        expr("cast(bit_count(hiq ^ hii) + bit_count(loq ^ loi)" +
+          " as bigint)").as("hamming"))
+      .where(col("hamming") <= tau)
+  }
+
+  /** The [[blockMeanHash]] + banding CTE chain with every CTE name
+    * prefixed, ending at `<p>bands` = ($id, hi, lo, b, bv) — shared
+    * by the c58 self-join oracle and the d23 split-sides oracle. */
+  private def hashBandCtes(p: String, id: String, text: String,
+                           where: String): String =
+    s"""${p}bs AS (
         SELECT $id, list_transform(range(1, length($text) + 1),
                  i -> CAST(ascii($text[i]) AS BIGINT)) AS bs
-        FROM documents),
-      pre AS (
+        FROM documents WHERE $where),
+      ${p}pre AS (
         -- every list_reduce input is list_prepend(0, ...)-guarded:
         -- DuckDB may evaluate a CASE arm on rows its condition
         -- rejects, and list_reduce errors on an empty list (an empty
@@ -258,8 +291,8 @@ object Multimodal {
         SELECT $id, bs, CAST(len(bs) AS BIGINT) AS n,
                list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
                  (a, x) -> a + x) AS tot
-        FROM bs),
-      bits AS (
+        FROM ${p}bs),
+      ${p}bits AS (
         SELECT $id,
                list_transform(range(0, 64), k -> CASE
                  WHEN ((k + 1) * n) // 64 > (k * n) // 64
@@ -270,17 +303,23 @@ object Multimodal {
                       >= tot * (((k + 1) * n) // 64 - (k * n) // 64)
                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
                  AS bits
-        FROM pre),
-      h AS (
+        FROM ${p}pre),
+      ${p}h AS (
         SELECT $id,
                list_reduce(bits[1:32], (a, b) -> a * 2 + b) AS hi,
                list_reduce(bits[33:64], (a, b) -> a * 2 + b) AS lo
-        FROM bits),
-      bands AS (
+        FROM ${p}bits),
+      ${p}bands AS (
         SELECT $id, hi, lo, b,
                (CASE WHEN b < 4 THEN hi ELSE lo END
                  >> CAST((3 - b % 4) * 8 AS INTEGER)) & 255 AS bv
-        FROM (SELECT *, unnest(range(0, 8)) AS b FROM h)),
+        FROM (SELECT *, unnest(range(0, 8)) AS b FROM ${p}h))"""
+
+  /** DuckDB mirror of [[blobNearDup]] (same integer block-mean hash
+    * recomputed from the ascii text — see [[blockMeanHash]]). */
+  def blobNearDupSql(id: String, text: String, tau: Int): String =
+    s"""
+      WITH ${hashBandCtes("", id, text, "TRUE")},
       cand AS (
         SELECT DISTINCT a.$id AS id_a, b.$id AS id_b,
                a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
@@ -293,6 +332,26 @@ object Multimodal {
       WHERE CAST(bit_count(xor(hia, hib)) +
                  bit_count(xor(loa, lob)) AS BIGINT) <= $tau
       ORDER BY id_a, id_b"""
+
+  /** DuckDB mirror of [[blobNearDupAgainst]] over a split corpus. */
+  def blobNearDupAgainstSql(id: String, text: String,
+                            indexWhere: String, queryWhere: String,
+                            tau: Int): String =
+    s"""
+      WITH ${hashBandCtes("i_", id, text, indexWhere)},
+      ${hashBandCtes("q_", id, text, queryWhere)},
+      cand AS (
+        SELECT DISTINCT q.$id AS $id, i.$id AS match_id,
+               q.hi AS hiq, q.lo AS loq, i.hi AS hii, i.lo AS loi
+        FROM q_bands q JOIN i_bands i
+          ON q.b = i.b AND q.bv = i.bv)
+      SELECT $id, match_id,
+             CAST(bit_count(xor(hiq, hii)) +
+                  bit_count(xor(loq, loi)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE CAST(bit_count(xor(hiq, hii)) +
+                 bit_count(xor(loq, loi)) AS BIGINT) <= $tau
+      ORDER BY $id, match_id"""
 
   /** Audio-frame windowing over raw PCM-style payloads — REAL DSP,
     * fully implemented: 16-bit little-endian offset-binary samples,

@@ -753,7 +753,37 @@ object StreamingSuite extends Suite {
       generalWhere = "doc_id % 101 <> 0",
       scoreWhere = "doc_id % 17 = 0", maxLen = 256)))
 
+  val d23 = Q(
+    "d23_stream_blob_neardup",
+    // Streaming multimodal near-dup filter, batch-replayed: the
+    // %23=0 slice of blobs hashes map-side per micro-batch
+    // (blockMeanHash — per-doc array functions, no shuffle) and
+    // band-joins the STATIC hash index built once on the %23<>0
+    // corpus (barriered — the d18/d19 static-artifact seam; c25's
+    // batch-vs-persisted-index shape for the multimodal column),
+    // hamming <= 14 verified on the hashes alone (wider than c58's
+    // 12: the held-out slice's closest cross-split neighbour sits at
+    // 13 at sf0.01). Per-doc
+    // independent given the index — no cross-batch state;
+    // Streams.blobNearDupStreaming is the foreachBatch flavor,
+    // cross-batch-pinned in StreamsSpec.
+    (s, d) => {
+      import graft.util.Barriers.BarrierOps
+      val docs = Tables.documents(s, d)
+      val index = Multimodal.blockMeanHash(
+          docs.where(pmod(col("doc_id"), lit(23)) =!= 0),
+          "doc_id", "text")
+        .barrier(true)
+      Multimodal.blobNearDupAgainst(index,
+          docs.where(pmod(col("doc_id"), lit(23)) === 0),
+          "doc_id", "text", tau = 14)
+        .orderBy(col("doc_id"), col("match_id"))
+    },
+    Some(Multimodal.blobNearDupAgainstSql("doc_id", "text",
+      indexWhere = "doc_id % 23 <> 0", queryWhere = "doc_id % 23 = 0",
+      tau = 14)))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21, d22)
+      d16, d17, d18, d19, d20, d21, d22, d23)
 }

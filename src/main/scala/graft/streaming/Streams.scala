@@ -669,6 +669,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming blob near-dup filter against a persisted hash index:
+    * each arriving micro-batch of blobs hashes map-side
+    * (blockMeanHash — per-doc, no shuffle) and band-joins the STATIC
+    * [[graft.operators.Multimodal.blockMeanHash]] index built once
+    * on the corpus (barriered — the d18/d19 static-artifact seam;
+    * c25's batch-vs-persisted-index shape for the multimodal
+    * column). Matches are per-doc independent given the index, so
+    * micro-batch boundaries can never change them — NO cross-batch
+    * state. */
+  def blobNearDupStreaming(index: DataFrame, docs: DataFrame,
+      id: String, text: String, tau: Int)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Multimodal
+          .blobNearDupAgainst(index, batch, id, text, tau))
+      }
+      .start()
+
   /** Static eval-side shingle table for [[contaminationHitsStreaming]]. */
   def evalShingles(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("eval_id"),

@@ -643,6 +643,39 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty && got.sortBy(_._1).toSeq === batch.sortBy(_._1))
   }
 
+  test("streaming blob near-dup: union of emissions equals batch matches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    import graft.util.Barriers.BarrierOps
+    val docs = Tables.documents(spark, sf)
+    val index = Multimodal.blockMeanHash(
+        docs.where(pmod($"doc_id", lit(23)) =!= 0), "doc_id", "text")
+      .barrier(true)
+    val eval = docs.where(pmod($"doc_id", lit(23)) === 0)
+    val arriving = eval.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.blobNearDupStreaming(index,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", tau = 12) { df =>
+      val rows = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("match_id"),
+          r.getAs[Long]("hamming")))
+      this.synchronized { got ++= rows }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Multimodal.blobNearDupAgainst(index, eval,
+        "doc_id", "text", tau = 12).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("match_id"),
+        r.getAs[Long]("hamming"))).toSeq
+    assert(got.sorted.toSeq === batch.sorted)
+  }
+
   test("streaming source drift: last emission equals batch drift after drain") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CorpusStats
