@@ -1876,6 +1876,94 @@ object PipelineSuite extends Suite {
       .orderBy(col("id_a"), col("id_b")),
     Some(Multimodal.blobNearDupSql("doc_id", "text", tau = 12)))
 
+  val c59 = Q(
+    "c59_ann_nprobe_curve",
+    // The IVF tuning audit: recall@5 per query at nprobe = 1, 2, 4
+    // against the same trained index — the recall-vs-cost curve an
+    // operator reads before fixing nprobe at 100 TB (every probe
+    // step scans another centroid's inverted list, so the curve IS
+    // the latency budget decision; c17 reports the single point
+    // nprobe=2). One kmeansFit + one barriered exact baseline,
+    // re-probed three times; union of the three per-query recall
+    // tables, never a global sort (TakeOrderedAndProject inside each
+    // probe).
+    (s, d) => {
+      import graft.util.Barriers.BarrierOps
+      val e = Tables.embeddings(s, d)
+      val corpus = e.where(col("vec_id") >= 5)
+      val queries = e.where(col("vec_id") < 5)
+      val cent = Ann.kmeansFit(corpus, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val exact = Ann.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", k = 5).barrier(true)
+      Seq(1, 2, 4).map { np =>
+        val ivf = Ann.ivfTopK(corpus, queries, cent, "vec_id",
+          "embedding", nprobe = np, k = 5)
+        exact.alias("e")
+          .join(ivf.alias("i"),
+            col("e.q_id") === col("i.q_id") &&
+              col("e.n_id") === col("i.n_id"), "left")
+          .groupBy(col("e.q_id").as("q_id"))
+          .agg(round(sum(when(col("i.n_id").isNotNull, 1).otherwise(0))
+            .cast("double") / 5, 6).as("recall"))
+          .select(lit(np.toLong).as("nprobe"), col("q_id"),
+            col("recall"))
+      }.reduce(_ unionAll _).orderBy(col("nprobe"), col("q_id"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      def rec(np: Int) =
+        s"""qprobe$np AS (
+        SELECT q_id, cid FROM (
+          SELECT q.vec_id AS q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM queries q CROSS JOIN cent2 c) t
+        WHERE rk <= $np),
+      ivf$np AS (
+        SELECT q_id, n_id FROM (
+          SELECT p.q_id, a.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY p.q_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            a.vec_id) AS rk
+          FROM qprobe$np p
+            JOIN pick3 a ON a.cid = p.cid
+            JOIN corpus v ON v.vec_id = a.vec_id
+            JOIN queries q ON q.vec_id = p.q_id) t
+        WHERE rk <= 5),
+      rec$np AS (
+        SELECT CAST($np AS BIGINT) AS nprobe, e.q_id,
+               round(CAST(SUM(CASE WHEN i.n_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / 5, 6)
+                 AS recall
+        FROM exact e
+          LEFT JOIN ivf$np i ON i.q_id = e.q_id AND i.n_id = e.n_id
+        GROUP BY e.q_id)"""
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      queries AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      ${kmeansCtes(k = 8, iters = 2)},
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            v.vec_id) AS rk
+          FROM queries q CROSS JOIN corpus v) t
+        WHERE rk <= 5),
+      ${rec(1)},
+      ${rec(2)},
+      ${rec(4)}
+      SELECT * FROM (
+        SELECT * FROM rec1
+        UNION ALL SELECT * FROM rec2
+        UNION ALL SELECT * FROM rec4)
+      ORDER BY nprobe, q_id"""
+    })
+
   val c51 = Q(
     "c51_shard_pack",
     // c48's routing + c37's offset math composed into the layout a
@@ -1899,5 +1987,5 @@ object PipelineSuite extends Suite {
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-      c57, c58)
+      c57, c58, c59)
 }

@@ -31,6 +31,34 @@ class DedupAnnSpec extends SparkSpec {
       (3L, 1L, 0L, 0L)))
   }
 
+  test("nprobe recall curve is monotone per query (probe sets nest)") {
+    val corpus = emb.where($"vec_id" >= 5)
+    val queries = emb.where($"vec_id" < 5)
+    val cent = Ann.kmeansFit(corpus, "vec_id", "embedding", k = 8,
+      iters = 2)
+    val exact = Ann.bruteForceTopK(corpus, queries, "vec_id",
+      "embedding", k = 5)
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val ivf = Ann.ivfTopK(corpus, queries, cent, "vec_id",
+        "embedding", nprobe = np, k = 5)
+      np -> exact.alias("e")
+        .join(ivf.alias("i"),
+          $"e.q_id" === $"i.q_id" && $"e.n_id" === $"i.n_id", "left")
+        .groupBy($"e.q_id")
+        .agg((sum(when($"i.n_id".isNotNull, 1).otherwise(0)) / 5.0)
+          .as("r"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("r")).toMap
+    }.toMap
+    val qids = recalls(1).keySet
+    for (q <- qids) {
+      assert(recalls(1)(q) <= recalls(2)(q))
+      assert(recalls(2)(q) <= recalls(4)(q))
+      assert(recalls(4)(q) <= recalls(8)(q))
+      // probing every centroid IS the exact scan
+      assert(recalls(8)(q) === 1.0)
+    }
+  }
+
   test("ngram jaccard finds the planted near-duplicates symmetrically") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).cache()
     assert(pairs.count() > 0, "testdata plants >0 near-dup pairs")
