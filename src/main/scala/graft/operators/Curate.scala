@@ -61,4 +61,44 @@ object Curate {
     ex.join(dropped, Seq(id), "left_anti")
       .select(col(id), col("n_tokens"), col("quality"))
   }
+
+  /** The curation FUNNEL — per-stage survivor counts and token mass
+    * of [[curate]]'s pipeline (raw → quality gate → exact dedup →
+    * near-dup dedup): the ops report every curation run ships, and
+    * the number a pipeline owner actually watches (a gate that
+    * suddenly drops 40% of a source is an incident, not a setting).
+    * One row per stage with doc/token totals; stage frames share the
+    * barriered per-doc feature table, so the funnel costs the same
+    * stages the pipeline itself runs plus four one-row aggregates. */
+  def funnel(docs: DataFrame, id: String, text: String,
+             minQuality: Double, tau: Double): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    val q = TextQuality.qualityFeatures(docs, id, text)
+      .select(col(id), col("n_tokens"), col("quality"))
+      .barrier(true) // read by the gate and all four stage counts
+    val gated = docs.select(col(id), col(text))
+      .join(q.where(col("quality") >= minQuality).select(col(id)),
+        Seq(id), "left_semi")
+    val ex = gated
+      .withColumn("ex_keeper",
+        min(col(id)).over(Window.partitionBy(TextOps.polyHash(col(text)))))
+      .where(col(id) === col("ex_keeper"))
+      .drop("ex_keeper")
+      .barrier(true) // read by the near-dup stage and its own count
+    val dropped = Dedup.deduplicate(ex, id, text, tau)
+      .where(col(id) =!= col("keeper"))
+      .select(col(id))
+    val near = ex.join(dropped, Seq(id), "left_anti")
+    def stage(n: Long, name: String, df: DataFrame) =
+      df.select(col(id)).join(q, Seq(id))
+        .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"),
+          col("nd").cast("long").as("n_docs"),
+          coalesce(col("nt"), lit(0L)).cast("long").as("n_tokens"))
+    stage(0L, "raw", docs)
+      .unionAll(stage(1L, "quality_gate", gated))
+      .unionAll(stage(2L, "exact_dedup", ex))
+      .unionAll(stage(3L, "neardup_dedup", near))
+      .orderBy(col("stage"))
+  }
 }

@@ -543,6 +543,70 @@ object PipelineSuite extends Suite {
       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
       ORDER BY doc_id"""))
 
+  val c60 = Q(
+    "c60_curation_funnel",
+    // c19's ops report: per-stage survivor counts + token mass of the
+    // same curation pipeline (raw -> quality gate -> exact dedup ->
+    // near-dup dedup) — the funnel a pipeline owner actually watches
+    // (a gate suddenly dropping 40% of a source is an incident, not
+    // a setting). Same stages and parameters as c19, plus four
+    // one-row aggregates over the shared barriered feature table.
+    (s, d) => Curate.funnel(Tables.documents(s, d), "doc_id", "text",
+      minQuality = 0.63, tau = 0.5),
+    Some(s"""
+      WITH RECURSIVE q AS (${TextQuality.qualityFeaturesSql("doc_id", "text")}),
+      surv AS (
+        SELECT d.doc_id, d.text, q.n_tokens, q.quality
+        FROM documents d JOIN q USING (doc_id)
+        WHERE q.quality >= 0.63),
+      ex AS (
+        SELECT *, MIN(doc_id) OVER (
+          PARTITION BY ${TextOps.polyHashSql("text")}) AS ex_keeper
+        FROM surv),
+      s2 AS (SELECT doc_id, text, n_tokens, quality
+             FROM ex WHERE doc_id = ex_keeper),
+      sh AS (SELECT doc_id, unnest($SH) AS s FROM s2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+      dropped AS (
+        SELECT n AS doc_id FROM reach
+        GROUP BY n
+        HAVING LEAST(n, MIN(m)) <> n),
+      near AS (SELECT doc_id, n_tokens FROM s2
+               WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+               COUNT(*) AS n_docs,
+               CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens
+        FROM q
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'quality_gate', COUNT(*),
+               CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+        FROM surv
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'exact_dedup', COUNT(*),
+               CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+        FROM s2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'neardup_dedup', COUNT(*),
+               CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+        FROM near)
+      ORDER BY stage"""))
+
   val c20 = Q(
     "c20_neardup_novelty",
     // The streaming-shaped dedup decision, batch-replayed: novel iff
@@ -1987,5 +2051,5 @@ object PipelineSuite extends Suite {
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-      c57, c58, c59)
+      c57, c58, c59, c60)
 }

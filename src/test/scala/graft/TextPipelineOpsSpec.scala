@@ -32,6 +32,23 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L, 1L), (1L, 3L, 4L), (2L, 3L, 5L)))
   }
 
+  test("curation funnel is monotone and ends at the c19 survivor set") {
+    import graft.operators.Curate
+    import graft.model.Tables
+    val docs = Tables.documents(spark, sf)
+    val f = Curate.funnel(docs, "doc_id", "text", minQuality = 0.63,
+        tau = 0.5).collect()
+      .map(r => (r.getAs[Long]("stage"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens")))
+    assert(f.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(f.sliding(2).forall { case Array(a, b) =>
+      a._2 >= b._2 && a._3 >= b._3 })
+    assert(f(0)._2 === docs.count())
+    val survivors = Curate.curate(docs, "doc_id", "text",
+      minQuality = 0.63, tau = 0.5).count()
+    assert(f(3)._2 === survivors)
+  }
+
   test("piiScrub redacts emails, phones and ids, and counts each class") {
     val docs = Seq(
       (1L, "mail bob@x.example.org and carol@y.example.net today"),
