@@ -119,6 +119,7 @@ class PlanShapeSpec extends SparkSpec {
       "d18_stream_bpe_encode", // broadcast 1-row merge per step (k=3)
       "c50_bigram_surprisal",  // broadcast 1-row total-token count
       "d19_stream_surprisal",  // broadcast 1-row total-token count
+      "c59_ann_nprobe_curve",  // broadcast centroids + query set (c17 thrice)
       "c52_trigram_surprisal", // broadcast 1-row total-token count
       "c54_bpe_batch_train",   // broadcast 1-row merge slot per (r, j)
       "c55_moore_lewis",       // broadcast 1-row totals, both LMs
