@@ -258,6 +258,159 @@ object Ann {
       .withColumn("cn", VectorOps.norm(col("cv")))
   }
 
+  // --- product quantization (PQ / ADC) ------------------------------
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector space
+    * splits into `m` contiguous subspaces of `subDim` dims and each
+    * subspace trains its OWN k-centroid codebook by deterministic
+    * L2 Lloyd — assignment by round-6 squared distance
+    * (na + nb − 2·dot, the three-fold composition both engines
+    * evaluate identically), mean update via the same exact
+    * fixed-point decimal trick as [[kmeansFit]]. All M trainings run
+    * in ONE frame keyed by `m` (the sub-vector explosion is a single
+    * map pass; every iteration is one broadcast-join + window argmin
+    * + bounded mean agg for all subspaces together). Returns
+    * (m, cid, cv, cn) with cn = the centroid's self-dot. */
+  def pqFit(corpus: DataFrame, id: String, vec: String, m: Int,
+            subDim: Int, k: Int, iters: Int): DataFrame = {
+    val sub = pqSub(corpus, id, vec, m, subDim).barrier(true)
+    val seeds = corpus.select(col(id).as("vid"))
+      .orderBy(col("vid")).limit(k).barrier(true)
+    val seedRank = seeds
+      .join(seeds.select(col("vid").as("vid2")), col("vid2") <= col("vid"))
+      .groupBy(col("vid")).agg((count(lit(1)) - 1).as("cid"))
+    var cent = sub.join(seedRank, "vid")
+      .select(col("m"), col("cid"), col("vm").as("cv"),
+        col("nv").as("cn"))
+      .barrier(true)
+    for (_ <- 1 to iters)
+      cent = pqUpdate(sub, cent).barrier(true)
+    cent
+  }
+
+  /** (vid, m, vm, nv) sub-vector rows — one explode, nv = self-dot. */
+  private def pqSub(df: DataFrame, id: String, vec: String, m: Int,
+                    subDim: Int): DataFrame =
+    df.select(col(id).as("vid"),
+        explode(array((0 until m).map { i =>
+          struct(lit(i).as("m"),
+            slice(col(vec), i * subDim + 1, subDim).as("vm"))
+        }: _*)).as("s"))
+      .select(col("vid"), col("s.m").as("m"), col("s.vm").as("vm"))
+      .withColumn("nv", VectorOps.dot(col("vm"), col("vm")))
+
+  /** Round-6 L2 distance from precomputed self-dots: both engines
+    * evaluate ((nv + cn) − 2·dot) in the same order. */
+  private def d2Col: Column =
+    round(col("nv") + col("cn") - lit(2.0) *
+      VectorOps.dot(col("vm"), col("cv")), 6)
+
+  private def pqPick(sub: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vid"), col("m"))
+      .orderBy(col("d2").asc, col("cid"))
+    sub.join(broadcast(cent), Seq("m"))
+      .withColumn("d2", d2Col)
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("vid"), col("m"), col("cid"), col("vm"))
+  }
+
+  private def pqUpdate(sub: DataFrame, cent: DataFrame): DataFrame = {
+    val dims = pqPick(sub, cent).select(col("m"), col("cid"),
+      posexplode(col("vm")).as(Seq("dim", "x")))
+    val mean = dims
+      .withColumn("xs",
+        floor(col("x").cast("double") * lit(1073741824.0))
+          .cast("decimal(38,0)"))
+      .groupBy(col("m"), col("cid"), col("dim"))
+      .agg(sum(col("xs")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("mu",
+        col("sx").cast("double") / (col("cnt") * lit(1073741824.0)))
+    mean.groupBy(col("m"), col("cid"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mu"))))
+        .as("ds"))
+      .select(col("m"), col("cid"),
+        transform(col("ds"), _.getField("mu").cast("float")).as("cv"))
+      .withColumn("cn", VectorOps.dot(col("cv"), col("cv")))
+  }
+
+  /** Per-vector PQ codes against trained codebooks: (vid, m, code) —
+    * M small ints per vector, the compressed representation that
+    * replaces the float vector at rest (64 floats → M bytes here). */
+  def pqCodes(corpus: DataFrame, id: String, vec: String,
+              cent: DataFrame, m: Int, subDim: Int): DataFrame =
+    pqPick(pqSub(corpus, id, vec, m, subDim), cent)
+      .select(col("vid"), col("m"), col("cid").as("code"))
+
+  /** ADC top-k with exact rescore — the full PQ query path: per
+    * query, ONE dot per (subspace, centroid) builds the K×M lookup
+    * table (broadcast by construction); each corpus vector's
+    * approximate inner product is then a table lookup per subspace —
+    * the scan never touches the original floats. The per-(q, vid)
+    * sum folds through the exact fixed-point decimal (order-
+    * independent, §4), ranks by (adc6 desc, vid) through the
+    * row_number→TopKPerKey rewrite, and the k winners get an exact
+    * cosine rescore + membership flag vs the exact top-k (the recall
+    * evidence, computed for k candidates only). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, cent: DataFrame,
+             id: String, vec: String, m: Int, subDim: Int,
+             k: Int, rescore: Int = 50): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    val codes = pqCodes(corpus, id, vec, cent, m, subDim)
+    val qtab = pqSub(queries, id, vec, m, subDim)
+      .join(broadcast(cent), Seq("m"))
+      .select(col("vid").as("q_id"), col("m"), col("cid"),
+        VectorOps.dot(col("vm"), col("cv")).as("dt"))
+      .barrier(true)
+    // stored-norm ADC: a PQ index keeps each vector's norm next to
+    // its codes (one float), so the compressed scan can rank by
+    // APPROXIMATE COSINE adc/(|x||q|) rather than raw inner product
+    // — without it, large-norm vectors dominate every query
+    val norms = corpus
+      .select(col(id).as("vid"), VectorOps.norm(col(vec)).as("vn"))
+    val qnorms = queries
+      .select(col(id).as("q_id"), VectorOps.norm(col(vec)).as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc6").desc, col("vid"))
+    val ranked = codes
+      .join(qtab, codes("m") === qtab("m") &&
+        codes("code") === qtab("cid"))
+      .select(col("q_id"), col("vid"),
+        floor(col("dt") * lit(1073741824.0)).cast("decimal(38,0)")
+          .as("xs"))
+      .groupBy(col("q_id"), col("vid"))
+      .agg((sum(col("xs")).cast("double") / lit(1073741824.0))
+        .as("adc_ip"))
+      .join(norms, "vid")
+      .join(broadcast(qnorms), "q_id")
+      .select(col("q_id"), col("vid"),
+        round(col("adc_ip") / (col("vn") * col("qn")), 6).as("adc6"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= rescore)
+    // exact-rescore funnel: the ADC scan shortlists `rescore` >> k
+    // candidates from codes alone; only those fetch their original
+    // floats for an exact cosine, and the final top-k ranks by the
+    // EXACT score — the ADC pass buys the 1/|corpus| scan reduction,
+    // the rescore buys back the quantization error (same funnel as
+    // c24's int8 path)
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("vid"))
+    val exact = bruteForceTopK(corpus, queries, id, vec, k)
+    ranked.alias("r")
+      .join(corpus.select(col(id).as("vid"), col(vec).as("cv2")), "vid")
+      .join(queries.select(col(id).as("q_id"), col(vec).as("qv2")),
+        "q_id")
+      .withColumn("psim", VectorOps.cosine6(col("cv2"), col("qv2")))
+      .withColumn("frank", row_number().over(w2))
+      .where(col("frank") <= k)
+      .join(exact.alias("e"),
+        col("r.q_id") === col("e.q_id") && col("vid") === col("e.n_id"),
+        "left")
+      .select(col("r.q_id").as("q_id"),
+        col("frank").cast("long").as("rank"), col("vid").as("n_id"),
+        col("adc6"), col("psim").as("sim"),
+        col("e.n_id").isNotNull.as("in_exact"))
+  }
+
   /** Global symmetric int8 scale learned from the corpus: ONE row,
     * scale = max|x| / 127 over all normalized components. Symmetric
     * (zero-centered) codes are what keeps the integer dot product a

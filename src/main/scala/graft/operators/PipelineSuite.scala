@@ -607,6 +607,157 @@ object PipelineSuite extends Suite {
         FROM near)
       ORDER BY stage"""))
 
+  /** PQ CTE chain (sub-vector split, per-subspace L2 Lloyd, codes) —
+    * assumes `corpus`/`queries` CTEs; mirrors Ann.pqFit/pqCodes. */
+  private def pqCtes(mSub: Int, subDim: Int, k: Int,
+                     iters: Int): String = {
+    def dotS(a: String, b: String) = VectorOps.dotSql(a, b)
+    val iterCtes = (1 to iters).map { i =>
+      s"""ppick$i AS (
+        SELECT vid, m, cid, vm FROM (
+          SELECT s.vec_id AS vid, s.m, c.cid, s.vm,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY round((s.nv + c.cn) -
+                     2.0 * ${dotS("s.vm", "c.cv")}, 6) ASC, c.cid) AS rk
+          FROM subn s JOIN pcent${i - 1} c ON s.m = c.m) t
+        WHERE rk = 1),
+      pupd$i AS (
+        SELECT p.m, p.cid, t.i,
+               CAST(SUM(CAST(FLOOR(CAST(p.vm[t.i] AS DOUBLE)
+                     * 1073741824.0) AS HUGEINT)) AS DOUBLE)
+                 / (COUNT(*) * 1073741824.0) AS mu
+        FROM ppick$i p CROSS JOIN range(1, ${subDim + 1}) t(i)
+        GROUP BY p.m, p.cid, t.i),
+      pcent$i AS (
+        SELECT m, cid, cv, ${dotS("cv", "cv")} AS cn FROM (
+          SELECT m, cid, list_transform(list(mu ORDER BY i),
+                   x -> CAST(x AS FLOAT)) AS cv
+          FROM pupd$i GROUP BY m, cid))"""
+    }.mkString(",\n      ")
+    s"""subn AS (
+        SELECT vec_id, m,
+               embedding[m * $subDim + 1 : (m + 1) * $subDim] AS vm,
+               ${dotS(s"embedding[m * $subDim + 1 : (m + 1) * $subDim]",
+                 s"embedding[m * $subDim + 1 : (m + 1) * $subDim]")}
+                 AS nv
+        FROM (SELECT *, unnest(range(0, $mSub)) AS m FROM corpus)),
+      seeds AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT $k)),
+      pcent0 AS (
+        SELECT s.m, d.cid, s.vm AS cv, s.nv AS cn
+        FROM subn s JOIN seeds d USING (vec_id)),
+      $iterCtes,
+      codes AS (
+        SELECT vid, m, cid AS code FROM (
+          SELECT s.vec_id AS vid, s.m, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY round((s.nv + c.cn) -
+                     2.0 * ${dotS("s.vm", "c.cv")}, 6) ASC, c.cid) AS rk
+          FROM subn s JOIN pcent$iters c ON s.m = c.m) t
+        WHERE rk = 1)"""
+  }
+
+  val c61 = Q(
+    "c61_pq_ann",
+    // Product quantization with ADC (Jegou et al. 2011) — the
+    // compressed-domain ANN shape that beats scalar quantization
+    // (c24) at equal bits: 64 dims split into 8 subspaces of 8,
+    // each with its own 16-centroid L2-Lloyd codebook (deterministic:
+    // round-6 (na+nb-2dot) assignment, exact fixed-point means);
+    // a vector at rest is then 8 SMALL CODES + its stored norm
+    // (ADC ranks by approximate COSINE adc/(|x||q|) — without the
+    // stored norm, large-norm vectors dominate), and a query scan is a
+    // per-subspace table LOOKUP against the broadcast K x M dot
+    // table — the original floats are never touched after encoding,
+    // which is what makes a 100 TB vector scan fit in memory. The
+    // per-(q, vid) sum folds through the exact decimal so it is
+    // order-independent (§4); ADC shortlists the top-50 candidates
+    // from codes alone, ONLY those fetch their floats for an exact
+    // cosine rescore, and the final top-5 ranks by the exact score
+    // (c24's candidates->rescore funnel: the scan reduction comes
+    // from codes, the quantization error is bought back on k<<n
+    // rows) + exact-top-5 membership flag per row (the recall
+    // evidence).
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.where(col("vec_id") >= 5)
+      val queries = e.where(col("vec_id") < 5)
+      val cent = Ann.pqFit(corpus, "vec_id", "embedding",
+        m = 8, subDim = 8, k = 16, iters = 2)
+      Ann.pqTopK(corpus, queries, cent, "vec_id", "embedding",
+          m = 8, subDim = 8, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      queries AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      ${pqCtes(mSub = 8, subDim = 8, k = 16, iters = 2)},
+      qsub AS (
+        SELECT vec_id, m,
+               embedding[m * 8 + 1 : (m + 1) * 8] AS vm
+        FROM (SELECT *, unnest(range(0, 8)) AS m FROM queries)),
+      qtab AS (
+        SELECT q.vec_id AS q_id, q.m, c.cid,
+               ${VectorOps.dotSql("q.vm", "c.cv")} AS dt
+        FROM qsub q JOIN pcent2 c ON q.m = c.m),
+      norms AS (
+        SELECT vec_id AS vid,
+               sqrt(${VectorOps.dotSql("embedding", "embedding")}) AS vn
+        FROM corpus),
+      qnorms AS (
+        SELECT vec_id AS q_id,
+               sqrt(${VectorOps.dotSql("embedding", "embedding")}) AS qn
+        FROM queries),
+      scores AS (
+        SELECT s.q_id, s.vid,
+               round(s.adc_ip / (n.vn * qq.qn), 6) AS adc6
+        FROM (
+          SELECT t.q_id, codes.vid,
+                 CAST(SUM(CAST(FLOOR(dt * 1073741824.0) AS HUGEINT))
+                   AS DOUBLE) / 1073741824.0 AS adc_ip
+          FROM codes JOIN qtab t ON codes.m = t.m AND codes.code = t.cid
+          GROUP BY 1, 2) s
+          JOIN norms n ON n.vid = s.vid
+          JOIN qnorms qq ON qq.q_id = s.q_id),
+      rankedpq AS (
+        SELECT * FROM (
+          SELECT q_id, vid, adc6,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc6 DESC, vid) AS rank
+          FROM scores) t
+        WHERE rank <= 50),
+      rescored AS (
+        SELECT * FROM (
+          SELECT r.q_id, r.vid, r.adc6,
+                 ${cos("v.embedding", "q.embedding")} AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY r.q_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            r.vid) AS frank
+          FROM rankedpq r
+            JOIN corpus v ON v.vec_id = r.vid
+            JOIN queries q ON q.vec_id = r.q_id) t
+        WHERE frank <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            v.vec_id) AS rk
+          FROM queries q CROSS JOIN corpus v) t
+        WHERE rk <= 5)
+      SELECT r.q_id, CAST(r.frank AS BIGINT) AS rank, r.vid AS n_id,
+             r.adc6, r.sim,
+             e.n_id IS NOT NULL AS in_exact
+      FROM rescored r
+        LEFT JOIN exact e ON e.q_id = r.q_id AND e.n_id = r.vid
+      ORDER BY r.q_id, rank"""
+    })
+
   val c20 = Q(
     "c20_neardup_novelty",
     // The streaming-shaped dedup decision, batch-replayed: novel iff
@@ -2051,5 +2202,5 @@ object PipelineSuite extends Suite {
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-      c57, c58, c59, c60)
+      c57, c58, c59, c60, c61)
 }

@@ -59,6 +59,36 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("PQ/ADC: codes bounded, rescore sims exact, output dense") {
+    val corpus = emb.where($"vec_id" >= 5)
+    val queries = emb.where($"vec_id" < 5)
+    val cent = Ann.pqFit(corpus, "vec_id", "embedding",
+      m = 8, subDim = 8, k = 16, iters = 2)
+    // every (m, cid) codebook entry exists and sub-centroids have
+    // the right width
+    val cents = cent.collect()
+    assert(cents.length == 8 * 16)
+    assert(cents.forall(_.getAs[scala.collection.Seq[Float]]("cv").length == 8))
+    val codes = Ann.pqCodes(corpus, "vec_id", "embedding", cent,
+      m = 8, subDim = 8)
+    assert(codes.where($"code" < 0 || $"code" > 15).isEmpty)
+    assert(codes.groupBy($"vid").count().where($"count" =!= 8).isEmpty)
+    val out = Ann.pqTopK(corpus, queries, cent, "vec_id", "embedding",
+      m = 8, subDim = 8, k = 5).cache()
+    // dense ranks per query, and the rescored sim is the EXACT
+    // cosine (spot-check against a direct computation)
+    assert(out.groupBy($"q_id").count().where($"count" =!= 5).isEmpty)
+    val row = out.orderBy($"q_id", $"rank").first()
+    val qv = queries.where($"vec_id" === row.getAs[Long]("q_id"))
+      .select($"embedding").first().getAs[scala.collection.Seq[Float]](0)
+    val nv = corpus.where($"vec_id" === row.getAs[Long]("n_id"))
+      .select($"embedding").first().getAs[scala.collection.Seq[Float]](0)
+    val dot = qv.zip(nv).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    val exp = dot / (math.sqrt(qv.map(x => x.toDouble * x).sum) *
+      math.sqrt(nv.map(x => x.toDouble * x).sum))
+    assert(math.abs(row.getAs[Double]("sim") - exp) < 1e-5)
+  }
+
   test("ngram jaccard finds the planted near-duplicates symmetrically") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).cache()
     assert(pairs.count() > 0, "testdata plants >0 near-dup pairs")

@@ -120,6 +120,7 @@ class PlanShapeSpec extends SparkSpec {
       "c50_bigram_surprisal",  // broadcast 1-row total-token count
       "d19_stream_surprisal",  // broadcast 1-row total-token count
       "c59_ann_nprobe_curve",  // broadcast centroids + query set (c17 thrice)
+      "c61_pq_ann",            // broadcast codebooks + query set + norms
       "c52_trigram_surprisal", // broadcast 1-row total-token count
       "c54_bpe_batch_train",   // broadcast 1-row merge slot per (r, j)
       "c55_moore_lewis",       // broadcast 1-row totals, both LMs
