@@ -609,7 +609,7 @@ object PipelineSuite extends Suite {
 
   /** PQ CTE chain (sub-vector split, per-subspace L2 Lloyd, codes) —
     * assumes `corpus`/`queries` CTEs; mirrors Ann.pqFit/pqCodes. */
-  private def pqCtes(mSub: Int, subDim: Int, k: Int,
+  private[operators] def pqCtes(mSub: Int, subDim: Int, k: Int,
                      iters: Int): String = {
     def dotS(a: String, b: String) = VectorOps.dotSql(a, b)
     val iterCtes = (1 to iters).map { i =>

@@ -783,7 +783,56 @@ object StreamingSuite extends Suite {
       indexWhere = "doc_id % 23 <> 0", queryWhere = "doc_id % 23 = 0",
       tau = 14)))
 
+  val d24 = Q(
+    "d24_stream_pq_encode",
+    // Streaming PQ encode-at-ingest, batch-replayed: the %29=0 slice
+    // of vectors is compressed to PQ codes against STATIC codebooks
+    // trained once on the %29<>0 split (c61's trainer, barriered —
+    // the static-artifact seam) — broadcast join + per-(vector,
+    // subspace) argmin, no stream shuffle, no cross-batch state
+    // (codes are per-vector independent given the codebooks). The
+    // production write path of a compressed vector index: floats
+    // arrive, codes land, floats archive.
+    // Streams.pqEncodeStreaming is the foreachBatch flavor,
+    // cross-batch-pinned in StreamsSpec.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = Ann.pqFit(e.where(pmod(col("vec_id"), lit(29)) =!= 0),
+        "vec_id", "embedding", m = 8, subDim = 8, k = 16, iters = 2)
+      Ann.pqCodes(e.where(pmod(col("vec_id"), lit(29)) === 0),
+          "vec_id", "embedding", cent, m = 8, subDim = 8)
+        .select(col("vid").as("vec_id"),
+          col("m").cast("long").as("m"), col("code"))
+        .orderBy(col("vec_id"), col("m"))
+    },
+    Some {
+      def dotS(a: String, b: String) =
+        graft.functions.VectorOps.dotSql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 29 <> 0),
+      ${PipelineSuite.pqCtes(mSub = 8, subDim = 8, k = 16, iters = 2)},
+      esub AS (
+        SELECT vec_id, m,
+               embedding[m * 8 + 1 : (m + 1) * 8] AS vm,
+               ${dotS("embedding[m * 8 + 1 : (m + 1) * 8]",
+                 "embedding[m * 8 + 1 : (m + 1) * 8]")} AS nv
+        FROM (SELECT *, unnest(range(0, 8)) AS m FROM embeddings
+              WHERE vec_id % 29 = 0)),
+      ecodes AS (
+        SELECT vec_id, m, cid AS code FROM (
+          SELECT s.vec_id, s.m, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY round((s.nv + c.cn) -
+                     2.0 * ${dotS("s.vm", "c.cv")}, 6) ASC, c.cid) AS rk
+          FROM esub s JOIN pcent2 c ON s.m = c.m) t
+        WHERE rk = 1)
+      SELECT vec_id, CAST(m AS BIGINT) AS m, code
+      FROM ecodes
+      ORDER BY vec_id, m"""
+    })
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21, d22, d23)
+      d16, d17, d18, d19, d20, d21, d22, d23, d24)
 }

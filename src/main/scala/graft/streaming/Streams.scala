@@ -688,6 +688,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming PQ encode-at-ingest: each arriving micro-batch of
+    * vectors is compressed to its PQ codes against the STATIC
+    * codebooks ([[graft.operators.Ann.pqFit]], trained once,
+    * barriered — the static-artifact seam) — a broadcast join +
+    * per-(vector, subspace) argmin, no shuffle of the stream, no
+    * cross-batch state (codes are per-vector independent given the
+    * codebooks). This is the production write path of a compressed
+    * vector index: floats arrive, codes + the stored norm land in
+    * the index, the floats can be archived. */
+  def pqEncodeStreaming(cent: DataFrame, vectors: DataFrame,
+      id: String, vec: String, m: Int, subDim: Int)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Ann
+          .pqCodes(batch, id, vec, cent, m, subDim))
+      }
+      .start()
+
   /** Static eval-side shingle table for [[contaminationHitsStreaming]]. */
   def evalShingles(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("eval_id"),

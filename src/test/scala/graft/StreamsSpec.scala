@@ -676,6 +676,40 @@ class StreamsSpec extends SparkSpec {
     assert(got.sorted.toSeq === batch.sorted)
   }
 
+  test("streaming pq encode: union of emissions equals batch codes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    import graft.util.Barriers.BarrierOps
+    val emb = Tables.embeddings(spark, sf)
+    val cent = Ann.pqFit(emb.where(pmod($"vec_id", lit(29)) =!= 0),
+      "vec_id", "embedding", m = 8, subDim = 8, k = 16, iters = 2)
+      .barrier(true)
+    val eval = emb.where(pmod($"vec_id", lit(29)) === 0)
+    val arriving = eval.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long)]
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.pqEncodeStreaming(cent,
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      m = 8, subDim = 8) { df =>
+      val rows = df.collect()
+        .map(r => (r.getAs[Long]("vid"), r.getAs[Int]("m"),
+          r.getAs[Long]("code")))
+      this.synchronized { got ++= rows }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Ann.pqCodes(eval, "vec_id", "embedding", cent,
+        m = 8, subDim = 8).collect()
+      .map(r => (r.getAs[Long]("vid"), r.getAs[Int]("m"),
+        r.getAs[Long]("code"))).toSeq
+    assert(got.nonEmpty && got.sorted.toSeq === batch.sorted)
+  }
+
   test("streaming source drift: last emission equals batch drift after drain") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CorpusStats
