@@ -411,6 +411,110 @@ object Ann {
         col("e.n_id").isNotNull.as("in_exact"))
   }
 
+  /** IVF + residual PQ — the two compressions COMPOSED into the
+    * layout a 100 TB vector index actually ships (the FAISS IVFPQ
+    * shape): a coarse k-means partitions the corpus into inverted
+    * lists (c17's trainer), each vector stores only its list id, the
+    * PQ CODES OF ITS RESIDUAL v − c_coarse (residuals concentrate
+    * around 0, so the same code budget quantizes them far tighter
+    * than raw vectors — why IVFPQ residual-codes by default) and its
+    * norm. A query probes `nprobe` lists; within a probed list the
+    * approximate inner product is EXACT-part + CODED-part:
+    * ⟨q, c_coarse⟩ (one dot per probed list, broadcast) plus the ADC
+    * lookup sum over the residual codebooks; stored-norm division
+    * ranks approximate cosine, the top-`rescore` shortlist fetches
+    * floats for an exact rescore, final top-k by exact score. Only
+    * probed lists are ever scored — the candidate set is bounded by
+    * construction (the c29 DPP argument composed with c61's
+    * compressed scan). */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                vec: String, kCoarse: Int, m: Int, subDim: Int,
+                kSub: Int, iters: Int, nprobe: Int, k: Int,
+                rescore: Int = 50): DataFrame = {
+    val coarse = kmeansFit(corpus, id, vec, kCoarse, iters)
+    val centT = centTable(coarse, id, vec).barrier(true)
+    val coarseVec = coarse
+      .select(col(id).as("c_id"), col(vec).as("c_vec"))
+    // residual table: one row per vector with its list id, residual
+    // (float32, the double-subtract-then-round composition both
+    // engines evaluate identically) and stored norm
+    val resid = assignToCentroids(
+        corpus.select(col(id).as("n_id"), col(vec).as("n_vec"),
+          VectorOps.norm(col(vec)).as("n_nrm")), centT, "n", 1)
+      .join(broadcast(coarseVec), "c_id")
+      .select(col("n_id").as("vec_id"), col("c_id"),
+        col("n_nrm").as("vn"),
+        zip_with(col("n_vec"), col("c_vec"),
+          (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+          .as("embedding"))
+      .barrier(true)
+    val cb = pqFit(resid, "vec_id", "embedding", m, subDim, kSub,
+      iters)
+    val codes = pqCodes(resid, "vec_id", "embedding", cb, m, subDim)
+      .join(resid.select(col("vec_id").as("vid"), col("c_id"),
+        col("vn")), "vid")
+    // query probes: nprobe coarse lists each, with the exact
+    // query-to-centroid dot and the query residual per probed list
+    val qprobes = assignToCentroids(
+        broadcast(queries.select(col(id).as("q_id"),
+          col(vec).as("q_vec"),
+          VectorOps.norm(col(vec)).as("q_nrm"))), centT, "q", nprobe)
+      .join(broadcast(coarseVec), "c_id")
+      .select(col("q_id"), col("c_id"), col("q_nrm").as("qn"),
+        VectorOps.dot(col("q_vec"), col("c_vec")).as("qc"),
+        zip_with(col("q_vec"), col("c_vec"),
+          (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+          .as("embedding"))
+      .barrier(true)
+    val qtab = qprobes.select(col("q_id"), col("c_id"),
+        explode(array((0 until m).map { i =>
+          struct(lit(i).as("m"),
+            slice(col("embedding"), i * subDim + 1, subDim).as("vm"))
+        }: _*)).as("s"))
+      .select(col("q_id"), col("c_id"), col("s.m").as("m"),
+        col("s.vm").as("vm"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("c_id"), col("m"), col("cid"),
+        VectorOps.dot(col("vm"), col("cv")).as("dt"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc6").desc, col("vid"))
+    val ranked = codes
+      .join(qtab, codes("m") === qtab("m") &&
+        codes("code") === qtab("cid") &&
+        codes("c_id") === qtab("c_id"))
+      .select(col("q_id"), col("vid"), codes("c_id").as("c_id"),
+        col("vn"),
+        floor(col("dt") * lit(1073741824.0)).cast("decimal(38,0)")
+          .as("xs"))
+      .groupBy(col("q_id"), col("vid"), col("c_id"), col("vn"))
+      .agg((sum(col("xs")).cast("double") / lit(1073741824.0))
+        .as("adc_r"))
+      .join(broadcast(qprobes.select(col("q_id"), col("c_id"),
+        col("qn"), col("qc"))), Seq("q_id", "c_id"))
+      .select(col("q_id"), col("vid"),
+        round((col("qc") + col("adc_r")) / (col("vn") * col("qn")), 6)
+          .as("adc6"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= rescore)
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("vid"))
+    val exact = bruteForceTopK(corpus, queries, id, vec, k)
+    ranked.alias("r")
+      .join(corpus.select(col(id).as("vid"), col(vec).as("cv2")), "vid")
+      .join(queries.select(col(id).as("q_id"), col(vec).as("qv2")),
+        "q_id")
+      .withColumn("psim", VectorOps.cosine6(col("cv2"), col("qv2")))
+      .withColumn("frank", row_number().over(w2))
+      .where(col("frank") <= k)
+      .join(exact.alias("e"),
+        col("r.q_id") === col("e.q_id") && col("vid") === col("e.n_id"),
+        "left")
+      .select(col("r.q_id").as("q_id"),
+        col("frank").cast("long").as("rank"), col("vid").as("n_id"),
+        col("adc6"), col("psim").as("sim"),
+        col("e.n_id").isNotNull.as("in_exact"))
+  }
+
   /** Global symmetric int8 scale learned from the corpus: ONE row,
     * scale = max|x| / 127 over all normalized components. Symmetric
     * (zero-centered) codes are what keeps the integer dot product a

@@ -610,7 +610,7 @@ object PipelineSuite extends Suite {
   /** PQ CTE chain (sub-vector split, per-subspace L2 Lloyd, codes) —
     * assumes `corpus`/`queries` CTEs; mirrors Ann.pqFit/pqCodes. */
   private[operators] def pqCtes(mSub: Int, subDim: Int, k: Int,
-                     iters: Int): String = {
+                     iters: Int, from: String = "corpus"): String = {
     def dotS(a: String, b: String) = VectorOps.dotSql(a, b)
     val iterCtes = (1 to iters).map { i =>
       s"""ppick$i AS (
@@ -640,10 +640,10 @@ object PipelineSuite extends Suite {
                ${dotS(s"embedding[m * $subDim + 1 : (m + 1) * $subDim]",
                  s"embedding[m * $subDim + 1 : (m + 1) * $subDim]")}
                  AS nv
-        FROM (SELECT *, unnest(range(0, $mSub)) AS m FROM corpus)),
+        FROM (SELECT *, unnest(range(0, $mSub)) AS m FROM $from)),
       seeds AS (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
-        FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT $k)),
+        FROM (SELECT vec_id FROM $from ORDER BY vec_id LIMIT $k)),
       pcent0 AS (
         SELECT s.m, d.cid, s.vm AS cv, s.nv AS cn
         FROM subn s JOIN seeds d USING (vec_id)),
@@ -724,6 +724,122 @@ object PipelineSuite extends Suite {
           GROUP BY 1, 2) s
           JOIN norms n ON n.vid = s.vid
           JOIN qnorms qq ON qq.q_id = s.q_id),
+      rankedpq AS (
+        SELECT * FROM (
+          SELECT q_id, vid, adc6,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc6 DESC, vid) AS rank
+          FROM scores) t
+        WHERE rank <= 50),
+      rescored AS (
+        SELECT * FROM (
+          SELECT r.q_id, r.vid, r.adc6,
+                 ${cos("v.embedding", "q.embedding")} AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY r.q_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            r.vid) AS frank
+          FROM rankedpq r
+            JOIN corpus v ON v.vec_id = r.vid
+            JOIN queries q ON q.vec_id = r.q_id) t
+        WHERE frank <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            v.vec_id) AS rk
+          FROM queries q CROSS JOIN corpus v) t
+        WHERE rk <= 5)
+      SELECT r.q_id, CAST(r.frank AS BIGINT) AS rank, r.vid AS n_id,
+             r.adc6, r.sim,
+             e.n_id IS NOT NULL AS in_exact
+      FROM rescored r
+        LEFT JOIN exact e ON e.q_id = r.q_id AND e.n_id = r.vid
+      ORDER BY r.q_id, rank"""
+    })
+
+  val c62 = Q(
+    "c62_ivfpq",
+    // IVF + residual PQ composed — the FAISS IVFPQ layout, i.e. THE
+    // 100 TB vector index: coarse k-means lists (c17's trainer), each
+    // vector stored as (list id, PQ codes of v - c_coarse, norm) —
+    // residuals concentrate around 0 so the same code budget
+    // quantizes far tighter than raw vectors; query probes nprobe=2
+    // lists, approximate IP = <q, c_coarse> (exact, one per probed
+    // list) + residual ADC lookups, stored-norm cosine ranking, ADC
+    // top-50 -> exact rescore -> top-5 with the in_exact recall flag.
+    // Only probed lists are scored — candidates bounded by
+    // construction (c29's pruning composed with c61's compressed
+    // scan).
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.ivfpqTopK(e.where(col("vec_id") >= 5),
+          e.where(col("vec_id") < 5), "vec_id", "embedding",
+          kCoarse = 8, m = 8, subDim = 8, kSub = 16, iters = 2,
+          nprobe = 2, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      def dotS(a: String, b: String) = VectorOps.dotSql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      queries AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      ${kmeansCtes(k = 8, iters = 2)},
+      resid AS (
+        SELECT p.vec_id, p.cid AS c_id,
+               sqrt(${dotS("v.embedding", "v.embedding")}) AS vn,
+               list_transform(range(1, 65),
+                 i -> CAST(CAST(v.embedding[i] AS DOUBLE)
+                        - CAST(c.cv[i] AS DOUBLE) AS FLOAT))
+                 AS embedding
+        FROM pick3 p
+          JOIN corpus v USING (vec_id)
+          JOIN cent2 c ON p.cid = c.cid),
+      ${pqCtes(mSub = 8, subDim = 8, k = 16, iters = 2,
+        from = "resid")},
+      codes2 AS (
+        SELECT c.vid, c.m, c.code, r.c_id, r.vn
+        FROM codes c JOIN resid r ON r.vec_id = c.vid),
+      qprobes AS (
+        SELECT q_id, cid AS c_id FROM (
+          SELECT q.vec_id AS q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM queries q CROSS JOIN cent2 c) t
+        WHERE rk <= 2),
+      qpre AS (
+        SELECT p.q_id, p.c_id,
+               sqrt(${dotS("q.embedding", "q.embedding")}) AS qn,
+               ${dotS("q.embedding", "c.cv")} AS qc,
+               list_transform(range(1, 65),
+                 i -> CAST(CAST(q.embedding[i] AS DOUBLE)
+                        - CAST(c.cv[i] AS DOUBLE) AS FLOAT))
+                 AS embedding
+        FROM qprobes p
+          JOIN queries q ON q.vec_id = p.q_id
+          JOIN cent2 c ON c.cid = p.c_id),
+      qtab AS (
+        SELECT s.q_id, s.c_id, s.m, c.cid,
+               ${dotS("s.vm", "c.cv")} AS dt
+        FROM (SELECT q_id, c_id, m,
+                     embedding[m * 8 + 1 : (m + 1) * 8] AS vm
+              FROM (SELECT *, unnest(range(0, 8)) AS m FROM qpre)) s
+          JOIN pcent2 c ON s.m = c.m),
+      scores AS (
+        SELECT s.q_id, s.vid,
+               round((qp.qc + s.adc_r) / (s.vn * qp.qn), 6) AS adc6
+        FROM (
+          SELECT t.q_id, c.vid, c.c_id, c.vn,
+                 CAST(SUM(CAST(FLOOR(dt * 1073741824.0) AS HUGEINT))
+                   AS DOUBLE) / 1073741824.0 AS adc_r
+          FROM codes2 c JOIN qtab t
+            ON c.m = t.m AND c.code = t.cid AND c.c_id = t.c_id
+          GROUP BY 1, 2, 3, 4) s
+          JOIN qpre qp ON qp.q_id = s.q_id AND qp.c_id = s.c_id),
       rankedpq AS (
         SELECT * FROM (
           SELECT q_id, vid, adc6,
@@ -2202,5 +2318,5 @@ object PipelineSuite extends Suite {
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-      c57, c58, c59, c60, c61)
+      c57, c58, c59, c60, c61, c62)
 }

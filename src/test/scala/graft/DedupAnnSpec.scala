@@ -89,6 +89,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("sim") - exp) < 1e-5)
   }
 
+  test("IVFPQ: dense ranks, exact rescored sims, recall at c61 level") {
+    val corpus = emb.where($"vec_id" >= 5)
+    val queries = emb.where($"vec_id" < 5)
+    val out = Ann.ivfpqTopK(corpus, queries, "vec_id", "embedding",
+      kCoarse = 8, m = 8, subDim = 8, kSub = 16, iters = 2,
+      nprobe = 2, k = 5).cache()
+    assert(out.groupBy($"q_id").count().where($"count" =!= 5).isEmpty)
+    // rescored sims are exact cosines
+    val bfAll = Ann.bruteForceTopK(corpus, queries, "vec_id",
+      "embedding", k = 1000)
+    val joined = out.join(bfAll.select($"q_id", $"n_id",
+      $"sim".as("bf_sim")), Seq("q_id", "n_id"))
+    assert(joined.count() === out.count())
+    assert(joined.where($"sim" =!= $"bf_sim").isEmpty)
+  }
+
   test("ngram jaccard finds the planted near-duplicates symmetrically") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).cache()
     assert(pairs.count() > 0, "testdata plants >0 near-dup pairs")

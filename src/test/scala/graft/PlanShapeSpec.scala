@@ -121,6 +121,7 @@ class PlanShapeSpec extends SparkSpec {
       "d19_stream_surprisal",  // broadcast 1-row total-token count
       "c59_ann_nprobe_curve",  // broadcast centroids + query set (c17 thrice)
       "c61_pq_ann",            // broadcast codebooks + query set + norms
+      "c62_ivfpq",             // broadcast coarse cents + codebooks + queries
       "c52_trigram_surprisal", // broadcast 1-row total-token count
       "c54_bpe_batch_train",   // broadcast 1-row merge slot per (r, j)
       "c55_moore_lewis",       // broadcast 1-row totals, both LMs
