@@ -348,11 +348,25 @@ object CorpusStats {
     * reference only that round's pair counts). */
   private def bpeRounds(docs: DataFrame, id: String, text: String,
                         k: Int): (DataFrame, DataFrame) = {
+    val (out, corpora) = bpeRoundsAll(docs, id, text, k)
+    (out, corpora.last)
+  }
+
+  /** [[bpeRounds]] keeping EVERY round's corpus (d0..dk) — the loop is
+    * identical; the extra returns are lazy slices of barriers the loop
+    * materializes anyway (round i+1's pair count reads d_i), so a
+    * consumer aggregating each round (the [[bpeCurve]] audit) adds
+    * only its own small scans, never a recompute of the merge
+    * lineage. */
+  private def bpeRoundsAll(docs: DataFrame, id: String, text: String,
+                           k: Int): (DataFrame, Seq[DataFrame]) = {
     val open = "\u0002"; val close = "\u0003"
     val tk = TextOps.tokens(col(text))
     var cur = docs.select(col(id),
       size(tk).cast("long").as("n_raw"),
       concat(lit(open), concat_ws(close + open, tk), lit(close)).as("s"))
+    val corpora = Seq.newBuilder[DataFrame]
+    corpora += cur
     var out: DataFrame = null
     for (step <- 1 to k) {
       // framed string -> token list (frame chars cannot occur in
@@ -385,8 +399,70 @@ object CorpusStats {
             concat(lit(open), col("a"), lit(" "), col("b"),
               lit(close))).as("s"))
         .barrier(false)
+      corpora += cur
     }
-    (out, cur)
+    (out, corpora.result())
+  }
+
+  /** Compression-vs-k curve from ONE training loop: for each merge
+    * count 0..k, the corpus token total after the first i merges, the
+    * merge learned at step i and the cumulative integer-ppm saving vs
+    * the raw corpus — the "how many merges are worth training" audit a
+    * tokenizer team reads before fixing its vocab size (compression
+    * gain per merge decays; the curve shows where). One loop: the
+    * per-round totals aggregate the SAME barriered corpora the trainer
+    * already materializes (round i+1's pair count reads d_i), so the
+    * curve costs k+1 extra partial-aggregable size scans and zero
+    * extra merge work — never k separate trainings. The winning pair
+    * can't give the total directly (its count includes overlapping
+    * occurrences the greedy left-to-right apply skips), hence the
+    * explicit post-merge size aggs. */
+  def bpeCurve(docs: DataFrame, text: String, k: Int): DataFrame = {
+    val open = "\u0002"; val close = "\u0003"
+    val (merges, corpora) = bpeRoundsAll(docs, "doc_id", text, k)
+    val sizes = corpora.zipWithIndex.map { case (c, i) =>
+      c.select(size(split(trim(col("s"), open + close), close + open))
+          .cast("long").as("n"))
+        .agg(sum(col("n")).as("n_tokens"))
+        .select(lit(i.toLong).as("step"), col("n_tokens"))
+    }.reduce(_ unionAll _)
+    val n0 = sizes.where(col("step") === 0)
+      .select(col("n_tokens").as("n_raw"))
+    sizes.crossJoin(broadcast(n0))
+      .join(merges.select(col("step"), col("pair"), col("cnt")),
+        Seq("step"), "left")
+      .select(col("step"), col("pair"), col("cnt"), col("n_tokens"),
+        ppmExpr("n_raw - n_tokens", "n_raw").cast("long").as("saved_ppm"))
+      .orderBy(col("step"))
+  }
+
+  /** DuckDB mirror of [[bpeCurve]]: the same unrolled merge stages;
+    * per-stage totals over d0..dk, the step-i merge row joined on, and
+    * the ppm saving against the d0 total. */
+  def bpeCurveSql(text: String, k: Int, maxLen: Int = 4096): String = {
+    val sizeOf = (t: String) =>
+      s"""(SELECT CAST(SUM(len(str_split(trim(s, chr(2) || chr(3)),
+                 chr(3) || chr(2)))) AS BIGINT) FROM $t)"""
+    val rows = (0 to k).map { i =>
+      if (i == 0)
+        s"""SELECT CAST(0 AS BIGINT) AS step,
+               CAST(NULL AS VARCHAR) AS pair, CAST(NULL AS BIGINT) AS cnt,
+               ${sizeOf("d0")} AS n_tokens"""
+      else
+        s"""SELECT CAST($i AS BIGINT) AS step, a || ' ' || b AS pair,
+               cnt, ${sizeOf(s"d$i")} AS n_tokens
+        FROM best$i"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH ${bpeStagesSql(text, k, maxLen)},
+      curve AS (
+      $rows)
+      SELECT step, pair, cnt, n_tokens,
+             ${ppmSql("(SELECT n_tokens FROM curve WHERE step = 0) - n_tokens",
+                      "(SELECT n_tokens FROM curve WHERE step = 0)")}
+               AS saved_ppm
+      FROM curve
+      ORDER BY step"""
   }
 
   /** DuckDB mirror of [[bpeTrain]], the k merge rounds unrolled as
@@ -1665,5 +1741,83 @@ object CorpusStats {
               AS rank
             FROM scored) t
       WHERE rank <= $topK"""
+  }
+
+  /** Per-document keyword extraction by rational TF-IDF: for every
+    * doc its `topK` most distinctive terms under the integer score
+    * tf·N / (df·len) in parts-per-million — tf/len is the in-doc
+    * rate, N/df the corpus rarity multiplier. The classic log-IDF is
+    * replaced by the raw rarity RATIO (multiply-then-integer-divide,
+    * widened through decimal(38,0)) so the score is integer-exact and
+    * oracle-matchable; the log only dampens — for a per-doc top-k the
+    * ratio ranking is the same family of signal, and exactness wins.
+    * The topic/keyword profile pass a curation pipeline runs for
+    * cluster naming, search facets, or mix audits.
+    *
+    * Shape at 100 TB: one corpus explode into (doc, term) rows;
+    * per-doc term counts and doc lengths are partial-aggregable
+    * groupBys; df is a vocab-keyed agg of the (doc, term) table; the
+    * df join shuffles by term (both sides vocab/corpus-bounded, no
+    * skew beyond natural stopword heat — and stopwords have df≈N so
+    * their scores sink); the final per-doc top-k is a row_number ≤ k
+    * the optimizer rewrites to the TopKPerKey bounded heap
+    * (partial→exchange→final, shuffle rows ≤ docs·k). */
+  def tfidfKeywords(docs: DataFrame, id: String, text: String,
+                    topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(id),
+        explode(TextOps.tokens(col(text))).as("term"))
+    val tf = terms.groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(id))
+      .agg(sum(col("tf")).as("n_toks"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val scored = tf
+      .join(dl, Seq(id))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_ppm",
+        expr("(cast(tf as decimal(38,0)) * 1000000 * n_total)" +
+          " div (df * n_toks)").cast("long"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("score_ppm").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col(id), col("rank"), col("term"), col("tf"),
+        col("df"), col("score_ppm"))
+      .orderBy(col(id), col("rank"))
+  }
+
+  /** DuckDB mirror of [[tfidfKeywords]] (same rational score, HUGEINT
+    * product, same tie order). */
+  def tfidfKeywordsSql(id: String, text: String, topK: Int): String = {
+    val tk = TextOps.tokensSql(text)
+    s"""
+      WITH tt AS (
+        SELECT $id, unnest($tk) AS term FROM documents),
+      tf AS (
+        SELECT $id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2),
+      dl AS (
+        SELECT $id, CAST(SUM(tf) AS BIGINT) AS n_toks FROM tf GROUP BY 1),
+      dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_total FROM documents),
+      scored AS (
+        SELECT t.$id, t.term, t.tf, f.df,
+               CAST((CAST(t.tf AS HUGEINT) * 1000000 * n.n_total)
+                 // (f.df * l.n_toks) AS BIGINT) AS score_ppm
+        FROM tf t
+          JOIN dl l ON t.$id = l.$id
+          JOIN dfreq f ON t.term = f.term
+          CROSS JOIN n)
+      SELECT $id, CAST(rank AS BIGINT) AS rank, term, tf, df, score_ppm
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY $id
+              ORDER BY score_ppm DESC, term) AS rank
+            FROM scored) r
+      WHERE rank <= $topK
+      ORDER BY $id, rank"""
   }
 }

@@ -2313,10 +2313,54 @@ object PipelineSuite extends Suite {
     Some(Packing.shardPackSql("doc_id", "text", shards = 16,
       budget = 512L)))
 
+  val c63 = Q(
+    "c63_bpe_curve",
+    // Compression-vs-merge-count curve from ONE training loop
+    // (CorpusStats.bpeCurve): corpus token totals after 0..k merges,
+    // each step's learned pair and the cumulative ppm saving vs raw —
+    // the "is merge k still paying" audit that fixes a tokenizer's
+    // vocab size. Never k separate trainings: the totals aggregate
+    // the same barriered per-round corpora the k-round trainer
+    // (c45's loop) materializes anyway, so the curve adds k+1
+    // partial-aggregable size scans and zero merge work. The winning
+    // pair's count can't substitute for the scan (it counts
+    // overlapping occurrences the greedy non-overlapping apply
+    // skips).
+    (s, d) => CorpusStats.bpeCurve(Tables.documents(s, d), "text", k = 4),
+    Some(CorpusStats.bpeCurveSql("text", k = 4, maxLen = 256)))
+
+  val c64 = Q(
+    "c64_length_trim",
+    // Length-outlier trim (Sampling.lengthTrim): cut docs outside the
+    // corpus's exact [p5, p95] token-count band (nearest-rank over the
+    // c38 histogram-cumsum — no global sort, the window runs on the
+    // tiny bounded-domain histogram) and report the per-source audit
+    // with the thresholds applied. The C4/Gopher "remove truncated
+    // stubs and concatenation junk" gate, percentile-adaptive instead
+    // of hardcoded; two partial-aggregable corpus scans + a one-row
+    // threshold broadcast.
+    (s, d) => Sampling.lengthTrim(Tables.documents(s, d), "source",
+      "text", loPpm = 50000L, hiPpm = 950000L),
+    Some(Sampling.lengthTrimSql("source", "text",
+      loPpm = 50000L, hiPpm = 950000L)))
+
+  val c65 = Q(
+    "c65_tfidf_keywords",
+    // Per-doc keyword extraction (CorpusStats.tfidfKeywords): top-3
+    // most distinctive terms under the integer rational TF-IDF
+    // tf·N/(df·len) in ppm — log-IDF replaced by the exact rarity
+    // ratio so the score oracle-matches bit-for-bit. One explode, two
+    // partial-aggregable aggs, a vocab-keyed df join, and a per-doc
+    // row_number ≤ 3 the optimizer rewrites to the TopKPerKey bounded
+    // heap. The cluster-naming / facet pass of a curation pipeline.
+    (s, d) => CorpusStats.tfidfKeywords(Tables.documents(s, d),
+      "doc_id", "text", topK = 3),
+    Some(CorpusStats.tfidfKeywordsSql("doc_id", "text", topK = 3)))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-      c57, c58, c59, c60, c61, c62)
+      c57, c58, c59, c60, c61, c62, c63, c64, c65)
 }

@@ -150,4 +150,108 @@ object Sampling {
              CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
       FROM quotas q LEFT JOIN kept k ON q.$source = k.$source"""
   }
+
+  /** Length-outlier trim (the C4/Gopher "drop the freaks" gate, made
+    * exact): cut every document whose token count falls outside the
+    * corpus's [loPpm, hiPpm] nearest-rank percentile band, and report
+    * the per-source audit (docs cut low/high, docs and tokens kept)
+    * plus the thresholds applied. Truncated-length extremes are the
+    * classic quality tells — boilerplate stubs at the short end,
+    * concatenation junk at the long end — and a percentile band
+    * adapts to the corpus where a fixed cut doesn't.
+    *
+    * Exactness without a global sort: token counts live on a bounded
+    * integer domain, so the c38 move applies — histogram groupBy
+    * (partial-aggregable, ≤ |domain| rows) + a cumsum over the TINY
+    * histogram; the single-partition window is over the histogram,
+    * never the corpus. Thresholds are a broadcast one-row table; the
+    * gate and the audit agg are then one map + one partial-aggregable
+    * groupBy over the corpus — two corpus scans total (count pass +
+    * gate pass), both pushdown-friendly. Nearest-rank = smallest n
+    * whose running count reaches ceil(q·N): integer-only, so the
+    * oracle matches bit-for-bit. */
+  def lengthTrim(docs: DataFrame, source: String, text: String,
+                 loPpm: Long, hiPpm: Long): DataFrame = {
+    val t = docs.select(col(source),
+      size(TextOps.tokens(col(text))).cast("long").as("n"))
+    val th = lengthThresholds(docs, text, loPpm, hiPpm)
+    t.crossJoin(broadcast(th))
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") < col("lo"), 1L).otherwise(0L)).as("cut_low"),
+        sum(when(col("n") > col("hi"), 1L).otherwise(0L)).as("cut_high"),
+        sum(when(col("n").between(col("lo"), col("hi")), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("n").between(col("lo"), col("hi")), col("n"))
+          .otherwise(0L)).cast("long").as("tokens_kept"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .orderBy(col(source))
+  }
+
+  /** The [[lengthTrim]] band alone: one row (lo, hi) of exact
+    * nearest-rank token-count percentiles — the trained artifact a
+    * streaming gate broadcasts (Streams.lengthGateStreaming). Same
+    * c38 shape: histogram groupBy over the bounded count domain, then
+    * the cumsum window runs on the TINY histogram, never the corpus. */
+  def lengthThresholds(docs: DataFrame, text: String,
+                       loPpm: Long, hiPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(size(TextOps.tokens(col(text))).cast("long").as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+    def q(ppm: Long): Column =
+      min(when(col("cum") >= expr(s"($ppm * tot + 999999) div 1000000"),
+        col("n")))
+    cum.agg(q(loPpm).as("lo"), q(hiPpm).as("hi"))
+  }
+
+  /** DuckDB CTE body computing the [[lengthThresholds]] row as `th`
+    * (expects to be spliced after WITH; `from` picks the corpus). */
+  def lengthThresholdsCtes(text: String, loPpm: Long, hiPpm: Long,
+                           from: String = "documents"): String = {
+    val tk = TextOps.tokensSql(text)
+    s"""lt_t AS (
+        SELECT CAST(len($tk) AS BIGINT) AS n FROM $from),
+      lt_hist AS (SELECT n, COUNT(*) AS cnt FROM lt_t GROUP BY 1),
+      lt_cum AS (
+        SELECT n,
+               SUM(cnt) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER () AS tot
+        FROM lt_hist),
+      th AS (
+        SELECT CAST(MIN(CASE WHEN cum >= ($loPpm * tot + 999999) // 1000000
+                 THEN n END) AS BIGINT) AS lo,
+               CAST(MIN(CASE WHEN cum >= ($hiPpm * tot + 999999) // 1000000
+                 THEN n END) AS BIGINT) AS hi
+        FROM lt_cum)"""
+  }
+
+  /** DuckDB mirror of [[lengthTrim]] (same histogram-cumsum
+    * nearest-rank thresholds, same audit agg). */
+  def lengthTrimSql(source: String, text: String,
+                    loPpm: Long, hiPpm: Long): String = {
+    val tk = TextOps.tokensSql(text)
+    s"""
+      WITH t AS (
+        SELECT $source, CAST(len($tk) AS BIGINT) AS n FROM documents),
+      ${lengthThresholdsCtes(text, loPpm, hiPpm)}
+      SELECT $source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN n < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS cut_low,
+             CAST(SUM(CASE WHEN n > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS cut_high,
+             CAST(SUM(CASE WHEN n BETWEEN lo AND hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN n BETWEEN lo AND hi THEN n ELSE 0 END)
+               AS BIGINT) AS tokens_kept,
+             MAX(lo) AS lo, MAX(hi) AS hi
+      FROM t CROSS JOIN th
+      GROUP BY $source
+      ORDER BY $source"""
+  }
 }

@@ -832,7 +832,47 @@ object StreamingSuite extends Suite {
       ORDER BY vec_id, m"""
     })
 
+  val d25 = Q(
+    "d25_stream_length_gate",
+    // Streaming length-band gate, batch-replayed: arriving docs (the
+    // d13 %10>=8 split) pass iff their token count lies inside the
+    // [p5, p95] band TRAINED on the static corpus split
+    // (Sampling.lengthThresholds, barriered — the histogram pass
+    // never re-runs per batch; c64's streaming completion). Per-doc
+    // decisions are threshold-static, so micro-batch boundaries can
+    // never change them — Streams.lengthGateStreaming is the
+    // foreachBatch flavor, cross-batch-pinned in StreamsSpec. The
+    // per-batch work is a broadcast one-row join + a map filter:
+    // nothing shuffles on the stream path.
+    (s, d) => {
+      import graft.util.Barriers.BarrierOps
+      val docs = Tables.documents(s, d)
+      val isArr = pmod(col("doc_id"), lit(10)) >= 8
+      val th = Sampling.lengthThresholds(docs.where(!isArr), "text",
+        loPpm = 50000L, hiPpm = 950000L).barrier(true)
+      docs.where(isArr)
+        .select(col("doc_id"),
+          size(graft.functions.TextOps.tokens(col("text")))
+            .cast("long").as("n"))
+        .crossJoin(broadcast(th))
+        .where(col("n").between(col("lo"), col("hi")))
+        .select(col("doc_id"), col("n"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${Sampling.lengthThresholdsCtes("text",
+        loPpm = 50000L, hiPpm = 950000L,
+        from = "(SELECT * FROM documents WHERE doc_id % 10 < 8)")}
+      SELECT doc_id,
+             CAST(len(${graft.functions.TextOps.tokensSql("text")})
+               AS BIGINT) AS n
+      FROM documents CROSS JOIN th
+      WHERE doc_id % 10 >= 8
+        AND CAST(len(${graft.functions.TextOps.tokensSql("text")})
+              AS BIGINT) BETWEEN lo AND hi
+      ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21, d22, d23, d24)
+      d16, d17, d18, d19, d20, d21, d22, d23, d24, d25)
 }

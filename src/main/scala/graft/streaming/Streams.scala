@@ -757,6 +757,28 @@ object Streams {
       }
       .start()
 
+  /** Streaming length-band gate: arriving docs are kept iff their
+    * token count lies inside the TRAINED [lo, hi] percentile band
+    * (Sampling.lengthThresholds over the static corpus — barrier the
+    * row so the histogram pass never re-runs per batch; the d13/d19
+    * static-artifact seam). Per-doc decisions are threshold-static and
+    * independent, so micro-batch boundaries can never change them;
+    * the gate itself is a broadcast one-row join + a map filter. */
+  def lengthGateStreaming(thresholds: DataFrame, docs: DataFrame,
+      id: String, text: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(batch
+          .select(col(id),
+            size(graft.functions.TextOps.tokens(col(text)))
+              .cast("long").as("n"))
+          .crossJoin(broadcast(thresholds))
+          .where(col("n").between(col("lo"), col("hi")))
+          .select(col(id), col("n")))
+      }
+      .start()
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

@@ -330,4 +330,38 @@ class CorpusStatsSpec extends SparkSpec {
       .orderBy($"source").collect()
     assert(outU.map(_.getAs[Long]("l1_ppm")).toSeq === Seq(0L, 0L))
   }
+
+  test("bpeCurve: per-round totals track the hand-checked cascade") {
+    // bpeTrain's corpus: raw 8 tokens; merges "a b" -> 5, "a b a b"
+    // -> 4, "a b a b c" -> 3 (greedy non-overlapping — round 1's
+    // winner count 3 yet only 3 tokens disappear corpus-wide because
+    // doc 1's overlap run "a b a b" merges twice, "a b" alone once)
+    val docs = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bpeCurve(docs, "text", k = 3)
+      .orderBy($"step").collect()
+    assert(out.map(r => (r.getAs[Long]("step"), r.getAs[String]("pair"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("saved_ppm"))).toSeq ===
+      Seq((0L, null, 8L, 0L), (1L, "a b", 5L, 375000L),
+        (2L, "a b a b", 4L, 500000L), (3L, "a b a b c", 3L, 625000L)))
+    assert(out(1).getAs[Long]("cnt") == 3L)
+  }
+
+  test("tfidfKeywords: rational tf-idf ranks distinctive terms first") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.tfidfKeywords(docs, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"),
+        r.getAs[String]("term"), r.getAs[Long]("score_ppm")))
+    // doc1: apple 2·1e6·2/(1·3)=1333333 > banana 1e6·2/(2·3)=333333
+    // doc2: cherry 1e6·2/(1·2)=1000000 > banana 1e6·2/(2·2)=500000
+    assert(out.toSeq === Seq(
+      (1L, 1, "apple", 1333333L), (1L, 2, "banana", 333333L),
+      (2L, 1, "cherry", 1000000L), (2L, 2, "banana", 500000L)))
+  }
 }

@@ -126,7 +126,11 @@ class PlanShapeSpec extends SparkSpec {
       "c54_bpe_batch_train",   // broadcast 1-row merge slot per (r, j)
       "c55_moore_lewis",       // broadcast 1-row totals, both LMs
       "c56_tokenizer_fertility", // broadcast 1-row merge per step
-      "d22_stream_moore_lewis")  // broadcast 1-row totals, both LMs
+      "d22_stream_moore_lewis",  // broadcast 1-row totals, both LMs
+      "c63_bpe_curve",       // broadcast 1-row argmax pair + raw total
+      "c64_length_trim",     // broadcast 1-row threshold band
+      "c65_tfidf_keywords",  // broadcast 1-row doc count
+      "d25_stream_length_gate") // broadcast 1-row threshold band
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -921,4 +921,37 @@ class StreamsSpec extends SparkSpec {
     // every arriving doc gets exactly k answers (probed lists >> k docs)
     assert(streamed.groupBy(_._1).forall(_._2.length == 3))
   }
+
+  test("streaming length gate matches the batch band across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    import graft.util.Barriers.BarrierOps
+    val docs = Tables.documents(spark, sf)
+    val isArr = pmod($"doc_id", lit(10)) >= 8
+    val th = Sampling.lengthThresholds(docs.where(!isArr), "text",
+      loPpm = 50000L, hiPpm = 950000L).barrier(true)
+    val arriving = docs.where(isArr)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val collected = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.lengthGateStreaming(th,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text") { df =>
+      collected.synchronized { collected ++= df.collect() }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collected.synchronized {
+      collected.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n")))
+        .sortBy(_._1).toSeq
+    }
+    val batch = graft.SparkEntry.queries("d25_stream_length_gate")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n")))
+      .toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    assert(streamed.length < arriving.length, "the gate must actually trim")
+  }
 }

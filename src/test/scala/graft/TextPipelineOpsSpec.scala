@@ -149,4 +149,23 @@ class TextPipelineOpsSpec extends SparkSpec {
       assert(p99 === nearestRank(990000L), s"$lang p99")
     }
   }
+
+  test("lengthTrim: band thresholds and per-source audit hand-checked") {
+    // lengths 1..10, odd -> source s, even -> t; p25/p75 nearest-rank
+    // over 10 docs: lo = 3rd value = 3, hi = 8th value = 8
+    val docs = (1 to 10).map { n =>
+      (n.toLong, Seq.fill(n)("w").mkString(" "),
+        if (n % 2 == 1) "s" else "t")
+    }.toDF("doc_id", "text", "source")
+    val out = graft.operators.Sampling
+      .lengthTrim(docs, "source", "text", loPpm = 250000L, hiPpm = 750000L)
+      .orderBy($"source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("cut_low"), r.getAs[Long]("cut_high"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("tokens_kept"),
+        r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    assert(out.toSeq === Seq(
+      ("s", 5L, 1L, 1L, 3L, 15L, 3L, 8L),   // keeps 3,5,7
+      ("t", 5L, 1L, 1L, 3L, 18L, 3L, 8L)))  // keeps 4,6,8
+  }
 }
