@@ -292,4 +292,100 @@ object Packing {
                  // $budget END AS BIGINT) AS tail_fill_ppm
       FROM s GROUP BY shard ORDER BY shard"""
   }
+
+  /** Padding-waste audit of batch construction: fixed `batch`-doc
+    * batches padded to their longest member, under ARRIVAL-order
+    * batching (consecutive ids — what a naive loader does) vs
+    * SORTED-order batching (length-sorted — what a bucketed sampler
+    * approximates). The gap between the two waste_ppm rows is exactly
+    * what length-bucketed batching buys — the audit a training-infra
+    * team runs before picking a sampler.
+    *
+    * Both global ranks are the two-level distributed scan, never a
+    * one-partition corpus window: the arrival rank buckets by
+    * `id div 4096` (intra-bucket row_number + a broadcast bucket-count
+    * prefix — [[packOffsets]]' shape with counts for token sums); the
+    * sorted rank partitions its row_number by the LENGTH value and
+    * prefixes with the c38 histogram cumsum (token-count domain is
+    * bounded, so the histogram window is tiny; degenerate
+    * constant-length corpora would hot-key the intra-length window —
+    * real corpora spread lengths). Batch stats then groupBy batch id
+    * (partial-aggregable) and fold to one row per strategy. */
+  def paddingAudit(docs: DataFrame, id: String, text: String,
+                   batch: Int): DataFrame = {
+    val toks = docs.select(col(id),
+      size(TextOps.tokens(col(text))).cast("long").as("n"))
+    // arrival rank: id-bucketed two-level count scan
+    val bucketed = toks.withColumn("__bkt", expr(s"$id div 4096"))
+    val arrLocal = bucketed.withColumn("__rn",
+      row_number().over(Window.partitionBy(col("__bkt")).orderBy(col(id)))
+        .cast("long"))
+    val wBkt = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val arrPrefix = bucketed.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__before", sum(col("__cnt")).over(wBkt) - col("__cnt"))
+      .select(col("__bkt"), col("__before"))
+    val arrRank = arrLocal.join(broadcast(arrPrefix), "__bkt")
+      .select(col("n"), (col("__before") + col("__rn")).as("rk"))
+    // sorted rank: intra-length row_number + histogram-cumsum prefix
+    val srtLocal = toks.withColumn("__rn",
+      row_number().over(Window.partitionBy(col("n")).orderBy(col(id)))
+        .cast("long"))
+    val wHist = Window.orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val srtPrefix = toks.groupBy(col("n"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__before", sum(col("__cnt")).over(wHist) - col("__cnt"))
+      .select(col("n").as("__n"), col("__before"))
+    val srtRank = srtLocal.join(broadcast(srtPrefix),
+        col("n") === col("__n"))
+      .select(col("n"), (col("__before") + col("__rn")).as("rk"))
+    def summarize(ranked: DataFrame, strategy: String): DataFrame =
+      ranked
+        .withColumn("bid", expr(s"(rk - 1) div $batch"))
+        .groupBy(col("bid"))
+        .agg(count(lit(1)).as("cnt"), max(col("n")).as("mx"),
+          sum(col("n")).as("sm"))
+        .agg(sum(col("cnt")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("sm")).cast("long").as("real_tokens"),
+          sum(col("cnt") * col("mx")).cast("long").as("padded_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_docs"),
+          col("n_batches"), col("real_tokens"), col("padded_tokens"),
+          CorpusStats.ppmExpr("padded_tokens - real_tokens",
+            "padded_tokens").cast("long").as("waste_ppm"))
+    summarize(arrRank, "arrival")
+      .unionAll(summarize(srtRank, "sorted"))
+      .orderBy(col("strategy"))
+  }
+
+  /** DuckDB mirror of [[paddingAudit]] (one-window ranks — the
+    * two-level scan is bit-identical by construction). */
+  def paddingAuditSql(id: String, text: String, batch: Int): String = {
+    val tk = TextOps.tokensSql(text)
+    def leg(order: String, strategy: String) =
+      s"""
+      SELECT '$strategy' AS strategy,
+             CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_batches,
+             CAST(SUM(sm) AS BIGINT) AS real_tokens,
+             CAST(SUM(cnt * mx) AS BIGINT) AS padded_tokens,
+             ${CorpusStats.ppmSql("SUM(cnt * mx) - SUM(sm)",
+               "SUM(cnt * mx)")} AS waste_ppm
+      FROM (
+        SELECT (rk - 1) // $batch AS bid, COUNT(*) AS cnt,
+               MAX(n) AS mx, SUM(n) AS sm
+        FROM (SELECT n, ROW_NUMBER() OVER (ORDER BY $order) AS rk
+              FROM t)
+        GROUP BY 1)"""
+    s"""
+      WITH t AS (
+        SELECT $id, CAST(len($tk) AS BIGINT) AS n FROM documents)
+      SELECT * FROM (
+      ${leg(id, "arrival")}
+      UNION ALL
+      ${leg(s"n, $id", "sorted")})
+      ORDER BY strategy"""
+  }
 }

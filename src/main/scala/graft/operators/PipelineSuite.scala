@@ -2357,10 +2357,24 @@ object PipelineSuite extends Suite {
       "doc_id", "text", topK = 3),
     Some(CorpusStats.tfidfKeywordsSql("doc_id", "text", topK = 3)))
 
+  val c66 = Q(
+    "c66_padding_audit",
+    // Padding-waste audit (Packing.paddingAudit): fixed 16-doc
+    // batches padded to their longest member, arrival-order vs
+    // length-sorted batching — the waste gap is what length-bucketed
+    // batch sampling buys; the audit a training-infra team runs
+    // before picking a sampler. Both global ranks are two-level
+    // distributed scans (id-bucket counts / length-histogram cumsum
+    // prefixes + partitioned intra row_numbers), never a
+    // one-partition corpus window.
+    (s, d) => Packing.paddingAudit(Tables.documents(s, d), "doc_id",
+      "text", batch = 16),
+    Some(Packing.paddingAuditSql("doc_id", "text", batch = 16)))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-      c57, c58, c59, c60, c61, c62, c63, c64, c65)
+      c57, c58, c59, c60, c61, c62, c63, c64, c65, c66)
 }

@@ -443,7 +443,63 @@ object RelationalSuite extends Suite {
       GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))
       ORDER BY segment, status"""))
 
+  val a17 = Q(
+    "a17_pivot",
+    // PIVOT: per-nation order value spread across the five order
+    // priorities as columns — the wide reporting matrix next to the
+    // grouping family (a9/a13/a16 produce rows; pivot produces
+    // columns). Priority values are DECLARED, not discovered: passing
+    // the value list to pivot() skips the extra collect-distinct job
+    // Spark otherwise runs AND fixes the output schema — the only
+    // sane contract at 100 TB (schema can't depend on a corpus scan).
+    // Execution is a single hash aggregation over (nation) with five
+    // conditional decimal sums — one shuffle, map-side combinable;
+    // customer joins orders on the shuffle, nation broadcasts.
+    (s, d) => {
+      val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+      j.groupBy(col("n_name"))
+        .pivot("o_orderpriority", pris)
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+        .select(col("n_name"),
+          col("`1-URGENT`").as("p_urgent"),
+          col("`2-HIGH`").as("p_high"),
+          col("`3-MEDIUM`").as("p_medium"),
+          col("`4-NOT SPECIFIED`").as("p_notspec"),
+          col("`5-LOW`").as("p_low"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+          THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+          AS p_urgent,
+        CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+          THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+          AS p_high,
+        CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+          THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+          AS p_medium,
+        CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+          THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+          AS p_notspec,
+        CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+          THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+          AS p_low
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
   override val queries: Seq[Q] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15,
-      a16)
+      a16, a17)
 }

@@ -162,4 +162,44 @@ class PackingSpec extends SparkSpec {
     }
     assert(out.toSeq === expect)
   }
+
+  test("paddingAudit: hand-checked waste under both batching orders") {
+    // ids 1..6 with lengths 1,10,2,9,3,8 and batch=2:
+    // arrival [1,10][2,9][3,8] -> padded 20+18+16=54, real 33
+    // sorted  [1,2][3,8][9,10] -> padded 4+16+20=40, real 33
+    val docs = Seq((1L, 1), (2L, 10), (3L, 2), (4L, 9), (5L, 3), (6L, 8))
+      .map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = graft.operators.Packing
+      .paddingAudit(docs, "doc_id", "text", batch = 2)
+      .collect().map(r => (r.getAs[String]("strategy"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_batches"),
+        r.getAs[Long]("real_tokens"), r.getAs[Long]("padded_tokens"),
+        r.getAs[Long]("waste_ppm")))
+    assert(out.toSeq === Seq(
+      ("arrival", 6L, 3L, 33L, 54L, 21000000L / 54L),
+      ("sorted", 6L, 3L, 33L, 40L, 7000000L / 40L)))
+  }
+
+  test("paddingAudit: two-level ranks match a brute-force replay at sf") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val out = graft.operators.Packing
+      .paddingAudit(docs, "doc_id", "text", batch = 16)
+      .collect().map(r => (r.getAs[String]("strategy"),
+        r.getAs[Long]("n_batches"), r.getAs[Long]("real_tokens"),
+        r.getAs[Long]("padded_tokens"))).toSeq
+    val lens = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def brute(ordered: Seq[Long]) = {
+      val batches = ordered.grouped(16).toSeq
+      (batches.size.toLong, ordered.sum,
+        batches.map(b => b.size * b.max).sum)
+    }
+    val arr = brute(lens.sortBy(_._1).map(_._2))
+    val srt = brute(lens.sortBy(t => (t._2, t._1)).map(_._2))
+    assert(out === Seq(
+      ("arrival", arr._1, arr._2, arr._3),
+      ("sorted", srt._1, srt._2, srt._3)))
+  }
 }
