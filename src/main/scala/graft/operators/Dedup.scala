@@ -186,6 +186,40 @@ object Dedup {
       .select(col("node").as(id), col("component").as("keeper"))
   }
 
+  /** What did [[deduplicate]] actually buy: the duplicate-cluster
+    * size histogram with the doc/token mass each size class removes
+    * (keeper kept, the rest cut) — the savings report a dedup run
+    * ships, and the tell for pathological cluster growth (one giant
+    * boilerplate component = a near-dup threshold set too loose).
+    * Singletons (docs in no near-dup pair) appear as the size-1 row
+    * with zero removal, so the histogram partitions the whole corpus
+    * and the columns audit each other: Σ size·n_clusters = corpus
+    * docs, Σ docs_removed = corpus − survivors.
+    *
+    * Shape: the cluster map is [[deduplicate]]'s LSH→verify→CC output
+    * (all bucketed equi-joins + the bounded-round star contraction);
+    * the stats add one left join back onto doc token counts (id-keyed)
+    * and two partial-aggregable groupBys (per-cluster, then the
+    * O(max-size) histogram). Nothing new shuffles wider than the
+    * dedup itself. */
+  def clusterStats(docs: DataFrame, id: String, text: String,
+                   tau: Double): DataFrame = {
+    val m = deduplicate(docs, id, text, tau)
+    val full = docs
+      .select(col(id), size(TextOps.tokens(col(text))).cast("long").as("n"))
+      .join(m, Seq(id), "left")
+      .withColumn("keeper", coalesce(col("keeper"), col(id)))
+    full.groupBy(col("keeper"))
+      .agg(count(lit(1)).as("sz"),
+        sum(when(col(id) =!= col("keeper"), col("n")).otherwise(0L))
+          .cast("long").as("rm"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz") - 1).cast("long").as("docs_removed"),
+        sum(col("rm")).cast("long").as("tokens_removed"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Replicate rows into triangle block pairs for an exact self-join
     * without a nested loop: a row hashed to block i appears on the
     * left of block pairs (i, j>=i) and on the right of (i<=j, j), so

@@ -2371,10 +2371,59 @@ object PipelineSuite extends Suite {
       "text", batch = 16),
     Some(Packing.paddingAuditSql("doc_id", "text", batch = 16)))
 
+  val c67 = Q(
+    "c67_dedup_cluster_stats",
+    // The savings report of a dedup run (Dedup.clusterStats): c16's
+    // LSH→verify→CC clusters folded to the cluster-size histogram
+    // with the doc/token mass each size class removes — singletons
+    // included as the size-1 row, so the histogram partitions the
+    // corpus (Σ size·n_clusters = docs) and a too-loose threshold
+    // shows up as a giant component. Adds one id-keyed left join +
+    // two partial-aggregable groupBys over c16's output; nothing
+    // shuffles wider than the dedup itself.
+    (s, d) => Dedup.clusterStats(Tables.documents(s, d), "doc_id",
+      "text", 0.5),
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest($SH) AS s FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+      map AS (
+        SELECT n AS doc_id, LEAST(n, MIN(m)) AS keeper
+        FROM reach GROUP BY n),
+      everydoc AS (
+        SELECT d.doc_id, COALESCE(m.keeper, d.doc_id) AS keeper,
+               CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n
+        FROM documents d LEFT JOIN map m ON d.doc_id = m.doc_id),
+      cl AS (
+        SELECT keeper, COUNT(*) AS sz,
+               SUM(CASE WHEN doc_id <> keeper THEN n ELSE 0 END) AS rm
+        FROM everydoc GROUP BY 1)
+      SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+             CAST(SUM(sz - 1) AS BIGINT) AS docs_removed,
+             CAST(SUM(rm) AS BIGINT) AS tokens_removed
+      FROM cl
+      GROUP BY 1
+      ORDER BY cluster_size"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-      c57, c58, c59, c60, c61, c62, c63, c64, c65, c66)
+      c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67)
 }

@@ -499,7 +499,47 @@ object RelationalSuite extends Suite {
       GROUP BY n_name
       ORDER BY n_name"""))
 
+  val a18 = Q(
+    "a18_unpivot",
+    // UNPIVOT (melt): a17's wide nation×priority matrix back to long
+    // rows — the inverse reporting move (wide matrix for humans, long
+    // rows for joins/ML), executed as a single Expand over the
+    // aggregated 25-row matrix: 5 output rows per input row, map-only,
+    // ZERO additional shuffles beyond a17's one aggregation. Column
+    // names ARE the priority values, so the melt needs no relabel
+    // join; empty cells (null sums) are dropped to match the long
+    // groupBy form.
+    (s, d) => {
+      val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+      val wide = j.groupBy(col("n_name"))
+        .pivot("o_orderpriority", pris)
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+      wide.unpivot(
+          Array(col("n_name")),
+          pris.map(p => col(s"`$p`")).toArray,
+          "priority", "sum_price")
+        .where(col("sum_price").isNotNull)
+        .orderBy(col("n_name"), col("priority"))
+    },
+    Some("""
+      SELECT n_name, o_orderpriority AS priority,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+          AS sum_price
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+      ORDER BY n_name, priority"""))
+
   override val queries: Seq[Q] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15,
-      a16, a17)
+      a16, a17, a18)
 }

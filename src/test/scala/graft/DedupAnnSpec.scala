@@ -227,4 +227,29 @@ class DedupAnnSpec extends SparkSpec {
       $"dup_of" =!= $"want_dup_of" || $"n_dups" =!= $"want_n").isEmpty,
       "dropped set == same-cluster slice of the global exact pairs")
   }
+
+  test("clusterStats: histogram partitions the corpus, removal mass " +
+      "hand-checked") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // dup pair with 2 -> cluster {1, 2}
+      (2L, "a b c d e f"),
+      (3L, "x y z w q r"),   // singleton
+      (4L, "p p q q r r s")  // singleton
+    ).toDF("doc_id", "text")
+    val out = Dedup.clusterStats(d, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getAs[Long]("cluster_size"),
+        r.getAs[Long]("n_clusters"), r.getAs[Long]("docs_removed"),
+        r.getAs[Long]("tokens_removed")))
+    assert(out.toSeq === Seq((1L, 2L, 0L, 0L), (2L, 1L, 1L, 6L)))
+    // at sf: Σ size·n_clusters covers every doc, removal mass consistent
+    val sfOut = Dedup.clusterStats(docs, "doc_id", "text", 0.5).collect()
+    val covered = sfOut.map(r => r.getAs[Long]("cluster_size") *
+      r.getAs[Long]("n_clusters")).sum
+    assert(covered === docs.count())
+    val removed = sfOut.map(_.getAs[Long]("docs_removed")).sum
+    val survivors = Dedup.deduplicate(docs, "doc_id", "text", 0.5)
+      .where($"doc_id" === $"keeper").count() +
+      (docs.count() - Dedup.deduplicate(docs, "doc_id", "text", 0.5).count())
+    assert(removed === docs.count() - survivors)
+  }
 }
