@@ -452,9 +452,11 @@ object RelationalSuite extends Suite {
     // the value list to pivot() skips the extra collect-distinct job
     // Spark otherwise runs AND fixes the output schema — the only
     // sane contract at 100 TB (schema can't depend on a corpus scan).
-    // Execution is a single hash aggregation over (nation) with five
-    // conditional decimal sums — one shuffle, map-side combinable;
-    // customer joins orders on the shuffle, nation broadcasts.
+    // Executes as Spark's two-phase pivot: partial decimal sums per
+    // (nation, priority) — map-side combinable, so the first exchange
+    // moves ≤ nations×5 rows per task — then pivotfirst folds the 5
+    // priority cells into columns on the nation key; nation
+    // broadcasts, customer joins orders on the shuffle.
     (s, d) => {
       val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
         "4-NOT SPECIFIED", "5-LOW")
