@@ -134,6 +134,59 @@ object CorpusStats {
         col("overlap_ppm"))
   }
 
+  /** [[contamination]] APPLIED — the decontamination cut itself:
+    * training docs flagged by the overlap detector are anti-joined
+    * out, and the result is the per-source audit (docs/tokens before,
+    * docs/tokens cut) a pipeline logs when it scrubs its train split
+    * against an eval suite. Eval docs are not training data, so they
+    * count in neither column.
+    *
+    * Shape on top of the detector: the flagged-id set is a DISTINCT
+    * projection of the pair table (≤ train docs rows, typically tiny
+    * — contaminated docs are the exception), so the anti join
+    * broadcasts; the audit agg is partial-aggregable per source. The
+    * detect→apply seam mirrors c16's pairs→deduplicate. */
+  def decontaminate(docs: DataFrame, id: String, source: String,
+                    text: String, isEval: Column,
+                    minOverlap: Double): DataFrame = {
+    val cut = contamination(docs, id, text, isEval, minOverlap)
+      .select(col("train_id").as(id)).distinct()
+    val train = docs.where(!isEval)
+      .select(col(id), col(source),
+        size(TextOps.tokens(col(text))).cast("long").as("n"))
+    train
+      .join(broadcast(cut.withColumn("__cut", lit(1L))), Seq(id), "left")
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("n_tokens"),
+        sum(when(col("__cut").isNotNull, 1L).otherwise(0L))
+          .as("docs_cut"),
+        sum(when(col("__cut").isNotNull, col("n")).otherwise(0L))
+          .cast("long").as("tokens_cut"))
+      .orderBy(col(source))
+  }
+
+  /** DuckDB mirror of [[decontaminate]]. */
+  def decontaminateSql(id: String, source: String, text: String,
+                       isEvalSql: String, minOverlap: Double): String =
+    s"""
+      WITH pairs AS (
+        ${contaminationSql(id, text, isEvalSql, minOverlap)}),
+      cut AS (SELECT DISTINCT train_id AS $id FROM pairs),
+      train AS (
+        SELECT $id, $source,
+               CAST(len(${TextOps.tokensSql(text)}) AS BIGINT) AS n
+        FROM documents WHERE NOT ($isEvalSql))
+      SELECT $source, COUNT(*) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN c.$id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS docs_cut,
+             CAST(SUM(CASE WHEN c.$id IS NOT NULL THEN n ELSE 0 END)
+               AS BIGINT) AS tokens_cut
+      FROM train t LEFT JOIN cut c ON t.$id = c.$id
+      GROUP BY $source
+      ORDER BY $source"""
+
   def contaminationSql(id: String, text: String, isEvalSql: String,
                        minOverlap: Double,
                        rel: String = "documents"): String = {

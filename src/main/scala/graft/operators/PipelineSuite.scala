@@ -2420,10 +2420,25 @@ object PipelineSuite extends Suite {
       GROUP BY 1
       ORDER BY cluster_size"""))
 
+  val c68 = Q(
+    "c68_decontaminate",
+    // c27 APPLIED (CorpusStats.decontaminate): training docs flagged
+    // by the eval-overlap detector are anti-joined out and the cut is
+    // reported per source (docs/tokens before vs cut) — the scrub a
+    // pipeline logs before shipping its train split; the detect→apply
+    // seam mirroring c16→c19. The flagged-id set is a tiny distinct
+    // projection of the pair table, so the join back broadcasts; the
+    // audit agg is partial-aggregable.
+    (s, d) => CorpusStats.decontaminate(Tables.documents(s, d),
+      "doc_id", "source", "text", pmod(col("doc_id"), lit(37)) === 0,
+      minOverlap = 0.1),
+    Some(CorpusStats.decontaminateSql("doc_id", "source", "text",
+      "doc_id % 37 = 0", minOverlap = 0.1)))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-      c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67)
+      c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68)
 }

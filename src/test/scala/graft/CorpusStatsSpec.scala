@@ -350,6 +350,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("cnt") == 3L)
   }
 
+  test("decontaminate: flagged train docs cut, eval docs in neither " +
+      "column") {
+    val docs = Seq(
+      (0L, "w x y z", "web"),     // eval doc (id % 37 == 0)
+      (1L, "w x y z q", "web"),   // train, shares both shingles -> cut
+      (2L, "p x y z", "books"),   // train, shares one (overlap 0.5) -> cut
+      (3L, "a b c d", "books"),   // train, clean
+      (37L, "w x y z", "web")     // eval again
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusStats.decontaminate(docs, "doc_id", "source", "text",
+        pmod(col("doc_id"), lit(37)) === 0, minOverlap = 0.4)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("docs_cut"), r.getAs[Long]("tokens_cut")))
+    assert(out.toSeq === Seq(
+      ("books", 2L, 8L, 1L, 4L),   // doc 2 cut, doc 3 kept
+      ("web", 1L, 5L, 1L, 5L)))    // doc 1 cut; eval docs absent
+  }
+
   test("tfidfKeywords: rational tf-idf ranks distinctive terms first") {
     val docs = Seq(
       (1L, "apple apple banana"),
