@@ -541,7 +541,127 @@ object RelationalSuite extends Suite {
       GROUP BY 1, 2
       ORDER BY n_name, priority"""))
 
+  val a19 = Q(
+    "a19_funnel",
+    // Ordered conversion funnel view → click → purchase: a user
+    // reaches step k iff they have a step-k event STRICTLY after
+    // their step-(k-1) entry time — the staged-min-timestamp
+    // semantics every product-analytics funnel uses (not mere
+    // presence: order matters). Each stage is a user-keyed
+    // partial-aggregable min + one user-keyed equi-join of the NEXT
+    // event type against the previous stage's entry times — k-1
+    // bounded-fanout shuffles on the user key, no window over the
+    // event stream and no per-user event sort; the final 3-row
+    // summary broadcasts step 1's count for the ppm conversion.
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      def entry(t: String, prev: DataFrame, prevCol: String) =
+        ev.where(col("event_type") === t)
+          .join(prev, Seq("user_id"))
+          .where(col("us") > col(prevCol))
+          .groupBy(col("user_id"))
+          .agg(min(col("us")).as(prevCol + "n"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+      val t2 = entry("click", t1, "t")
+      val t3 = entry("purchase", t2, "tn")
+      def row(step: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(step.toLong).as("step"), lit(name).as("stage"),
+            col("n_users"))
+      val steps = row(1, "view", t1)
+        .unionAll(row(2, "click", t2))
+        .unionAll(row(3, "purchase", t3))
+      val base = row(1, "view", t1).select(col("n_users").as("n_base"))
+      steps.crossJoin(broadcast(base))
+        .select(col("step"), col("stage"), col("n_users"),
+          expr("(cast(n_users as decimal(38,0)) * 1000000) div n_base")
+            .cast("long").as("conv_ppm"))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      t1 AS (
+        SELECT user_id, MIN(us) AS t FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (
+        SELECT e.user_id, MIN(e.us) AS t FROM ev e
+        JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.us > t1.t GROUP BY 1),
+      t3 AS (
+        SELECT e.user_id, MIN(e.us) AS t FROM ev e
+        JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.us > t2.t GROUP BY 1),
+      steps AS (
+        SELECT 1 AS step, 'view' AS stage, COUNT(*) AS n_users FROM t1
+        UNION ALL
+        SELECT 2, 'click', COUNT(*) FROM t2
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*) FROM t3)
+      SELECT CAST(step AS BIGINT) AS step, stage,
+             CAST(n_users AS BIGINT) AS n_users,
+             CAST((CAST(n_users AS HUGEINT) * 1000000)
+               // (SELECT n_users FROM steps WHERE step = 1) AS BIGINT)
+               AS conv_ppm
+      FROM steps
+      ORDER BY step"""))
+
+  val a20 = Q(
+    "a20_retention_cohort",
+    // Weekly retention cohort matrix: users grouped by first-seen
+    // week, each cohort's share still active k weeks later — the
+    // classic growth-analytics triangle. First-seen is a user-keyed
+    // partial-aggregable min; the (cohort, offset) matrix is a
+    // distinct over (user, week) pairs (bounded: users × weeks)
+    // joined user-keyed to the cohort map; cohort sizes broadcast
+    // back for the ppm share. Weeks are integer epoch-microsecond
+    // arithmetic — no calendar functions to disagree across engines.
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("week"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val active = ev.distinct()
+        .join(cohort, Seq("user_id"))
+        .select(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = cohort.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("n_cohort"))
+      active.join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"), col("n_active"),
+          col("n_cohort"),
+          expr("(cast(n_active as decimal(38,0)) * 1000000) div n_cohort")
+            .cast("long").as("retained_ppm"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS week
+        FROM events),
+      cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1),
+      active AS (
+        SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+               COUNT(*) AS n_active
+        FROM (SELECT DISTINCT user_id, week FROM ev) e
+        JOIN cohort c ON e.user_id = c.user_id
+        GROUP BY 1, 2),
+      sizes AS (
+        SELECT cohort_week, COUNT(*) AS n_cohort FROM cohort GROUP BY 1)
+      SELECT a.cohort_week, a.week_offset,
+             CAST(a.n_active AS BIGINT) AS n_active,
+             CAST(s.n_cohort AS BIGINT) AS n_cohort,
+             CAST((CAST(a.n_active AS HUGEINT) * 1000000) // s.n_cohort
+               AS BIGINT) AS retained_ppm
+      FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
+      ORDER BY a.cohort_week, a.week_offset"""))
+
   override val queries: Seq[Q] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15,
-      a16, a17, a18)
+      a16, a17, a18, a19, a20)
 }
