@@ -872,7 +872,68 @@ object StreamingSuite extends Suite {
               AS BIGINT) BETWEEN lo AND hi
       ORDER BY doc_id"""))
 
+  val d26 = Q(
+    "d26_stream_funnel",
+    // Streaming funnel tracker, batch-replayed: per-user keyed state
+    // of exactly (stage, entry ts) — O(users) two-long state —
+    // advanced by a19's strict staged rule as events arrive
+    // (Streams.funnelStreaming, ordered-feed convention like d2/d3,
+    // final per-user emission StreamsSpec-pinned). The batch replay
+    // is the staged-min-join form: per-user highest stage reached
+    // with that stage's entry time (-1 sentinel before any view), one
+    // row per user seen — the live-dashboard state a product-
+    // analytics stream maintains.
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("e1"))
+      val t2 = ev.where(col("event_type") === "click")
+        .join(t1, Seq("user_id")).where(col("us") > col("e1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("e2"))
+      val t3 = ev.where(col("event_type") === "purchase")
+        .join(t2, Seq("user_id")).where(col("us") > col("e2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("e3"))
+      ev.select(col("user_id")).distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("e3").isNotNull, 3L)
+            .when(col("e2").isNotNull, 2L)
+            .when(col("e1").isNotNull, 1L)
+            .otherwise(0L).as("stage"),
+          coalesce(col("e3"), col("e2"), col("e1"), lit(-1L))
+            .as("entry_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      t1 AS (
+        SELECT user_id, MIN(us) AS e1 FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (
+        SELECT e.user_id, MIN(e.us) AS e2 FROM ev e
+        JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.us > t1.e1 GROUP BY 1),
+      t3 AS (
+        SELECT e.user_id, MIN(e.us) AS e3 FROM ev e
+        JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.us > t2.e2 GROUP BY 1)
+      SELECT u.user_id,
+             CAST(CASE WHEN t3.e3 IS NOT NULL THEN 3
+                       WHEN t2.e2 IS NOT NULL THEN 2
+                       WHEN t1.e1 IS NOT NULL THEN 1
+                       ELSE 0 END AS BIGINT) AS stage,
+             COALESCE(t3.e3, t2.e2, t1.e1, -1) AS entry_us
+      FROM (SELECT DISTINCT user_id FROM ev) u
+        LEFT JOIN t1 ON u.user_id = t1.user_id
+        LEFT JOIN t2 ON u.user_id = t2.user_id
+        LEFT JOIN t3 ON u.user_id = t3.user_id
+      ORDER BY u.user_id"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21, d22, d23, d24, d25)
+      d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26)
 }

@@ -556,6 +556,50 @@ object Streams {
     * shard's append-order packing. */
   case class PackSt(n_docs: Long, n_tokens: Long, n_straddle: Long)
 
+  /** Per-user funnel state: highest stage reached (0 = no view yet)
+    * and that stage's entry timestamp (-1 before any view). */
+  case class FunnelSt(stage: Long, entryUs: Long)
+
+  /** Streaming conversion-funnel tracker: keyed state per user holds
+    * exactly (stage, entry time) — O(users) state, two longs each —
+    * advanced by the strict staged rule (a click counts only
+    * STRICTLY after the view entry, a purchase only after the click
+    * entry; a19's batch semantics). Events are folded in (ts,
+    * event_id) order within each batch; with an ordered feed across
+    * batches (the d2/d3 convention) the final per-user emission
+    * equals the batch staged-min-join query, StreamsSpec-pinned.
+    * Update mode: each batch re-emits the users it touched. */
+  def funnelStreaming(events: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelSt, (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, String, Long, Long)],
+         state: GroupState[FunnelSt]) =>
+          val rows = it.toArray.sortBy(r => (r._3, r._4))
+          var st = state.getOption.getOrElse(FunnelSt(0L, -1L))
+          rows.foreach { case (_, t, us, _) =>
+            if (st.stage == 0L && t == "view")
+              st = FunnelSt(1L, us)
+            else if (st.stage == 1L && t == "click" && us > st.entryUs)
+              st = FunnelSt(2L, us)
+            else if (st.stage == 2L && t == "purchase" && us > st.entryUs)
+              st = FunnelSt(3L, us)
+          }
+          state.update(st)
+          Iterator((uid, st.stage, st.entryUs))
+      }
+      .toDF("user_id", "stage", "entry_us")
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+  }
+
   /** Streaming per-shard sequence packing — the stateful streaming
     * completion of the batch shard-pack manifest: arriving docs route
     * to their content-hash shard and APPEND to that shard's running
