@@ -535,6 +535,40 @@ object Ann {
     transform(vec, x =>
       least(greatest(floor(x / scale).cast("long"), lit(-127L)), lit(127L)))
 
+  /** Embedding-health audit over the int8 codes: per DIMENSION the
+    * code count, min, max, sum and sum-of-squares of c24's symmetric
+    * scalar quantization (L2-normalize → global scale → int8) — the
+    * QA pass that catches collapsed/dead dimensions (max−min ≈ 0:
+    * the dim carries no information and its code budget is wasted)
+    * and saturation (mass piled at ±127: the scale is blown out by
+    * outliers) before a quantized index ships. All-integer outputs
+    * (raw sums, not means — dividing a possibly-negative sum invites
+    * the truncate-vs-floor engine split §4 bans), so the oracle is
+    * bit-exact.
+    *
+    * Shape: normalize + quantize are map-side against the broadcast
+    * one-row scale; the stats are ONE partial-aggregable groupBy over
+    * (dim, code) rows with output bounded by the dimensionality —
+    * a single corpus scan at any scale. */
+  def quantHealth(corpus: DataFrame, id: String, vec: String): DataFrame = {
+    def normalized(v: Column, nrm: Column): Column =
+      transform(v, x => x.cast("double") / nrm)
+    val cN = corpus.select(col(id).as("n_id"), col(vec).as("n_vec"),
+        VectorOps.norm(col(vec)).as("n_nrm"))
+      .withColumn("nv", normalized(col("n_vec"), col("n_nrm")))
+    val mm = broadcast(quantScale(cN, "nv").barrier(true))
+    cN.crossJoin(mm)
+      .select(posexplode(quantize(col("nv"), col("scale")))
+        .as(Seq("dim", "code")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("code")).as("code_min"),
+        max(col("code")).as("code_max"),
+        sum(col("code")).cast("long").as("code_sum"),
+        sum(col("code") * col("code")).cast("long").as("code_sqsum"))
+      .orderBy(col("dim"))
+  }
+
   /** Quantized ANN: vectors are L2-NORMALIZED, then symmetrically
     * scalar-quantized to int8, so the integer dot product of the
     * codes approximates cosine directly (the float32 -> unit-sphere

@@ -2435,10 +2435,46 @@ object PipelineSuite extends Suite {
     Some(CorpusStats.decontaminateSql("doc_id", "source", "text",
       "doc_id % 37 = 0", minOverlap = 0.1)))
 
+  val c69 = Q(
+    "c69_embedding_health",
+    // Per-dimension embedding-health audit over c24's int8 codes
+    // (Ann.quantHealth): count/min/max/sum/sum-of-squares per dim —
+    // collapsed dims (max−min ≈ 0) and scale saturation (mass at
+    // ±127) caught before a quantized index ships. Map-side
+    // normalize+quantize against the broadcast one-row scale, one
+    // partial-aggregable groupBy bounded by the dimensionality;
+    // all-integer outputs (raw sums, no negative-sum division).
+    (s, d) => Ann.quantHealth(Tables.embeddings(s, d), "vec_id",
+      "embedding"),
+    Some(s"""
+      WITH corpusn AS (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) / ${VectorOps.normSql("embedding")})
+                 AS nv
+        FROM embeddings),
+      mm AS (
+        SELECT MAX(abs(x)) / CAST(127 AS DOUBLE) AS scale
+        FROM (SELECT unnest(nv) AS x FROM corpusn)),
+      cq AS (
+        SELECT vec_id,
+               list_transform(nv, x -> least(greatest(
+                 CAST(floor(x / m.scale) AS BIGINT), -127), 127)) AS qv
+        FROM corpusn CROSS JOIN mm m),
+      codes AS (
+        SELECT j - 1 AS dim, qv[j] AS code
+        FROM cq CROSS JOIN (SELECT unnest(range(1, 65)) AS j) r)
+      SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+             MIN(code) AS code_min, MAX(code) AS code_max,
+             CAST(SUM(code) AS BIGINT) AS code_sum,
+             CAST(SUM(code * code) AS BIGINT) AS code_sqsum
+      FROM codes
+      GROUP BY dim
+      ORDER BY dim"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-      c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68)
+      c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69)
 }

@@ -228,6 +228,22 @@ class DedupAnnSpec extends SparkSpec {
       "dropped set == same-cluster slice of the global exact pairs")
   }
 
+  test("quantHealth: collapsed dim reads zero-spread, saturated dim " +
+      "hits 127") {
+    // dim 0 constant 0 (collapsed), dim 1 carries all the signal
+    // (normalized to ±1 -> codes ±127)
+    val vecs = Seq(
+      (1L, Array(0f, 3f)), (2L, Array(0f, -3f)), (3L, Array(0f, 5f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.quantHealth(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getAs[Long]("dim"), r.getAs[Long]("n"),
+        r.getAs[Long]("code_min"), r.getAs[Long]("code_max"),
+        r.getAs[Long]("code_sum"), r.getAs[Long]("code_sqsum")))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 0L, 0L, 0L, 0L),
+      (1L, 3L, -127L, 127L, 127L, 3L * 127L * 127L)))
+  }
+
   test("clusterStats: histogram partitions the corpus, removal mass " +
       "hand-checked") {
     val d = Seq(
