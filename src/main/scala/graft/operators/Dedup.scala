@@ -99,6 +99,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** The LSH banding-vs-precision tuning audit — c59's recall curve
+    * mirrored onto the dedup side: for each band count b (same k-row
+    * signature, r = k/b rows per band) the candidate volume, how many
+    * candidates the exact-Jaccard verify confirms at `tau`, and the
+    * precision in ppm. More bands = shorter bands = more (and
+    * junkier) candidates: recall at tau rises (1−(1−J^r)^b) while
+    * candidate-shuffle volume — the actual 100 TB cost, since verify
+    * touches every candidate — grows. This curve is how the b/r
+    * trade is picked before a corpus-scale run; the verify step keeps
+    * final precision exact regardless, so "precision" here prices
+    * the WASTED verify work, not output quality.
+    *
+    * One shingle explode + size table shared across all settings
+    * (barriered); per setting one banded self-join (bucketed
+    * equi-join) + the candidates-only verify; 1-row counts fold per
+    * setting. */
+  def lshPrecision(docs: DataFrame, id: String, text: String, k: Int,
+                   bandsList: Seq[Int], tau: Double): DataFrame = {
+    val sh = docs.select(col(id).as("did"),
+      explode(TextOps.shingleHashes(col(text))).as("sh")).barrier(true)
+    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
+      .barrier(true)
+    bandsList.map { b =>
+      val cand = minHashCandidates(docs, id, text, k, b)
+        .select(col("id_a"), col("id_b")).barrier(true)
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val nv = verifyJaccard(cand, sh, sizes, tau)
+        .agg(count(lit(1)).as("n_verified"))
+      nc.crossJoin(broadcast(nv))
+        .select(lit(b.toLong).as("bands"), col("n_cand"),
+          col("n_verified"),
+          expr("case when n_cand = 0 then 0 else " +
+            "(cast(n_verified as decimal(38,0)) * 1000000) div n_cand end")
+            .cast("long").as("precision_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("bands"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming
     * (<= bands-1 guaranteed found by pigeonhole over `bands` bit
     * slices). 30-bit portable simhash over shingle hashes. */

@@ -2471,10 +2471,77 @@ object PipelineSuite extends Suite {
       GROUP BY dim
       ORDER BY dim"""))
 
+  val c70 = Q(
+    "c70_lsh_precision",
+    // The LSH banding tuning audit (Dedup.lshPrecision) — c59's
+    // recall curve mirrored onto the dedup side: candidate volume,
+    // verified count and precision ppm at bands = 4/8/12 over the
+    // same k=24 signature. More bands ⇒ more (junkier) candidates:
+    // recall at tau rises while candidate-shuffle volume — the real
+    // 100 TB cost, verify touches every candidate — grows; this curve
+    // prices that trade. Shingle explode + size table shared and
+    // barriered across settings; per setting one bucketed equi-join
+    // + candidates-only verify.
+    (s, d) => Dedup.lshPrecision(Tables.documents(s, d), "doc_id",
+      "text", k = 24, bandsList = Seq(4, 8, 12), tau = 0.5),
+    Some {
+      def leg(b: Int): String = {
+        val r = 24 / b
+        s"""banded$b AS (
+        SELECT doc_id, t.bi AS band_idx,
+               list_slice(sig, t.bi * $r + 1, t.bi * $r + $r) AS band_val
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, $b)) AS bi) t),
+      cand$b AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded$b a JOIN banded$b b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id),
+      ver$b AS (
+        SELECT i.id_a FROM (
+          SELECT c.id_a, c.id_b, COUNT(*) AS c
+          FROM cand$b c
+            JOIN sh sa2 ON sa2.doc_id = c.id_a
+            JOIN sh sb2 ON sb2.doc_id = c.id_b AND sb2.s = sa2.s
+          GROUP BY 1, 2) i
+          JOIN sizes sa ON i.id_a = sa.doc_id
+          JOIN sizes sb ON i.id_b = sb.doc_id
+        WHERE round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6)
+          >= 0.5)"""
+      }
+      s"""
+      WITH sh AS (
+        SELECT doc_id, unnest($SH) AS s FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      sigs AS (
+        SELECT doc_id, ${TextOps.minHashSignatureSql(SH, 24)} AS sig
+        FROM documents),
+      ${leg(4)},
+      ${leg(8)},
+      ${leg(12)},
+      curve AS (
+        SELECT 4 AS bands, (SELECT COUNT(*) FROM cand4) AS n_cand,
+               (SELECT COUNT(*) FROM ver4) AS n_verified
+        UNION ALL
+        SELECT 8, (SELECT COUNT(*) FROM cand8),
+               (SELECT COUNT(*) FROM ver8)
+        UNION ALL
+        SELECT 12, (SELECT COUNT(*) FROM cand12),
+               (SELECT COUNT(*) FROM ver12))
+      SELECT CAST(bands AS BIGINT) AS bands,
+             CAST(n_cand AS BIGINT) AS n_cand,
+             CAST(n_verified AS BIGINT) AS n_verified,
+             CAST(CASE WHEN n_cand = 0 THEN 0
+               ELSE (CAST(n_verified AS HUGEINT) * 1000000) // n_cand
+               END AS BIGINT) AS precision_ppm
+      FROM curve
+      ORDER BY bands"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
-      c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69)
+      c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
+      c70)
 }

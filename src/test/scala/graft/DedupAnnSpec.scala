@@ -228,6 +228,25 @@ class DedupAnnSpec extends SparkSpec {
       "dropped set == same-cluster slice of the global exact pairs")
   }
 
+  test("lshPrecision: nested bandings grow candidates, verified set " +
+      "is the exact-pair intersection") {
+    val out = Dedup.lshPrecision(docs, "doc_id", "text", k = 24,
+        bandsList = Seq(4, 8, 12), tau = 0.5)
+      .collect().map(r => (r.getAs[Long]("bands"), r.getAs[Long]("n_cand"),
+        r.getAs[Long]("n_verified"), r.getAs[Long]("precision_ppm")))
+    assert(out.map(_._1).toSeq === Seq(4L, 8L, 12L))
+    val byB = out.map(t => t._1 -> t).toMap
+    // r=6 bands are two concatenated r=3 bands, so every bands=4
+    // candidate also collides at bands=8 (nested partitions); no such
+    // nesting holds between r=3 and r=2
+    assert(byB(4L)._2 <= byB(8L)._2, "cand(4) subset of cand(8)")
+    assert(byB(4L)._3 <= byB(8L)._3, "ver(4) subset of ver(8)")
+    out.foreach { case (_, nc, nv, p) =>
+      assert(p === (if (nc == 0) 0L else nv * 1000000L / nc))
+      assert(nv <= nc)
+    }
+  }
+
   test("quantHealth: collapsed dim reads zero-spread, saturated dim " +
       "hits 127") {
     // dim 0 constant 0 (collapsed), dim 1 carries all the signal

@@ -132,7 +132,8 @@ class PlanShapeSpec extends SparkSpec {
       "c65_tfidf_keywords",  // broadcast 1-row doc count
       "d25_stream_length_gate", // broadcast 1-row threshold band
       "a19_funnel",             // broadcast 1-row step-1 count
-      "c69_embedding_health")   // broadcast 1-row quant scale
+      "c69_embedding_health",   // broadcast 1-row quant scale
+      "c70_lsh_precision")      // broadcast 1-row verified count
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
