@@ -1796,6 +1796,65 @@ object CorpusStats {
       WHERE rank <= $topK"""
   }
 
+  /** Calibration audit between the two independent quality signals a
+    * curation pipeline runs — the c9 heuristic score (repetition /
+    * stopword / length features) and the c28 unigram-LM surprisal:
+    * docs bucket into fixed-width quality deciles (pure map — ppm
+    * quality over a [0,1e6] domain, no percentile pass needed) and
+    * each decile reports doc/token mass plus the average of both
+    * signals. A monotone surprisal trend across deciles means the
+    * heuristic and the LM agree about what junk is; a flat or
+    * inverted trend means one of them is lying — THE check to run
+    * before gating a corpus on either. All-integer outputs (ppm
+    * averages via positive-sum integer division).
+    *
+    * Shape: two per-doc passes (c9 map-only; c28's two
+    * partial-aggregable aggs + broadcast totals), one doc-keyed join,
+    * then a 10-bucket groupBy — nothing wider than c28 itself. */
+  def qualityCalibration(docs: DataFrame, id: String,
+                         text: String): DataFrame = {
+    val q = TextQuality.qualityFeatures(docs, id, text)
+      .select(col(id),
+        expr("cast(round(quality * 1000000, 0) as bigint)")
+          .as("quality_ppm"))
+    val s = unigramSurprisal(docs, id, text)
+    q.join(s, Seq(id))
+      .withColumn("decile",
+        least(lit(9L), expr("quality_ppm div 100000")))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        expr("sum(quality_ppm) div count(1)").cast("long")
+          .as("avg_quality_ppm"),
+        expr("sum(mean_bits_ppm) div count(1)").cast("long")
+          .as("avg_surprisal_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  /** DuckDB mirror of [[qualityCalibration]]. */
+  def qualityCalibrationSql(id: String, text: String): String =
+    s"""
+      WITH qf AS (
+        ${TextQuality.qualityFeaturesSql(id, text)}),
+      sp AS (
+        ${unigramSurprisalSql(id, text)}),
+      j AS (
+        SELECT LEAST(9, CAST(round(qf.quality * 1000000, 0) AS BIGINT)
+                 // 100000) AS decile,
+               CAST(round(qf.quality * 1000000, 0) AS BIGINT)
+                 AS quality_ppm,
+               sp.n_tokens, sp.mean_bits_ppm
+        FROM qf JOIN sp ON qf.$id = sp.$id)
+      SELECT decile, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(quality_ppm) // COUNT(*) AS BIGINT)
+               AS avg_quality_ppm,
+             CAST(SUM(mean_bits_ppm) // COUNT(*) AS BIGINT)
+               AS avg_surprisal_ppm
+      FROM j
+      GROUP BY decile
+      ORDER BY decile"""
+
   /** Per-document keyword extraction by rational TF-IDF: for every
     * doc its `topK` most distinctive terms under the integer score
     * tf·N / (df·len) in parts-per-million — tf/len is the in-doc

@@ -117,13 +117,27 @@ object Dedup {
     * setting. */
   def lshPrecision(docs: DataFrame, id: String, text: String, k: Int,
                    bandsList: Seq[Int], tau: Double): DataFrame = {
-    val sh = docs.select(col(id).as("did"),
-      explode(TextOps.shingleHashes(col(text))).as("sh")).barrier(true)
+    // shingles and the k-row signature are computed ONCE and shared by
+    // every band setting — the settings differ only in how the stored
+    // signature is sliced (bandRows), so re-deriving per setting would
+    // triple the two expensive scans for nothing
+    val shh = docs.select(col(id).as("did"),
+      TextOps.shingleHashes(col(text)).as("shh")).barrier(true)
+    val sh = shh.select(col("did"), explode(col("shh")).as("sh"))
+      .barrier(true)
     val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
       .barrier(true)
+    val sigs = shh.select(col("did"),
+      TextOps.minHashSignature(col("shh"), k).as("sig")).barrier(true)
     bandsList.map { b =>
-      val cand = minHashCandidates(docs, id, text, k, b)
-        .select(col("id_a"), col("id_b")).barrier(true)
+      val banded = bandRows(sigs, k, b)
+      val cand = banded.alias("a")
+        .join(banded.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.did") < col("b.did"))
+        .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
+        .distinct().barrier(true)
       val nc = cand.agg(count(lit(1)).as("n_cand"))
       val nv = verifyJaccard(cand, sh, sizes, tau)
         .agg(count(lit(1)).as("n_verified"))

@@ -2537,11 +2537,25 @@ object PipelineSuite extends Suite {
       ORDER BY bands"""
     })
 
+  val c71 = Q(
+    "c71_quality_calibration",
+    // Do the two quality signals agree? (CorpusStats.
+    // qualityCalibration): c9's heuristic score vs c28's unigram
+    // surprisal, bucketed into fixed-width quality deciles (pure map,
+    // no percentile pass) with per-decile doc/token mass and both
+    // averages — a monotone surprisal trend across deciles means the
+    // heuristic and the LM agree about junk; a flat/inverted trend
+    // means one is lying. Two per-doc passes + one doc-keyed join +
+    // a 10-bucket groupBy; all-integer ppm outputs.
+    (s, d) => CorpusStats.qualityCalibration(Tables.documents(s, d),
+      "doc_id", "text"),
+    Some(CorpusStats.qualityCalibrationSql("doc_id", "text")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
-      c70)
+      c70, c71)
 }
