@@ -369,6 +369,26 @@ class CorpusStatsSpec extends SparkSpec {
       ("web", 1L, 5L, 1L, 5L)))    // doc 1 cut; eval docs absent
   }
 
+  test("qualityCalibration: deciles bucket by the c9 score, averages " +
+      "are integer ppm") {
+    // all-distinct doc -> quality 0.4 + 0.3 + 0.03 = 0.73 (decile 7);
+    // repetitive doc -> 0.4*0.1 + 0.3 + 0.03 = 0.37 (decile 3)
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, Seq.fill(10)("x").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.qualityCalibration(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("avg_quality_ppm"),
+        r.getAs[Long]("avg_surprisal_ppm")))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((3L, 1L, 10L), (7L, 1L, 10L)))
+    assert(out(0)._4 === 370000L)
+    assert(out(1)._4 === 730000L)
+    // the repeated token is the common one -> lower surprisal
+    assert(out(0)._5 < out(1)._5)
+  }
+
   test("tfidfKeywords: rational tf-idf ranks distinctive terms first") {
     val docs = Seq(
       (1L, "apple apple banana"),

@@ -133,7 +133,8 @@ class PlanShapeSpec extends SparkSpec {
       "d25_stream_length_gate", // broadcast 1-row threshold band
       "a19_funnel",             // broadcast 1-row step-1 count
       "c69_embedding_health",   // broadcast 1-row quant scale
-      "c70_lsh_precision")      // broadcast 1-row verified count
+      "c70_lsh_precision",      // broadcast 1-row verified count
+      "c71_quality_calibration") // broadcast 1-row total-token count (c28)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
