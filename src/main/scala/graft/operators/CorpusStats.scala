@@ -98,6 +98,78 @@ object CorpusStats {
       FROM per_source CROSS JOIN tot"""
   }
 
+  /** The mixing-TEMPERATURE curve — c26's alpha=0.5 point widened to
+    * the whole knob: per-source sampling shares at alpha = 0
+    * (uniform: every source equal), 0.5 (isqrt flattening) and 1
+    * (proportional: the raw corpus), the three integer-exact points
+    * of w ∝ tokens^alpha. This is the table a pretraining team reads
+    * to pick its mixture temperature (the T5/Pile-style knob): alpha
+    * close to 1 lets head domains dominate, close to 0 overweights
+    * tails, and the curve shows exactly how many ppm each source
+    * moves as the knob turns. The three alphas keep every weight an
+    * exact integer (1 / isqrt / tokens) — fractional alphas would
+    * need pow() floats the §4 rules ban.
+    *
+    * Shape: ONE per-source token agg (map-side combinable, barriered)
+    * + a one-row totals broadcast; the three legs are projections of
+    * the same tiny table — the corpus is scanned once. */
+  def mixTemperatureCurve(docs: DataFrame, source: String,
+                          text: String): DataFrame = {
+    val perSource = docs
+      .select(col(source),
+        size(TextOps.tokens(col(text))).cast("long").as("tok"))
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .withColumn("isq", isqrtExact(col("n_tokens")))
+      .barrier(true)
+    val totals = perSource.agg(
+      count(lit(1)).as("n_sources"),
+      sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("isq")).as("tot_isq"))
+    val base = perSource.crossJoin(broadcast(totals))
+    Seq(
+      (0L, ppmExpr("1", "n_sources")),
+      (500000L, ppmExpr("isq", "tot_isq")),
+      (1000000L, ppmExpr("n_tokens", "tot_tokens"))
+    ).map { case (alpha, share) =>
+      base.select(lit(alpha).as("alpha_ppm"), col(source),
+        col("n_tokens"), share.cast("long").as("share_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("alpha_ppm"), col(source))
+  }
+
+  /** DuckDB mirror of [[mixTemperatureCurve]]. */
+  def mixTemperatureCurveSql(source: String, text: String): String = {
+    val tk = TextOps.tokensSql(text)
+    s"""
+      WITH base AS (
+        SELECT $source, COUNT(*) AS n_docs,
+               SUM(CAST(len($tk) AS BIGINT)) AS n_tokens
+        FROM documents GROUP BY 1),
+      per_source AS (
+        SELECT $source, n_docs, n_tokens,
+               ${isqrtCorrectSql("n_tokens", "isq0")} AS isq
+        FROM (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS isq0
+              FROM base)),
+      tot AS (SELECT COUNT(*) AS n_sources,
+                     SUM(n_tokens) AS tot_tokens, SUM(isq) AS tot_isq
+              FROM per_source),
+      j AS (SELECT * FROM per_source CROSS JOIN tot)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS alpha_ppm, $source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               ${ppmSql("1", "n_sources")} AS share_ppm
+        FROM j
+        UNION ALL
+        SELECT 500000, $source, CAST(n_tokens AS BIGINT),
+               ${ppmSql("isq", "tot_isq")}
+        FROM j
+        UNION ALL
+        SELECT 1000000, $source, CAST(n_tokens AS BIGINT),
+               ${ppmSql("n_tokens", "tot_tokens")}
+        FROM j)
+      ORDER BY alpha_ppm, $source"""
+  }
+
   // --- eval-set contamination ---------------------------------------
   /** Train/eval contamination via shingle overlap: a training doc is
     * contaminated by an eval doc when it shares at least `minOverlap`

@@ -2551,11 +2551,24 @@ object PipelineSuite extends Suite {
       "doc_id", "text"),
     Some(CorpusStats.qualityCalibrationSql("doc_id", "text")))
 
+  val c72 = Q(
+    "c72_mix_temperature_curve",
+    // The mixing-temperature knob as a curve (CorpusStats.
+    // mixTemperatureCurve): per-source shares at alpha = 0 (uniform) /
+    // 0.5 (isqrt flattening, = c26's point) / 1 (proportional) — the
+    // three integer-exact points of w ∝ tokens^alpha; the table a
+    // pretraining team reads to pick its mixture temperature. One
+    // barriered per-source agg + a one-row totals broadcast; the
+    // three legs project the same tiny table, corpus scanned once.
+    (s, d) => CorpusStats.mixTemperatureCurve(Tables.documents(s, d),
+      "source", "text"),
+    Some(CorpusStats.mixTemperatureCurveSql("source", "text")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
-      c70, c71)
+      c70, c71, c72)
 }

@@ -369,6 +369,28 @@ class CorpusStatsSpec extends SparkSpec {
       ("web", 1L, 5L, 1L, 5L)))    // doc 1 cut; eval docs absent
   }
 
+  test("mixTemperatureCurve: alpha 0/0.5/1 shares hand-checked, " +
+      "flattening is monotone") {
+    val docs = Seq(
+      (1L, (1 to 16).map(_ => "w").mkString(" "), "web"), // 16 tokens
+      (2L, (1 to 4).map(_ => "w").mkString(" "), "books") // 4 tokens
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusStats.mixTemperatureCurve(docs, "source", "text")
+      .collect().map(r => ((r.getAs[Long]("alpha_ppm"),
+        r.getAs[String]("source")), r.getAs[Long]("share_ppm"))).toMap
+    // alpha 0: 1/2 each; alpha .5: isq 4 vs 2 -> 2/3 vs 1/3;
+    // alpha 1: 16/20 vs 4/20
+    assert(out((0L, "web")) === 500000L)
+    assert(out((0L, "books")) === 500000L)
+    assert(out((500000L, "web")) === 666666L)
+    assert(out((500000L, "books")) === 333333L)
+    assert(out((1000000L, "web")) === 800000L)
+    assert(out((1000000L, "books")) === 200000L)
+    // the knob is monotone: head share grows with alpha, tail shrinks
+    assert(out((0L, "web")) < out((500000L, "web")))
+    assert(out((500000L, "web")) < out((1000000L, "web")))
+  }
+
   test("qualityCalibration: deciles bucket by the c9 score, averages " +
       "are integer ppm") {
     // all-distinct doc -> quality 0.4 + 0.3 + 0.03 = 0.73 (decile 7);

@@ -134,7 +134,8 @@ class PlanShapeSpec extends SparkSpec {
       "a19_funnel",             // broadcast 1-row step-1 count
       "c69_embedding_health",   // broadcast 1-row quant scale
       "c70_lsh_precision",      // broadcast 1-row verified count
-      "c71_quality_calibration") // broadcast 1-row total-token count (c28)
+      "c71_quality_calibration", // broadcast 1-row total-token count (c28)
+      "c72_mix_temperature_curve") // broadcast 1-row corpus totals
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
