@@ -823,7 +823,37 @@ object GraphSuite extends Suite {
       ORDER BY node"""
     })
 
+  val b29 = Q(
+    "b29_component_sizes",
+    // The component-size histogram over b14's CC — c67's savings-
+    // histogram move applied to the graph: how many invalidation
+    // chains exist at each size, with the node mass per size class (a
+    // giant component = a pathological chain the graph owner should
+    // see). Two partial-aggregable groupBys on top of the CC output
+    // (per-component size, then the O(max-size) histogram); the
+    // oracle uses the invalidates subgraph's closed form (per-(user,
+    // type) chains), which the algorithm doesn't know.
+    (s, d) => MemoryGraph.persisted(s, d)
+      .connectedComponents("invalidates")
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .select(col("component_size"), col("n_components"),
+        (col("component_size") * col("n_components")).as("n_nodes"))
+      .orderBy(col("component_size")),
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2)
+      SELECT CAST(cnt AS BIGINT) AS component_size,
+             COUNT(*) AS n_components,
+             CAST(cnt * COUNT(*) AS BIGINT) AS n_nodes
+      FROM g WHERE cnt >= 2
+      GROUP BY cnt
+      ORDER BY component_size"""))
+
   override val queries: Seq[Q] =
     Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15,
-      b16, b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28)
+      b16, b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28,
+      b29)
 }
