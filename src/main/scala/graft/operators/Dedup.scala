@@ -150,6 +150,22 @@ object Dedup {
     }.reduce(_ unionAll _).orderBy(col("bands"))
   }
 
+  /** Verified near-dup pairs: LSH candidates → exact-Jaccard verify
+    * at `tau` — [[deduplicate]] stopped before the CC step, for
+    * consumers that need the PAIRS (cross-split leakage audits,
+    * precision curves) rather than the clusters. Same 100 TB shape:
+    * banded equi-join candidates, verify touches candidates only. */
+  def nearDupPairs(docs: DataFrame, id: String, text: String,
+                   tau: Double, k: Int = 48,
+                   bands: Int = 24): DataFrame = {
+    val sh = docs.select(col(id).as("did"),
+      explode(TextOps.shingleHashes(col(text))).as("sh")).barrier(true)
+    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
+    val cand = minHashCandidates(docs, id, text, k, bands)
+      .select(col("id_a"), col("id_b"))
+    verifyJaccard(cand, sh, sizes, tau)
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming
     * (<= bands-1 guaranteed found by pigeonhole over `bands` bit
     * slices). 30-bit portable simhash over shingle hashes. */

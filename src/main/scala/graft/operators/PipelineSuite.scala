@@ -2564,11 +2564,100 @@ object PipelineSuite extends Suite {
       "source", "text"),
     Some(CorpusStats.mixTemperatureCurveSql("source", "text")))
 
+  val c73 = Q(
+    "c73_split_leakage",
+    // Split-leakage audit: assign every doc a deterministic
+    // hash-based train/val/test split (98/1/1 — the c23 stable-hash
+    // contract, so splits are reproducible across runs and cluster
+    // layouts), then count VERIFIED near-dup pairs per split
+    // combination (Dedup.nearDupPairs: banded candidates +
+    // exact-Jaccard verify). A nonzero train↔val/test row is
+    // evaluation leakage — near-copies of eval docs in the training
+    // split — the classic split bug dedup-after-split pipelines ship;
+    // the within-train row is the residual-dup context. Split mapping
+    // is a pure map; the two id-keyed joins attach ranks to pair
+    // endpoints; the (lo, hi) groupBy output is ≤ 6 rows.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5,
+        k = 24, bands = 12)
+      val bucket = pmod(TextOps.polyHashMixed(
+        concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+      val sp = docs.select(col("doc_id"),
+        when(bucket < 98, 0L).when(bucket === 98, 1L).otherwise(2L)
+          .as("rk"))
+      def nameOf(c: org.apache.spark.sql.Column) =
+        when(c === 0L, "train").when(c === 1L, "val").otherwise("test")
+      pairs
+        .join(sp.select(col("doc_id").as("id_a"), col("rk").as("ra")),
+          "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("rk").as("rb")),
+          "id_b")
+        .select(least(col("ra"), col("rb")).as("lo"),
+          greatest(col("ra"), col("rb")).as("hi"))
+        .groupBy(col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("lo"), col("hi"), nameOf(col("lo")).as("split_a"),
+          nameOf(col("hi")).as("split_b"), col("n_pairs"))
+        .orderBy(col("lo"), col("hi"))
+    },
+    Some {
+      val bucket = TextOps.polyHashMixedSql(
+        "('split:' || CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH sh AS (
+        SELECT doc_id, unnest($SH) AS s FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      sigs AS (
+        SELECT doc_id, ${TextOps.minHashSignatureSql(SH, 24)} AS sig
+        FROM documents),
+      banded AS (
+        SELECT doc_id, t.bi AS band_idx,
+               list_slice(sig, t.bi * 2 + 1, t.bi * 2 + 2) AS band_val
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 12)) AS bi) t),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id),
+      ver AS (
+        SELECT i.id_a, i.id_b FROM (
+          SELECT c.id_a, c.id_b, COUNT(*) AS c
+          FROM cand c
+            JOIN sh sa2 ON sa2.doc_id = c.id_a
+            JOIN sh sb2 ON sb2.doc_id = c.id_b AND sb2.s = sa2.s
+          GROUP BY 1, 2) i
+          JOIN sizes sa ON i.id_a = sa.doc_id
+          JOIN sizes sb ON i.id_b = sb.doc_id
+        WHERE round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6)
+          >= 0.5),
+      sp AS (
+        SELECT doc_id,
+               CASE WHEN ($bucket) % 100 < 98 THEN 0
+                    WHEN ($bucket) % 100 = 98 THEN 1
+                    ELSE 2 END AS rk
+        FROM documents),
+      lj AS (
+        SELECT LEAST(a.rk, b.rk) AS lo, GREATEST(a.rk, b.rk) AS hi
+        FROM ver
+          JOIN sp a ON ver.id_a = a.doc_id
+          JOIN sp b ON ver.id_b = b.doc_id)
+      SELECT CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+             CASE lo WHEN 0 THEN 'train' WHEN 1 THEN 'val'
+               ELSE 'test' END AS split_a,
+             CASE hi WHEN 0 THEN 'train' WHEN 1 THEN 'val'
+               ELSE 'test' END AS split_b,
+             COUNT(*) AS n_pairs
+      FROM lj
+      GROUP BY lj.lo, lj.hi
+      ORDER BY lo, hi"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
-      c70, c71, c72)
+      c70, c71, c72, c73)
 }

@@ -247,6 +247,21 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("splitLeakage: rows partition the verified pair set, names " +
+      "match ranks") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5,
+      k = 24, bands = 12)
+    val out = graft.SparkEntry.queries("c73_split_leakage")(spark, sf)
+      .collect()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum === pairs.count())
+    val names = Map(0L -> "train", 1L -> "val", 2L -> "test")
+    out.foreach { r =>
+      assert(r.getAs[Long]("lo") <= r.getAs[Long]("hi"))
+      assert(r.getAs[String]("split_a") === names(r.getAs[Long]("lo")))
+      assert(r.getAs[String]("split_b") === names(r.getAs[Long]("hi")))
+    }
+  }
+
   test("quantHealth: collapsed dim reads zero-spread, saturated dim " +
       "hits 127") {
     // dim 0 constant 0 (collapsed), dim 1 carries all the signal
