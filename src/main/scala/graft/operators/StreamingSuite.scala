@@ -933,7 +933,44 @@ object StreamingSuite extends Suite {
         LEFT JOIN t3 ON u.user_id = t3.user_id
       ORDER BY u.user_id"""))
 
+  val d27 = Q(
+    "d27_stream_retention",
+    // Streaming retention tracker, batch-replayed: per-user keyed
+    // state of (first-seen week, counted-offset bitmask) — O(users)
+    // two-long state — emitting each user's NOVEL (cohort, offset)
+    // cells as events arrive, so summed emissions build a20's cohort
+    // triangle live (Streams.retentionStreaming, ordered-feed
+    // convention, accumulated-emission parity StreamsSpec-pinned).
+    // The batch replay is the active-cell matrix: distinct (user,
+    // week) pairs joined to the user-keyed first-seen map — a20
+    // without the cohort-size normalization (the monitor's raw
+    // counters; sizes are a20's batch concern).
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.distinct()
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS week
+        FROM events),
+      cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1)
+      SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+             COUNT(*) AS n_active
+      FROM (SELECT DISTINCT user_id, week FROM ev) e
+      JOIN cohort c ON e.user_id = c.user_id
+      GROUP BY 1, 2
+      ORDER BY cohort_week, week_offset"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26)
+      d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27)
 }

@@ -823,6 +823,56 @@ object Streams {
       }
       .start()
 
+  /** Per-user retention state: first-seen week and a bitmask of the
+    * week offsets (0..63) already counted. */
+  case class RetSt(cohortWeek: Long, seenBits: Long)
+
+  /** Streaming retention tracker — a20's cohort triangle maintained
+    * live: keyed state per user holds (first-seen week, bitmask of
+    * counted offsets) — O(users) state, two longs — and each batch
+    * emits the user's NOVEL (cohort_week, week_offset) cells, so the
+    * accumulated emissions count each active week exactly once per
+    * user (the sink/downstream agg builds the matrix by summing).
+    * Ordered feed across batches (the d2/d3 convention) makes the
+    * first event the true cohort week. Offsets are capped at 63 by
+    * the bitmask — a 64-week horizon; production monitors roll the
+    * window, and the cap is an explicit guard here, not a silent
+    * truncation (events beyond it throw). */
+  def retentionStreaming(events: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[RetSt, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[RetSt]) =>
+          val rows = it.toArray.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(RetSt(-1L, 0L))
+          val novel = Seq.newBuilder[(Long, Long)]
+          rows.foreach { case (_, wk, _) =>
+            if (st.cohortWeek < 0) st = RetSt(wk, 0L)
+            val off = wk - st.cohortWeek
+            require(off >= 0 && off < 64,
+              s"retention offset $off outside the 64-week horizon")
+            if ((st.seenBits & (1L << off)) == 0L) {
+              novel += ((st.cohortWeek, off))
+              st = RetSt(st.cohortWeek, st.seenBits | (1L << off))
+            }
+          }
+          state.update(st)
+          novel.result().iterator
+      }
+      .toDF("cohort_week", "week_offset")
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

@@ -991,4 +991,40 @@ class StreamsSpec extends SparkSpec {
     // pinned order-sensitively by FunnelCohortSpec instead
     assert(streamed.map(_._2).max === 3L)
   }
+
+  test("streaming retention: summed novel emissions equal the batch " +
+      "cohort matrix (ordered feed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sf)
+    val feed = events.select($"user_id",
+        expr("unix_micros(ts) div 604800000000").as("week"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+      .sortBy(r => (r._2, r._3))
+    val acc = scala.collection.mutable.Map[(Long, Long), Long]()
+    val ms = MemoryStream[(Long, Long, Long)]
+    val q = Streams.retentionStreaming(
+      ms.toDF().toDF("user_id", "week", "event_id")
+        .withColumn("ts", timestamp_micros($"week" * 604800000000L))) { df =>
+      acc.synchronized {
+        df.collect().foreach { r =>
+          val k = (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"))
+          acc(k) = acc.getOrElse(k, 0L) + 1L
+        }
+      }
+    }
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = acc.synchronized {
+      acc.toSeq.map { case ((c, o), n) => (c, o, n) }.sortBy(t => (t._1, t._2))
+    }
+    val batch = graft.SparkEntry.queries("d27_stream_retention")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_active"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    // novelty is real: duplicate active weeks within a user count once
+    assert(streamed.map(_._3).sum < feed.length)
+  }
 }
