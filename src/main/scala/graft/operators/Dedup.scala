@@ -270,8 +270,14 @@ object Dedup {
     * O(max-size) histogram). Nothing new shuffles wider than the
     * dedup itself. */
   def clusterStats(docs: DataFrame, id: String, text: String,
-                   tau: Double): DataFrame = {
-    val m = deduplicate(docs, id, text, tau)
+                   tau: Double): DataFrame =
+    clusterStatsOf(deduplicate(docs, id, text, tau), docs, id, text)
+
+  /** [[clusterStats]] over an ALREADY-COMPUTED (id, keeper) map —
+    * the production seam: dedup runs once (or its map is persisted),
+    * audits read it many times (the b29/c29 index-once shape). */
+  def clusterStatsOf(m: DataFrame, docs: DataFrame, id: String,
+                     text: String): DataFrame = {
     val full = docs
       .select(col(id), size(TextOps.tokens(col(text))).cast("long").as("n"))
       .join(m, Seq(id), "left")

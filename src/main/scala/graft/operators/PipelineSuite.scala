@@ -2380,9 +2380,20 @@ object PipelineSuite extends Suite {
     // corpus (Σ size·n_clusters = docs) and a too-loose threshold
     // shows up as a giant component. Adds one id-keyed left join +
     // two partial-aggregable groupBys over c16's output; nothing
-    // shuffles wider than the dedup itself.
-    (s, d) => Dedup.clusterStats(Tables.documents(s, d), "doc_id",
-      "text", 0.5),
+    // shuffles wider than the dedup itself — and the (id, keeper) map
+    // is PERSISTED per corpus fingerprint (DiskCache, the b29/c29
+    // index-once seam: dedup runs once, audits read it; c16 stays
+    // the compute-path grade).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = graft.util.DiskCache.cached(s, "dedup-map", "v1",
+        Seq(s"$d/documents.parquet"), "tau05",
+        Seq("map")) { tmp =>
+        Dedup.deduplicate(docs, "doc_id", "text", 0.5)
+          .write.mode("overwrite").parquet(s"$tmp/map")
+      } { base => s.read.parquet(s"$base/map") }
+      Dedup.clusterStatsOf(m, docs, "doc_id", "text")
+    },
     Some(s"""
       WITH RECURSIVE sh AS (
         SELECT doc_id, unnest($SH) AS s FROM documents),
