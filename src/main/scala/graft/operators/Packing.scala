@@ -105,7 +105,7 @@ object Packing {
   // --- shard export --------------------------------------------------
   /** Checksum modulus for [[shardManifest]]'s order checksum. */
   val ShardMod = 1000000007L
-  private val HashFold = 1000003L
+  val HashFold = 1000003L
 
   /** Content-hash shard assignment: `shard = mixedPolyHash(text) mod
     * shards` — the deterministic router in front of a sharded
