@@ -970,7 +970,78 @@ object StreamingSuite extends Suite {
       GROUP BY 1, 2
       ORDER BY cohort_week, week_offset"""))
 
+  val d28 = Q(
+    "d28_stream_decontaminate",
+    // Streaming decontamination GATE, batch-replayed — c68's scrub at
+    // ingest: arriving docs (the d13 %10>=8 split, eval docs
+    // excluded) are dropped when they share ≥ 10% of any eval doc's
+    // distinct shingles; the eval shingle set + sizes are the STATIC
+    // artifact (barriered, c27's broadcast-eval shape — built once,
+    // never per batch). Per-doc decisions are eval-set-static and
+    // independent, so batch boundaries can't change them;
+    // Streams.decontaminateStreaming is the foreachBatch flavor,
+    // cross-batch-pinned in StreamsSpec. Output = kept docs with
+    // their worst overlap (0 for clean docs).
+    (s, d) => {
+      import graft.functions.TextOps
+      import graft.util.Barriers.BarrierOps
+      val docs = Tables.documents(s, d)
+      val isEval = pmod(col("doc_id"), lit(37)) === 0
+      val isArr = pmod(col("doc_id"), lit(10)) >= 8
+      val evalSh = docs.where(isEval)
+        .select(col("doc_id").as("eval_id"),
+          explode(array_distinct(TextOps.shingleHashes(col("text"))))
+            .as("h")).barrier(true)
+      val evalSizes = evalSh.groupBy(col("eval_id"))
+        .agg(count(lit(1)).as("n_eval_shingles")).barrier(true)
+      val arriving = docs.where(isArr && !isEval)
+      val worst = arriving
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.shingleHashes(col("text"))))
+            .as("h"))
+        .join(broadcast(evalSh), "h")
+        .groupBy(col("doc_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(evalSizes), "eval_id")
+        .select(col("doc_id"),
+          expr("(cast(n_shared as decimal(38,0)) * 1000000)" +
+            " div n_eval_shingles").cast("long").as("overlap_ppm"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("overlap_ppm")).as("worst_ppm"))
+      arriving.select(col("doc_id"))
+        .join(worst, Seq("doc_id"), "left")
+        .withColumn("worst_ppm", coalesce(col("worst_ppm"), lit(0L)))
+        .where(col("worst_ppm") < 100000L)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val sh = s"list_distinct(${graft.functions.TextOps.shingleHashesSql("text")})"
+      s"""
+      WITH ev AS (
+        SELECT doc_id AS eval_id, unnest($sh) AS h
+        FROM documents WHERE doc_id % 37 = 0),
+      evs AS (SELECT eval_id, COUNT(*) AS n FROM ev GROUP BY 1),
+      tr AS (
+        SELECT doc_id, unnest($sh) AS h
+        FROM documents WHERE doc_id % 10 >= 8 AND doc_id % 37 <> 0),
+      ov AS (
+        SELECT t.doc_id, e.eval_id, COUNT(*) AS c
+        FROM tr t JOIN ev e USING (h) GROUP BY 1, 2),
+      worst AS (
+        SELECT o.doc_id,
+               MAX(CAST((CAST(o.c AS HUGEINT) * 1000000) // s.n
+                 AS BIGINT)) AS worst_ppm
+        FROM ov o JOIN evs s ON o.eval_id = s.eval_id
+        GROUP BY 1)
+      SELECT d.doc_id, COALESCE(w.worst_ppm, 0) AS worst_ppm
+      FROM (SELECT doc_id FROM documents
+            WHERE doc_id % 10 >= 8 AND doc_id % 37 <> 0) d
+        LEFT JOIN worst w ON d.doc_id = w.doc_id
+      WHERE COALESCE(w.worst_ppm, 0) < 100000
+      ORDER BY d.doc_id"""
+    })
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27)
+      d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28)
 }

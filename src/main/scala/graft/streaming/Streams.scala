@@ -873,6 +873,39 @@ object Streams {
       .start()
   }
 
+  /** Streaming decontamination gate — c68's scrub applied AT INGEST:
+    * arriving docs are dropped when they share ≥ minPpm of any eval
+    * doc's distinct shingles. `evalSh` (eval_id, h) and `evalSizes`
+    * (eval_id, n_eval_shingles) are the STATIC eval-suite artifact
+    * (barrier them — built once, never per batch; eval suites are
+    * small so the shingle join is broadcast map-side, c27's shape).
+    * Decisions are per-doc independent given the eval set, so batch
+    * boundaries can never change them. Emits the KEPT docs with
+    * their worst overlap. */
+  def decontaminateStreaming(evalSh: DataFrame, evalSizes: DataFrame,
+      docs: DataFrame, id: String, text: String, minPpm: Long)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tr = batch.select(col(id),
+          explode(array_distinct(
+            graft.functions.TextOps.shingleHashes(col(text)))).as("h"))
+        val worst = tr.join(broadcast(evalSh), "h")
+          .groupBy(col(id), col("eval_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(evalSizes), "eval_id")
+          .select(col(id),
+            expr("(cast(n_shared as decimal(38,0)) * 1000000)" +
+              " div n_eval_shingles").cast("long").as("overlap_ppm"))
+          .groupBy(col(id))
+          .agg(max(col("overlap_ppm")).as("worst_ppm"))
+        sink(batch.select(col(id))
+          .join(worst, Seq(id), "left")
+          .withColumn("worst_ppm", coalesce(col("worst_ppm"), lit(0L)))
+          .where(col("worst_ppm") < minPpm))
+      }
+      .start()
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

@@ -1027,4 +1027,45 @@ class StreamsSpec extends SparkSpec {
     // novelty is real: duplicate active weeks within a user count once
     assert(streamed.map(_._3).sum < feed.length)
   }
+
+  test("streaming decontamination gate matches the batch scrub across " +
+      "batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextOps
+    import graft.util.Barriers.BarrierOps
+    val docs = Tables.documents(spark, sf)
+    val isEval = pmod($"doc_id", lit(37)) === 0
+    val isArr = pmod($"doc_id", lit(10)) >= 8
+    val evalSh = docs.where(isEval)
+      .select($"doc_id".as("eval_id"),
+        explode(array_distinct(TextOps.shingleHashes($"text"))).as("h"))
+      .barrier(true)
+    val evalSizes = evalSh.groupBy($"eval_id")
+      .agg(count(lit(1)).as("n_eval_shingles")).barrier(true)
+    val arriving = docs.where(isArr && !isEval)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val collected = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.decontaminateStreaming(evalSh, evalSizes,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      minPpm = 100000L) { df =>
+      collected.synchronized { collected ++= df.collect() }
+    }
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collected.synchronized {
+      collected.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("worst_ppm"))).sortBy(_._1).toSeq
+    }
+    val batch = graft.SparkEntry
+      .queries("d28_stream_decontaminate")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("worst_ppm"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    assert(streamed.length <= arriving.length)
+  }
 }
