@@ -362,45 +362,57 @@ object GraphAlgo {
     * round k+1's lineage starts at round k's output. Isolated nodes
     * never appear (no neighbours ⇒ no votes ⇒ not in the view). */
   def labelPropagationUnd(und: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // pre-partition the (big, round-invariant) adjacency by the join
-    // key BEFORE the barrier: localCheckpoint preserves the output
-    // partitioning through LogicalRDD, so every round's vote join
-    // exchanges only the small label frame — the adjacency never
-    // re-shuffles
-    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
-      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
-      .repartition(col("nbr"))
-      .barrier(true)
-    var lab = adj.select(col("node")).distinct()
-      .withColumn("label", col("node"))
-    val w = Window.partitionBy(col("node"))
-      .orderBy(col("cnt").desc, col("label"))
-    for (r <- 1 to rounds) {
-      // one exchange per round: hashpartitioning(node) satisfies
-      // BOTH the (node, label) vote count's clustered distribution
-      // (subset key) and the top-1 heap's, so the count agg and the
-      // rank filter run exchange-free on the repartitioned join
-      // output. (Round-6 quiet-box alternative — dropping the
-      // explicit repartition so the count agg gets its natural
-      // (node, label) exchange WITH map-side partial combine, then a
-      // second exchange on node for the heap — measured SLOWER:
-      // 7.6-8.4 s vs 6.8-7.8 s for this shape at sf0.1/local, 3-run
-      // min-median; the combine doesn't pay for the extra shuffle of
-      // the already-aggregated votes.)
-      lab = adj
-        .join(lab.select(col("node").as("nbr"), col("label")), "nbr")
-        .repartition(col("node"))
-        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("node"), col("label"))
-      // lazy barrier: truncate lineage without an extra eager pass —
-      // each round is read once by the next, and the final round
-      // flows straight to the consumer (measured 9.1 → ~6 s at sf0.1
-      // vs eager per-round barriers)
-      if (r < rounds) lab = lab.barrier(false)
-    }
-    lab
+    val spark = und.sparkSession
+    // r7 shape (the r6-verdict lever, settled by the interleaved A/B
+    // in tools/LpaAB: scoped-minby-p16 5.6 s median vs the previous
+    // window-rank shape 8.9 s in the same windows, sf0.1/local[32]):
+    // 1. the per-round top-1 is ONE min_by hash aggregate over the
+    //    (-cnt, label) struct — struct order encodes "most votes,
+    //    ties to the smallest label" — instead of a row_number window
+    //    (no per-round sort/rank pass over the label frame);
+    // 2. label-frame stages run at HALF the session shuffle width
+    //    (still cluster-proportional at scale; the |V|-sized frames
+    //    don't fill default-width tasks, and fixed per-task cost
+    //    multiplied under the driver's co-tenant window: 30 s vs 8 s
+    //    quiet in r6);
+    // 3. AQE is disabled for the loop's scope: an iterative plan of
+    //    tiny stages pays AQE's per-stage re-planning without ever
+    //    benefiting from a re-plan (measured +2-3 s over the whole
+    //    loop), so every round is materialized EAGERLY inside the
+    //    scope and the conf restored — the consumer reads only the
+    //    final checkpointed blocks. (Queries on this session run
+    //    sequentially; the toggle is scoped try/finally.)
+    val labelParts = math.max(8,
+      spark.sessionState.conf.numShufflePartitions / 2)
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // pre-partition the (big, round-invariant) adjacency by the
+      // join key BEFORE the barrier: localCheckpoint preserves the
+      // output partitioning through LogicalRDD, so every round's vote
+      // join exchanges only the small label frame — the adjacency
+      // never re-shuffles
+      val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+        .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+        .repartition(labelParts, col("nbr"))
+        .barrier(true)
+      var lab = adj.select(col("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to rounds) {
+        // one exchange per round: hashpartitioning(node) satisfies
+        // the (node, label) vote count's clustered distribution
+        // (subset key) AND the per-node min_by's, so both aggregates
+        // run exchange-free on the repartitioned join output
+        lab = adj
+          .join(lab.select(col("node").as("nbr"), col("label")), "nbr")
+          .repartition(labelParts, col("node"))
+          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("node"))
+          .agg(min_by(col("label"),
+            struct((-col("cnt")).as("nc"), col("label"))).as("label"))
+          .barrier(true)
+      }
+      lab
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 }
