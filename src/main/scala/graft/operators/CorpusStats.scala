@@ -391,8 +391,9 @@ object CorpusStats {
     * k rounds, distributed end to end. Output: the learned merge
     * table (step, pair, cnt, n_pairs) — the ordered merge list a BPE
     * tokenizer ships as its training artifact. */
-  def bpeTrain(docs: DataFrame, text: String, k: Int): DataFrame =
-    bpeRounds(docs, "doc_id", text, k)._1
+  def bpeTrain(docs: DataFrame, id: String, text: String,
+               k: Int): DataFrame =
+    bpeRounds(docs, id, text, k)._1
       .select(col("step"), col("pair"), col("cnt"), col("n_pairs"))
       .orderBy(col("step"))
 
@@ -542,9 +543,10 @@ object CorpusStats {
     * can't give the total directly (its count includes overlapping
     * occurrences the greedy left-to-right apply skips), hence the
     * explicit post-merge size aggs. */
-  def bpeCurve(docs: DataFrame, text: String, k: Int): DataFrame = {
+  def bpeCurve(docs: DataFrame, id: String, text: String,
+               k: Int): DataFrame = {
     val open = "\u0002"; val close = "\u0003"
-    val (merges, corpora) = bpeRoundsAll(docs, "doc_id", text, k)
+    val (merges, corpora) = bpeRoundsAll(docs, id, text, k)
     val sizes = corpora.zipWithIndex.map { case (c, i) =>
       c.select(size(split(trim(col("s"), open + close), close + open))
           .cast("long").as("n"))

@@ -1832,7 +1832,7 @@ object PipelineSuite extends Suite {
     // no round pulls data to the driver; the oracle unrolls the three
     // rounds as CTE stages. Output = the ordered merge list with
     // counts — the artifact a BPE tokenizer ships.
-    (s, d) => CorpusStats.bpeTrain(Tables.documents(s, d), "text", k = 3),
+    (s, d) => CorpusStats.bpeTrain(Tables.documents(s, d), "doc_id", "text", k = 3),
     Some(CorpusStats.bpeTrainSql("text", k = 3, maxLen = 256)))
 
   val c46 = Q(
@@ -2326,7 +2326,7 @@ object PipelineSuite extends Suite {
     // pair's count can't substitute for the scan (it counts
     // overlapping occurrences the greedy non-overlapping apply
     // skips).
-    (s, d) => CorpusStats.bpeCurve(Tables.documents(s, d), "text", k = 4),
+    (s, d) => CorpusStats.bpeCurve(Tables.documents(s, d), "doc_id", "text", k = 4),
     Some(CorpusStats.bpeCurveSql("text", k = 4, maxLen = 256)))
 
   val c64 = Q(

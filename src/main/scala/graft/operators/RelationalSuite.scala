@@ -562,9 +562,15 @@ object RelationalSuite extends Suite {
           .where(col("us") > col(prevCol))
           .groupBy(col("user_id"))
           .agg(min(col("us")).as(prevCol + "n"))
+      // t1/t2 each feed two consumers (the next stage's join + their
+      // own count row), so barrier them — the event scan and the
+      // staged min-aggregations run once, not once per consumer (the
+      // shared-subplan convention, cf. mixTemperatureCurve)
+      import graft.util.Barriers.BarrierOps
       val t1 = ev.where(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("us")).as("t"))
-      val t2 = entry("click", t1, "t")
+        .barrier(false)
+      val t2 = entry("click", t1, "t").barrier(false)
       val t3 = entry("purchase", t2, "tn")
       def row(step: Int, name: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n_users"))
@@ -573,7 +579,11 @@ object RelationalSuite extends Suite {
       val steps = row(1, "view", t1)
         .unionAll(row(2, "click", t2))
         .unionAll(row(3, "purchase", t3))
-      val base = row(1, "view", t1).select(col("n_users").as("n_base"))
+        .barrier(false)
+      // n_base comes from the already-built steps frame, not a second
+      // view aggregation
+      val base = steps.where(col("step") === 1)
+        .select(col("n_users").as("n_base"))
       steps.crossJoin(broadcast(base))
         .select(col("step"), col("stage"), col("n_users"),
           expr("(cast(n_users as decimal(38,0)) * 1000000) div n_base")

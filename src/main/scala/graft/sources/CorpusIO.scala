@@ -43,17 +43,29 @@ object CorpusIO {
 
   /** Read a [[writeShards]] directory back. The shard partition
     * column comes back from the directory names; `_pos` is the
-    * 0-based position of the row WITHIN its shard file stream —
-    * Spark's JSONL reader preserves in-file row order per split, and
-    * single-file shards make that the full shard order. */
+    * 0-based position of the row WITHIN its shard file stream (files
+    * concatenated in name order — the loader contract above).
+    *
+    * The reconstruction is split-proof: rows order by
+    * `(file, file_block_start, monotonically_increasing_id)`.
+    * `file_block_start` is the byte offset of the row's file split,
+    * so splits of one file sort in file order no matter how Spark
+    * packs splits into read partitions (it packs by descending split
+    * SIZE, so the id's partition-index high bits alone would permute
+    * rows once a file exceeds `spark.sql.files.maxPartitionBytes` —
+    * the silent-reorder trap this column closes); within one split
+    * the id is monotonically increasing in row order, and a text
+    * split never duplicates or drops a line (the reader re-anchors to
+    * line boundaries). */
   def readShards(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard"))
-      .orderBy(col("_file"), col("_fileOffset"))
+      .orderBy(col("_file"), col("_blockStart"), col("_fileOffset"))
     spark.read.json(dir)
-      .withColumn("_file", input_file_name())
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_blockStart", col("_metadata.file_block_start"))
       .withColumn("_fileOffset", monotonically_increasing_id())
       .withColumn("_pos", row_number().over(w).cast("long") - 1L)
-      .drop("_file", "_fileOffset")
+      .drop("_file", "_blockStart", "_fileOffset")
   }
 }

@@ -41,4 +41,41 @@ class CorpusIOSpec extends SparkSpec {
         r.getAs[Long]("order_checksum")))
     assert(got.toSeq === manifest.toSeq)
   }
+
+  test("readShards _pos survives files split across read partitions") {
+    // the silent-reorder trap: Spark packs file splits into read
+    // partitions by descending split size, so once a shard file spans
+    // several splits, partition-index order no longer matches file
+    // order. Force pathological splitting (4 KB) and require the
+    // reconstructed per-shard positions to be IDENTICAL to the
+    // unsplit read's.
+    val docs = graft.model.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "corpus-io-split")
+      .toString
+    CorpusIO.writeShards(docs, "doc_id", "text", shards = 4, dir)
+    val whole = CorpusIO.readShards(spark, dir)
+      .select($"shard", $"doc_id", $"_pos").collect()
+      .map(r => (r.get(0).toString, r.get(1).toString, r.get(2).toString))
+      .toSet
+    val saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val savedOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      // precondition: the tiny split size really does shred the files
+      // across many read partitions (otherwise the test proves
+      // nothing) — checked on the raw scan, before readShards' window
+      // exchange re-partitions the frame
+      assert(spark.read.json(dir).rdd.getNumPartitions > 4)
+      val split = CorpusIO.readShards(spark, dir)
+      val got = split.select($"shard", $"doc_id", $"_pos").collect()
+        .map(r => (r.get(0).toString, r.get(1).toString, r.get(2).toString))
+        .toSet
+      assert(got === whole)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+      spark.conf.set("spark.sql.files.openCostInBytes", savedOpen)
+    }
+  }
 }

@@ -135,7 +135,7 @@ class CorpusStatsSpec extends SparkSpec {
       (2L, "a b"),
       (3L, "x")
     ).toDF("doc_id", "text")
-    val out = CorpusStats.bpeTrain(docs, "text", k = 3)
+    val out = CorpusStats.bpeTrain(docs, "doc_id", "text", k = 3)
       .orderBy($"step").collect()
     assert(out.length == 3)
     // round 1: (a,b)x3 of 5 pairs; merge -> doc1 [a b, a b, c], doc2 [a b]
@@ -341,7 +341,7 @@ class CorpusStatsSpec extends SparkSpec {
       (2L, "a b"),
       (3L, "x")
     ).toDF("doc_id", "text")
-    val out = CorpusStats.bpeCurve(docs, "text", k = 3)
+    val out = CorpusStats.bpeCurve(docs, "doc_id", "text", k = 3)
       .orderBy($"step").collect()
     assert(out.map(r => (r.getAs[Long]("step"), r.getAs[String]("pair"),
       r.getAs[Long]("n_tokens"), r.getAs[Long]("saved_ppm"))).toSeq ===
