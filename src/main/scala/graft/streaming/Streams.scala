@@ -137,9 +137,14 @@ object Streams {
   }
 
   /** Streaming flavor: flatMapGroupsWithState keyed by user, emitting
-    * a session when the gap passes (or on state timeout). Requires
-    * events to arrive per-user in event-time order within the
-    * watermark (spec feeds ordered batches). */
+    * a session when the gap passes (or on state timeout). Each
+    * micro-batch's per-key group is folded in (event-time, id) order,
+    * so WITHIN a batch arrival order is irrelevant (StreamsSpec pins
+    * invariance under permuted arrivals); ACROSS batches a key's
+    * events must still be time-ordered — an emitted session cannot be
+    * retracted in append mode, so a cross-batch straggler needs an
+    * upstream watermark-bounded reorder buffer (documented
+    * convention, same as d20/d26/d27). */
   def sessionizeStreaming(events: DataFrame, gapUs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -565,10 +570,15 @@ object Streams {
     * advanced by the strict staged rule (a click counts only
     * STRICTLY after the view entry, a purchase only after the click
     * entry; a19's batch semantics). Events are folded in (ts,
-    * event_id) order within each batch; with an ordered feed across
-    * batches (the d2/d3 convention) the final per-user emission
-    * equals the batch staged-min-join query, StreamsSpec-pinned.
-    * Update mode: each batch re-emits the users it touched. */
+    * event_id) order within each batch — any within-batch arrival
+    * order yields the same state (StreamsSpec pins invariance under
+    * permuted arrivals); with an ordered feed across batches (the
+    * d2/d3 convention) the final per-user emission equals the batch
+    * staged-min-join query, StreamsSpec-pinned. A cross-batch
+    * straggler can lower a stage's entry time only via an upstream
+    * reorder buffer — the staged-min semantics are not incrementally
+    * recomputable without retaining the event set. Update mode: each
+    * batch re-emits the users it touched. */
   def funnelStreaming(events: DataFrame)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = events.sparkSession
@@ -603,8 +613,10 @@ object Streams {
   /** Streaming per-shard sequence packing — the stateful streaming
     * completion of the batch shard-pack manifest: arriving docs route
     * to their content-hash shard and APPEND to that shard's running
-    * concatenation in arrival order (within a micro-batch: by id —
-    * the d2/d3 ordered-feed convention), so each shard key carries
+    * concatenation in arrival order (within a micro-batch: by id, so
+    * any within-batch arrival order packs identically — StreamsSpec
+    * pins invariance under permuted arrivals; across batches the
+    * d2/d3 ordered-feed convention), so each shard key carries
     * exactly (doc count, token offset, straddler count) —
     * O(shards) state BY CONSTRUCTION, the offsets a streaming
     * training-data writer needs to chop `budget`-token sequences as
@@ -833,8 +845,13 @@ object Streams {
     * emits the user's NOVEL (cohort_week, week_offset) cells, so the
     * accumulated emissions count each active week exactly once per
     * user (the sink/downstream agg builds the matrix by summing).
-    * Ordered feed across batches (the d2/d3 convention) makes the
-    * first event the true cohort week. Offsets are capped at 63 by
+    * Each batch's per-user group folds in (week, id) order, so
+    * within-batch arrival order is irrelevant (StreamsSpec pins
+    * invariance under permuted arrivals), and the seen-bitmask makes
+    * LATER weeks order-free even across batches; only the FIRST
+    * event must not arrive late across batches (the d2/d3
+    * convention) — and if it does, the offset guard throws rather
+    * than miscounting the cohort. Offsets are capped at 63 by
     * the bitmask — a 64-week horizon; production monitors roll the
     * window, and the cap is an explicit guard here, not a silent
     * truncation (events beyond it throw). */

@@ -1068,4 +1068,138 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
     assert(streamed.length <= arriving.length)
   }
+
+  // ---- event-time disorder hardening (r6 verdict item 3) ----------
+  // Real streams are disordered within the watermark. The stateful
+  // trackers fold each micro-batch's per-key group in (event-time,
+  // id) order INSIDE flatMapGroupsWithState, so any within-batch
+  // arrival order must produce the identical final state. These cases
+  // feed the same two-batch splits as the ordered-feed tests above
+  // but PERMUTE each batch's rows (fixed seed); expectations are the
+  // same batch-replay oracles, unchanged.
+
+  private def permuted[T](rows: Seq[T], seed: Int): Seq[T] =
+    new scala.util.Random(seed).shuffle(rows)
+
+  test("sessionize is invariant under permuted within-batch arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1800000000L
+    val ms = MemoryStream[Raw]
+    val q = Streams.sessionizeStreaming(ms.toDF(), gap)
+      .writeStream.format("memory").queryName("sess_perm")
+      .outputMode("append").start()
+    val (b1, b2) = rawRows.toSeq.splitAt(rawRows.length / 2)
+    try {
+      ms.addData(permuted(b1, 7)); q.processAllAvailable()
+      ms.addData(permuted(b2, 11)); q.processAllAvailable()
+    } finally { q.stop() }
+    val streamed = spark.table("sess_perm")
+      .orderBy($"user_id", $"session_idx").collect()
+    val batch = Streams.sessionize(eventsDf, gap).toDF()
+    val lastIdx = batch.groupBy($"user_id")
+      .agg(max($"session_idx").as("last_idx"))
+    val closed = batch.join(lastIdx, "user_id")
+      .where($"session_idx" < $"last_idx")
+      .select(batch.columns.map(col): _*)
+      .orderBy($"user_id", $"session_idx").collect()
+    assert(streamed.toSeq === closed.toSeq)
+  }
+
+  test("streaming funnel is invariant under permuted within-batch arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sf)
+    val feed = events.select($"user_id", $"event_type",
+        unix_micros($"ts").as("us"), $"event_id")
+      .as[(Long, String, Long, Long)].collect()
+      .sortBy(r => (r._3, r._4))
+    val last = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val ms = MemoryStream[(Long, String, Long, Long)]
+    val q = Streams.funnelStreaming(
+      ms.toDF().toDF("user_id", "event_type", "us", "event_id")
+        .withColumn("ts", timestamp_micros($"us"))) { df =>
+      last.synchronized {
+        df.collect().foreach { r =>
+          last(r.getAs[Long]("user_id")) =
+            (r.getAs[Long]("stage"), r.getAs[Long]("entry_us"))
+        }
+      }
+    }
+    val (b1, b2) = feed.toSeq.splitAt(feed.length / 2)
+    try {
+      ms.addData(permuted(b1, 7)); q.processAllAvailable()
+      ms.addData(permuted(b2, 11)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = last.synchronized {
+      last.toSeq.map { case (u, (st, e)) => (u, st, e) }.sortBy(_._1)
+    }
+    val batch = graft.SparkEntry.queries("d26_stream_funnel")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("stage"), r.getAs[Long]("entry_us"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("streaming retention is invariant under permuted within-batch arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sf)
+    val feed = events.select($"user_id",
+        expr("unix_micros(ts) div 604800000000").as("week"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+      .sortBy(r => (r._2, r._3))
+    val acc = scala.collection.mutable.Map[(Long, Long), Long]()
+    val ms = MemoryStream[(Long, Long, Long)]
+    val q = Streams.retentionStreaming(
+      ms.toDF().toDF("user_id", "week", "event_id")
+        .withColumn("ts", timestamp_micros($"week" * 604800000000L))) { df =>
+      acc.synchronized {
+        df.collect().foreach { r =>
+          val k = (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"))
+          acc(k) = acc.getOrElse(k, 0L) + 1L
+        }
+      }
+    }
+    val (b1, b2) = feed.toSeq.splitAt(feed.length / 2)
+    try {
+      ms.addData(permuted(b1, 7)); q.processAllAvailable()
+      ms.addData(permuted(b2, 11)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = acc.synchronized {
+      acc.toSeq.map { case ((c, o), n) => (c, o, n) }.sortBy(t => (t._1, t._2))
+    }
+    val batch = graft.SparkEntry.queries("d27_stream_retention")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_active"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("streaming shard pack is invariant under permuted within-batch arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Packing
+    val docs = Tables.documents(spark, sf)
+    val arriving = docs.select($"doc_id", $"text")
+      .orderBy($"doc_id").as[(Long, String)].collect()
+    val last = scala.collection.mutable.Map[Long,
+      (Long, Long, Long, Long, Long)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.shardPackStreaming(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", shards = 16,
+      budget = 512L) { df =>
+      val rows = df.collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_seqs"), r.getAs[Long]("n_straddle"),
+          r.getAs[Long]("tail_fill_ppm")))
+      this.synchronized { rows.foreach { case (k, v) => last(k) = v } }
+    }
+    val (b1, b2) = arriving.toSeq.splitAt(arriving.length / 2)
+    try {
+      ms.addData(permuted(b1, 7)); q.processAllAvailable()
+      ms.addData(permuted(b2, 11)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Packing.shardPackArrival(docs, "doc_id", "text",
+        shards = 16, budget = 512L)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_seqs"), r.getAs[Long]("n_straddle"),
+          r.getAs[Long]("tail_fill_ppm"))).toMap
+    assert(last.nonEmpty && last.toMap === batch)
+  }
 }
