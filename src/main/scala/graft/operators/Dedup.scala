@@ -201,8 +201,8 @@ object Dedup {
     * same bag-product intersection as [[ngramJaccardPairs]], but the
     * shingle join is restricted to candidate docs, so cost is bounded
     * by |candidates|, not by hot-shingle bucket size. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
-                            sizes: DataFrame, tau: Double): DataFrame = {
+  private def verifyJaccardPpm(cand: DataFrame, sh: DataFrame,
+                               sizes: DataFrame, tau: Double): DataFrame = {
     val inter = cand
       .join(sh.select(col("did").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("did"), col("sh").as("sh_b")),
@@ -215,8 +215,19 @@ object Dedup {
       .withColumn("jaccard",
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
       .where(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // the integer twin of `jaccard` for hash-exact outputs (the §4
+      // ppm rule): floor ppm of a non-negative ratio, safe on both
+      // engines
+      .withColumn("j_ppm",
+        expr("(cast(c as decimal(38,0)) * 1000000) div (na + nb - c)")
+          .cast("long"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("j_ppm"))
   }
+
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            sizes: DataFrame, tau: Double): DataFrame =
+    verifyJaccardPpm(cand, sh, sizes, tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Apply dedup: MinHash-LSH candidates → exact-Jaccard verify on the
     * candidates only → transitive clusters via distributed connected
@@ -549,6 +560,86 @@ object Dedup {
       .select(col(id),
         when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
+  /** Verified near-dup pairs of an ALREADY-PERSISTED corpus index —
+    * [[nearDupPairs]] with ZERO text passes: candidates come from the
+    * index's own band self-join, the exact-Jaccard verify reads the
+    * shingle sets from the index. Returns (id_a, id_b, j_ppm) with
+    * id_a < id_b. The snapshot-diff building block: a corpus
+    * version's whole near-dup relation set derives from its persisted
+    * index artifact alone, so diffing two versions never rescans
+    * either corpus text. */
+  def indexPairs(index: DedupIndex, tau: Double): DataFrame = {
+    val cand = index.bands.alias("a")
+      .join(index.bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .distinct()
+    val sh = index.shingles.select(col("did"), explode(col("shh")).as("sh"))
+    val sizes = index.shingles.select(col("did"), col("n"))
+    verifyJaccardPpm(cand, sh, sizes, tau)
+      .select(col("id_a"), col("id_b"), col("j_ppm"))
+  }
+
+  /** Cross-snapshot dedup diff — the daily-corpus-version audit: how
+    * did the near-dup RELATION SET change between two corpus
+    * snapshots, each represented only by its persisted [[DedupIndex]]
+    * (built once per corpus fingerprint — the c25/c29 index-once
+    * seam)? Per pair (id_a < id_b, j_ppm from whichever snapshot has
+    * it — doc text is id-stable, so a pair present in both has one
+    * Jaccard):
+    *   - `new`        — verifies at >= tau in the new snapshot only
+    *                    (an endpoint entered the corpus);
+    *   - `persisting` — verifies in both (the standing duplication
+    *                    debt a dedup owner tracks release over
+    *                    release);
+    *   - `resolved`   — verifies in the old snapshot only (an
+    *                    endpoint was dropped/cleaned — the dedup work
+    *                    that actually landed).
+    * Scale: two band self-joins + candidate-only verifies (each
+    * bounded by its snapshot's collisions, never |corpus|²), then ONE
+    * full-outer join keyed by the pair — shuffle bounded by the two
+    * relation sets, which near-dup sparsity keeps ≪ |corpus|. */
+  def snapshotDiff(oldIdx: DedupIndex, newIdx: DedupIndex,
+                   tau: Double): DataFrame = {
+    val oldP = indexPairs(oldIdx, tau)
+      .select(col("id_a"), col("id_b"), col("j_ppm").as("j_old"))
+    val newP = indexPairs(newIdx, tau)
+      .select(col("id_a"), col("id_b"), col("j_ppm").as("j_new"))
+    oldP.join(newP, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        when(col("j_old").isNotNull && col("j_new").isNotNull,
+          lit("persisting"))
+          .when(col("j_new").isNotNull, lit("new"))
+          .otherwise(lit("resolved")).as("status"),
+        coalesce(col("j_new"), col("j_old")).as("j_ppm"))
+  }
+
+  /** Per-source churn audit over [[snapshotDiff]]: pairs labeled by
+    * their endpoints' (sorted) source pair and status, with pair
+    * counts and total similarity mass — which source pairs are
+    * generating new near-dup debt (cross-source rows = syndication/
+    * mirroring between domains) and which cleanups actually resolved
+    * relations. Two id-keyed joins to attach sources (the docs scan
+    * prunes to two columns) + one partial-aggregable groupBy over the
+    * diff rows. */
+  def snapshotChurn(diff: DataFrame, docs: DataFrame, id: String,
+                    source: String): DataFrame = {
+    val src = docs.select(col(id).as("sid"), col(source).as("src"))
+    diff
+      .join(src.select(col("sid"), col("src").as("sa")),
+        col("id_a") === col("sid")).drop("sid")
+      .join(src.select(col("sid"), col("src").as("sb")),
+        col("id_b") === col("sid")).drop("sid")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        col("status"), col("j_ppm"))
+      .groupBy(col("src_a"), col("src_b"), col("status"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("j_ppm")).as("j_ppm_sum"))
   }
 
   /** ExactSubstr-style substring dedup (Lee et al., "Deduplicating

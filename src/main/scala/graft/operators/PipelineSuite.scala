@@ -2664,11 +2664,82 @@ object PipelineSuite extends Suite {
       ORDER BY lo, hi"""
     })
 
+  val c74 = Q(
+    "c74_dedup_snapshot_diff",
+    // Cross-snapshot dedup diff (Dedup.snapshotDiff + snapshotChurn):
+    // two corpus versions (V1 = doc_id%10 < 8, V2 = doc_id%10 >= 2 —
+    // docs 0-1 removed, 8-9 added, 2-7 carried), each represented
+    // ONLY by its persisted band index (built once per corpus
+    // fingerprint — the same DiskCache artifact family as c25/c29),
+    // diffed into per-pair new/persisting/resolved near-dup statuses
+    // and rolled up per (sorted) source pair with pair counts and
+    // similarity mass — the release-over-release audit a corpus owner
+    // reads: which sources are accumulating new duplication debt,
+    // which cleanups actually resolved relations. Neither corpus text
+    // is rescanned: candidates are each index's band self-join, the
+    // verify reads index shingle sets, and the diff is one full-outer
+    // join keyed by the pair. The oracle recomputes both snapshots'
+    // relation sets from scratch with EXACT all-pairs Jaccard (the
+    // c16 precedent pins banding lossless at k=48/b=24, tau=0.5).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val v2 = docs.where(pmod(col("doc_id"), lit(10)) >= 2)
+      def idx(tag: String, corpus: org.apache.spark.sql.DataFrame) =
+        graft.util.DiskCache.cached(s, "dedup-index", "v1",
+          Seq(s"$d/documents.parquet"), tag, Seq("shingles", "bands")) {
+          tmp => Dedup.writeIndex(corpus, "doc_id", "text",
+            k = 48, bands = 24, tmp)
+        } { base => Dedup.readIndex(s, base) }
+      val diff = Dedup.snapshotDiff(
+        idx("mod10lt8-k48b24", v1), idx("mod10ge2-k48b24", v2), tau = 0.5)
+      Dedup.snapshotChurn(diff, docs, "doc_id", "source")
+        .orderBy(col("src_a"), col("src_b"), col("status"))
+    },
+    Some(s"""
+      WITH sh AS (SELECT doc_id, unnest($SH) AS s FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b,
+               CAST((CAST(c AS HUGEINT) * 1000000)
+                 // (sa.n + sb.n - c) AS BIGINT) AS j_ppm
+        FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      st AS (
+        SELECT id_a, id_b, j_ppm,
+               CASE WHEN (id_a % 10 < 8 AND id_b % 10 < 8)
+                     AND (id_a % 10 >= 2 AND id_b % 10 >= 2)
+                    THEN 'persisting'
+                    WHEN id_a % 10 >= 2 AND id_b % 10 >= 2 THEN 'new'
+                    ELSE 'resolved' END AS status
+        FROM pairs
+        WHERE (id_a % 10 < 8 AND id_b % 10 < 8)
+           OR (id_a % 10 >= 2 AND id_b % 10 >= 2)),
+      lab AS (
+        SELECT LEAST(a.source, b.source) AS src_a,
+               GREATEST(a.source, b.source) AS src_b,
+               status, j_ppm
+        FROM st
+          JOIN documents a ON st.id_a = a.doc_id
+          JOIN documents b ON st.id_b = b.doc_id)
+      SELECT src_a, src_b, status,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(j_ppm) AS BIGINT) AS j_ppm_sum
+      FROM lab
+      GROUP BY src_a, src_b, status
+      ORDER BY src_a, src_b, status"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
-      c70, c71, c72, c73)
+      c70, c71, c72, c73, c74)
 }
