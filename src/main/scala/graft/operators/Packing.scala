@@ -388,4 +388,211 @@ object Packing {
       ${leg(s"n, $id", "sorted")})
       ORDER BY strategy"""
   }
+
+  /** First-fit-decreasing packing audit — [[paddingAudit]]'s question
+    * asked of WHOLE-DOC bin packing: docs pack into fixed
+    * `budget`-token bins with NO straddling (each bin holds complete
+    * docs; the unused tail is padding the loader burns), under three
+    * strategies a batch-assembly owner tunes between:
+    *
+    *   - `arrival` — next-fit in id order (what a naive sequential
+    *     writer does: one open bin, close it when the next doc
+    *     doesn't fit);
+    *   - `sorted`  — next-fit in DECREASING-length order (what
+    *     length-sorting alone buys);
+    *   - `ffd`     — first-fit decreasing (every open bin is a
+    *     candidate — the classic 11/9·OPT+6/9 heuristic, the best
+    *     deterministic one-pass packer in practice).
+    *
+    * Deterministic distributed formulation: a GLOBAL two-level rank
+    * (arrival: [[packOffsets]]' id-bucket scan; decreasing: the c38
+    * histogram-prefix scan ordered n DESC) slices the corpus into
+    * contiguous `shardSize`-doc shards of the strategy's order; each
+    * shard packs EXACTLY and independently via a sequential
+    * integer fold over its items (`aggregate` here, `list_reduce` in
+    * the oracle — the §4 id-ordered-fold pattern), with bin state
+    * bounded by the shard: O(shardSize) docs collected per fold row,
+    * O(open bins) accumulator — the production shape, since no real
+    * packer holds a 100 TB corpus's bins open; cross-shard waste is
+    * the price of parallelism and is IN the audited number. Docs
+    * longer than the budget are clamped to one full bin (truncation
+    * is the length-trimmer's job, c64); zero-token docs carry no
+    * packing cost and are excluded. All-integer outputs; waste_ppm =
+    * (capacity − real) ppm of capacity. */
+  def ffdAudit(docs: DataFrame, id: String, text: String, budget: Long,
+               shardSize: Int = 4096): DataFrame = {
+    val toks = docs.select(col(id),
+        least(size(TextOps.tokens(col(text))).cast("long"), lit(budget))
+          .as("n"))
+      .where(col("n") > 0L)
+    // arrival rank: id-bucketed two-level count scan
+    val bucketed = toks.withColumn("__bkt", expr(s"$id div 4096"))
+    val arrLocal = bucketed.withColumn("__rn",
+      row_number().over(Window.partitionBy(col("__bkt")).orderBy(col(id)))
+        .cast("long"))
+    val wBkt = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val arrPrefix = bucketed.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__before", sum(col("__cnt")).over(wBkt) - col("__cnt"))
+      .select(col("__bkt"), col("__before"))
+    val arrRank = arrLocal.join(broadcast(arrPrefix), "__bkt")
+      .select(col("n"), (col("__before") + col("__rn")).as("rk"))
+    // decreasing rank: intra-length row_number + histogram-cumsum
+    // prefix walked from the LONG end
+    val decLocal = toks.withColumn("__rn",
+      row_number().over(Window.partitionBy(col("n")).orderBy(col(id)))
+        .cast("long"))
+    val wHist = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val decPrefix = toks.groupBy(col("n"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__before", sum(col("__cnt")).over(wHist) - col("__cnt"))
+      .select(col("n").as("__n"), col("__before"))
+    val decRank = decLocal.join(broadcast(decPrefix),
+        col("n") === col("__n"))
+      .select(col("n"), (col("__before") + col("__rn")).as("rk"))
+    // next-fit fold state: [bins opened, remaining in the open bin]
+    val nfExpr =
+      s"""aggregate(items, array(0L, 0L), (acc, it) ->
+            if(element_at(acc, 2) >= it.n,
+               array(element_at(acc, 1), element_at(acc, 2) - it.n),
+               array(element_at(acc, 1) + 1L, ${budget}L - it.n)))"""
+    // first-fit fold state: remaining capacity per open bin, first
+    // fitting bin (1-based array_position over the fits mask) takes
+    // the doc, else a new bin opens at the tail
+    val pos = "cast(array_position(transform(acc, r -> r >= it.n), " +
+      "true) as int)"
+    val ffExpr =
+      s"""aggregate(items, cast(array() as array<bigint>), (acc, it) ->
+            if($pos > 0,
+               concat(slice(acc, 1, $pos - 1),
+                      array(element_at(acc, $pos) - it.n),
+                      slice(acc, $pos + 1, size(acc) - $pos)),
+               concat(acc, array(${budget}L - it.n))))"""
+    def leg(ranked: DataFrame, strategy: String, firstFit: Boolean) = {
+      val binsCol =
+        if (firstFit) s"cast(size($ffExpr) as bigint)"
+        else s"element_at($nfExpr, 1)"
+      ranked
+        .withColumn("sid", expr(s"(rk - 1) div $shardSize"))
+        .groupBy(col("sid"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("real"),
+          sort_array(collect_list(struct(col("rk"), col("n"))))
+            .as("items"))
+        .withColumn("n_bins", expr(binsCol))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_bins")).cast("long").as("n_bins"),
+          sum(col("real")).cast("long").as("real_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_docs"),
+          col("n_bins"), col("real_tokens"),
+          (col("n_bins") * budget).as("capacity_tokens"),
+          CorpusStats.ppmExpr(s"n_bins * ${budget}L - real_tokens",
+            s"(n_bins * ${budget}L)").cast("long").as("waste_ppm"))
+    }
+    leg(arrRank, "arrival", firstFit = false)
+      .unionAll(leg(decRank, "sorted", firstFit = false))
+      .unionAll(leg(decRank, "ffd", firstFit = true))
+      .orderBy(col("strategy"))
+  }
+
+  /** DuckDB mirror of [[ffdAudit]]. The next-fit legs fold via
+    * list_reduce with the init state PREPENDED (list_reduce's
+    * accumulator must share the element type, so items ride as
+    * single-element BIGINT lists and the init rides first). The FFD
+    * leg CANNOT use list_reduce on this DuckDB (v1.0.0 miscompiles
+    * both a lambda nested inside list_reduce's lambda and a
+    * list-typed CASE, verified by minimal repros) — it unrolls as a
+    * recursive CTE instead, one item per shard per step, with a
+    * BRANCHLESS bin update: always append a fresh bin, subtract the
+    * doc at coalesce(nullif(first-fit position, 0), len+1) (DuckDB
+    * list_position returns 0, not NULL, on no-match), then trim the
+    * untouched fresh bin with a scalar-CASE slice bound. */
+  def ffdAuditSql(id: String, text: String, budget: Long,
+                  shardSize: Int = 4096): String = {
+    val tk = TextOps.tokensSql(text)
+    val items = "list([n] ORDER BY rk)"
+    val nfReduce =
+      s"""list_reduce(
+            list_prepend(CAST([0, 0] AS BIGINT[]), $items),
+            (acc, x) -> CASE WHEN acc[2] >= x[1]
+              THEN [acc[1], acc[2] - x[1]]
+              ELSE [acc[1] + 1, $budget - x[1]] END)"""
+    def nfLeg(order: String, strategy: String) =
+      s"""
+      SELECT '$strategy' AS strategy,
+             CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(n_bins) AS BIGINT) AS n_bins,
+             CAST(SUM(real) AS BIGINT) AS real_tokens,
+             CAST(SUM(n_bins) * $budget AS BIGINT) AS capacity_tokens,
+             ${CorpusStats.ppmSql(s"SUM(n_bins) * $budget - SUM(real)",
+               s"(SUM(n_bins) * $budget)")} AS waste_ppm
+      FROM (
+        SELECT sid, COUNT(*) AS n_docs, SUM(n) AS real,
+               ($nfReduce)[1] AS n_bins
+        FROM (
+          SELECT (ROW_NUMBER() OVER (ORDER BY $order) - 1)
+                   // $shardSize AS sid,
+                 ROW_NUMBER() OVER (ORDER BY $order) AS rk,
+                 n
+          FROM t)
+        GROUP BY sid)"""
+    s"""
+      WITH RECURSIVE t AS (
+        SELECT $id AS tid,
+               LEAST(CAST(len($tk) AS BIGINT), $budget) AS n
+        FROM documents
+        WHERE len($tk) > 0),
+      rd AS (
+        SELECT (ROW_NUMBER() OVER (ORDER BY n DESC, tid) - 1)
+                 // $shardSize AS sid,
+               ROW_NUMBER() OVER (ORDER BY n DESC, tid)
+                 - ((ROW_NUMBER() OVER (ORDER BY n DESC, tid) - 1)
+                     // $shardSize) * $shardSize AS j,
+               n
+        FROM t),
+      ffd AS (
+        SELECT sid, CAST(0 AS BIGINT) AS j, CAST([] AS BIGINT[]) AS bins
+        FROM (SELECT DISTINCT sid FROM rd)
+        UNION ALL
+        SELECT y.sid, y.j,
+          y.upd[1:(y.oldlen +
+            CASE WHEN y.cpos = y.oldlen + 1 THEN 1 ELSE 0 END)]
+        FROM (
+          SELECT x.sid, x.j, x.oldlen, x.cpos,
+                 list_concat(list_concat(
+                   x.ext[1:(x.cpos) - 1],
+                   [x.ext[x.cpos] - x.n]),
+                   x.ext[((x.cpos) + 1):]) AS upd
+          FROM (
+            SELECT f.sid, i.j, i.n, len(f.bins) AS oldlen,
+                   coalesce(nullif(list_position(
+                     list_transform(f.bins, rr -> rr >= i.n), true), 0),
+                     len(f.bins) + 1) AS cpos,
+                   list_append(f.bins, CAST($budget AS BIGINT)) AS ext
+            FROM ffd f JOIN rd i ON i.sid = f.sid AND i.j = f.j + 1)
+            x) y),
+      ffd_fin AS (
+        SELECT f.sid, len(f.bins) AS n_bins
+        FROM ffd f
+          JOIN (SELECT sid, MAX(j) AS mj FROM ffd GROUP BY sid) m
+            ON f.sid = m.sid AND f.j = m.mj),
+      ffd_tot AS (
+        SELECT sid, COUNT(*) AS n_docs, SUM(n) AS real
+        FROM rd GROUP BY sid)
+      SELECT * FROM (
+      ${nfLeg("tid", "arrival")}
+      UNION ALL
+      ${nfLeg("n DESC, tid", "sorted")}
+      UNION ALL
+      SELECT 'ffd' AS strategy,
+             CAST(SUM(ft.n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(ff.n_bins) AS BIGINT) AS n_bins,
+             CAST(SUM(ft.real) AS BIGINT) AS real_tokens,
+             CAST(SUM(ff.n_bins) * $budget AS BIGINT) AS capacity_tokens,
+             ${CorpusStats.ppmSql(s"SUM(ff.n_bins) * $budget - SUM(ft.real)",
+               s"(SUM(ff.n_bins) * $budget)")} AS waste_ppm
+      FROM ffd_tot ft JOIN ffd_fin ff ON ft.sid = ff.sid)
+      ORDER BY strategy"""
+  }
 }

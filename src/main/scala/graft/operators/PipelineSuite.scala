@@ -2735,11 +2735,32 @@ object PipelineSuite extends Suite {
       GROUP BY src_a, src_b, status
       ORDER BY src_a, src_b, status"""))
 
+  val c75 = Q(
+    "c75_ffd_packing",
+    // First-fit-decreasing packing audit (Packing.ffdAudit) — c66's
+    // padding question asked of WHOLE-DOC bin packing: docs into
+    // fixed 512-token bins, no straddling, under arrival next-fit /
+    // decreasing next-fit / first-fit-decreasing. The FFD leg is the
+    // deterministic distributed formulation the r6 verdict asked for:
+    // a global two-level decreasing rank slices contiguous 4096-doc
+    // shards, each shard packs EXACTLY via a sequential integer fold
+    // (aggregate ↔ list_reduce — the §4 id-ordered-fold pattern) with
+    // bin state bounded by the shard; cross-shard waste is priced in.
+    // The waste_ppm gaps are the numbers a batch-assembly owner tunes
+    // against: sorted−arrival = what length-ordering alone buys,
+    // ffd−sorted = what revisiting open bins buys on top.
+    // shardSize=1024 bounds the oracle's recursion depth (one doc per
+    // shard per recursive step); the Spark fold is depth-free.
+    (s, d) => Packing.ffdAudit(Tables.documents(s, d), "doc_id",
+      "text", budget = 512L, shardSize = 1024),
+    Some(Packing.ffdAuditSql("doc_id", "text", budget = 512L,
+      shardSize = 1024)))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
-      c70, c71, c72, c73, c74)
+      c70, c71, c72, c73, c74, c75)
 }

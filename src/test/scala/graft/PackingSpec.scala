@@ -202,4 +202,70 @@ class PackingSpec extends SparkSpec {
       ("arrival", arr._1, arr._2, arr._3),
       ("sorted", srt._1, srt._2, srt._3)))
   }
+
+  test("ffdAudit: hand-checked bins for all three strategies") {
+    // lengths by id: 400,200,400,200; budget 512. Hand replay:
+    //   arrival NF: 400->[112]; 200 no fit->[312]; 400 no->[112];
+    //     200 no->[312]                              = 4 bins
+    //   sorted NF (400,400,200,200): 400->[112]; 400->[112];
+    //     200->[312]; 200 fits rem 312->[112]        = 3 bins
+    //   ffd (400,400,200,200): [112]->[112,112]; 200 fits neither
+    //     ->[112,112,312]; 200 fits bin3->[112,112,112] = 3 bins
+    // (all three differ from each other in bins or layout — the
+    // audit's separating example)
+    val docs = Seq((1L, 400), (2L, 200), (3L, 400), (4L, 200))
+      .map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = graft.operators.Packing
+      .ffdAudit(docs, "doc_id", "text", budget = 512L)
+      .collect().map(r => (r.getAs[String]("strategy"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_bins"),
+        r.getAs[Long]("real_tokens"), r.getAs[Long]("capacity_tokens"),
+        r.getAs[Long]("waste_ppm"))).toSeq
+    assert(out === Seq(
+      ("arrival", 4L, 4L, 1200L, 2048L, 848L * 1000000L / 2048L),
+      ("ffd", 4L, 3L, 1200L, 1536L, 336L * 1000000L / 1536L),
+      ("sorted", 4L, 3L, 1200L, 1536L, 336L * 1000000L / 1536L)))
+  }
+
+  test("ffdAudit: per-shard folds match a brute-force replay at sf") {
+    val budget = 512L
+    val shardSize = 256 // small so the sf corpus spans several shards
+    val docs = graft.model.Tables.documents(spark, sf)
+    val out = graft.operators.Packing
+      .ffdAudit(docs, "doc_id", "text", budget, shardSize)
+      .collect().map(r => r.getAs[String]("strategy") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_bins"),
+          r.getAs[Long]("real_tokens"))).toMap
+    val lens = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), math.min(r.getLong(1), budget)))
+      .filter(_._2 > 0).toSeq
+    def nextFit(ordered: Seq[Long]): Long = {
+      var bins = 0L; var rem = 0L
+      ordered.foreach { n =>
+        if (rem >= n) rem -= n else { bins += 1; rem = budget - n } }
+      bins
+    }
+    def ffd(ordered: Seq[Long]): Long = {
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ordered.foreach { n =>
+        val i = bins.indexWhere(_ >= n)
+        if (i >= 0) bins(i) -= n else bins += budget - n }
+      bins.size.toLong
+    }
+    def sharded(ordered: Seq[Long], pack: Seq[Long] => Long): Long =
+      ordered.grouped(shardSize).map(pack).sum
+    val arrOrd = lens.sortBy(_._1).map(_._2)
+    val decOrd = lens.sortBy(t => (-t._2, t._1)).map(_._2)
+    val total = lens.map(_._2).sum
+    assert(out("arrival") === (lens.size.toLong,
+      sharded(arrOrd, nextFit), total))
+    assert(out("sorted") === (lens.size.toLong,
+      sharded(decOrd, nextFit), total))
+    assert(out("ffd") === (lens.size.toLong,
+      sharded(decOrd, ffd), total))
+    // FFD never uses more bins than next-fit on the same order
+    assert(out("ffd")._2 <= out("sorted")._2)
+  }
 }
