@@ -142,6 +142,17 @@ object GraphAlgo {
     val Scale = 1000000000000L
     val dPct = math.round(damping * 100).toInt
     val base = Scale / 100 * (100 - dPct)
+    // AQE off for the whole chain, which the final eager barrier
+    // below executes inside this scope: the lazy iteration chain is
+    // dozens of tiny stages whose per-stage AQE re-planning costs
+    // more than it saves (GraphAB interleaved A/B at sf0.1: 4.51 s
+    // AQE vs 3.36 s without — the same finding as the b28 LPA loop;
+    // CC and k-core measured the OPPOSITE, their edge sets shrink
+    // per round and AQE's coalescing wins, so they keep it).
+    val spark = edgesIn.sparkSession
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val dir = edgesIn.toDF("src", "dst")
     // out-degree folded into the edge relation via a window count —
     // ONE shuffle on src, and the materialized result STAYS
@@ -166,8 +177,11 @@ object GraphAlgo {
       // lineage relief on long runs.
       if (i % 8 == 0 && i < iters) rank = rank.barrier(true)
     }
-    rank.select(col("id"),
+    // eager: the full chain materializes here, inside the AQE-off
+    // scope; the consumer reads the checkpointed per-node ranks
+    rank.barrier(true).select(col("id"),
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
   }
 
   /** One fixed-point PageRank iteration (exposed for plan-shape
@@ -211,8 +225,16 @@ object GraphAlgo {
   def triangleCount(edges: DataFrame): DataFrame =
     triangleCountUnd(undirected(edges))
 
-  /** [[triangleCount]] over a pre-built [[undirectedSimple]] view. */
+  /** [[triangleCount]] over a pre-built [[undirectedSimple]] view.
+    * Runs with AQE disabled for its scope (GraphAB A/B at sf0.1:
+    * 3.23 s AQE vs 2.50 s without — the oriented wedge join is a few
+    * well-sized stages and re-planning only adds latency); the final
+    * one-row count materializes eagerly inside the scope. */
   def triangleCountUnd(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -237,6 +259,8 @@ object GraphAlgo {
     wedges.join(o.select(col("u").as("v1"), col("v").as("v2")),
         Seq("v1", "v2"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
+      .barrier(true)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
   }
 
   /** Undirected simple-graph view of a (src, dst) edge frame: loops
