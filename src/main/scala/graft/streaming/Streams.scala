@@ -142,9 +142,11 @@ object Streams {
     * so WITHIN a batch arrival order is irrelevant (StreamsSpec pins
     * invariance under permuted arrivals); ACROSS batches a key's
     * events must still be time-ordered — an emitted session cannot be
-    * retracted in append mode, so a cross-batch straggler needs an
-    * upstream watermark-bounded reorder buffer (documented
-    * convention, same as d20/d26/d27). */
+    * retracted in append mode, so a cross-batch straggler needs a
+    * watermark-bounded reorder buffer — which is exactly
+    * [[sessionizeStreamingOoo]]; this flavor stays the cheap path for
+    * feeds that ARE ordered (documented convention, same as
+    * d20/d26/d27). */
   def sessionizeStreaming(events: DataFrame, gapUs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -165,6 +167,68 @@ object Streams {
             } else st = st.copy(last_us = e.us, n = st.n + 1)
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  /** [[Ev]] still carrying the WATERMARKED ts column — the
+    * event-time-timeout checker requires the watermark column to
+    * survive into the grouped dataset. */
+  case class EvT(event_id: Long, user_id: Long, event_type: String,
+                 us: Long, value: Double, ts: java.sql.Timestamp)
+
+  case class OooSess(buf: Seq[EvT], st: SessState)
+
+  /** [[sessionizeStreaming]] hardened for CROSS-BATCH event-time
+    * disorder — the watermark-bounded reorder buffer the ordered-feed
+    * convention otherwise requires upstream. Per key the state holds
+    * (buffer of not-yet-safe events, session machine): each
+    * invocation buffers arrivals, folds ONLY events strictly below
+    * the current watermark (no future in-contract arrival can precede
+    * them — anything later must carry ts ≥ watermark or be dropped at
+    * the door as contract-breaking), in (ts, id) order through the
+    * same machine as [[sessionizeStreaming]], and re-arms an
+    * event-time timeout at watermark+1 ms while the buffer is
+    * nonempty so the next watermark advance folds the newly-safe
+    * prefix even when the key receives no data. State bound:
+    * O(per-key events inside the watermark horizon) — exactly the
+    * disorder window being tolerated, the minimum any correct
+    * reorderer holds. Emission contract matches the ordered flavor
+    * (closed sessions; each key's open tail stays in state), so
+    * StreamsSpec pins it against the SAME batch oracle under
+    * cross-batch permuted feeds. */
+  def sessionizeStreamingOoo(events: DataFrame, gapUs: Long,
+      delay: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", delay)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"), col("ts"))
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OooSess, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[OooSess]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val os = state.getOption.getOrElse(
+            OooSess(Nil, SessState(-1L, -1L, 0L, 0L)))
+          // below-watermark arrivals broke the lateness contract and
+          // cannot be interleaved behind already-folded events
+          val buf = os.buf ++ it.filter(_.us >= wmUs)
+          val (safe, hold) = buf.partition(_.us < wmUs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var st = os.st
+          safe.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            if (st.n == 0L || e.us - st.last_us > gapUs) {
+              if (st.n > 0L)
+                out += Session(uid, st.idx, st.n, st.start_us, st.last_us,
+                  st.last_us - st.start_us)
+              st = SessState(e.us, e.us, 1L, st.idx + 1)
+            } else st = st.copy(last_us = e.us, n = st.n + 1)
+          }
+          state.update(OooSess(hold, st))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
           out.iterator
       }
   }

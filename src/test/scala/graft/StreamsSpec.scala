@@ -1105,6 +1105,60 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq === closed.toSeq)
   }
 
+  test("ooo sessionize: cross-batch disordered feed equals the batch " +
+      "sessions (watermark-bounded reorder buffer)") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1800000000L
+    // three ts-ordered parts; a deterministic slice of each part's
+    // 36h event-time TAIL (inside the 48h watermark) arrives one
+    // batch LATE, shuffled among the next part's events — the
+    // cross-batch disorder the ordered-feed flavor cannot absorb
+    val ordered = rawRows.toSeq
+    val n = ordered.length
+    val parts = Seq(ordered.slice(0, n / 3),
+      ordered.slice(n / 3, 2 * n / 3), ordered.slice(2 * n / 3, n))
+    val H36 = 36L * 3600 * 1000
+    def splitLate(p: Seq[Raw]) = {
+      val maxMs = p.map(_.ts.getTime).max
+      p.partition(r =>
+        r.ts.getTime >= maxMs - H36 && r.event_id % 3 == 0)
+    }
+    val (late1, on1) = splitLate(parts(0))
+    val (late2, on2) = splitLate(parts(1))
+    assert(late1.nonEmpty && late2.nonEmpty, "the lateness window is empty")
+    val rnd = new scala.util.Random(13)
+    val b2 = rnd.shuffle(late1 ++ on2)
+    val b3 = rnd.shuffle(late2 ++ parts(2))
+    // a far-future sentinel on a synthetic user advances the global
+    // watermark past every real event, so the event-time timeouts
+    // fold every buffer (each real user's open tail stays unemitted,
+    // same as the ordered flavor)
+    val maxMs = ordered.map(_.ts.getTime).max
+    val sentinel = Raw(-1L,
+      new java.sql.Timestamp(maxMs + 90L * 24 * 3600 * 1000),
+      -1L, "view", 0.0)
+    val ms = MemoryStream[Raw]
+    val q = Streams.sessionizeStreamingOoo(ms.toDF(), gap, delay = "48 hours")
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      ms.addData(on1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_ooo").where($"user_id" =!= -1L)
+      .orderBy($"user_id", $"session_idx").collect()
+    val batch = Streams.sessionize(eventsDf, gap).toDF()
+    val lastIdx = batch.groupBy($"user_id")
+      .agg(max($"session_idx").as("last_idx"))
+    val closed = batch.join(lastIdx, "user_id")
+      .where($"session_idx" < $"last_idx")
+      .select(batch.columns.map(col): _*)
+      .orderBy($"user_id", $"session_idx").collect()
+    assert(streamed.toSeq === closed.toSeq)
+  }
+
   test("streaming funnel is invariant under permuted within-batch arrivals") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, sf)
