@@ -674,6 +674,60 @@ object Streams {
       .start()
   }
 
+  case class FEvT(user_id: Long, event_type: String, us: Long,
+                  event_id: Long, ts: java.sql.Timestamp)
+  case class OooFunnel(buf: Seq[FEvT], st: FunnelSt)
+
+  /** [[funnelStreaming]] hardened for CROSS-BATCH event-time disorder
+    * — the same watermark-bounded reorder buffer as
+    * [[sessionizeStreamingOoo]], applied to the funnel machine: fold
+    * only events strictly below the watermark (so the staged-min rule
+    * sees them in true event-time order no matter how batches sliced
+    * them), hold the rest, drop below-watermark arrivals at the door,
+    * re-arm an event-time timeout at wm+1 ms while holding. Emits the
+    * key's (stage, entry) after every fold (Update-mode contract —
+    * last emission per user wins), so the accumulated sink equals the
+    * batch staged-min-join query once the feed drains past the
+    * watermark. */
+  def funnelStreamingOoo(events: DataFrame, delay: String = "2 hours")
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", delay)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("ts"))
+      .as[FEvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OooFunnel, (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[FEvT], state: GroupState[OooFunnel]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val os = state.getOption.getOrElse(
+            OooFunnel(Nil, FunnelSt(0L, -1L)))
+          val buf = os.buf ++ it.filter(_.us >= wmUs)
+          val (safe, hold) = buf.partition(_.us < wmUs)
+          var st = os.st
+          safe.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            if (st.stage == 0L && e.event_type == "view")
+              st = FunnelSt(1L, e.us)
+            else if (st.stage == 1L && e.event_type == "click" &&
+                e.us > st.entryUs)
+              st = FunnelSt(2L, e.us)
+            else if (st.stage == 2L && e.event_type == "purchase" &&
+                e.us > st.entryUs)
+              st = FunnelSt(3L, e.us)
+          }
+          state.update(OooFunnel(hold, st))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          Iterator((uid, st.stage, st.entryUs))
+      }
+      .toDF("user_id", "stage", "entry_us")
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+  }
+
   /** Streaming per-shard sequence packing — the stateful streaming
     * completion of the batch shard-pack manifest: arriving docs route
     * to their content-hash shard and APPEND to that shard's running
@@ -946,6 +1000,70 @@ object Streams {
             }
           }
           state.update(st)
+          novel.result().iterator
+      }
+      .toDF("cohort_week", "week_offset")
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+  }
+
+  case class REvT(user_id: Long, week: Long, event_id: Long, us: Long,
+                  ts: java.sql.Timestamp)
+  case class OooRet(buf: Seq[REvT], st: RetSt)
+
+  /** [[retentionStreaming]] hardened for CROSS-BATCH event-time
+    * disorder. Only the FIRST event is order-sensitive (it fixes the
+    * cohort week; later weeks are order-free through the seen-bitmask),
+    * so the reorder buffer is MINIMAL: a key buffers arrivals only
+    * until its first event is watermark-final — once any event folds
+    * from strictly below the watermark, no earlier event can still
+    * arrive (below-watermark arrivals are dropped at the door), the
+    * cohort is fixed forever, and everything buffered or arriving
+    * folds immediately (their weeks are ≥ the cohort week by the
+    * watermark ordering). State beyond the two RetSt longs therefore
+    * exists only during each key's first watermark interval. Emits
+    * novel (cohort_week, week_offset) cells exactly like the ordered
+    * flavor. */
+  def retentionStreamingOoo(events: DataFrame, delay: String = "2 hours")
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", delay)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"),
+        col("event_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[REvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OooRet, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[REvT], state: GroupState[OooRet]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val os = state.getOption.getOrElse(OooRet(Nil, RetSt(-1L, 0L)))
+          val buf = os.buf ++ it.filter(_.us >= wmUs)
+          var st = os.st
+          val novel = Seq.newBuilder[(Long, Long)]
+          def fold(evs: Seq[REvT]): Unit =
+            evs.sortBy(e => (e.us, e.event_id)).foreach { e =>
+              if (st.cohortWeek < 0) st = RetSt(e.week, 0L)
+              val off = e.week - st.cohortWeek
+              require(off >= 0 && off < 64,
+                s"retention offset $off outside the 64-week horizon")
+              if ((st.seenBits & (1L << off)) == 0L) {
+                novel += ((st.cohortWeek, off))
+                st = RetSt(st.cohortWeek, st.seenBits | (1L << off))
+              }
+            }
+          val keep: Seq[REvT] =
+            if (st.cohortWeek >= 0) { fold(buf); Nil }
+            else {
+              val (safe, hold) = buf.partition(_.us < wmUs)
+              if (safe.nonEmpty) { fold(safe); fold(hold); Nil }
+              else hold
+            }
+          state.update(OooRet(keep, st))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
           novel.result().iterator
       }
       .toDF("cohort_week", "week_offset")
