@@ -83,6 +83,18 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       jmap(_._2._1)},"queries_min":${jmap(_._2._2)},"runs":$runs,"policy":"$policy","sf":"$sfDir"}"""
     println(line)
+    // The driver's BENCH_r{N}.json keeps only the LAST ~2 KB of output
+    // and the full line above outgrew that rounds ago (every
+    // BENCH_r*.json has parsed:null) — so ALSO print, last, a compact
+    // line that fits the tail intact: headline total + the top-20
+    // slowest queries + a pointer to the committed full map.
+    def r3(d: Double): Double = math.round(d * 1000) / 1000.0
+    val top = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v._1) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$top,"n_queries":${results.size},""" +
+      s""""queries_note":"top-20 medians; full map in BENCH_local.json / SURVEY §8","runs":$runs,"sf":"$sfDir"}""")
     // The driver's BENCH_r{N}.json artifact retains only the tail of the
     // bench output, which truncates the per-query map once the inventory
     // outgrew ~2 KB of JSON. Persist the full line to a repo file as well

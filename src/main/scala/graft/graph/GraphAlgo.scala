@@ -9,6 +9,24 @@ import graft.util.Barriers.BarrierOps
   */
 object GraphAlgo {
 
+  /** Serializes the AQE-off scopes below: the iterative algorithms
+    * (PageRank, triangle count, LPA) measured faster with AQE's
+    * per-stage re-planning disabled, which requires a session-conf
+    * toggle — Spark has no per-query AQE switch. The JVM-wide lock
+    * makes overlapping scoped calls impossible (no stale-value
+    * restore race); an UNRELATED query racing on the same session
+    * can still plan one stage with AQE off — harmless for
+    * correctness, documented here for the perf-curious. Each scope
+    * materializes its result eagerly inside the lock. */
+  private val aqeScopeLock = new Object
+  private def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)
+      (body: => T): T = aqeScopeLock.synchronized {
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   /** [[connectedComponents]] with per-round stderr timing (scratch). */
   def connectedComponentsDebug(edgesIn: DataFrame, maxIter: Int = 20): DataFrame =
     connectedComponents(edgesIn, maxIter, debug = true)
@@ -150,9 +168,7 @@ object GraphAlgo {
     // CC and k-core measured the OPPOSITE, their edge sets shrink
     // per round and AQE's coalescing wins, so they keep it).
     val spark = edgesIn.sparkSession
-    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withAqeOff(spark) {
     val dir = edgesIn.toDF("src", "dst")
     // out-degree folded into the edge relation via a window count —
     // ONE shuffle on src, and the materialized result STAYS
@@ -181,7 +197,7 @@ object GraphAlgo {
     // scope; the consumer reads the checkpointed per-node ranks
     rank.barrier(true).select(col("id"),
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
   }
 
   /** One fixed-point PageRank iteration (exposed for plan-shape
@@ -232,9 +248,7 @@ object GraphAlgo {
     * one-row count materializes eagerly inside the scope. */
   def triangleCountUnd(und: DataFrame): DataFrame = {
     val spark = und.sparkSession
-    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withAqeOff(spark) {
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -260,7 +274,7 @@ object GraphAlgo {
         Seq("v1", "v2"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
       .barrier(true)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
   }
 
   /** Undirected simple-graph view of a (src, dst) edge frame: loops
@@ -420,6 +434,10 @@ object GraphAlgo {
   def nodeSimilarityApproxUnd(und0: DataFrame, maxCenterDeg: Int,
                               topN: Int, k: Int = 32,
                               bands: Int = 16): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be a multiple of bands=$bands — a remainder would " +
+        "leave a signature tail no band covers, silently degrading " +
+        "recall below the documented (1-(1-J^r)^bands) bound")
     val P = 1000000007L // the TextOps MinHash modulus
     val rows = k / bands
     val und = und0.barrier(true)
@@ -512,9 +530,7 @@ object GraphAlgo {
     //    sequentially; the toggle is scoped try/finally.)
     val labelParts = math.max(8,
       spark.sessionState.conf.numShufflePartitions / 2)
-    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withAqeOff(spark) {
       // pre-partition the (big, round-invariant) adjacency by the
       // join key BEFORE the barrier: localCheckpoint preserves the
       // output partitioning through LogicalRDD, so every round's vote
@@ -541,6 +557,6 @@ object GraphAlgo {
           .barrier(true)
       }
       lab
-    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+    }
   }
 }

@@ -166,6 +166,68 @@ object Dedup {
     verifyJaccard(cand, sh, sizes, tau)
   }
 
+  /** Paraphrase-level decontamination detector: training docs that
+    * are NEAR-duplicates of an eval doc — the leakage mode the exact
+    * ≥10%-shingle-containment scrub (CorpusStats.decontaminate,
+    * c27/c68/d28) misses, because a lightly rewritten eval item
+    * keeps only a fraction of its exact shingles. Two changes vs
+    * that scrub: (1) the similarity unit is the TOKEN-BIGRAM set,
+    * not 3-token shingles — under a rewrite that touches a fraction
+    * e of words a bigram survives w.p. (1−e)² vs (1−e)³ for a
+    * 3-shingle, so at e=1/3 the bigram Jaccard of a true paraphrase
+    * is ≈2× the shingle Jaccard while unrelated-doc background stays
+    * low (J≈0.1 on this corpus; unigrams are useless — shared
+    * vocabulary alone puts background at 1.0); (2) detection is the
+    * MinHash band index composed with the BROADCAST eval side: one
+    * shared bigram+signature scan over the corpus, the (small,
+    * static) eval suite's banded signatures broadcast against the
+    * train side's — candidate generation never self-joins the
+    * corpus, its shuffle is bounded by eval-band collisions — then
+    * the exact bigram-Jaccard verify on candidates only, gated by
+    * the integer `minPpm` (no float filter; §4 determinism). With
+    * the r=2 / 24-band default a J=0.35 paraphrase pair is surfaced
+    * with probability 1−(1−J²)²⁴ ≈ 0.96, and every surfaced pair
+    * scores its exact Jaccard, so precision is exact.
+    *
+    * Returns one row per contaminated train doc: (doc_id,
+    * n_eval_hits = #eval docs at ≥ minPpm, worst_j_ppm), doc_id
+    * order. Feed the ids to an anti-join to scrub, exactly like
+    * c68's apply seam. */
+  def fuzzyContamination(docs: DataFrame, id: String, text: String,
+                         isEval: Column, minPpm: Long, k: Int = 48,
+                         bands: Int = 24): DataFrame = {
+    // th projected FIRST so ngramHashes' lambdas bind an attribute
+    // (the dupWindowRate lesson: an inline subtree re-evaluates the
+    // tokenize+hash once per element)
+    val th = docs.select(col(id).as("did"), isEval.as("is_eval"),
+      transform(TextOps.tokens(col(text)),
+        t => TextOps.polyHash(t)).as("th"))
+    val base = th.select(col("did"), col("is_eval"),
+      array_distinct(TextOps.ngramHashes(col("th"), 2)).as("shh"))
+      .barrier(true)
+    val sh = base.select(col("did"), explode(col("shh")).as("sh"))
+      .barrier(true)
+    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
+    val sigs = base.select(col("did"), col("is_eval"),
+      TextOps.minHashSignature(col("shh"), k).as("sig"))
+    val banded = bandRows(sigs, k, bands)
+    val evalB = banded.where(col("is_eval"))
+      .select(col("did").as("eval_id"), col("band_idx"), col("band_val"))
+    val trainB = banded.where(!col("is_eval"))
+      .select(col("did").as("id_a"), col("band_idx"), col("band_val"))
+    val cand = trainB
+      .join(broadcast(evalB), Seq("band_idx", "band_val"))
+      .select(col("id_a"), col("eval_id").as("id_b")).distinct()
+    verifyJaccardPpm(cand, sh, sizes, tau = 0.0)
+      .where(col("j_ppm") >= minPpm)
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("j_ppm")).as("worst_j_ppm"))
+      .select(col("id_a").as("doc_id"), col("n_eval_hits"),
+        col("worst_j_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming
     * (<= bands-1 guaranteed found by pigeonhole over `bands` bit
     * slices). 30-bit portable simhash over shingle hashes. */
@@ -584,6 +646,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("j_ppm"))
   }
 
+  /** Verified near-dup pairs INVOLVING a newly-indexed increment:
+    * increment×corpus banded equi-join + increment self-join,
+    * exact-Jaccard verify on candidates only, ids normalized
+    * id_a < id_b (corpus and increment ids must be disjoint). The
+    * per-batch discovery step of the streaming churn monitor (d29):
+    * the corpus side is the already-arrived index, so each batch
+    * pays its own bands + collisions and never revisits standing
+    * pairs. With `corpus = None` this is the increment's own pair
+    * set (the first batch). */
+  def incrementPairs(corpus: Option[DedupIndex], inc: DedupIndex,
+                     tau: Double): DataFrame = {
+    val incB = inc.bands.select(col("did").as("ib"),
+      col("band_idx"), col("band_val"))
+    val self = incB.alias("a")
+      .join(incB.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.ib") < col("b.ib"))
+      .select(col("a.ib").as("id_a"), col("b.ib").as("id_b"))
+    val cand = corpus.map { c =>
+      c.bands.select(col("did").as("cb"), col("band_idx"), col("band_val"))
+        .join(incB, Seq("band_idx", "band_val"))
+        .select(least(col("cb"), col("ib")).as("id_a"),
+          greatest(col("cb"), col("ib")).as("id_b"))
+        .unionAll(self)
+    }.getOrElse(self).distinct()
+    val shFrames = corpus.map(_.shingles.unionAll(inc.shingles))
+      .getOrElse(inc.shingles)
+    val sh = shFrames.select(col("did"), explode(col("shh")).as("sh"))
+    val sizes = shFrames.select(col("did"), col("n"))
+    verifyJaccardPpm(cand, sh, sizes, tau)
+      .select(col("id_a"), col("id_b"), col("j_ppm"))
+  }
+
   /** Cross-snapshot dedup diff — the daily-corpus-version audit: how
     * did the near-dup RELATION SET change between two corpus
     * snapshots, each represented only by its persisted [[DedupIndex]]
@@ -641,6 +737,26 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("j_ppm")).as("j_ppm_sum"))
   }
+
+  /** Headline churn counters over a [[snapshotDiff]] frame — the
+    * monitor rollup the streaming flavor (d29,
+    * Streams.dedupChurnStreaming) re-emits every batch: per status
+    * the pair count, total similarity mass, and how many pairs cross
+    * sources (syndication/mirroring debt vs within-source
+    * duplication). `sources` = (sid, src). Two id-keyed joins + one
+    * ≤3-row partial-aggregable groupBy. */
+  def churnCounters(diff: DataFrame, sources: DataFrame): DataFrame =
+    diff
+      .join(sources.select(col("sid"), col("src").as("sa")),
+        col("id_a") === col("sid")).drop("sid")
+      .join(sources.select(col("sid"), col("src").as("sb")),
+        col("id_b") === col("sid")).drop("sid")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("j_ppm")).as("j_ppm_sum"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+          .as("n_cross_source"))
+      .orderBy(col("status"))
 
   /** ExactSubstr-style substring dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better" — public

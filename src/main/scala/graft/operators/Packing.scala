@@ -114,6 +114,15 @@ object Packing {
     * scaladoc). `shards` is the output-file-count knob: pick it from
     * corpus size / target file size (thousands at scale), and the
     * hash keeps shard sizes balanced without a sampling pass. */
+  /** Content-hash shard id of a text column — the routing expression
+    * [[shardAssign]] and the streaming ooo packer share (same
+    * polyHashMixed mod `shards`), so a document's shard can never
+    * drift between the batch and streaming paths. */
+  def shardOf(text: Column, shards: Int): Column = {
+    require(shards > 0, s"need shards > 0, got $shards")
+    pmod(TextOps.polyHashMixed(text), lit(shards.toLong))
+  }
+
   def shardAssign(docs: DataFrame, id: String, text: String,
                   shards: Int): DataFrame = {
     require(shards > 0, s"need shards > 0, got $shards")

@@ -2756,11 +2756,75 @@ object PipelineSuite extends Suite {
     Some(Packing.ffdAuditSql("doc_id", "text", budget = 512L,
       shardSize = 1024)))
 
+  val c76 = Q(
+    "c76_fuzzy_decontaminate",
+    // Paraphrase-level decontamination (Dedup.fuzzyContamination):
+    // train docs that are NEAR-dups of an eval doc — the leakage mode
+    // c27/c68's exact ≥10%-shingle-containment scrub misses, since a
+    // lightly rewritten eval item keeps few exact 3-shingles. Unit =
+    // TOKEN-BIGRAM set (edit survival (1−e)² vs (1−e)³, ≈2× the
+    // paraphrase Jaccard of shingles at e=1/3; unigram background on
+    // this corpus is 1.0, bigram ≈0.1 — measured), detection = the
+    // MinHash band index (k=48/bands=24 so r=2 — J=0.35 pairs
+    // surface w.p. ≈0.96) composed with the BROADCAST eval side:
+    // candidate generation never self-joins the corpus, its shuffle
+    // is bounded by eval-band collisions; the exact bigram-Jaccard
+    // verify touches candidates only and gates on integer ppm.
+    // Output: contaminated train docs with hit count and worst
+    // Jaccard — feed to the c68 anti-join seam to scrub.
+    (s, d) => Dedup.fuzzyContamination(Tables.documents(s, d),
+      "doc_id", "text", pmod(col("doc_id"), lit(37)) === 0,
+      minPpm = 300000L),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, doc_id % 37 = 0 AS is_eval,
+               list_transform(${TextOps.tokensSql("text")},
+                 tok -> ${TextOps.polyHashSql("tok")}) AS th
+        FROM documents),
+      base AS (
+        SELECT doc_id, is_eval,
+               list_distinct(${TextOps.ngramHashesSql("th", 2)}) AS shh
+        FROM tok),
+      sh AS (SELECT doc_id, unnest(shh) AS s FROM base),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      sigs AS (
+        SELECT doc_id, is_eval,
+               ${TextOps.minHashSignatureSql("shh", 48)} AS sig
+        FROM base),
+      banded AS (
+        SELECT doc_id, is_eval, t.bi AS band_idx,
+               list_slice(sig, t.bi * 2 + 1, t.bi * 2 + 2) AS band_val
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 24)) AS bi) t),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+        FROM banded a JOIN banded e
+          ON a.band_idx = e.band_idx AND a.band_val = e.band_val
+        WHERE NOT a.is_eval AND e.is_eval),
+      inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS c
+        FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.id_a,
+               (CAST(i.c AS HUGEINT) * 1000000)
+                 // (za.n + zb.n - i.c) AS j_ppm
+        FROM inter i
+          JOIN sizes za ON za.doc_id = i.id_a
+          JOIN sizes zb ON zb.doc_id = i.id_b)
+      SELECT id_a AS doc_id, COUNT(*) AS n_eval_hits,
+             CAST(MAX(j_ppm) AS BIGINT) AS worst_j_ppm
+      FROM pairs
+      WHERE j_ppm >= 300000
+      GROUP BY 1
+      ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
-      c70, c71, c72, c73, c74, c75)
+      c70, c71, c72, c73, c74, c75, c76)
 }

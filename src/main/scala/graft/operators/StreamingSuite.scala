@@ -1041,7 +1041,82 @@ object StreamingSuite extends Suite {
       ORDER BY d.doc_id"""
     })
 
+  val d29 = Q(
+    "d29_stream_dedup_churn",
+    // Streaming dedup-churn monitor, batch-replayed — c74's
+    // release-over-release audit kept LIVE while the new corpus
+    // version (V2 = doc_id%10 >= 2) ingests against the OLD
+    // snapshot's persisted band index (V1 = doc_id%10 < 8, the same
+    // DiskCache artifacts c74 reads — built once per corpus
+    // fingerprint, shared across queries). The batch replay is the
+    // drained monitor: per-status headline counters
+    // (Dedup.churnCounters — pair count, similarity mass, cross-
+    // source count) over the full snapshotDiff; the streaming flavor
+    // (Streams.dedupChurnStreaming) grows the arrived index
+    // incrementally — each batch pays batch×arrived + batch-self
+    // banded joins only, never re-verifies standing pairs — and
+    // re-emits these counters every batch, converging to this output
+    // at drain (StreamsSpec pins it cross-batch).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val v2 = docs.where(pmod(col("doc_id"), lit(10)) >= 2)
+      def idx(tag: String, corpus: org.apache.spark.sql.DataFrame) =
+        graft.util.DiskCache.cached(s, "dedup-index", "v1",
+          Seq(s"$d/documents.parquet"), tag, Seq("shingles", "bands")) {
+          tmp => graft.operators.Dedup.writeIndex(corpus, "doc_id",
+            "text", k = 48, bands = 24, tmp)
+        } { base => graft.operators.Dedup.readIndex(s, base) }
+      val diff = graft.operators.Dedup.snapshotDiff(
+        idx("mod10lt8-k48b24", v1), idx("mod10ge2-k48b24", v2),
+        tau = 0.5)
+      graft.operators.Dedup.churnCounters(diff,
+        docs.select(col("doc_id").as("sid"), col("source").as("src")))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id,
+               unnest(${graft.functions.TextOps.shingleHashesSql("text")})
+                 AS s
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b,
+               CAST((CAST(c AS HUGEINT) * 1000000)
+                 // (sa.n + sb.n - c) AS BIGINT) AS j_ppm
+        FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      st AS (
+        SELECT id_a, id_b, j_ppm,
+               CASE WHEN (id_a % 10 < 8 AND id_b % 10 < 8)
+                     AND (id_a % 10 >= 2 AND id_b % 10 >= 2)
+                    THEN 'persisting'
+                    WHEN id_a % 10 >= 2 AND id_b % 10 >= 2 THEN 'new'
+                    ELSE 'resolved' END AS status
+        FROM pairs
+        WHERE (id_a % 10 < 8 AND id_b % 10 < 8)
+           OR (id_a % 10 >= 2 AND id_b % 10 >= 2)),
+      lab AS (
+        SELECT status, j_ppm,
+               CASE WHEN a.source <> b.source THEN 1 ELSE 0 END AS xs
+        FROM st
+          JOIN documents a ON st.id_a = a.doc_id
+          JOIN documents b ON st.id_b = b.doc_id)
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(j_ppm) AS BIGINT) AS j_ppm_sum,
+             CAST(SUM(xs) AS BIGINT) AS n_cross_source
+      FROM lab
+      GROUP BY status
+      ORDER BY status"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28)
+      d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
+      d29)
 }

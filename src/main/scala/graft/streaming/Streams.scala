@@ -783,6 +783,73 @@ object Streams {
       .start()
   }
 
+  case class PkEvT(shard: Long, doc_id: Long, n_tok: Long, us: Long,
+                   ts: java.sql.Timestamp)
+  case class OooPack(buf: Seq[PkEvT], st: PackSt)
+
+  /** [[shardPackStreaming]] hardened for CROSS-BATCH event-time
+    * disorder — the sessionize/funnel watermark-bounded reorder
+    * buffer applied to the packer: docs carry an ingest timestamp
+    * (`ts`), each shard folds only docs strictly below the watermark
+    * into its running concatenation — in (ts, id) order, so the
+    * offsets are the true ingest-order offsets no matter how batches
+    * sliced the feed — holds the rest, drops below-watermark
+    * arrivals at the door, re-arms an event-time timeout at wm+1 ms
+    * while holding. State per shard = three PackSt longs + the
+    * held slice, bounded by the watermark horizon's doc rate (the
+    * price of disorder tolerance; the ordered-feed flavor stays the
+    * O(shards)-only path). Update mode re-emits each touched shard's
+    * running manifest; after the feed drains past the watermark the
+    * last row per shard equals Packing.shardPackArrival over the
+    * same docs with ts monotone in id (StreamsSpec pins it on a
+    * deliberately disordered feed). */
+  def shardPackStreamingOoo(docs: DataFrame, id: String, text: String,
+      shards: Int, budget: Long, ts: String = "ts",
+      delay: String = "2 hours")
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val assigned = docs.withWatermark(ts, delay)
+      .select(graft.operators.Packing.shardOf(col(text), shards).as("shard"),
+        col(id).as("doc_id"),
+        size(graft.functions.TextOps.tokens(col(text)))
+          .cast("long").as("n_tok"),
+        unix_micros(col(ts)).as("us"), col(ts).as("ts"))
+      .as[PkEvT]
+    assigned.groupByKey(_.shard)
+      .flatMapGroupsWithState[OooPack,
+          (Long, Long, Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (shard: Long, it: Iterator[PkEvT], state: GroupState[OooPack]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val os = state.getOption.getOrElse(
+            OooPack(Nil, PackSt(0L, 0L, 0L)))
+          val buf = os.buf ++ it.filter(_.us >= wmUs)
+          val (safe, hold) = buf.partition(_.us < wmUs)
+          var st = os.st
+          safe.sortBy(e => (e.us, e.doc_id)).foreach { e =>
+            val off = st.n_tokens
+            val straddles =
+              if (off / budget != (off + e.n_tok - 1) / budget) 1L else 0L
+            st = PackSt(st.n_docs + 1, off + e.n_tok,
+              st.n_straddle + straddles)
+          }
+          state.update(OooPack(hold, st))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          val tail =
+            if (st.n_tokens % budget == 0) 1000000L
+            else st.n_tokens % budget * 1000000L / budget
+          Iterator((shard, st.n_docs, st.n_tokens,
+            (st.n_tokens + budget - 1) / budget, st.n_straddle, tail))
+      }
+      .toDF("shard", "n_docs", "n_tokens", "n_seqs", "n_straddle",
+        "tail_fill_ppm")
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+  }
+
   /** Streaming tokenizer encode: each arriving micro-batch of docs is
     * encoded map-side with the STATIC trained merge table
     * (graft.operators.CorpusStats.bpeApply — k broadcast one-row
@@ -1104,6 +1171,61 @@ object Streams {
           .where(col("worst_ppm") < minPpm))
       }
       .start()
+
+  /** Streaming dedup-churn monitor — c74's snapshot audit kept LIVE
+    * while the new corpus version ingests: the OLD snapshot is its
+    * persisted band index (static, barriered once, never rescanned);
+    * arriving docs build the new side INCREMENTALLY (the c25
+    * index-append pattern: each batch is indexed once, pairs are
+    * discovered by batch×arrived + batch-self banded joins only —
+    * standing pairs are never re-verified), and every batch re-emits
+    * the headline counters (Dedup.churnCounters) over the diff of
+    * old-pairs vs pairs-found-so-far. Mid-stream the counters read
+    * "as if the stream ended now" — an old pair whose endpoints
+    * haven't arrived counts `resolved` until they do — and at drain
+    * they equal the batch snapshotDiff+churnCounters exactly
+    * (StreamsSpec pins it cross-batch; doc sets make this
+    * order-independent, so no reorder buffer is needed). State = the
+    * arrived index + discovered pair set, barriered per batch — at
+    * cluster scale both are the parquet-append artifacts c25/c29
+    * persist, priced once per corpus, not per batch. `sources` =
+    * (sid, src) metadata for every id either snapshot can name. */
+  def dedupChurnStreaming(oldIdx: graft.operators.Dedup.DedupIndex,
+      sources: DataFrame, docs: DataFrame, id: String, text: String,
+      tau: Double, k: Int = 48, bands: Int = 24)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.util.Barriers.BarrierOps
+    val oldP = Dedup.indexPairs(oldIdx, tau)
+      .select(col("id_a"), col("id_b"), col("j_ppm").as("j_old"))
+      .barrier(true)
+    val srcs = sources.barrier(true)
+    var arrived: Option[Dedup.DedupIndex] = None
+    var newP: Option[DataFrame] = None
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inc = Dedup.buildIndex(batch, id, text, k, bands)
+        val found = Dedup.incrementPairs(arrived, inc, tau)
+        newP = Some(newP.map(_.unionAll(found)).getOrElse(found)
+          .barrier(true))
+        arrived = Some(arrived.map(a => Dedup.DedupIndex(
+            a.shingles.unionAll(inc.shingles).barrier(true),
+            a.bands.unionAll(inc.bands).barrier(true)))
+          .getOrElse(inc))
+        val diff = oldP.join(
+            newP.get.select(col("id_a"), col("id_b"),
+              col("j_ppm").as("j_new")),
+            Seq("id_a", "id_b"), "full_outer")
+          .select(col("id_a"), col("id_b"),
+            when(col("j_old").isNotNull && col("j_new").isNotNull,
+              lit("persisting"))
+              .when(col("j_new").isNotNull, lit("new"))
+              .otherwise(lit("resolved")).as("status"),
+            coalesce(col("j_new"), col("j_old")).as("j_ppm"))
+        sink(Dedup.churnCounters(diff, srcs))
+      }
+      .start()
+  }
 
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */

@@ -25,7 +25,10 @@ object GraphAB {
       .appName("graph-ab").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     try graft.graph.MemoryGraph.persisted(s, dir)
-    catch { case _: Throwable => () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[GraphAB] graph warmup failed: $e")
+    }
     def run(key: String, aqe: Boolean): Double = {
       s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
       val t0 = System.nanoTime()

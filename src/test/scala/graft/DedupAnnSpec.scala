@@ -302,4 +302,38 @@ class DedupAnnSpec extends SparkSpec {
       (docs.count() - Dedup.deduplicate(docs, "doc_id", "text", 0.5).count())
     assert(removed === docs.count() - survivors)
   }
+
+  test("fuzzyContamination flags a paraphrase the 3-shingle unit would miss") {
+    val eText = "the quick brown fox jumps over a lazy dog while " +
+      "heavy rain falls softly on green hills near the old northern " +
+      "valley path today"
+    // every 4th word rewritten: bigram survival ≈ 1/2 (J ≈ 0.33,
+    // above the 0.3 gate), 3-shingle survival ≈ 1/4 (J ≈ 0.14, below)
+    val pText = "the quick brown wolf jumps over a sleepy dog while " +
+      "heavy snow falls softly on grassy hills near the ancient " +
+      "northern valley path tonight"
+    val nText = "completely different subject matter entirely numbers " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val d = Seq((0L, eText), (1L, pText), (2L, nText), (3L, eText))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyContamination(d, "doc_id", "text",
+        isEval = $"doc_id" === 0L, minPpm = 300000L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_eval_hits"), r.getAs[Long]("worst_j_ppm")))
+    // paraphrase (1) and verbatim copy (3) flagged; unrelated (2) not
+    assert(out.map(_._1).toSeq === Seq(1L, 3L))
+    val Some((_, _, jP)) = out.find(_._1 == 1L)
+    assert(jP >= 300000L && jP < 600000L, s"paraphrase ppm $jP")
+    assert(out.find(_._1 == 3L).get._3 === 1000000L)
+    // the claim that names the operator: the SAME pair's 3-shingle
+    // Jaccard sits below the SAME 0.3 gate — c68's unit misses it
+    val sh = Seq((0L, eText), (1L, pText)).toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.TextOps.shingleHashes($"text").as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](1).toSet).toMap
+    val inter = (sh(0L) & sh(1L)).size.toDouble
+    val shingleJ = inter / (sh(0L).size + sh(1L).size - inter)
+    assert(shingleJ < 0.3, s"shingle J $shingleJ should be sub-gate")
+  }
 }

@@ -8,6 +8,8 @@ import graft.streaming.Streams
 case class Raw(event_id: Long, ts: java.sql.Timestamp,
                user_id: Long, event_type: String, value: Double)
 
+case class DocT(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
 /** Drives the streaming operators through MemoryStream → writeStream
   * and checks parity with their batch flavors on the same events. */
 class StreamsSpec extends SparkSpec {
@@ -1255,5 +1257,194 @@ class StreamsSpec extends SparkSpec {
           r.getAs[Long]("n_seqs"), r.getAs[Long]("n_straddle"),
           r.getAs[Long]("tail_fill_ppm"))).toMap
     assert(last.nonEmpty && last.toMap === batch)
+  }
+
+  /** Slices the ts-ordered event feed into three batches with
+    * deterministic CROSS-BATCH disorder: a slice of each of the first
+    * two thirds' 36h event-time tails (inside a 48h watermark)
+    * arrives one batch late, shuffled into the next third — the
+    * disorder an ordered-feed tracker cannot absorb. Returns the
+    * three batches plus a far-future sentinel row (synthetic user
+    * -1) that advances the global watermark past every real event so
+    * the event-time timeouts drain every reorder buffer. */
+  private def disorderedFeed(seed: Int): (Seq[Raw], Seq[Raw], Seq[Raw], Raw) = {
+    val ordered = rawRows.toSeq
+    val n = ordered.length
+    val parts = Seq(ordered.slice(0, n / 3),
+      ordered.slice(n / 3, 2 * n / 3), ordered.slice(2 * n / 3, n))
+    val H36 = 36L * 3600 * 1000
+    def splitLate(p: Seq[Raw]) = {
+      val maxMs = p.map(_.ts.getTime).max
+      p.partition(r => r.ts.getTime >= maxMs - H36 && r.event_id % 3 == 0)
+    }
+    val (late1, on1) = splitLate(parts(0))
+    val (late2, on2) = splitLate(parts(1))
+    assert(late1.nonEmpty && late2.nonEmpty, "the lateness window is empty")
+    val rnd = new scala.util.Random(seed)
+    val maxMs = ordered.map(_.ts.getTime).max
+    val sentinel = Raw(-1L,
+      new java.sql.Timestamp(maxMs + 90L * 24 * 3600 * 1000),
+      -1L, "view", 0.0)
+    (on1, rnd.shuffle(late1 ++ on2), rnd.shuffle(late2 ++ parts(2)), sentinel)
+  }
+
+  test("streaming dedup churn converges to the batch snapshot audit " +
+      "across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val v1 = docs.where(pmod($"doc_id", lit(10)) < 8)
+    val oldIdx = Dedup.buildIndex(v1, "doc_id", "text", k = 48,
+      bands = 24)
+    val sources = docs.select($"doc_id".as("sid"), $"source".as("src"))
+    val arriving = docs.where(pmod($"doc_id", lit(10)) >= 2)
+      .select($"doc_id", $"text").orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, Long, Long, Long)]]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.dedupChurnStreaming(oldIdx, sources,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      tau = 0.5) { df =>
+      val rows = df.orderBy($"status").collect()
+        .map(r => (r.getAs[String]("status"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("j_ppm_sum"), r.getAs[Long]("n_cross_source")))
+        .toSeq
+      emissions.synchronized { emissions += rows }
+    }
+    val third = arriving.length / 3
+    try {
+      ms.addData(arriving.slice(0, third)); q.processAllAvailable()
+      ms.addData(arriving.slice(third, 2 * third)); q.processAllAvailable()
+      ms.addData(arriving.drop(2 * third)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.SparkEntry.queries("d29_stream_dedup_churn")(spark, sf)
+      .collect().map(r => (r.getAs[String]("status"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("j_ppm_sum"),
+        r.getAs[Long]("n_cross_source"))).toSeq
+    val ems = emissions.synchronized { emissions.toSeq }
+    assert(ems.length === 3, "one emission per micro-batch")
+    assert(ems.last === batch)
+    // mid-stream the monitor reads "as if the stream ended now":
+    // every old pair not yet re-verified counts resolved, so the
+    // resolved counter is monotonically non-increasing
+    val resolved = ems.map(_.collectFirst {
+      case ("resolved", n, _, _) => n }.getOrElse(0L))
+    assert(resolved.sliding(2).forall { case Seq(a, b) => b <= a })
+  }
+
+  test("ooo shard pack: cross-batch disordered feed equals the batch " +
+      "arrival-order manifest (watermark-bounded reorder buffer)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Packing
+    val docs = Tables.documents(spark, sf)
+    // synthetic ingest time monotone in doc_id, 10 min apart — each
+    // third of the 500-doc feed spans ~28h, inside the 48h watermark,
+    // so a late slice from anywhere in a third is still foldable
+    val baseMs = 1700000000000L
+    val arriving = docs.select($"doc_id", $"text").orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq
+      .map { case (i, t) =>
+        DocT(i, t, new java.sql.Timestamp(baseMs + i * 600000L)) }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 3),
+      arriving.slice(n / 3, 2 * n / 3), arriving.slice(2 * n / 3, n))
+    val (late1, on1) = parts(0).partition(_.doc_id % 3 == 0)
+    val (late2, on2) = parts(1).partition(_.doc_id % 3 == 0)
+    assert(late1.nonEmpty && late2.nonEmpty)
+    val rnd = new scala.util.Random(23)
+    val b2 = rnd.shuffle(late1 ++ on2)
+    val b3 = rnd.shuffle(late2 ++ parts(2))
+    val maxMs = arriving.map(_.ts.getTime).max
+    val sentinel = DocT(-1L, "watermark sentinel",
+      new java.sql.Timestamp(maxMs + 90L * 24 * 3600 * 1000))
+    val last = scala.collection.mutable.Map[Long,
+      (Long, Long, Long, Long, Long)]()
+    val ms = MemoryStream[DocT]
+    val q = Streams.shardPackStreamingOoo(ms.toDF(), "doc_id", "text",
+      shards = 16, budget = 512L, delay = "48 hours") { df =>
+      val rows = df.collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_seqs"), r.getAs[Long]("n_straddle"),
+          r.getAs[Long]("tail_fill_ppm")))
+      last.synchronized { rows.foreach { case (k, v) => last(k) = v } }
+    }
+    try {
+      ms.addData(on1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally q.stop()
+    // the sentinel doc itself never folds (always above watermark) —
+    // its shard's last emission covers exactly the real docs
+    val batch = Packing.shardPackArrival(docs, "doc_id", "text",
+        shards = 16, budget = 512L)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_seqs"), r.getAs[Long]("n_straddle"),
+          r.getAs[Long]("tail_fill_ppm"))).toMap
+    val streamed = last.synchronized { last.toMap }
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("ooo funnel: cross-batch disordered feed equals the batch " +
+      "staged-min-join (watermark-bounded reorder buffer)") {
+    implicit val sqlCtx = spark.sqlContext
+    val (b1, b2, b3, sentinel) = disorderedFeed(17)
+    val last = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val ms = MemoryStream[Raw]
+    val q = Streams.funnelStreamingOoo(ms.toDF(), delay = "48 hours") { df =>
+      last.synchronized {
+        df.collect().foreach { r =>
+          last(r.getAs[Long]("user_id")) =
+            (r.getAs[Long]("stage"), r.getAs[Long]("entry_us"))
+        }
+      }
+    }
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = last.synchronized {
+      last.toSeq.collect { case (u, (st, e)) if u >= 0 => (u, st, e) }
+        .sortBy(_._1)
+    }
+    val batch = graft.SparkEntry.queries("d26_stream_funnel")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("stage"), r.getAs[Long]("entry_us"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("ooo retention: cross-batch disordered feed equals the batch " +
+      "cohort cells (first-event reorder buffer)") {
+    implicit val sqlCtx = spark.sqlContext
+    val (b1, b2, b3, sentinel) = disorderedFeed(19)
+    val sentinelWeek = sentinel.ts.getTime * 1000L / 604800000000L
+    val acc = scala.collection.mutable.Map[(Long, Long), Long]()
+    val ms = MemoryStream[Raw]
+    val q = Streams.retentionStreamingOoo(ms.toDF(), delay = "48 hours") { df =>
+      acc.synchronized {
+        df.collect().foreach { r =>
+          val k = (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"))
+          acc(k) = acc.getOrElse(k, 0L) + 1L
+        }
+      }
+    }
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = acc.synchronized {
+      acc.toSeq.collect { case ((c, o), cnt) if c != sentinelWeek =>
+        (c, o, cnt) }.sortBy(t => (t._1, t._2))
+    }
+    val batch = graft.SparkEntry.queries("d27_stream_retention")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_active"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
   }
 }
