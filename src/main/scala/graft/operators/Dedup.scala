@@ -205,9 +205,6 @@ object Dedup {
     val base = th.select(col("did"), col("is_eval"),
       array_distinct(TextOps.ngramHashes(col("th"), 2)).as("shh"))
       .barrier(true)
-    val sh = base.select(col("did"), explode(col("shh")).as("sh"))
-      .barrier(true)
-    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
     val sigs = base.select(col("did"), col("is_eval"),
       TextOps.minHashSignature(col("shh"), k).as("sig"))
     val banded = bandRows(sigs, k, bands)
@@ -218,6 +215,18 @@ object Dedup {
     val cand = trainB
       .join(broadcast(evalB), Seq("band_idx", "band_val"))
       .select(col("id_a"), col("eval_id").as("id_b")).distinct()
+      .barrier(true)
+    // the verify never explodes the corpus: the bigram row table is
+    // built only for docs a candidate pair names (semi-join prune of
+    // the barriered base), so its size tracks eval-band collisions,
+    // not corpus size
+    val candIds = cand.select(col("id_a").as("did"))
+      .unionAll(cand.select(col("id_b").as("did"))).distinct()
+    val cbase = base.join(candIds, Seq("did"), "left_semi")
+      .barrier(true)
+    val sh = cbase.select(col("did"), explode(col("shh")).as("sh"))
+    val sizes = cbase.select(col("did"),
+      size(col("shh")).cast("long").as("n"))
     verifyJaccardPpm(cand, sh, sizes, tau = 0.0)
       .where(col("j_ppm") >= minPpm)
       .groupBy(col("id_a"))
@@ -226,6 +235,80 @@ object Dedup {
       .select(col("id_a").as("doc_id"), col("n_eval_hits"),
         col("worst_j_ppm"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Static eval-suite artifact of the streaming fuzzy gate (d30):
+    * the eval docs' distinct token-bigram sets (`base`: did, shh)
+    * and their MinHash band buckets (`bands`: did, band_idx,
+    * band_val) — built ONCE (both frames barriered), broadcast
+    * against every arriving batch. Eval suites are small and static;
+    * this is the c27/d28 broadcast-eval shape applied to c76's
+    * paraphrase detector. */
+  final case class FuzzyEvalIndex(base: DataFrame, bands: DataFrame)
+
+  def fuzzyEvalIndex(evalDocs: DataFrame, id: String, text: String,
+                     k: Int = 48, bands: Int = 24): FuzzyEvalIndex = {
+    val th = evalDocs.select(col(id).as("did"),
+      transform(TextOps.tokens(col(text)),
+        t => TextOps.polyHash(t)).as("th"))
+    val base = th.select(col("did"),
+      array_distinct(TextOps.ngramHashes(col("th"), 2)).as("shh"))
+      .barrier(true)
+    val sigs = base.select(col("did"),
+      TextOps.minHashSignature(col("shh"), k).as("sig"))
+    FuzzyEvalIndex(base,
+      bandRows(sigs, k, bands)
+        .select(col("did"), col("band_idx"), col("band_val"))
+        .barrier(true))
+  }
+
+  /** Per-doc fuzzy decontamination GATE over a batch of arriving
+    * docs — [[fuzzyContamination]] with the eval side a pre-built
+    * static [[FuzzyEvalIndex]]: each doc's decision depends only on
+    * the eval artifact, so micro-batch boundaries can never change
+    * it (the d8/d28 per-doc-independence argument). Returns the KEPT
+    * docs (worst bigram Jaccard vs any eval doc < minPpm) with their
+    * worst ppm (0 for clean docs), id order. Batch and eval ids must
+    * be disjoint. Shape per batch: one bigram+signature pass over
+    * the batch, banded join against the BROADCAST eval bands, verify
+    * only candidate pairs with both sides' sets semi-join-pruned. */
+  def fuzzyGate(idx: FuzzyEvalIndex, batch: DataFrame, id: String,
+                text: String, minPpm: Long, k: Int = 48,
+                bands: Int = 24): DataFrame = {
+    val th = batch.select(col(id).as("did"),
+      transform(TextOps.tokens(col(text)),
+        t => TextOps.polyHash(t)).as("th"))
+    val bbase = th.select(col("did"),
+      array_distinct(TextOps.ngramHashes(col("th"), 2)).as("shh"))
+      .barrier(true)
+    val bsigs = bbase.select(col("did"),
+      TextOps.minHashSignature(col("shh"), k).as("sig"))
+    val bband = bandRows(bsigs, k, bands)
+      .select(col("did").as("id_a"), col("band_idx"), col("band_val"))
+    val cand = bband
+      .join(broadcast(idx.bands
+        .select(col("did").as("id_b"), col("band_idx"), col("band_val"))),
+        Seq("band_idx", "band_val"))
+      .select(col("id_a"), col("id_b")).distinct().barrier(true)
+    val shA = bbase.join(
+        cand.select(col("id_a").as("did")).distinct(),
+        Seq("did"), "left_semi")
+    val shB = idx.base.join(
+        cand.select(col("id_b").as("did")).distinct(),
+        Seq("did"), "left_semi")
+    val cbase = shA.unionAll(shB)
+    val sh = cbase.select(col("did"), explode(col("shh")).as("sh"))
+    val sizes = cbase.select(col("did"),
+      size(col("shh")).cast("long").as("n"))
+    val worst = verifyJaccardPpm(cand, sh, sizes, tau = 0.0)
+      .groupBy(col("id_a"))
+      .agg(max(col("j_ppm")).as("worst_j_ppm"))
+    batch.select(col(id))
+      .join(worst.select(col("id_a").as(id), col("worst_j_ppm")),
+        Seq(id), "left")
+      .withColumn("worst_j_ppm", coalesce(col("worst_j_ppm"), lit(0L)))
+      .where(col("worst_j_ppm") < minPpm)
+      .orderBy(col(id))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming

@@ -1115,8 +1115,82 @@ object StreamingSuite extends Suite {
       GROUP BY status
       ORDER BY status"""))
 
+  val d30 = Q(
+    "d30_stream_fuzzy_decontaminate",
+    // Streaming PARAPHRASE-level decontamination gate, batch-replayed
+    // — c76's bigram-MinHash detector at ingest, the d28 shape with
+    // the edit-robust unit: arriving docs (the d13 %10>=8 split,
+    // eval docs excluded) are dropped when their worst bigram
+    // Jaccard vs any eval doc reaches 0.3; the eval bigram sets +
+    // band buckets are the STATIC FuzzyEvalIndex artifact (built
+    // once, barriered; eval bands broadcast). Per-doc decisions are
+    // eval-set-static and independent, so batch boundaries can't
+    // change them; Streams.fuzzyDecontaminateStreaming is the
+    // foreachBatch flavor, cross-batch-pinned in StreamsSpec.
+    // Output = kept docs with worst ppm (0 for clean docs).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isEval = pmod(col("doc_id"), lit(37)) === 0
+      val idx = graft.operators.Dedup.fuzzyEvalIndex(docs.where(isEval),
+        "doc_id", "text")
+      graft.operators.Dedup.fuzzyGate(idx,
+        docs.where(pmod(col("doc_id"), lit(10)) >= 8 && !isEval),
+        "doc_id", "text", minPpm = 300000L)
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, doc_id % 37 = 0 AS is_eval,
+               doc_id % 10 >= 8 AND doc_id % 37 <> 0 AS is_arr,
+               list_transform(${graft.functions.TextOps.tokensSql("text")},
+                 tok -> ${graft.functions.TextOps.polyHashSql("tok")}) AS th
+        FROM documents
+        WHERE doc_id % 37 = 0 OR (doc_id % 10 >= 8)),
+      base AS (
+        SELECT doc_id, is_eval, is_arr,
+               list_distinct(${graft.functions.TextOps
+                 .ngramHashesSql("th", 2)}) AS shh
+        FROM tok),
+      sh AS (SELECT doc_id, unnest(shh) AS s FROM base),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      sigs AS (
+        SELECT doc_id, is_eval, is_arr,
+               ${graft.functions.TextOps.minHashSignatureSql("shh", 48)}
+                 AS sig
+        FROM base),
+      banded AS (
+        SELECT doc_id, is_eval, is_arr, t.bi AS band_idx,
+               list_slice(sig, t.bi * 2 + 1, t.bi * 2 + 2) AS band_val
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 24)) AS bi) t),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+        FROM banded a JOIN banded e
+          ON a.band_idx = e.band_idx AND a.band_val = e.band_val
+        WHERE a.is_arr AND e.is_eval),
+      inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS c
+        FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.id_a,
+               (CAST(i.c AS HUGEINT) * 1000000)
+                 // (za.n + zb.n - i.c) AS j_ppm
+        FROM inter i
+          JOIN sizes za ON za.doc_id = i.id_a
+          JOIN sizes zb ON zb.doc_id = i.id_b),
+      worst AS (
+        SELECT id_a AS doc_id, CAST(MAX(j_ppm) AS BIGINT) AS w
+        FROM pairs GROUP BY 1)
+      SELECT d.doc_id, COALESCE(w.w, 0) AS worst_j_ppm
+      FROM (SELECT doc_id FROM documents
+            WHERE doc_id % 10 >= 8 AND doc_id % 37 <> 0) d
+        LEFT JOIN worst w ON d.doc_id = w.doc_id
+      WHERE COALESCE(w.w, 0) < 300000
+      ORDER BY d.doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29)
+      d29, d30)
 }

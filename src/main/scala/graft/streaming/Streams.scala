@@ -1227,6 +1227,26 @@ object Streams {
       .start()
   }
 
+  /** Streaming paraphrase-level decontamination gate — c76's fuzzy
+    * detector applied AT INGEST (the d28 shape with the bigram
+    * MinHash unit): arriving docs are dropped when their worst
+    * bigram Jaccard against any eval doc reaches `minPpm`. The eval
+    * side is the STATIC [[graft.operators.Dedup.FuzzyEvalIndex]]
+    * (barriered once — never rebuilt per batch; eval suites are
+    * small, so its bands broadcast map-side). Decisions are per-doc
+    * independent given the eval artifact, so batch boundaries can
+    * never change them; emits the KEPT docs with their worst ppm. */
+  def fuzzyDecontaminateStreaming(idx: graft.operators.Dedup.FuzzyEvalIndex,
+      docs: DataFrame, id: String, text: String, minPpm: Long,
+      k: Int = 48, bands: Int = 24)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.fuzzyGate(idx, batch, id, text,
+          minPpm, k, bands))
+      }
+      .start()
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =
