@@ -94,7 +94,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$top,"n_queries":${results.size},""" +
-      s""""queries_note":"top-20 medians; full map in BENCH_local.json / SURVEY §8","runs":$runs,"sf":"$sfDir"}""")
+      s""""queries_note":"top-20 medians; full map in BENCH_local.json / SURVEY sec 8","runs":$runs,"sf":"$sfDir"}""")
     // The driver's BENCH_r{N}.json artifact retains only the tail of the
     // bench output, which truncates the per-query map once the inventory
     // outgrew ~2 KB of JSON. Persist the full line to a repo file as well

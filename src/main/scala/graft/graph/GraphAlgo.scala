@@ -361,7 +361,9 @@ object GraphAlgo {
     * `spark.graft.approx.nodesim=true` (opt-in, same contract as
     * `spark.graft.approx.simjoin`): the exact wedge join stays the
     * default and the oracle — MEASURED FASTER at this graph size
-    * (9.0 s vs 26.8 s at sf0.1, tools/NodeSimAB interleaved): with
+    * (round-8 regenerated sf0.1, tools/NodeSimAB interleaved: exact
+    * 12.7 s vs approx 27.7 s median; 4.5 s after the
+    * degree-carrying rewrite below): with
     * bounded degrees the wedge intermediate is D·|E|-flat and the
     * top-similar pairs are identical-neighborhood leaf siblings that
     * banding cannot prune (identical signatures collide by design).
@@ -380,15 +382,33 @@ object GraphAlgo {
     // of re-scanning the source per reference
     val und = und0.barrier(true)
     val deg = undDegrees(und).barrier(true)
-    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+    // the NEIGHBOR's degree rides the adjacency INTO the wedge join
+    // (one extra 2|E|-row shuffle on nb) and out through the pair
+    // aggregation as max(dp)/max(dq) — functionally dependent on the
+    // group key, so max is just "the" value — which deletes the two
+    // pair-table degree joins scoreCommon would pay: at sf0.1 that
+    // was 2 × 12.5M-row shuffles for a 1.9M-row join instead
+    // (SizeProbe A/B: cold 15.2 s → 6.4 s, warm parity)
+    val adjD = und.select(col("a").as("node"), col("b").as("nb"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
+      .join(deg.select(col("node").as("nb"), col("deg").as("dnb"))
+        .hint("shuffle_hash"), Seq("nb"))
     val centers = deg.where(col("deg") <= maxCenterDeg).select(col("node"))
-    val cadj = adj.join(centers.hint("shuffle_hash"), Seq("node"), "left_semi")
-    val common = cadj.select(col("node"), col("nb").as("p"))
-      .join(cadj.select(col("node"), col("nb").as("q")), Seq("node"))
+    val cadj = adjD.join(centers.hint("shuffle_hash"), Seq("node"),
+      "left_semi")
+    cadj.select(col("node"), col("nb").as("p"), col("dnb").as("dp"))
+      .join(cadj.select(col("node"), col("nb").as("q"),
+        col("dnb").as("dq")), Seq("node"))
       .where(col("p") < col("q"))
-      .groupBy(col("p"), col("q")).agg(count(lit(1)).as("n_common"))
-    scoreCommon(common, deg, topN)
+      .groupBy(col("p"), col("q"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("dp")).as("dp"), max(col("dq")).as("dq"))
+      .select(col("p"), col("q"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("dp") + col("dq") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("p"), col("q"))
+      .limit(topN)
   }
 
   /** Shared scoring tail: exact Jaccard from common-neighbor counts +
