@@ -146,6 +146,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy decontamination candidate joins broadcast the eval side") {
+    // c76/d30's scale contract: candidate generation is train-bands
+    // against the BROADCAST eval bands — never a corpus self-join.
+    // The explicit broadcast() must survive planning as a
+    // BroadcastHashJoin on (band_idx, band_val).
+    Seq("c76_fuzzy_decontaminate", "d30_stream_fuzzy_decontaminate")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name should broadcast the eval bands:\n$plan")
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name must stay an equi-join")
+      }
+  }
+
   test("IVF probes dynamic-partition-prune the inverted-lists scan") {
     // The index-probe queries exist to NOT read the whole index: the
     // lists parquet is partitioned on c_id and the probe side
