@@ -409,6 +409,50 @@ object Dedup {
       .select(col("node").as(id), col("component").as("keeper"))
   }
 
+  /** Quality-aware keeper selection — the representative a curation
+    * pipeline actually wants from each near-dup cluster: NOT the
+    * min-id ([[deduplicate]]'s CC-canonical label, kept as the stable
+    * cluster KEY) but the member with the best c9 quality score
+    * (ties → smaller id). Real near-dup clusters mix a clean
+    * original with mangled scrapes; min-id keeps whichever was
+    * crawled first, this keeps the best copy. Output per cluster:
+    * (cluster = min-id label, n_docs, best_id, best_q_ppm,
+    * minid_q_ppm, upgraded = best_id ≠ cluster) — `upgraded` rows
+    * are exactly the docs where quality-aware selection changed the
+    * outcome, and Σ(best−minid) prices what it bought.
+    *
+    * Determinism: quality enters as round(q·1e6) ppm (the c71
+    * contract) and the argmax runs on ONE bigint score
+    * q_ppm·1e12 − id (ids must stay below 1e12 — any realistic
+    * corpus), so both engines pick identical members with no
+    * composite-ordering semantics in play. Shape: [[deduplicate]]'s
+    * LSH→verify→CC clusters + one doc-keyed quality join + a
+    * per-cluster partial-aggregable max_by + one id-keyed join for
+    * the min-id member's own quality. */
+  def qualityKeepers(docs: DataFrame, id: String, text: String,
+                     tau: Double, k: Int = 48,
+                     bands: Int = 24): DataFrame = {
+    val clusters = deduplicate(docs, id, text, tau, k, bands)
+    val q = TextQuality.qualityFeatures(docs, id, text)
+      .select(col(id),
+        expr("cast(round(quality * 1000000, 0) as bigint)").as("q_ppm"))
+      .barrier(true)
+    val member = clusters.join(q, Seq(id))
+      .withColumn("score",
+        col("q_ppm") * lit(1000000000000L) - col(id))
+    member.groupBy(col("keeper").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col(id), col("score")).as("best_id"),
+        max_by(col("q_ppm"), col("score")).as("best_q_ppm"))
+      .join(q.select(col(id).as("cluster"), col("q_ppm").as("minid_q_ppm")),
+        Seq("cluster"))
+      .select(col("cluster"), col("n_docs"), col("best_id"),
+        col("best_q_ppm"), col("minid_q_ppm"),
+        when(col("best_id") =!= col("cluster"), 1L).otherwise(0L)
+          .as("upgraded"))
+      .orderBy(col("cluster"))
+  }
+
   /** What did [[deduplicate]] actually buy: the duplicate-cluster
     * size histogram with the doc/token mass each size class removes
     * (keeper kept, the rest cut) — the savings report a dedup run

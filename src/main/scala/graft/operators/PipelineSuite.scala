@@ -2820,11 +2820,68 @@ object PipelineSuite extends Suite {
       GROUP BY 1
       ORDER BY doc_id"""))
 
+  val c77 = Q(
+    "c77_quality_keeper",
+    // Quality-aware keeper selection (Dedup.qualityKeepers): per
+    // near-dup cluster (c16's LSH→verify→CC map, min-id as the
+    // stable cluster KEY), the member with the best c9 quality ppm
+    // (tie → smaller id) — the representative a curation pipeline
+    // actually keeps: min-id keeps whichever copy was crawled first,
+    // this keeps the best copy, and `upgraded` rows price the
+    // difference. One bigint argmax score (q_ppm·1e12 − id) keeps
+    // both engines' picks identical; one doc-keyed quality join +
+    // per-cluster partial-aggregable max_by.
+    (s, d) => Dedup.qualityKeepers(Tables.documents(s, d), "doc_id",
+      "text", tau = 0.5),
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest($SH) AS s FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+      cl AS (
+        SELECT n AS doc_id, LEAST(n, MIN(m)) AS keeper
+        FROM reach GROUP BY n),
+      qf AS (${graft.operators.TextQuality
+        .qualityFeaturesSql("doc_id", "text")}),
+      q AS (
+        SELECT doc_id,
+               CAST(round(quality * 1000000, 0) AS BIGINT) AS q_ppm
+        FROM qf),
+      m AS (
+        SELECT cl.keeper AS cluster, cl.doc_id, q.q_ppm,
+               q.q_ppm * 1000000000000 - cl.doc_id AS score
+        FROM cl JOIN q USING (doc_id)),
+      a AS (
+        SELECT cluster, COUNT(*) AS n_docs,
+               arg_max(doc_id, score) AS best_id,
+               arg_max(q_ppm, score) AS best_q_ppm
+        FROM m GROUP BY 1)
+      SELECT a.cluster, a.n_docs, a.best_id, a.best_q_ppm,
+             q.q_ppm AS minid_q_ppm,
+             CAST(CASE WHEN a.best_id <> a.cluster THEN 1 ELSE 0 END
+               AS BIGINT) AS upgraded
+      FROM a JOIN q ON q.doc_id = a.cluster
+      ORDER BY cluster"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
-      c70, c71, c72, c73, c74, c75, c76)
+      c70, c71, c72, c73, c74, c75, c76, c77)
 }

@@ -303,6 +303,30 @@ class DedupAnnSpec extends SparkSpec {
     assert(removed === docs.count() - survivors)
   }
 
+  test("qualityKeepers picks the best-quality member, ties to smaller " +
+      "id, singletons absent") {
+    val base = (1 to 25).map(i => s"unique$i").mkString(" ")
+    // doc 1: one token degraded to a repeat -> lower quality than 2/3
+    val mangled = base.replace("unique5", "unique4")
+    val d = Seq((1L, mangled), (2L, base), (3L, base),
+      (4L, "totally unrelated singleton text with nothing shared"))
+      .toDF("doc_id", "text")
+    val q = graft.operators.TextQuality
+      .qualityFeatures(d, "doc_id", "text")
+      .select($"doc_id",
+        expr("cast(round(quality * 1000000, 0) as bigint)").as("q_ppm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q(1L) < q(2L) && q(2L) === q(3L))
+    val out = Dedup.qualityKeepers(d, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getAs[Long]("cluster"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("best_id"),
+        r.getAs[Long]("best_q_ppm"), r.getAs[Long]("minid_q_ppm"),
+        r.getAs[Long]("upgraded"))).toSeq
+    // one cluster {1,2,3}: best = 2 (beats 1 on quality, beats the
+    // identical 3 on id); singleton 4 absent
+    assert(out === Seq((1L, 3L, 2L, q(2L), q(1L), 1L)))
+  }
+
   test("fuzzyContamination flags a paraphrase the 3-shingle unit would miss") {
     val eText = "the quick brown fox jumps over a lazy dog while " +
       "heavy rain falls softly on green hills near the old northern " +
