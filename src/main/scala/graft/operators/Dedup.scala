@@ -431,8 +431,17 @@ object Dedup {
     * the min-id member's own quality. */
   def qualityKeepers(docs: DataFrame, id: String, text: String,
                      tau: Double, k: Int = 48,
-                     bands: Int = 24): DataFrame = {
-    val clusters = deduplicate(docs, id, text, tau, k, bands)
+                     bands: Int = 24): DataFrame =
+    qualityKeepersOf(deduplicate(docs, id, text, tau, k, bands),
+      docs, id, text)
+
+  /** [[qualityKeepers]] over an ALREADY-COMPUTED (id, keeper) cluster
+    * map — the audit-path entry point: c77 reads the same persisted
+    * per-corpus-fingerprint map c67 does (DiskCache "dedup-map"), so
+    * the LSH→verify→CC dedup is priced once per corpus and every
+    * downstream audit is just its own joins. */
+  def qualityKeepersOf(clusters: DataFrame, docs: DataFrame,
+                       id: String, text: String): DataFrame = {
     val q = TextQuality.qualityFeatures(docs, id, text)
       .select(col(id),
         expr("cast(round(quality * 1000000, 0) as bigint)").as("q_ppm"))

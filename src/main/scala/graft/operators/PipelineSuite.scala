@@ -2829,10 +2829,20 @@ object PipelineSuite extends Suite {
     // actually keeps: min-id keeps whichever copy was crawled first,
     // this keeps the best copy, and `upgraded` rows price the
     // difference. One bigint argmax score (q_ppm·1e12 − id) keeps
-    // both engines' picks identical; one doc-keyed quality join +
-    // per-cluster partial-aggregable max_by.
-    (s, d) => Dedup.qualityKeepers(Tables.documents(s, d), "doc_id",
-      "text", tau = 0.5),
+    // both engines' picks identical; reads the PERSISTED c67 keeper
+    // map (DiskCache "dedup-map" — dedup priced once per corpus
+    // fingerprint, audits just join), then one doc-keyed quality
+    // join + per-cluster partial-aggregable max_by.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = graft.util.DiskCache.cached(s, "dedup-map", "v1",
+        Seq(s"$d/documents.parquet"), "tau05",
+        Seq("map")) { tmp =>
+        Dedup.deduplicate(docs, "doc_id", "text", 0.5)
+          .write.mode("overwrite").parquet(s"$tmp/map")
+      } { base => s.read.parquet(s"$base/map") }
+      Dedup.qualityKeepersOf(m, docs, "doc_id", "text")
+    },
     Some(s"""
       WITH RECURSIVE sh AS (
         SELECT doc_id, unnest($SH) AS s FROM documents),
