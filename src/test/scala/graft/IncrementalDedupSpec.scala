@@ -90,6 +90,41 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(diff.values.forall(_._2 >= 500000L))
   }
 
+  test("snapshot diff handles TEXT DRIFT: a changed doc breaks and " +
+      "forms pairs, persisting j_ppm comes from the new snapshot") {
+    // same ids, different text between snapshots — the update mode
+    // the membership-split case (above) never exercises
+    def words(pfx: String) = (1 to 25).map(i => s"$pfx$i").mkString(" ")
+    val t = words("alpha")
+    val v1 = Seq((1L, t), (2L, t.replace("alpha7", "alpha6")),
+      (3L, words("omega")), (5L, words("gamma")), (6L, words("gamma")))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, t), (2L, words("zeta")), // doc 2 fully rewritten
+      (3L, words("omega")),
+      (4L, t.replace("alpha9", "alpha8")),     // new near-dup of 1
+      (5L, words("gamma")),
+      (6L, words("gamma").replace("gamma3", "gamma2"))) // 6 drifts, still near
+      .toDF("doc_id", "text")
+    val i1 = Dedup.buildIndex(v1, "doc_id", "text", 48, 24)
+    val i2 = Dedup.buildIndex(v2, "doc_id", "text", 48, 24)
+    def pm(idx: Dedup.DedupIndex) =
+      Dedup.indexPairs(idx, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val p1 = pm(i1); val p2 = pm(i2)
+    assert(p1.keySet === Set((1L, 2L), (5L, 6L)))
+    assert(p2.keySet === Set((1L, 4L), (5L, 6L)))
+    val diff = Dedup.snapshotDiff(i1, i2, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(diff === Map(
+      (1L, 2L) -> ("resolved", p1((1L, 2L))),   // rewrite broke it
+      (1L, 4L) -> ("new", p2((1L, 4L))),        // rewrite formed it
+      (5L, 6L) -> ("persisting", p2((5L, 6L))))) // j from the NEW side
+    // the persisting pair's similarity really changed, so the map
+    // above pins coalesce(j_new, j_old) order, not just membership
+    assert(p1((5L, 6L)) !== p2((5L, 6L)))
+  }
+
   test("indexPairs equals the from-scratch verified pair set") {
     val docs = Tables.documents(spark, sf)
     val v = docs.where(pmod($"doc_id", lit(10)) < 8)
