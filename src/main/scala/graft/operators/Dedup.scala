@@ -462,6 +462,67 @@ object Dedup {
       .orderBy(col("cluster"))
   }
 
+  /** Per-doc c9 quality as integer ppm — the c71 round-ppm contract,
+    * keyed (did, q_ppm) for the keeper-selection family. */
+  def qualityPpm(docs: DataFrame, id: String, text: String): DataFrame =
+    TextQuality.qualityFeatures(docs, id, text)
+      .select(col(id).as("did"),
+        expr("cast(round(quality * 1000000, 0) as bigint)").as("q_ppm"))
+
+  /** Keeper-upgrade verdict assembly — shared by the batch challenge
+    * (d31's replay) and the streaming monitor: `challengers` =
+    * (cluster, did, q_ppm) rows for arriving docs that verified
+    * against a member of `cluster`; per cluster the best challenger
+    * (argmax on the single bigint score q_ppm·1e12 − id, c77's
+    * determinism trick) faces the corpus's own best member, and
+    * `upgraded` = the challenger strictly beats the incumbent
+    * (incumbent wins quality ties — re-ingesting an identical copy
+    * must not flap the keeper). */
+  def keeperVerdict(challengers: DataFrame, corpusClusters: DataFrame,
+                    corpusQ: DataFrame): DataFrame = {
+    def scored(df: DataFrame) = df.withColumn("score",
+      col("q_ppm") * lit(1000000000000L) - col("did"))
+    val inc = scored(challengers.distinct())
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_challengers"),
+        max_by(col("did"), col("score")).as("inc_best_id"),
+        max_by(col("q_ppm"), col("score")).as("inc_best_q_ppm"))
+    val cur = scored(corpusClusters.join(corpusQ, Seq("did")))
+      .groupBy(col("cluster"))
+      .agg(max_by(col("did"), col("score")).as("cur_best_id"),
+        max_by(col("q_ppm"), col("score")).as("cur_best_q_ppm"))
+    inc.join(cur, Seq("cluster"))
+      .select(col("cluster"), col("n_challengers"), col("inc_best_id"),
+        col("inc_best_q_ppm"), col("cur_best_id"), col("cur_best_q_ppm"),
+        when(col("inc_best_q_ppm") > col("cur_best_q_ppm"), 1L)
+          .otherwise(0L).as("upgraded"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Keeper-upgrade challenge — c77's question asked AT INGEST (the
+    * d31 batch replay): arriving docs that near-dup a corpus doc
+    * (banded [[crossPairs]] against the persisted corpus index)
+    * challenge that doc's CLUSTER for keeper-ship on quality. One
+    * row per challenged cluster: the best challenger vs the
+    * cluster's current best member, and whether the keeper upgrades.
+    * `corpusClusters` = (did, cluster) for EVERY corpus doc
+    * (singletons as their own cluster — coalesce the dedup map). */
+  def keeperChallenge(corpusIdx: DedupIndex, corpusClusters: DataFrame,
+                      corpusQ: DataFrame, arriving: DataFrame,
+                      id: String, text: String, tau: Double,
+                      k: Int = 48, bands: Int = 24): DataFrame = {
+    val bIdx = buildIndex(arriving, id, text, k, bands)
+    val hitC = crossPairs(corpusIdx, bIdx, tau)
+      .join(corpusClusters.select(col("did").as("id_a"), col("cluster")),
+        Seq("id_a"))
+      .select(col("cluster"), col("id_b")).distinct()
+    val ch = hitC
+      .join(qualityPpm(arriving, id, text)
+        .select(col("did").as("id_b"), col("q_ppm")), Seq("id_b"))
+      .select(col("cluster"), col("id_b").as("did"), col("q_ppm"))
+    keeperVerdict(ch, corpusClusters, corpusQ)
+  }
+
   /** What did [[deduplicate]] actually buy: the duplicate-cluster
     * size histogram with the doc/token mass each size class removes
     * (keeper kept, the rest cut) — the savings report a dedup run
@@ -741,23 +802,35 @@ object Dedup {
                    text: String, tau: Double, k: Int = 48,
                    bands: Int = 24): DataFrame = {
     val bIdx = buildIndex(batch, id, text, k, bands)
-    val cand = index.bands
-      .select(col("did").as("id_a"), col("band_idx"), col("band_val"))
-      .join(bIdx.bands
-        .select(col("did").as("id_b"), col("band_idx"), col("band_val")),
-        Seq("band_idx", "band_val"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val shAll = index.shingles.unionAll(bIdx.shingles)
-      .select(col("did"), explode(col("shh")).as("sh"))
-    val sizes = index.shingles.unionAll(bIdx.shingles)
-      .select(col("did"), col("n"))
-    val pairs = verifyJaccard(cand, shAll, sizes, tau)
-    val blockers = pairs.groupBy(col("id_b").as(id))
+    val blockers = crossPairs(index, bIdx, tau)
+      .groupBy(col("id_b").as(id))
       .agg(min(col("id_a")).as("dup_of"))
     batch.select(col(id)).join(blockers, Seq(id), "left")
       .select(col(id),
         when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
+  /** Verified near-dup pairs BETWEEN a corpus index and a new
+    * increment's index (never within either side): banded equi-join
+    * candidates + exact-Jaccard verify on candidates only. Returns
+    * (id_a = corpus doc, id_b = increment doc, j_ppm). The shared
+    * discovery step of [[corpusFilter]] and the keeper-upgrade
+    * monitor (d31); ids must be disjoint across sides. */
+  def crossPairs(corpus: DedupIndex, inc: DedupIndex,
+                 tau: Double): DataFrame = {
+    val cand = corpus.bands
+      .select(col("did").as("id_a"), col("band_idx"), col("band_val"))
+      .join(inc.bands
+        .select(col("did").as("id_b"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val shAll = corpus.shingles.unionAll(inc.shingles)
+      .select(col("did"), explode(col("shh")).as("sh"))
+    val sizes = corpus.shingles.unionAll(inc.shingles)
+      .select(col("did"), col("n"))
+    verifyJaccardPpm(cand, shAll, sizes, tau)
+      .select(col("id_a"), col("id_b"), col("j_ppm"))
   }
 
   /** Verified near-dup pairs of an ALREADY-PERSISTED corpus index —

@@ -1189,8 +1189,117 @@ object StreamingSuite extends Suite {
       WHERE COALESCE(w.w, 0) < 300000
       ORDER BY d.doc_id"""))
 
+  val d31 = Q(
+    "d31_stream_keeper_upgrade",
+    // Streaming keeper-upgrade monitor, batch-replayed — c77's
+    // quality-aware keeper question asked AT INGEST: arriving docs
+    // (%10 >= 8) that near-dup a corpus doc (%10 < 8; banded
+    // crossPairs vs the SAME persisted corpus index d8/d29 read)
+    // challenge that doc's cluster for keeper-ship on c9 quality —
+    // the live decision an ingest pipeline makes when a better copy
+    // of something it already has arrives. Cluster map = the
+    // corpus-only dedup (DiskCache, singletons as self-clusters);
+    // verdict per challenged cluster: best challenger vs the
+    // cluster's current best member (the c77 bigint-argmax trick;
+    // incumbent wins ties so identical re-ingests never flap the
+    // keeper). Streams.keeperUpgradeStreaming accumulates
+    // challengers cross-batch and re-emits verdicts each batch
+    // (StreamsSpec pins drain parity).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val arriving = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val idx = graft.util.DiskCache.cached(s, "dedup-index", "v1",
+        Seq(s"$d/documents.parquet"), "mod10lt8-k48b24",
+        Seq("shingles", "bands")) { tmp =>
+        graft.operators.Dedup.writeIndex(corpus, "doc_id", "text",
+          k = 48, bands = 24, tmp)
+      } { base => graft.operators.Dedup.readIndex(s, base) }
+      val m = graft.util.DiskCache.cached(s, "dedup-map", "v1",
+        Seq(s"$d/documents.parquet"), "tau05-mod10lt8",
+        Seq("map")) { tmp =>
+        graft.operators.Dedup.deduplicate(corpus, "doc_id", "text", 0.5)
+          .write.mode("overwrite").parquet(s"$tmp/map")
+      } { base => s.read.parquet(s"$base/map") }
+      val clusters = corpus.select(col("doc_id").as("did"))
+        .join(m.select(col("doc_id").as("did"), col("keeper")),
+          Seq("did"), "left")
+        .select(col("did"), coalesce(col("keeper"), col("did"))
+          .as("cluster"))
+      graft.operators.Dedup.keeperChallenge(idx, clusters,
+        graft.operators.Dedup.qualityPpm(corpus, "doc_id", "text"),
+        arriving, "doc_id", "text", tau = 0.5)
+    },
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               unnest(${graft.functions.TextOps.shingleHashesSql("text")})
+                 AS s
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      cp AS (SELECT id_a, id_b FROM pairs
+             WHERE id_a % 10 < 8 AND id_b % 10 < 8),
+      und AS (SELECT id_a AS a, id_b AS b FROM cp
+              UNION ALL SELECT id_b, id_a FROM cp),
+      reach(n, m) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+      cl0 AS (
+        SELECT n AS doc_id, LEAST(n, MIN(m)) AS keeper
+        FROM reach GROUP BY n),
+      cl AS (
+        SELECT d.doc_id, COALESCE(cl0.keeper, d.doc_id) AS cluster
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 < 8) d
+          LEFT JOIN cl0 USING (doc_id)),
+      qf AS (${graft.operators.TextQuality
+        .qualityFeaturesSql("doc_id", "text")}),
+      q AS (
+        SELECT doc_id,
+               CAST(round(quality * 1000000, 0) AS BIGINT) AS q_ppm
+        FROM qf),
+      hit AS (
+        SELECT CASE WHEN id_a % 10 < 8 THEN id_a ELSE id_b END AS ca,
+               CASE WHEN id_a % 10 < 8 THEN id_b ELSE id_a END AS b
+        FROM pairs
+        WHERE (id_a % 10 < 8) <> (id_b % 10 < 8)),
+      hc AS (SELECT DISTINCT cl.cluster, hit.b
+             FROM hit JOIN cl ON hit.ca = cl.doc_id),
+      ch AS (
+        SELECT hc.cluster, hc.b, q.q_ppm,
+               q.q_ppm * 1000000000000 - hc.b AS score
+        FROM hc JOIN q ON q.doc_id = hc.b),
+      inc AS (
+        SELECT cluster, COUNT(*) AS n_challengers,
+               arg_max(b, score) AS inc_best_id,
+               arg_max(q_ppm, score) AS inc_best_q_ppm
+        FROM ch GROUP BY 1),
+      cm AS (
+        SELECT cl.cluster, cl.doc_id, q.q_ppm,
+               q.q_ppm * 1000000000000 - cl.doc_id AS score
+        FROM cl JOIN q USING (doc_id)),
+      cur AS (
+        SELECT cluster, arg_max(doc_id, score) AS cur_best_id,
+               arg_max(q_ppm, score) AS cur_best_q_ppm
+        FROM cm GROUP BY 1)
+      SELECT i.cluster, i.n_challengers, i.inc_best_id,
+             i.inc_best_q_ppm, c.cur_best_id, c.cur_best_q_ppm,
+             CAST(CASE WHEN i.inc_best_q_ppm > c.cur_best_q_ppm
+               THEN 1 ELSE 0 END AS BIGINT) AS upgraded
+      FROM inc i JOIN cur c USING (cluster)
+      ORDER BY cluster"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29, d30)
+      d29, d30, d31)
 }

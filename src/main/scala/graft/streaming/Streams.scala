@@ -1247,6 +1247,47 @@ object Streams {
       }
       .start()
 
+  /** Streaming keeper-upgrade monitor — c77's quality-aware keeper
+    * question asked AT INGEST, kept live across batches: arriving
+    * docs that near-dup a corpus doc (banded crossPairs against the
+    * STATIC persisted corpus index) challenge that doc's cluster for
+    * keeper-ship on quality. Static artifacts (index, full cluster
+    * map with singletons as self-clusters, per-doc corpus quality)
+    * are barriered once; the only cross-batch state is the
+    * accumulated (cluster, challenger, q_ppm) set — bounded by docs
+    * that actually near-dup the corpus, the near-dup sparsity bound.
+    * Each batch re-emits the per-cluster verdict
+    * (Dedup.keeperVerdict); at drain it equals the batch
+    * Dedup.keeperChallenge exactly (set semantics — batch slicing
+    * can only delay, never change, a verdict; StreamsSpec pins it
+    * cross-batch). */
+  def keeperUpgradeStreaming(idx: graft.operators.Dedup.DedupIndex,
+      corpusClusters: DataFrame, corpusQ: DataFrame, docs: DataFrame,
+      id: String, text: String, tau: Double, k: Int = 48,
+      bands: Int = 24)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.util.Barriers.BarrierOps
+    val clB = corpusClusters.barrier(true)
+    val qB = corpusQ.barrier(true)
+    var challengers: Option[DataFrame] = None
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bIdx = Dedup.buildIndex(batch, id, text, k, bands)
+        val ch = Dedup.crossPairs(idx, bIdx, tau)
+          .join(clB.select(col("did").as("id_a"), col("cluster")),
+            Seq("id_a"))
+          .select(col("cluster"), col("id_b")).distinct()
+          .join(Dedup.qualityPpm(batch, id, text)
+            .select(col("did").as("id_b"), col("q_ppm")), Seq("id_b"))
+          .select(col("cluster"), col("id_b").as("did"), col("q_ppm"))
+        challengers = Some(challengers.map(_.unionAll(ch)).getOrElse(ch)
+          .barrier(true))
+        sink(Dedup.keeperVerdict(challengers.get, clB, qB))
+      }
+      .start()
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

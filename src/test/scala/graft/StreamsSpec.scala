@@ -1103,6 +1103,53 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length <= arriving.length)
   }
 
+  test("streaming keeper-upgrade monitor converges to the batch " +
+      "challenge across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod($"doc_id", lit(10)) < 8)
+    val idx = Dedup.buildIndex(corpus, "doc_id", "text", k = 48,
+      bands = 24)
+    val m = Dedup.deduplicate(corpus, "doc_id", "text", 0.5)
+    val clusters = corpus.select($"doc_id".as("did"))
+      .join(m.select($"doc_id".as("did"), $"keeper"), Seq("did"), "left")
+      .select($"did", coalesce($"keeper", $"did").as("cluster"))
+    val corpusQ = Dedup.qualityPpm(corpus, "doc_id", "text")
+    val arriving = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text").orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"cluster").collect().map(r => (r.getAs[Long]("cluster"),
+        r.getAs[Long]("n_challengers"), r.getAs[Long]("inc_best_id"),
+        r.getAs[Long]("inc_best_q_ppm"), r.getAs[Long]("cur_best_id"),
+        r.getAs[Long]("cur_best_q_ppm"), r.getAs[Long]("upgraded"))).toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, Long, Long, Long, Long, Long, Long)]]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.keeperUpgradeStreaming(idx, clusters, corpusQ,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      tau = 0.5) { df =>
+      val r = rows(df)
+      emissions.synchronized { emissions += r }
+    }
+    val half = arriving.length / 2
+    try {
+      ms.addData(arriving.take(half)); q.processAllAvailable()
+      ms.addData(arriving.drop(half)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = rows(graft.SparkEntry
+      .queries("d31_stream_keeper_upgrade")(spark, sf))
+    val ems = emissions.synchronized { emissions.toSeq }
+    assert(ems.length === 2 && ems.last === batch && batch.nonEmpty)
+    // challenger sets only grow: every cluster in emission 1 is
+    // still challenged in emission 2 with >= as many challengers
+    val first = ems.head.map(r => r._1 -> r._2).toMap
+    val last = ems.last.map(r => r._1 -> r._2).toMap
+    assert(first.keySet.subsetOf(last.keySet))
+    assert(first.forall { case (c, n) => last(c) >= n })
+  }
+
   // ---- event-time disorder hardening (r6 verdict item 3) ----------
   // Real streams are disordered within the watermark. The stateful
   // trackers fold each micro-batch's per-key group in (event-time,
