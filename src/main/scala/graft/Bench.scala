@@ -39,36 +39,41 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // Per-query warm runs: each query executes `runs` times (default
-    // 3); the MEDIAN is the headline number (robust to one shared-box
-    // contention spike in either direction) and the MIN is reported
-    // alongside (the contention-free floor). A failed first run
-    // short-circuits the retries — -1 marks the failure, it must not
-    // pass as a timing.
+    // Per-query warm runs, ROUND-ROBIN: the full suite executes `runs`
+    // times (default 3) as interleaved passes — pass 1 runs every query
+    // once in order, then pass 2, then pass 3 — and the per-query MEDIAN
+    // across passes is the headline number, with the MIN alongside (the
+    // contention-free floor). Interleaving decorrelates shared-box
+    // contention from bench order: a sustained co-tenant spike lands on
+    // ONE pass of many queries instead of pinning all samples of a
+    // contiguous query block (the r7/r8 artifacts both showed spiked
+    // contiguous blocks under the old back-to-back-per-query sampling).
+    // A query that fails in any pass is marked -1 and skipped in later
+    // passes — a failure must not pass as a timing.
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // noop sink materializes every output column (count() would let
-        // column pruning skip the actual computation).
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
-        }
-        (System.nanoTime() - t0) / 1e9
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // noop sink materializes every output column (count() would let
+      // column pruning skip the actual computation).
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
       }
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var failed = false
-      var i = 0
-      while (i < runs && !failed) {
-        val t = once()
-        if (t < 0) failed = true else times += t
-        i += 1
-      }
-      if (failed) name -> (-1.0, -1.0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val samples = scala.collection.mutable.LinkedHashMap(
+      selected.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val failedQ = scala.collection.mutable.Set.empty[String]
+    for (pass <- 1 to runs; (name, fn) <- selected if !failedQ(name)) {
+      val t = once(name, fn)
+      if (t < 0) failedQ += name else samples(name) += t
+    }
+    val results = selected.map { case (name, _) =>
+      if (failedQ(name)) name -> (-1.0, -1.0)
       else {
-        val sorted = times.sorted
+        val sorted = samples(name).sorted
         name -> (sorted(sorted.size / 2), sorted.head)
       }
     }
@@ -77,9 +82,9 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val policy = "warm session; graph layout materialized untimed " +
-      s"(session storage bring-up); per-query median of $runs runs " +
-      "(queries = medians, queries_min = per-query minima); " +
-      "failed query = -1, retries short-circuited"
+      s"(session storage bring-up); per-query median of $runs " +
+      "ROUND-ROBIN full-suite passes (queries = medians, queries_min = " +
+      "per-query minima); failed query = -1, skipped in later passes"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       jmap(_._2._1)},"queries_min":${jmap(_._2._2)},"runs":$runs,"policy":"$policy","sf":"$sfDir"}"""
     println(line)
@@ -92,8 +97,11 @@ object Bench {
     val top = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(20)
       .map { case (k, v) => "\"" + k + "\":" + r3(v._1) }
       .mkString("{", ",", "}")
+    // "truncated":true marks this line's queries map as the top-20
+    // subset so a parser scanning for "metric":"total" cannot mistake
+    // it for the full per-query inventory printed above.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":$top,"n_queries":${results.size},""" +
+      s""""queries":$top,"n_queries":${results.size},"truncated":true,""" +
       s""""queries_note":"top-20 medians; full map in BENCH_local.json / SURVEY sec 8","runs":$runs,"sf":"$sfDir"}""")
     // The driver's BENCH_r{N}.json artifact retains only the tail of the
     // bench output, which truncates the per-query map once the inventory

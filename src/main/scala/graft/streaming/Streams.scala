@@ -837,11 +837,19 @@ object Streams {
           state.update(OooPack(hold, st))
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
-          val tail =
-            if (st.n_tokens % budget == 0) 1000000L
-            else st.n_tokens % budget * 1000000L / budget
-          Iterator((shard, st.n_docs, st.n_tokens,
-            (st.n_tokens + budget - 1) / budget, st.n_straddle, tail))
+          // A touched shard that has folded nothing yet (all docs still
+          // held in the reorder buffer — first appearance, or the
+          // watermark-sentinel shard) must not emit: n_tokens=0 would
+          // hit the %budget==0 branch and claim a fully-filled tail
+          // (tail_fill_ppm=1000000) for an empty shard.
+          if (st.n_docs == 0L) Iterator.empty
+          else {
+            val tail =
+              if (st.n_tokens % budget == 0) 1000000L
+              else st.n_tokens % budget * 1000000L / budget
+            Iterator((shard, st.n_docs, st.n_tokens,
+              (st.n_tokens + budget - 1) / budget, st.n_straddle, tail))
+          }
       }
       .toDF("shard", "n_docs", "n_tokens", "n_seqs", "n_straddle",
         "tail_fill_ppm")
@@ -1189,7 +1197,14 @@ object Streams {
     * arrived index + discovered pair set, barriered per batch — at
     * cluster scale both are the parquet-append artifacts c25/c29
     * persist, priced once per corpus, not per batch. `sources` =
-    * (sid, src) metadata for every id either snapshot can name. */
+    * (sid, src) metadata for every id either snapshot can name.
+    * foreachBatch is at-least-once, so state mutation is guarded on
+    * the batchId — a retried batch re-emits the counters from the
+    * already-applied state instead of re-unioning itself into the
+    * arrived index (which would double-count intersections). The
+    * in-memory state spans ONE query lifetime; across restarts,
+    * production re-seeds from the persisted parquet-append artifacts
+    * (the c25/c29 pattern) rather than this object's vars. */
   def dedupChurnStreaming(oldIdx: graft.operators.Dedup.DedupIndex,
       sources: DataFrame, docs: DataFrame, id: String, text: String,
       tau: Double, k: Int = 48, bands: Int = 24)
@@ -1202,16 +1217,20 @@ object Streams {
     val srcs = sources.barrier(true)
     var arrived: Option[Dedup.DedupIndex] = None
     var newP: Option[DataFrame] = None
+    var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val inc = Dedup.buildIndex(batch, id, text, k, bands)
-        val found = Dedup.incrementPairs(arrived, inc, tau)
-        newP = Some(newP.map(_.unionAll(found)).getOrElse(found)
-          .barrier(true))
-        arrived = Some(arrived.map(a => Dedup.DedupIndex(
-            a.shingles.unionAll(inc.shingles).barrier(true),
-            a.bands.unionAll(inc.bands).barrier(true)))
-          .getOrElse(inc))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val inc = Dedup.buildIndex(batch, id, text, k, bands)
+          val found = Dedup.incrementPairs(arrived, inc, tau)
+          newP = Some(newP.map(_.unionAll(found)).getOrElse(found)
+            .barrier(true))
+          arrived = Some(arrived.map(a => Dedup.DedupIndex(
+              a.shingles.unionAll(inc.shingles).barrier(true),
+              a.bands.unionAll(inc.bands).barrier(true)))
+            .getOrElse(inc))
+          lastApplied = bid
+        }
         val diff = oldP.join(
             newP.get.select(col("id_a"), col("id_b"),
               col("j_ppm").as("j_new")),
@@ -1271,18 +1290,25 @@ object Streams {
     val clB = corpusClusters.barrier(true)
     val qB = corpusQ.barrier(true)
     var challengers: Option[DataFrame] = None
+    var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bIdx = Dedup.buildIndex(batch, id, text, k, bands)
-        val ch = Dedup.crossPairs(idx, bIdx, tau)
-          .join(clB.select(col("did").as("id_a"), col("cluster")),
-            Seq("id_a"))
-          .select(col("cluster"), col("id_b")).distinct()
-          .join(Dedup.qualityPpm(batch, id, text)
-            .select(col("did").as("id_b"), col("q_ppm")), Seq("id_b"))
-          .select(col("cluster"), col("id_b").as("did"), col("q_ppm"))
-        challengers = Some(challengers.map(_.unionAll(ch)).getOrElse(ch)
-          .barrier(true))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // at-least-once guard (see dedupChurnStreaming): a retried
+        // batch id must not re-union its challengers; it just
+        // re-emits the verdict from the already-applied state.
+        if (bid > lastApplied) {
+          val bIdx = Dedup.buildIndex(batch, id, text, k, bands)
+          val ch = Dedup.crossPairs(idx, bIdx, tau)
+            .join(clB.select(col("did").as("id_a"), col("cluster")),
+              Seq("id_a"))
+            .select(col("cluster"), col("id_b")).distinct()
+            .join(Dedup.qualityPpm(batch, id, text)
+              .select(col("did").as("id_b"), col("q_ppm")), Seq("id_b"))
+            .select(col("cluster"), col("id_b").as("did"), col("q_ppm"))
+          challengers = Some(challengers.map(_.unionAll(ch)).getOrElse(ch)
+            .barrier(true))
+          lastApplied = bid
+        }
         sink(Dedup.keeperVerdict(challengers.get, clB, qB))
       }
       .start()

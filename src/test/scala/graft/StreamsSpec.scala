@@ -1439,6 +1439,7 @@ class StreamsSpec extends SparkSpec {
       new java.sql.Timestamp(maxMs + 90L * 24 * 3600 * 1000))
     val last = scala.collection.mutable.Map[Long,
       (Long, Long, Long, Long, Long)]()
+    val sawEmpty = new java.util.concurrent.atomic.AtomicBoolean(false)
     val ms = MemoryStream[DocT]
     val q = Streams.shardPackStreamingOoo(ms.toDF(), "doc_id", "text",
       shards = 16, budget = 512L, delay = "48 hours") { df =>
@@ -1446,6 +1447,10 @@ class StreamsSpec extends SparkSpec {
         (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
           r.getAs[Long]("n_seqs"), r.getAs[Long]("n_straddle"),
           r.getAs[Long]("tail_fill_ppm")))
+      // a shard whose docs are all still held in the reorder buffer
+      // must not emit a manifest row (an empty state would read as a
+      // fully-filled tail: n_tokens=0 -> tail_fill_ppm=1000000)
+      if (rows.exists(_._2._1 == 0L)) sawEmpty.set(true)
       last.synchronized { rows.foreach { case (k, v) => last(k) = v } }
     }
     try {
@@ -1464,6 +1469,7 @@ class StreamsSpec extends SparkSpec {
           r.getAs[Long]("tail_fill_ppm"))).toMap
     val streamed = last.synchronized { last.toMap }
     assert(streamed.nonEmpty && streamed === batch)
+    assert(!sawEmpty.get(), "a nothing-folded-yet shard emitted a manifest row")
   }
 
   test("ooo funnel: cross-batch disordered feed equals the batch " +
