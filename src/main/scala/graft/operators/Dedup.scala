@@ -1044,6 +1044,104 @@ object Dedup {
           .as("dup_ppm"))
   }
 
+  /** Span-level ExactSubstr APPLY (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" — the deletion semantics, not
+    * just the c30 pair report): every token covered by a duplicated
+    * w-token window (a rolling window hash occurring ≥ 2 times in the
+    * corpus, within- or cross-doc) is REMOVED and the REST of the
+    * document is kept — a boilerplate header costs its own tokens, not
+    * the whole document (the doc-level c16→c19 apply would drop it
+    * entirely). Output per doc: token counts before/after, kept ppm,
+    * and the redacted text re-rendered from the kept token stream
+    * (tokens joined by single spaces — the tokenizer's own rendering;
+    * original runs of whitespace are not preserved, by definition).
+    *
+    * Scale shape: the only exchanges are the window-hash count (one
+    * Window partition on h — a hash is its own bucket, no pair join
+    * and no quadratic hot-bucket risk, unlike c30's pair output) and
+    * the did-keyed starts aggregation joined back to the doc frame;
+    * redaction itself is a map-side array program (covered = distinct
+    * flatten of [p, p+w) runs, kept = ordered positional
+    * set-difference, render = array_join). Nothing collects; state
+    * per doc is its own token array. */
+  def spanRedact(docs: DataFrame, id: String, text: String,
+                 w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // toks/th projected FIRST so ngramHashes binds an attribute (its
+    // lambdas re-evaluate embedded subtrees once per element — see
+    // dupWindowRate).
+    val th = docs.select(col(id).as("did"),
+      TextOps.tokens(col(text)).as("toks"),
+      transform(TextOps.tokens(col(text)),
+        t => TextOps.polyHash(t)).as("th"))
+    // every window OCCURRENCE with its 0-based start position —
+    // within-doc repeats are distinct occurrences and count toward
+    // the ≥2 duplication bar, exactly like cross-doc ones
+    val occ = th.select(col("did"),
+      posexplode(TextOps.ngramHashes(col("th"), w)).as(Seq("pos", "h")))
+    val starts = occ
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("nd") >= 2)
+      .groupBy(col("did"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    th.join(starts, Seq("did"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("covered", array_distinct(flatten(
+        transform(col("starts"), p => sequence(p, p + lit(w - 1))))))
+      .withColumn("kept", array_except(
+        sequence(lit(0), size(col("toks")) - 1), col("covered")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_removed", size(col("covered")).cast("long"))
+      .withColumn("n_kept", (col("n_tokens") - col("n_removed")))
+      .select(col("did").as(id),
+        col("n_tokens"),
+        col("n_removed"),
+        CorpusStats.ppmExpr("n_kept", "n_tokens").cast("long")
+          .as("kept_ppm"),
+        array_join(transform(col("kept"),
+          i => element_at(col("toks"), i + 1)), " ").as("redacted_text"))
+  }
+
+  /** DuckDB mirror of [[spanRedact]] over the `documents` view. */
+  def spanRedactSql(id: String, text: String, w: Int): String = {
+    val th = s"""list_transform(${TextOps.tokensSql(text)},
+      tok -> ${TextOps.polyHashSql("tok")})"""
+    s"""
+    WITH th AS (SELECT $id, ${TextOps.tokensSql(text)} AS toks,
+                  $th AS th FROM documents),
+    whl AS (SELECT $id, toks,
+              ${TextOps.ngramHashesSql("th", w)} AS wh FROM th),
+    occ AS (SELECT $id, u.pos AS pos, u.h AS h
+            FROM (SELECT $id, unnest(list_transform(range(1, len(wh)+1),
+                   i -> struct_pack(pos := i - 1, h := wh[i]))) AS u
+                  FROM whl)),
+    nd AS (SELECT h, COUNT(*) AS nd FROM occ GROUP BY 1),
+    starts AS (SELECT o.$id, o.pos FROM occ o JOIN nd USING (h)
+               WHERE nd.nd >= 2),
+    cov AS (SELECT DISTINCT $id, pos + off.o AS cpos
+            FROM starts, (SELECT unnest(range(0, $w)) AS o) off),
+    tok AS (SELECT $id, u.i AS i, u.t AS t
+            FROM (SELECT $id, unnest(list_transform(range(1, len(toks)+1),
+                   i -> struct_pack(i := i - 1, t := toks[i]))) AS u
+                  FROM whl)),
+    stats AS (SELECT whl.$id, len(toks) AS n_tokens,
+                     coalesce(c.n_removed, 0) AS n_removed
+              FROM whl LEFT JOIN (SELECT $id, COUNT(*) AS n_removed
+                                  FROM cov GROUP BY 1) c USING ($id)),
+    red AS (SELECT t.$id, string_agg(t.t, ' ' ORDER BY t.i)
+                     AS redacted_text
+            FROM tok t LEFT JOIN cov
+              ON t.$id = cov.$id AND t.i = cov.cpos
+            WHERE cov.cpos IS NULL GROUP BY 1)
+    SELECT s.$id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(s.n_removed AS BIGINT) AS n_removed,
+           ${CorpusStats.ppmSql("s.n_tokens - s.n_removed", "s.n_tokens")}
+             AS kept_ppm,
+           coalesce(r.redacted_text, '') AS redacted_text
+    FROM stats s LEFT JOIN red r USING ($id)"""
+  }
+
   /** Same-key exact cosine pairs (conflict detection shape): all
     * id-ordered pairs sharing `key` with cosine >= tau, via the
     * triangle-blocked equi-join — the key joins the block columns in

@@ -2887,11 +2887,27 @@ object PipelineSuite extends Suite {
       FROM a JOIN q ON q.doc_id = a.cluster
       ORDER BY cluster"""))
 
+  val c78 = Q(
+    "c78_span_dedup_apply",
+    // Span-level ExactSubstr APPLY (Dedup.spanRedact): c30 detects
+    // pairs sharing exact 16-token windows; this REMOVES the
+    // duplicated runs and keeps the rest of each doc (Lee et al.'s
+    // deletion semantics — a boilerplate header costs its own tokens,
+    // not the whole document). Per doc: before/after token counts,
+    // kept ppm, and the redacted text re-rendered from the kept
+    // token stream.
+    (s, d) => Dedup.spanRedact(Tables.documents(s, d), "doc_id",
+        "text", w = 16)
+      .orderBy(col("doc_id")),
+    Some(s"""
+      ${Dedup.spanRedactSql("doc_id", "text", 16)}
+      ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
-      c70, c71, c72, c73, c74, c75, c76, c77)
+      c70, c71, c72, c73, c74, c75, c76, c77, c78)
 }

@@ -360,4 +360,51 @@ class DedupAnnSpec extends SparkSpec {
     val shingleJ = inter / (sh(0L).size + sh(1L).size - inter)
     assert(shingleJ < 0.3, s"shingle J $shingleJ should be sub-gate")
   }
+
+  test("spanRedact: duplicated runs removed, rest kept (hand-checked)") {
+    // w=2: "a b" occurs in docs 1 and 2 -> both lose exactly those
+    // two tokens; doc 3's "p q" repeats WITHIN the doc (pos 0 and 2)
+    // -> covered = [0,1] + [2,3] = everything -> fully redacted;
+    // doc 4 shares nothing -> untouched.
+    val d = Seq((1L, "a b c d"), (2L, "x a b y"), (3L, "p q p q"),
+      (4L, "u v w")).toDF("doc_id", "text")
+    val out = Dedup.spanRedact(d, "doc_id", "text", w = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("kept_ppm"),
+        r.getAs[String]("redacted_text"))).toSeq
+    assert(out === Seq(
+      (1L, 4L, 2L, 500000L, "c d"),
+      (2L, 4L, 2L, 500000L, "x y"),
+      (3L, 4L, 4L, 0L, ""),
+      (4L, 3L, 0L, 1000000L, "u v w")))
+  }
+
+  test("spanRedact corpus invariants: render matches counts, " +
+      "redacted docs share no 16-token windows") {
+    import graft.functions.TextOps
+    val out = Dedup.spanRedact(docs, "doc_id", "text", w = 16).cache()
+    // token-mass audit: redaction really removes mass, and the
+    // re-rendered text has exactly n_tokens - n_removed tokens
+    val removed = out.agg(sum($"n_removed")).as[Long].head()
+    assert(removed > 0L, "no spans removed on the shared-span corpus")
+    assert(out.where($"n_removed" > $"n_tokens").isEmpty)
+    val badRender = out.where($"n_removed" < $"n_tokens" &&
+      size(TextOps.tokens($"redacted_text")) =!=
+        ($"n_tokens" - $"n_removed")).count()
+    assert(badRender === 0L, "kept token stream != n_tokens - n_removed")
+    assert(out.where($"n_removed" === $"n_tokens" &&
+      $"redacted_text" =!= "").isEmpty)
+    // the apply claim: AFTER redaction no 16-token window occurs
+    // twice anywhere in the corpus (Lee et al.'s post-dedup
+    // memorization audit reads zero on this testdata — deletion can
+    // in principle create new duplicated junction windows, but none
+    // arise here and ExactSubstr does not iterate either)
+    val red = out.where($"redacted_text" =!= "")
+      .select($"doc_id", $"redacted_text".as("text"))
+    val residual = Dedup.dupWindowRate(red, "doc_id", "text", w = 16)
+      .agg(sum($"n_dup_windows")).as[Long].head()
+    assert(residual === 0L, s"$residual duplicated windows survived")
+    out.unpersist()
+  }
 }
