@@ -139,16 +139,23 @@ object Ann {
     * Index-once / probe-many: at 100 TB the index build is a daily
     * batch job and every query session reads this layout — the same
     * production split as the dedup corpus band index. */
+  /** Inverted lists for `corpus` against a FIXED centroid table —
+    * the list-building half of [[writeIndex]], factored out so
+    * append-equals-rebuild can be asserted against the same code. */
+  private[graft] def buildLists(corpus: DataFrame, cent: DataFrame,
+                                id: String, vec: String): DataFrame =
+    assignToCentroids(
+      corpus.select(col(id).as("n_id"), col("label"), col(vec).as("n_vec"),
+        VectorOps.norm(col(vec)).as("n_nrm")),
+      cent, "n", 1)
+
   def writeIndex(corpus: DataFrame, id: String, vec: String, k: Int,
                  iters: Int, base: String): Unit = {
     val cent = kmeansFit(corpus, id, vec, k, iters).barrier(true)
     cent.select(col(id).as("c_id"), col(vec).as("c_vec"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$base/centroids")
-    val lists = assignToCentroids(
-      corpus.select(col(id).as("n_id"), col("label"), col(vec).as("n_vec"),
-        VectorOps.norm(col(vec)).as("n_nrm")),
-      centTable(cent, id, vec), "n", 1)
+    val lists = buildLists(corpus, centTable(cent, id, vec), id, vec)
     lists.write.mode("overwrite").partitionBy("c_id")
       .parquet(s"$base/lists")
   }
@@ -186,6 +193,124 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("c_id"), col("sim"))
   }
+
+  /** Map-side assignment of ARRIVING vectors to a persisted index's
+    * STATIC centroids ([[argmaxAssign]] — the k centroids collapse to
+    * a one-row broadcast array, so arrivals are never shuffled), in
+    * the inverted-list row layout plus the achieved cosine as an
+    * integer ppm (`sim_ppm`, the c71 round-ppm contract). The
+    * assignment half of [[appendIndex]] / [[ivfAppendAudit]], and the
+    * per-batch unit of the streaming flavor (d32). */
+  private[graft] def arrivalAssign(idx: IvfIndex, arrivals: DataFrame,
+                                   id: String, vec: String): DataFrame = {
+    val cent = idx.centroids.select(col("c_id").as("cid"),
+      col("c_vec").as("cv"), VectorOps.norm(col("c_vec")).as("cn"))
+    argmaxAssign(
+        arrivals.select(col(id).as("n_id"), col("label"),
+          col(vec).as("n_vec")),
+        "n_vec", cent)
+      .select(col("cid").as("c_id"), col("n_id"), col("label"),
+        col("n_vec"), VectorOps.norm(col("n_vec")).as("n_nrm"),
+        round(col("csim") * 1000000, 0).cast("long").as("sim_ppm"))
+  }
+
+  /** Incremental index APPEND — the production gap between "index
+    * once" and "index forever": arriving vectors are assigned
+    * map-side to the persisted index's STATIC centroids (no retrain,
+    * no shuffle of the arrivals) and appended to its inverted lists.
+    * By construction this equals rebuilding the lists from scratch
+    * over base+arrivals against the SAME centroids ([[buildLists]] —
+    * spec-pinned), so probes against the appended index return
+    * exactly the rebuild's results. At 100 TB the union is a parquet
+    * append into the centroid-partitioned lists directory; the
+    * centroids stay fixed until [[ivfAppendAudit]]'s drift signal
+    * says retrain. */
+  def appendIndex(idx: IvfIndex, arrivals: DataFrame,
+                  id: String, vec: String): IvfIndex =
+    IvfIndex(idx.centroids,
+      idx.lists.select(col("c_id"), col("n_id"), col("label"),
+          col("n_vec"), col("n_nrm"))
+        .unionAll(arrivalAssign(idx, arrivals, id, vec)
+          .select(col("c_id"), col("n_id"), col("label"),
+            col("n_vec"), col("n_nrm"))))
+
+  /** Per-list stats of a persisted index's TRAINING distribution:
+    * list size and the floor-mean assigned cosine (integer ppm; the
+    * sum is shifted by +1e6 per row so the integer division never
+    * sees a negative numerator — truncate-vs-floor splits engines).
+    * One broadcast centroid join + one partial-aggregable groupBy. */
+  private[graft] def ivfBaseStats(idx: IvfIndex): DataFrame = {
+    val cent = idx.centroids.select(col("c_id"), col("c_vec"),
+      VectorOps.norm(col("c_vec")).as("c_nrm"))
+    idx.lists.join(broadcast(cent), "c_id")
+      .withColumn("sim_ppm",
+        round(VectorOps.cosine6Pre(col("n_vec"), col("c_vec"),
+          col("n_nrm"), col("c_nrm")) * 1000000, 0).cast("long"))
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).cast("long").as("n_base"),
+        expr("(sum(sim_ppm + 1000000) div count(1)) - 1000000")
+          .cast("long").as("base_sim_ppm"))
+  }
+
+  /** Per-list aggregate of an [[arrivalAssign]] frame (shared by the
+    * batch audit and the d32 streaming monitor's running state). */
+  private[graft] def arrivalStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("c_id"))
+      .agg(count(lit(1)).cast("long").as("n_arrived"),
+        expr("(sum(sim_ppm + 1000000) div count(1)) - 1000000")
+          .cast("long").as("arrived_sim_ppm"))
+
+  /** Incremental-append AUDIT — the retrain signal for [[appendIndex]]:
+    * per inverted list, base size vs arrivals appended (growth ppm)
+    * and the assignment-quality drift — mean achieved cosine of the
+    * arrivals vs the TRAINING distribution (the base members' mean).
+    * A strongly negative drift says the arrivals don't fit the
+    * trained centroids any more (distribution shift → retrain); heavy
+    * growth on one list says the centroid is too coarse (split). A
+    * list with no base members reads n_base=0/growth_ppm=-1 (a NEW
+    * list opened by arrivals); no arrivals reads arrived_sim_ppm=-1,
+    * drift 0. Everything integer; both sides of the drift use the
+    * same shifted floor-mean. */
+  def ivfAppendAudit(idx: IvfIndex, arrivals: DataFrame,
+                     id: String, vec: String): DataFrame =
+    auditJoin(ivfBaseStats(idx),
+      arrivalStats(arrivalAssign(idx, arrivals, id, vec)))
+
+  /** The retrain DECISION over an [[ivfAppendAudit]] frame — the gate
+    * a d32 monitor alarms on: a list needs its centroids retrained
+    * when arrivals opened a NEW list (n_base=0 — the trained
+    * centroids don't cover the arriving distribution at all), grew a
+    * list past `maxGrowthPpm` of its training size (centroid too
+    * coarse for the new mass), or assign `maxDriftDownPpm` worse than
+    * the training distribution (shift). Pure projection. */
+  def retrainVerdict(audit: DataFrame, maxGrowthPpm: Long,
+                     maxDriftDownPpm: Long): DataFrame =
+    audit.withColumn("retrain",
+      when(col("n_arrived") > 0L &&
+        (col("n_base") === 0L ||
+          col("growth_ppm") >= maxGrowthPpm ||
+          col("drift_ppm") <= -maxDriftDownPpm), 1L)
+        .otherwise(0L))
+
+  private[graft] def auditJoin(base: DataFrame,
+                               arrived: DataFrame): DataFrame =
+    base.join(arrived, Seq("c_id"), "full_outer")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+      .withColumn("n_arrived", coalesce(col("n_arrived"), lit(0L)))
+      .withColumn("growth_ppm", when(col("n_base") === 0L, lit(-1L))
+        .otherwise(CorpusStats.ppmExpr("n_arrived", "n_base")
+          .cast("long")))
+      .withColumn("base_sim_ppm",
+        coalesce(col("base_sim_ppm"), lit(-1L)))
+      .withColumn("arrived_sim_ppm",
+        coalesce(col("arrived_sim_ppm"), lit(-1L)))
+      .withColumn("drift_ppm",
+        when(col("n_base") > 0L && col("n_arrived") > 0L,
+          col("arrived_sim_ppm") - col("base_sim_ppm"))
+          .otherwise(lit(0L)))
+      .select(col("c_id"), col("n_base"), col("n_arrived"),
+        col("growth_ppm"), col("base_sim_ppm"),
+        col("arrived_sim_ppm"), col("drift_ppm"))
 
   /** Lloyd's k-means over an embedding column — fixed iterations,
     * fully deterministic and oracle-reproducible (SURVEY.md §4):

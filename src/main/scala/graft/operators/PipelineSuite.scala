@@ -2903,11 +2903,92 @@ object PipelineSuite extends Suite {
       ${Dedup.spanRedactSql("doc_id", "text", 16)}
       ORDER BY doc_id"""))
 
+  val c79 = Q(
+    "c79_ivf_append",
+    // Incremental vector-index append + retrain-signal audit
+    // (Ann.appendIndex / ivfAppendAudit, the r8-verdict gap-#2: the
+    // production gap between "index once" and "index forever"):
+    // arriving vectors (vec_id%10 >= 8) are assigned MAP-SIDE to the
+    // persisted base index's static centroids (argmaxAssign — one-row
+    // broadcast centroid array, arrivals never shuffled) and appended
+    // to its inverted lists; the audit emits per-list growth and the
+    // assignment-quality drift of arrivals vs the TRAINING
+    // distribution (shifted floor-mean cosine ppm on both sides) —
+    // the signal that says when the fixed centroids need retraining.
+    // Append-equals-rebuild is spec-pinned (DedupAnnSpec); the oracle
+    // recomputes the same deterministic k-means + assignments.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val arrivals = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) >= 8)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2, tmp)
+      } { b => Ann.readIndex(s, b) }
+      Ann.ivfAppendAudit(idx, arrivals, "vec_id", "embedding")
+        .orderBy(col("c_id"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 < 8),
+      arrivals AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 >= 8),
+      ${kmeansCtes(k = 8, iters = 2)},
+      bsim AS (
+        SELECT p.cid,
+               CAST(round(${cos("v.embedding", "c.cv")} * 1000000, 0)
+                 AS BIGINT) AS sim_ppm
+        FROM pick3 p JOIN corpus v USING (vec_id)
+          JOIN cent2 c ON c.cid = p.cid),
+      apick AS (
+        SELECT vec_id, cid, sim_ppm FROM (
+          SELECT a.vec_id, c.cid,
+                 CAST(round(${cos("a.embedding", "c.cv")} * 1000000, 0)
+                   AS BIGINT) AS sim_ppm,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY ${cos("a.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM arrivals a CROSS JOIN cent2 c) t
+        WHERE rk = 1),
+      bstat AS (
+        SELECT cid, COUNT(*) AS n_base,
+               CAST((SUM(sim_ppm + 1000000) // COUNT(*)) - 1000000
+                 AS BIGINT) AS base_sim_ppm
+        FROM bsim GROUP BY 1),
+      astat AS (
+        SELECT cid, COUNT(*) AS n_arrived,
+               CAST((SUM(sim_ppm + 1000000) // COUNT(*)) - 1000000
+                 AS BIGINT) AS arrived_sim_ppm
+        FROM apick GROUP BY 1)
+      SELECT coalesce(b.cid, a.cid) AS c_id,
+             CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(a.n_arrived, 0) AS BIGINT) AS n_arrived,
+             CASE WHEN b.cid IS NULL THEN CAST(-1 AS BIGINT)
+                  ELSE CAST((CAST(coalesce(a.n_arrived, 0) AS HUGEINT)
+                    * 1000000) // b.n_base AS BIGINT) END AS growth_ppm,
+             CAST(coalesce(b.base_sim_ppm, -1) AS BIGINT)
+               AS base_sim_ppm,
+             CAST(coalesce(a.arrived_sim_ppm, -1) AS BIGINT)
+               AS arrived_sim_ppm,
+             CAST(CASE WHEN b.cid IS NOT NULL AND a.cid IS NOT NULL
+                  THEN a.arrived_sim_ppm - b.base_sim_ppm
+                  ELSE 0 END AS BIGINT) AS drift_ppm
+      FROM bstat b FULL OUTER JOIN astat a ON b.cid = a.cid
+      ORDER BY c_id"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
-      c70, c71, c72, c73, c74, c75, c76, c77, c78)
+      c70, c71, c72, c73, c74, c75, c76, c77, c78, c79)
 }

@@ -1298,8 +1298,101 @@ object StreamingSuite extends Suite {
       FROM inc i JOIN cur c USING (cluster)
       ORDER BY cluster"""))
 
+  val d32 = Q(
+    "d32_stream_ivf_append",
+    // Streaming incremental IVF append monitor, batch-replayed —
+    // c79's index-forever audit kept LIVE at ingest plus the retrain
+    // DECISION (Ann.retrainVerdict): arriving vectors (%10 >= 8)
+    // assign map-side to the persisted base index's static centroids
+    // (one-row broadcast centroid array — the batch never shuffles)
+    // and fold into per-list partial sums (≤ k rows per batch, the
+    // ONLY cross-batch state; floor-means recomputed over TOTALS so
+    // batch slicing can never change a number). Each batch re-emits
+    // per-list growth + assignment drift + the retrain flag (new
+    // list opened, growth ≥ 25%, or drift ≤ −70k ppm vs training);
+    // Streams.ivfAppendStreaming drains to exactly this output
+    // (StreamsSpec pins it cross-batch).
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val arrivals = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) >= 8)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2,
+          tmp)
+      } { b => Ann.readIndex(s, b) }
+      Ann.retrainVerdict(
+          Ann.ivfAppendAudit(idx, arrivals, "vec_id", "embedding"),
+          maxGrowthPpm = 250000L, maxDriftDownPpm = 70000L)
+        .orderBy(col("c_id"))
+    },
+    Some {
+      def cos(a: String, b: String) =
+        graft.functions.VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 < 8),
+      arrivals AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 >= 8),
+      ${PipelineSuite.kmeansCtes(k = 8, iters = 2)},
+      bsim AS (
+        SELECT p.cid,
+               CAST(round(${cos("v.embedding", "c.cv")} * 1000000, 0)
+                 AS BIGINT) AS sim_ppm
+        FROM pick3 p JOIN corpus v USING (vec_id)
+          JOIN cent2 c ON c.cid = p.cid),
+      apick AS (
+        SELECT vec_id, cid, sim_ppm FROM (
+          SELECT a.vec_id, c.cid,
+                 CAST(round(${cos("a.embedding", "c.cv")} * 1000000, 0)
+                   AS BIGINT) AS sim_ppm,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY ${cos("a.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM arrivals a CROSS JOIN cent2 c) t
+        WHERE rk = 1),
+      bstat AS (
+        SELECT cid, COUNT(*) AS n_base,
+               CAST((SUM(sim_ppm + 1000000) // COUNT(*)) - 1000000
+                 AS BIGINT) AS base_sim_ppm
+        FROM bsim GROUP BY 1),
+      astat AS (
+        SELECT cid, COUNT(*) AS n_arrived,
+               CAST((SUM(sim_ppm + 1000000) // COUNT(*)) - 1000000
+                 AS BIGINT) AS arrived_sim_ppm
+        FROM apick GROUP BY 1),
+      audit AS (
+        SELECT coalesce(b.cid, a.cid) AS c_id,
+               CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+               CAST(coalesce(a.n_arrived, 0) AS BIGINT) AS n_arrived,
+               CASE WHEN b.cid IS NULL THEN CAST(-1 AS BIGINT)
+                    ELSE CAST((CAST(coalesce(a.n_arrived, 0) AS HUGEINT)
+                      * 1000000) // b.n_base AS BIGINT) END
+                 AS growth_ppm,
+               CAST(coalesce(b.base_sim_ppm, -1) AS BIGINT)
+                 AS base_sim_ppm,
+               CAST(coalesce(a.arrived_sim_ppm, -1) AS BIGINT)
+                 AS arrived_sim_ppm,
+               CAST(CASE WHEN b.cid IS NOT NULL AND a.cid IS NOT NULL
+                    THEN a.arrived_sim_ppm - b.base_sim_ppm
+                    ELSE 0 END AS BIGINT) AS drift_ppm
+        FROM bstat b FULL OUTER JOIN astat a ON b.cid = a.cid)
+      SELECT c_id, n_base, n_arrived, growth_ppm, base_sim_ppm,
+             arrived_sim_ppm, drift_ppm,
+             CAST(CASE WHEN n_arrived > 0 AND (n_base = 0
+                    OR growth_ppm >= 250000 OR drift_ppm <= -70000)
+                  THEN 1 ELSE 0 END AS BIGINT) AS retrain
+      FROM audit
+      ORDER BY c_id"""
+    })
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29, d30, d31)
+      d29, d30, d31, d32)
 }

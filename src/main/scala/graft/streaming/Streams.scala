@@ -1314,6 +1314,51 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental IVF append monitor — c79's index-forever
+    * question asked AT INGEST: each arriving micro-batch of vectors
+    * is assigned MAP-SIDE to the persisted index's STATIC centroids
+    * (Ann.arrivalAssign — one-row broadcast centroid array, the
+    * batch is never shuffled) and folded into the running per-list
+    * arrival stats; every batch re-emits the c79 audit (per-list
+    * growth + assignment-quality drift vs the training distribution
+    * — the retrain signal, live). Cross-batch state = per-list
+    * partial sums only (≤ k rows per batch, re-aggregated exactly —
+    * floor-mean over TOTALS, never a mean of means), so drain parity
+    * with the batch Ann.ivfAppendAudit is exact and batch slicing
+    * can never change a number (set-aggregate semantics; StreamsSpec
+    * pins it cross-batch). Same at-least-once batchId guard as
+    * dedupChurnStreaming; production re-seeds the partials from the
+    * parquet-appended lists on restart. */
+  def ivfAppendStreaming(idx: graft.operators.Ann.IvfIndex,
+      arrivals: DataFrame, id: String, vec: String,
+      maxGrowthPpm: Long = 250000L, maxDriftDownPpm: Long = 70000L)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Ann
+    import graft.util.Barriers.BarrierOps
+    val baseB = Ann.ivfBaseStats(idx).barrier(true)
+    var partials: Option[DataFrame] = None
+    var lastApplied = -1L
+    arrivals.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val p = Ann.arrivalAssign(idx, batch, id, vec)
+            .groupBy(col("c_id"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("sim_ppm") + lit(1000000L)).as("s"))
+          partials = Some(partials.map(_.unionAll(p)).getOrElse(p)
+            .barrier(true))
+          lastApplied = bid
+        }
+        val arrived = partials.get.groupBy(col("c_id"))
+          .agg(sum(col("n")).cast("long").as("n_arrived"),
+            expr("(sum(s) div sum(n)) - 1000000").cast("long")
+              .as("arrived_sim_ppm"))
+        sink(Ann.retrainVerdict(Ann.auditJoin(baseB, arrived),
+          maxGrowthPpm, maxDriftDownPpm).orderBy(col("c_id")))
+      }
+      .start()
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

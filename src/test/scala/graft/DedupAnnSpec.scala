@@ -407,4 +407,50 @@ class DedupAnnSpec extends SparkSpec {
     assert(residual === 0L, s"$residual duplicated windows survived")
     out.unpersist()
   }
+
+  test("appendIndex: probe-after-append equals rebuild-from-scratch " +
+      "against the same centroids; audit accounts for every arrival") {
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val arrivals = emb.where($"vec_id" >= 5 &&
+      pmod($"vec_id", lit(10)) >= 8)
+    val centDf = Ann.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2).cache()
+    val centroids = centDf.select($"vec_id".as("c_id"),
+      $"embedding".as("c_vec"))
+    val cent = Ann.centTable(centDf, "vec_id", "embedding")
+    val baseIdx = Ann.IvfIndex(centroids,
+      Ann.buildLists(base, cent, "vec_id", "embedding"))
+    val appended = Ann.appendIndex(baseIdx, arrivals, "vec_id",
+      "embedding")
+    val rebuilt = Ann.buildLists(base.unionByName(arrivals), cent,
+      "vec_id", "embedding")
+    // append IS rebuild: identical (list, member) assignment
+    def memb(df: org.apache.spark.sql.DataFrame) =
+      df.select($"c_id".cast("long"), $"n_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    assert(memb(appended.lists) === memb(rebuilt))
+    // and therefore identical probe results
+    val queries = emb.where($"vec_id" < 5)
+    def probe(idx: Ann.IvfIndex) =
+      Ann.indexedTopK(idx, queries, "vec_id", "embedding",
+          nprobe = 2, k = 5)
+        .select($"q_id", $"rank", $"n_id", $"c_id")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    assert(probe(appended) === probe(Ann.IvfIndex(centroids, rebuilt)))
+    // audit accounting: every arrival lands in exactly one list, base
+    // mass is untouched, sentinels only where defined
+    val audit = Ann.ivfAppendAudit(baseIdx, arrivals, "vec_id",
+      "embedding").cache()
+    assert(audit.agg(sum($"n_arrived")).as[Long].head() ===
+      arrivals.count())
+    assert(audit.agg(sum($"n_base")).as[Long].head() === base.count())
+    assert(audit.where($"n_arrived" > 0 &&
+      ($"arrived_sim_ppm" < -1000000L ||
+        $"arrived_sim_ppm" > 1000000L)).isEmpty)
+    assert(audit.where($"n_arrived" === 0 &&
+      ($"arrived_sim_ppm" =!= -1L || $"drift_ppm" =!= 0L)).isEmpty)
+    assert(audit.where($"n_base" === 0 && $"growth_ppm" =!= -1L).isEmpty)
+    audit.unpersist(); centDf.unpersist()
+  }
 }

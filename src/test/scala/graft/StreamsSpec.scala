@@ -712,6 +712,59 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty && got.sorted.toSeq === batch.sorted)
   }
 
+  test("streaming ivf append: drain equals the batch audit+verdict; " +
+      "per-list arrivals monotone across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    import graft.util.Barriers.BarrierOps
+    val e = Tables.embeddings(spark, sf)
+    val base = e.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val arrivals = e.where($"vec_id" >= 5 &&
+      pmod($"vec_id", lit(10)) >= 8)
+    val centDf = Ann.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2).barrier(true)
+    val idx = Ann.IvfIndex(
+      centDf.select($"vec_id".as("c_id"), $"embedding".as("c_vec")),
+      Ann.buildLists(base,
+        Ann.centTable(centDf, "vec_id", "embedding"),
+        "vec_id", "embedding").barrier(true))
+    val arriving = arrivals.select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    type Row8 = (Long, Long, Long, Long, Long, Long, Long, Long)
+    val emissions =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[Row8]]
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[Row8] =
+      df.collect().map(r => (r.getAs[Long]("c_id"),
+        r.getAs[Long]("n_base"), r.getAs[Long]("n_arrived"),
+        r.getAs[Long]("growth_ppm"), r.getAs[Long]("base_sim_ppm"),
+        r.getAs[Long]("arrived_sim_ppm"), r.getAs[Long]("drift_ppm"),
+        r.getAs[Long]("retrain"))).sortBy(_._1).toSeq
+    val ms = MemoryStream[(Long, Array[Float], Int)]
+    val q = Streams.ivfAppendStreaming(idx,
+        ms.toDF().toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding") { df =>
+      val rows = toRows(df)
+      this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 3).toSeq,
+      arriving.slice(n / 3, 2 * n / 3).toSeq,
+      arriving.slice(2 * n / 3, n).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = toRows(Ann.retrainVerdict(
+      Ann.ivfAppendAudit(idx, arrivals, "vec_id", "embedding"),
+      maxGrowthPpm = 250000L, maxDriftDownPpm = 70000L))
+    assert(emissions.size === 3 && emissions.last === batch)
+    // arrivals only accumulate: n_arrived per list is monotone
+    val per = emissions.map(_.map(t => t._1 -> t._3).toMap)
+    per.sliding(2).foreach { w =>
+      w(0).foreach { case (cid, cnt) =>
+        assert(cnt <= w(1).getOrElse(cid, Long.MaxValue),
+          s"list $cid arrivals went backwards") }
+    }
+  }
+
   test("streaming source drift: last emission equals batch drift after drain") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CorpusStats
