@@ -234,6 +234,24 @@ object Ann {
           .select(col("c_id"), col("n_id"), col("label"),
             col("n_vec"), col("n_nrm"))))
 
+  /** The PHYSICAL form of [[appendIndex]]: parquet-append the
+    * assigned arrivals into a persisted index directory's
+    * centroid-partitioned lists (new files land inside the existing
+    * `c_id=` partitions — readers and probes see base+arrivals with
+    * no rewrite of the base files; the centroids file is untouched).
+    * This is the production write path "index forever" needs at
+    * 100 TB: per ingest batch, one map-side assignment and a
+    * partition-local append, never a rebuild. Spec-pinned: reading
+    * the directory back equals the in-memory [[appendIndex]]. */
+  def appendIndexDir(s: org.apache.spark.sql.SparkSession, base: String,
+                     arrivals: DataFrame, id: String,
+                     vec: String): Unit =
+    arrivalAssign(readIndex(s, base), arrivals, id, vec)
+      .select(col("n_id"), col("label"), col("n_vec"), col("n_nrm"),
+        col("c_id"))
+      .write.mode("append").partitionBy("c_id")
+      .parquet(s"$base/lists")
+
   /** Per-list stats of a persisted index's TRAINING distribution:
     * list size and the floor-mean assigned cosine (integer ppm; the
     * sum is shifted by +1e6 per row so the integer division never

@@ -453,4 +453,40 @@ class DedupAnnSpec extends SparkSpec {
     assert(audit.where($"n_base" === 0 && $"growth_ppm" =!= -1L).isEmpty)
     audit.unpersist(); centDf.unpersist()
   }
+
+  test("appendIndexDir: parquet partition-append equals the in-memory " +
+      "append after reload") {
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val arrivals = emb.where($"vec_id" >= 5 &&
+      pmod($"vec_id", lit(10)) >= 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append").toString
+    try {
+      Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2, dir)
+      val before = Ann.readIndex(spark, dir)
+      val inMem = Ann.appendIndex(before, arrivals, "vec_id",
+        "embedding")
+      Ann.appendIndexDir(spark, dir, arrivals, "vec_id", "embedding")
+      val reloaded = Ann.readIndex(spark, dir)
+      def memb(df: org.apache.spark.sql.DataFrame) =
+        df.select($"c_id".cast("long"), $"n_id".cast("long"))
+          .as[(Long, Long)].collect().toSet
+      assert(memb(reloaded.lists) === memb(inMem.lists))
+      // base partitions were appended to, not rewritten: every base
+      // member is still present exactly once
+      assert(reloaded.lists.groupBy($"n_id").count()
+        .where($"count" > 1).isEmpty)
+      val queries = emb.where($"vec_id" < 5)
+      def probe(idx: Ann.IvfIndex) =
+        Ann.indexedTopK(idx, queries, "vec_id", "embedding",
+            nprobe = 2, k = 5)
+          .select($"q_id", $"rank", $"n_id", $"c_id")
+          .as[(Long, Int, Long, Long)].collect()
+          .sortBy(r => (r._1, r._2)).toSeq
+      assert(probe(reloaded) === probe(inMem))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

@@ -135,7 +135,9 @@ class PlanShapeSpec extends SparkSpec {
       "c69_embedding_health",   // broadcast 1-row quant scale
       "c70_lsh_precision",      // broadcast 1-row verified count
       "c71_quality_calibration", // broadcast 1-row total-token count (c28)
-      "c72_mix_temperature_curve") // broadcast 1-row corpus totals
+      "c72_mix_temperature_curve", // broadcast 1-row corpus totals
+      "c79_ivf_append",        // broadcast 1-row centroid array
+      "d32_stream_ivf_append") // broadcast 1-row centroid array
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
