@@ -40,7 +40,12 @@ object GraphAB {
     }
     keys.foreach(k => run(k, aqe = true)) // warmup
     val times = scala.collection.mutable.Map[String, List[Double]]()
-    for (rep <- 1 to 3; k <- keys; aqe <- Seq(true, false)) {
+    // Arm order ALTERNATES per rep: whichever arm runs second rides
+    // the page cache the first arm just warmed on the same scans, so
+    // a fixed order systematically flatters the second arm (~2 s on
+    // the graph tier — the r8 "arm gap" was exactly this bias).
+    for (rep <- 1 to 4; k <- keys;
+         aqe <- if (rep % 2 == 1) Seq(true, false) else Seq(false, true)) {
       val name = s"$k/${if (aqe) "aqe" else "noaqe"}"
       val dt = run(k, aqe)
       times(name) = dt :: times.getOrElse(name, Nil)
