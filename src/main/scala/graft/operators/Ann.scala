@@ -330,6 +330,77 @@ object Ann {
         col("growth_ppm"), col("base_sim_ppm"),
         col("arrived_sim_ppm"), col("drift_ppm"))
 
+  /** The full index membership as a (vid, v, vn) training frame —
+    * base INVERTED LISTS ∪ arrivals. The lists already carry every
+    * member's vector and norm, so a retrain never re-scans the raw
+    * corpus: at 100 TB it reads the centroid-partitioned index
+    * layout it is refreshing (the same reason probes never join back
+    * to the corpus). */
+  private def indexMembers(idx: IvfIndex, arrivals: DataFrame,
+                           id: String, vec: String): DataFrame =
+    idx.lists.select(col("n_id").as("vid"), col("n_vec").as("v"),
+        col("n_nrm").as("vn"))
+      .unionAll(arrivals.select(col(id).as("vid"), col(vec).as("v"),
+        VectorOps.norm(col(vec)).as("vn")))
+
+  /** Seeded centroid RETRAIN — the act [[retrainVerdict]] gates: one
+    * Lloyd refresh step ([[kmeansUpdate]] — the same §4-exact
+    * fixed-point mean as [[kmeansFit]]) over base+arrivals, SEEDED
+    * from the persisted centroids instead of from scratch. Seeding
+    * keeps centroid ids stable (a cid means the same region before
+    * and after, so inverted-list moves are auditable and the probe
+    * routing table changes incrementally) and converges in one step
+    * from an already-good solution — the production refresh cycle,
+    * vs the full rebuild's k-means-from-seeds cost. A centroid that
+    * attracts no members in the refresh is RETIRED (absent from the
+    * result). Returns (cid, cv, cn). */
+  def retrainCentroids(idx: IvfIndex, arrivals: DataFrame,
+                       id: String, vec: String): DataFrame =
+    kmeansUpdate(indexMembers(idx, arrivals, id, vec),
+      idx.centroids.select(col("c_id").as("cid"), col("c_vec").as("cv"),
+        VectorOps.norm(col("c_vec")).as("cn")))
+
+  /** Retrain AUDIT — [[retrainVerdict]]'s flag composed with what the
+    * seeded refresh actually DID, per centroid: membership before
+    * (the c79 audit's n_base+n_arrived — base lists plus assigned
+    * arrivals) vs after reassignment to the refreshed centroids
+    * (map-side [[argmaxAssign]]), the net member flow `delta_n`, and
+    * the centroid's own movement `move_ppm` (cosine of old vs new
+    * position, integer ppm; 1e6 = unmoved, −1 = retired). Everything
+    * beyond the two linear member passes is k-row arithmetic. */
+  def retrainAudit(idx: IvfIndex, arrivals: DataFrame,
+                   id: String, vec: String, maxGrowthPpm: Long,
+                   maxDriftDownPpm: Long): DataFrame = {
+    val verdict = retrainVerdict(
+        ivfAppendAudit(idx, arrivals, id, vec),
+        maxGrowthPpm, maxDriftDownPpm)
+      .select(col("c_id"), col("retrain"),
+        (col("n_base") + col("n_arrived")).as("n_before"))
+    val members = indexMembers(idx, arrivals, id, vec).barrier(true)
+    val newCent = kmeansUpdate(members,
+      idx.centroids.select(col("c_id").as("cid"),
+        col("c_vec").as("cv"),
+        VectorOps.norm(col("c_vec")).as("cn"))).barrier(true)
+    val after = argmaxAssign(members, "v", newCent)
+      .groupBy(col("cid")).agg(count(lit(1)).cast("long").as("n_after"))
+    val move = idx.centroids
+      .select(col("c_id"), col("c_vec").as("ov"),
+        VectorOps.norm(col("c_vec")).as("on"))
+      .join(newCent.withColumnRenamed("cid", "c_id"), Seq("c_id"), "left")
+      .select(col("c_id"),
+        when(col("cv").isNull, lit(-1L))
+          .otherwise(round(VectorOps.cosine6Pre(col("ov"), col("cv"),
+            col("on"), col("cn")) * 1000000, 0).cast("long"))
+          .as("move_ppm"))
+    verdict
+      .join(move, Seq("c_id"))
+      .join(after.withColumnRenamed("cid", "c_id"), Seq("c_id"), "left")
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+      .select(col("c_id"), col("retrain"), col("n_before"),
+        col("n_after"), (col("n_after") - col("n_before")).as("delta_n"),
+        col("move_ppm"))
+  }
+
   /** Lloyd's k-means over an embedding column — fixed iterations,
     * fully deterministic and oracle-reproducible (SURVEY.md §4):
     * seeds are the k lowest-id vectors; assignment is max rounded

@@ -1084,6 +1084,15 @@ object Dedup {
       .where(col("nd") >= 2)
       .groupBy(col("did"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    renderRedaction(th, starts, id, w)
+  }
+
+  /** The map-side redaction program shared by [[spanRedact]] and
+    * [[spanRedactGate]]: given each doc's duplicated-window start
+    * positions, delete the covered [p, p+w) token runs and re-render
+    * the kept stream. */
+  private def renderRedaction(th: DataFrame, starts: DataFrame,
+                              id: String, w: Int): DataFrame =
     th.join(starts, Seq("did"), "left")
       .withColumn("starts",
         coalesce(col("starts"), array().cast("array<int>")))
@@ -1101,7 +1110,6 @@ object Dedup {
           .as("kept_ppm"),
         array_join(transform(col("kept"),
           i => element_at(col("toks"), i + 1)), " ").as("redacted_text"))
-  }
 
   /** DuckDB mirror of [[spanRedact]] over the `documents` view. */
   def spanRedactSql(id: String, text: String, w: Int): String = {
@@ -1140,6 +1148,117 @@ object Dedup {
              AS kept_ppm,
            coalesce(r.redacted_text, '') AS redacted_text
     FROM stats s LEFT JOIN red r USING ($id)"""
+  }
+
+  /** DuckDB mirror of [[spanRedactGate]] over the `documents` view:
+    * arrivals (`arrivalWhere`) redacted against the corpus
+    * (`corpusWhere`) window index plus their own within-doc
+    * repeats. */
+  def spanRedactGateSql(id: String, text: String, w: Int,
+                        corpusWhere: String,
+                        arrivalWhere: String): String = {
+    val th = s"""list_transform(${TextOps.tokensSql(text)},
+      tok -> ${TextOps.polyHashSql("tok")})"""
+    s"""
+    WITH tha AS (SELECT $id, ${TextOps.tokensSql(text)} AS toks,
+                   $th AS th FROM documents WHERE $arrivalWhere),
+    whl AS (SELECT $id, toks,
+              ${TextOps.ngramHashesSql("th", w)} AS wh FROM tha),
+    thc AS (SELECT $th AS th FROM documents WHERE $corpusWhere),
+    cw AS (SELECT u AS h, COUNT(*) AS nd
+           FROM (SELECT unnest(${TextOps.ngramHashesSql("th", w)}) AS u
+                 FROM thc)
+           GROUP BY 1),
+    occ AS (SELECT $id, u.pos AS pos, u.h AS h
+            FROM (SELECT $id, unnest(list_transform(range(1, len(wh)+1),
+                   i -> struct_pack(pos := i - 1, h := wh[i]))) AS u
+                  FROM whl)),
+    selfn AS (SELECT $id, h, COUNT(*) AS sn FROM occ GROUP BY 1, 2),
+    starts AS (SELECT o.$id, o.pos FROM occ o
+               JOIN selfn s ON o.$id = s.$id AND o.h = s.h
+               LEFT JOIN cw ON o.h = cw.h
+               WHERE s.sn >= 2 OR coalesce(cw.nd, 0) >= 1),
+    cov AS (SELECT DISTINCT $id, pos + off.o AS cpos
+            FROM starts, (SELECT unnest(range(0, $w)) AS o) off),
+    tok AS (SELECT $id, u.i AS i, u.t AS t
+            FROM (SELECT $id, unnest(list_transform(range(1, len(toks)+1),
+                   i -> struct_pack(i := i - 1, t := toks[i]))) AS u
+                  FROM whl)),
+    stats AS (SELECT whl.$id, len(toks) AS n_tokens,
+                     coalesce(c.n_removed, 0) AS n_removed
+              FROM whl LEFT JOIN (SELECT $id, COUNT(*) AS n_removed
+                                  FROM cov GROUP BY 1) c USING ($id)),
+    red AS (SELECT t.$id, string_agg(t.t, ' ' ORDER BY t.i)
+                     AS redacted_text
+            FROM tok t LEFT JOIN cov
+              ON t.$id = cov.$id AND t.i = cov.cpos
+            WHERE cov.cpos IS NULL GROUP BY 1)
+    SELECT s.$id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(s.n_removed AS BIGINT) AS n_removed,
+           ${CorpusStats.ppmSql("s.n_tokens - s.n_removed", "s.n_tokens")}
+             AS kept_ppm,
+           coalesce(r.redacted_text, '') AS redacted_text
+    FROM stats s LEFT JOIN red r USING ($id)"""
+  }
+
+  /** Persisted corpus WINDOW index — the static artifact the
+    * streaming span-redaction gate (d33) reads: every distinct
+    * rolling w-token window hash in the reference corpus with its
+    * occurrence count. Corpus-sized (one row per distinct window), so
+    * at 100 TB it lives as a parquet artifact priced once per corpus
+    * fingerprint, and the per-batch join against it is an equi-join
+    * on the hash — never a rescan of the corpus text. */
+  final case class WindowIndex(hashes: DataFrame)
+
+  def buildWindowIndex(corpus: DataFrame, id: String, text: String,
+                       w: Int): DataFrame = {
+    val th = corpus.select(col(id).as("did"),
+      transform(TextOps.tokens(col(text)),
+        t => TextOps.polyHash(t)).as("th"))
+    th.select(explode(TextOps.ngramHashes(col("th"), w)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).cast("long").as("nd"))
+  }
+
+  def writeWindowIndex(corpus: DataFrame, id: String, text: String,
+                       w: Int, base: String): Unit =
+    buildWindowIndex(corpus, id, text, w)
+      .write.mode("overwrite").parquet(s"$base/windows")
+
+  def readWindowIndex(s: org.apache.spark.sql.SparkSession,
+                      base: String): WindowIndex =
+    WindowIndex(s.read.parquet(s"$base/windows"))
+
+  /** Streaming span-redaction GATE — [[spanRedact]]'s deletion
+    * semantics applied AT INGEST against the static corpus
+    * [[WindowIndex]]: an arriving doc's token is removed when covered
+    * by a w-token window that exists ANYWHERE in the reference corpus
+    * (corpus occurrence + this occurrence ≥ 2 — the c78 bar across
+    * corpus ∪ {doc}) or repeats WITHIN the arriving doc itself.
+    * Cross-ARRIVAL matches are deliberately out of contract: each
+    * decision depends only on the doc and the artifact, so batch
+    * boundaries can never change an output row (StreamsSpec pins
+    * slicing parity), and the gate needs no cross-batch state at all
+    * — new windows enter the contract only when the index artifact is
+    * re-priced, the same cadence as every other corpus-fingerprint
+    * artifact. Output schema = [[spanRedact]]. */
+  def spanRedactGate(widx: WindowIndex, batch: DataFrame, id: String,
+                     text: String, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val th = batch.select(col(id).as("did"),
+      TextOps.tokens(col(text)).as("toks"),
+      transform(TextOps.tokens(col(text)),
+        t => TextOps.polyHash(t)).as("th"))
+    val occ = th.select(col("did"),
+      posexplode(TextOps.ngramHashes(col("th"), w)).as(Seq("pos", "h")))
+    val starts = occ
+      .withColumn("selfN",
+        count(lit(1)).over(Window.partitionBy(col("did"), col("h"))))
+      .join(widx.hashes.select(col("h"), col("nd").as("corpusN")),
+        Seq("h"), "left")
+      .where(col("selfN") >= 2 || coalesce(col("corpusN"), lit(0L)) >= 1L)
+      .groupBy(col("did"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    renderRedaction(th, starts, id, w)
   }
 
   /** Same-key exact cosine pairs (conflict detection shape): all

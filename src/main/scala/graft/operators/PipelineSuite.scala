@@ -357,25 +357,27 @@ object PipelineSuite extends Suite {
   // the per-dim FIXED-POINT mean: floor(x * 2^30) per member (exact
   // for floats), exact integer sum, divide back in double — mirrors
   // Ann.kmeansFit bit-for-bit.
-  private[operators] def kmeansPickSql(prev: String, n: Int): String = s"""
+  private[operators] def kmeansPickSql(prev: String, n: Int,
+                                       rel: String = "corpus"): String = s"""
       pick$n AS (
         SELECT vec_id, cid FROM (
           SELECT v.vec_id, c.cid,
                  ROW_NUMBER() OVER (PARTITION BY v.vec_id
                    ORDER BY ${VectorOps.cosine6Sql("v.embedding", "c.cv")}
                      DESC, c.cid) AS rk
-          FROM corpus v CROSS JOIN $prev c) t
+          FROM $rel v CROSS JOIN $prev c) t
         WHERE rk = 1)"""
 
   private[operators] def kmeansIterSql(prev: String, n: Int,
-                                       dim: Int = 64): String =
-    s"""${kmeansPickSql(prev, n)},
+                                       dim: Int = 64,
+                                       rel: String = "corpus"): String =
+    s"""${kmeansPickSql(prev, n, rel)},
       upd$n AS (
         SELECT p.cid, t.i,
                CAST(SUM(CAST(FLOOR(CAST(v.embedding[t.i] AS DOUBLE)
                      * 1073741824.0) AS HUGEINT)) AS DOUBLE)
                  / (COUNT(*) * 1073741824.0) AS m
-        FROM pick$n p JOIN corpus v USING (vec_id)
+        FROM pick$n p JOIN $rel v USING (vec_id)
           CROSS JOIN range(1, ${dim + 1}) t(i)
         GROUP BY p.cid, t.i),
       cent$n AS (
@@ -2984,11 +2986,113 @@ object PipelineSuite extends Suite {
       ORDER BY c_id"""
     })
 
+  val c80 = Q(
+    "c80_centroid_retrain",
+    // Seeded centroid RETRAIN + audit (Ann.retrainAudit) — the act
+    // c79's drift signal asks for, closing the "index forever" loop:
+    // one Lloyd refresh step (the §4-exact fixed-point mean of
+    // kmeansFit) over base lists ∪ arrivals, SEEDED from the
+    // persisted centroids — ids stay stable, so the audit can price
+    // each centroid's movement (old-vs-new cosine ppm; −1 = retired)
+    // and member flow (n_before from the c79 audit vs n_after under
+    // the refreshed centroids, map-side argmaxAssign). `retrain` is
+    // retrainVerdict's flag (growth ≥ 30% of training size or drift
+    // ≤ −2pp cosine). Retrain reads the index layout, never the raw
+    // corpus; everything past the two linear member passes is k-row
+    // arithmetic.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val arrivals = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) >= 8)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2, tmp)
+      } { b => Ann.readIndex(s, b) }
+      Ann.retrainAudit(idx, arrivals, "vec_id", "embedding",
+          maxGrowthPpm = 300000L, maxDriftDownPpm = 20000L)
+        .orderBy(col("c_id"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 < 8),
+      arrivals AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 >= 8),
+      ${kmeansCtes(k = 8, iters = 2)},
+      bsim AS (
+        SELECT p.cid,
+               CAST(round(${cos("v.embedding", "c.cv")} * 1000000, 0)
+                 AS BIGINT) AS sim_ppm
+        FROM pick3 p JOIN corpus v USING (vec_id)
+          JOIN cent2 c ON c.cid = p.cid),
+      apick AS (
+        SELECT vec_id, cid, sim_ppm FROM (
+          SELECT a.vec_id, c.cid,
+                 CAST(round(${cos("a.embedding", "c.cv")} * 1000000, 0)
+                   AS BIGINT) AS sim_ppm,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY ${cos("a.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM arrivals a CROSS JOIN cent2 c) t
+        WHERE rk = 1),
+      bstat AS (
+        SELECT cid, COUNT(*) AS n_base,
+               CAST((SUM(sim_ppm + 1000000) // COUNT(*)) - 1000000
+                 AS BIGINT) AS base_sim_ppm
+        FROM bsim GROUP BY 1),
+      astat AS (
+        SELECT cid, COUNT(*) AS n_arrived,
+               CAST((SUM(sim_ppm + 1000000) // COUNT(*)) - 1000000
+                 AS BIGINT) AS arrived_sim_ppm
+        FROM apick GROUP BY 1),
+      audit AS (
+        SELECT coalesce(b.cid, a.cid) AS c_id,
+               CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+               CAST(coalesce(a.n_arrived, 0) AS BIGINT) AS n_arrived,
+               CASE WHEN b.cid IS NULL THEN CAST(-1 AS BIGINT)
+                    ELSE CAST((CAST(coalesce(a.n_arrived, 0) AS HUGEINT)
+                      * 1000000) // b.n_base AS BIGINT) END AS growth_ppm,
+               CAST(CASE WHEN b.cid IS NOT NULL AND a.cid IS NOT NULL
+                    THEN a.arrived_sim_ppm - b.base_sim_ppm
+                    ELSE 0 END AS BIGINT) AS drift_ppm
+        FROM bstat b FULL OUTER JOIN astat a ON b.cid = a.cid),
+      members AS (
+        SELECT vec_id, embedding FROM corpus
+        UNION ALL
+        SELECT vec_id, embedding FROM arrivals),
+      ${kmeansIterSql("cent2", 9, dim = 64, rel = "members")},
+      ${kmeansPickSql("cent9", 10, rel = "members")},
+      na AS (SELECT cid, COUNT(*) AS n_after FROM pick10 GROUP BY 1)
+      SELECT a.c_id,
+             CAST(CASE WHEN a.n_arrived > 0 AND (a.n_base = 0
+                        OR a.growth_ppm >= 300000
+                        OR a.drift_ppm <= -20000)
+                  THEN 1 ELSE 0 END AS BIGINT) AS retrain,
+             CAST(a.n_base + a.n_arrived AS BIGINT) AS n_before,
+             CAST(coalesce(na.n_after, 0) AS BIGINT) AS n_after,
+             CAST(coalesce(na.n_after, 0) - (a.n_base + a.n_arrived)
+               AS BIGINT) AS delta_n,
+             CASE WHEN c9.cid IS NULL THEN CAST(-1 AS BIGINT)
+                  ELSE CAST(round(${cos("c2.cv", "c9.cv")} * 1000000, 0)
+                    AS BIGINT) END AS move_ppm
+      FROM audit a
+        JOIN cent2 c2 ON c2.cid = a.c_id
+        LEFT JOIN cent9 c9 ON c9.cid = a.c_id
+        LEFT JOIN na ON na.cid = a.c_id
+      ORDER BY a.c_id"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
-      c70, c71, c72, c73, c74, c75, c76, c77, c78, c79)
+      c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80)
 }

@@ -1391,8 +1391,41 @@ object StreamingSuite extends Suite {
       ORDER BY c_id"""
     })
 
+  val d33 = Q(
+    "d33_stream_span_redact",
+    // Streaming span-level redaction gate, batch-replayed — c78's
+    // ExactSubstr deletion AT INGEST (Dedup.spanRedactGate): arriving
+    // docs (%10 >= 8) lose the tokens covered by 16-token windows
+    // that exist in the persisted corpus WindowIndex (%10 < 8 — the
+    // DiskCache artifact, priced once per corpus fingerprint) or
+    // repeat within the arriving doc itself. Cross-arrival matches
+    // are out of contract BY DESIGN: decisions are per-doc given the
+    // static artifact, so batch boundaries can never change a row —
+    // Streams.spanRedactStreaming is the stateless foreachBatch
+    // flavor, slicing-parity-pinned in StreamsSpec. Per-batch cost =
+    // one equi-join of the batch's windows against the hash-keyed
+    // index.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val arrivals = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val widx = graft.util.DiskCache.cached(s, "span-index", "v1",
+        Seq(s"$d/documents.parquet"), "mod10lt8-w16", Seq("windows")) {
+        tmp => graft.operators.Dedup.writeWindowIndex(corpus, "doc_id",
+          "text", w = 16, tmp)
+      } { b => graft.operators.Dedup.readWindowIndex(s, b) }
+      graft.operators.Dedup.spanRedactGate(widx, arrivals, "doc_id",
+          "text", w = 16)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      ${graft.operators.Dedup.spanRedactGateSql("doc_id", "text", 16,
+        corpusWhere = "doc_id % 10 < 8",
+        arrivalWhere = "doc_id % 10 >= 8")}
+      ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29, d30, d31, d32)
+      d29, d30, d31, d32, d33)
 }

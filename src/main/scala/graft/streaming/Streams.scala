@@ -1266,6 +1266,27 @@ object Streams {
       }
       .start()
 
+  /** Streaming span-level redaction gate — c78's ExactSubstr deletion
+    * applied AT INGEST ([[graft.operators.Dedup.spanRedactGate]]):
+    * each arriving doc loses the tokens covered by w-token windows
+    * that exist in the persisted corpus
+    * [[graft.operators.Dedup.WindowIndex]] or repeat within the doc
+    * itself. The gate is stateless given the artifact (per-doc
+    * decisions; cross-arrival matches are out of contract by design),
+    * so batch boundaries can never change an output row — StreamsSpec
+    * pins slicing parity against the one-batch run. At 100 TB the
+    * per-batch cost is one equi-join of the batch's windows against
+    * the hash-keyed index artifact. */
+  def spanRedactStreaming(widx: graft.operators.Dedup.WindowIndex,
+      docs: DataFrame, id: String, text: String, w: Int)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.spanRedactGate(widx, batch, id,
+          text, w))
+      }
+      .start()
+
   /** Streaming keeper-upgrade monitor — c77's quality-aware keeper
     * question asked AT INGEST, kept live across batches: arriving
     * docs that near-dup a corpus doc (banded crossPairs against the

@@ -489,4 +489,83 @@ class DedupAnnSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("retrainCentroids reads the index layout: seeded refresh from " +
+      "the lists equals the refresh from the raw corpus") {
+    import graft.functions.VectorOps
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val arrivals = emb.where($"vec_id" >= 5 &&
+      pmod($"vec_id", lit(10)) >= 8)
+    val centDf = Ann.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2).cache()
+    val centroids = centDf.select($"vec_id".as("c_id"),
+      $"embedding".as("c_vec"))
+    val cent = Ann.centTable(centDf, "vec_id", "embedding")
+    val baseIdx = Ann.IvfIndex(centroids,
+      Ann.buildLists(base, cent, "vec_id", "embedding"))
+    val fromIdx = Ann.retrainCentroids(baseIdx, arrivals, "vec_id",
+      "embedding")
+    val membersRaw = base.unionByName(arrivals)
+      .select($"vec_id".as("vid"), $"embedding".as("v"),
+        VectorOps.norm($"embedding").as("vn"))
+    val oldCent = centroids.select($"c_id".as("cid"), $"c_vec".as("cv"),
+      VectorOps.norm($"c_vec").as("cn"))
+    val fromRaw = Ann.kmeansUpdate(membersRaw, oldCent)
+    def cset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cid", $"cv").as[(Long, Seq[Float])].collect().toSet
+    assert(cset(fromIdx) === cset(fromRaw))
+    centDf.unpersist()
+  }
+
+  test("retrainAudit conserves membership: before and after sum to " +
+      "base+arrivals, flows net to zero, movement in range") {
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val arrivals = emb.where($"vec_id" >= 5 &&
+      pmod($"vec_id", lit(10)) >= 8)
+    val centDf = Ann.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2).cache()
+    val centroids = centDf.select($"vec_id".as("c_id"),
+      $"embedding".as("c_vec"))
+    val cent = Ann.centTable(centDf, "vec_id", "embedding")
+    val baseIdx = Ann.IvfIndex(centroids,
+      Ann.buildLists(base, cent, "vec_id", "embedding"))
+    val audit = Ann.retrainAudit(baseIdx, arrivals, "vec_id",
+      "embedding", maxGrowthPpm = 300000L,
+      maxDriftDownPpm = 20000L).cache()
+    val total = base.count() + arrivals.count()
+    assert(audit.agg(sum($"n_before")).as[Long].head() === total)
+    assert(audit.agg(sum($"n_after")).as[Long].head() === total)
+    assert(audit.agg(sum($"delta_n")).as[Long].head() === 0L)
+    assert(audit.where($"move_ppm" > 1000000L ||
+      $"move_ppm" < -1000000L).isEmpty)
+    // a retired centroid (move_ppm = -1 sentinel) can hold no members
+    assert(audit.where($"move_ppm" === -1L && $"n_after" =!= 0L).isEmpty)
+    assert(audit.where($"retrain" =!= 0L && $"retrain" =!= 1L).isEmpty)
+    audit.unpersist(); centDf.unpersist()
+  }
+
+  test("spanRedactGate: corpus-index hits and within-doc repeats " +
+      "redacted, cross-arrival matches out of contract (hand-checked)") {
+    // w=2 against corpus {1: "a b c d", 2: "m n o"}: doc 10's "a b"
+    // exists in the corpus -> loses tokens 1-2; doc 11's "p q"
+    // repeats WITHIN the doc -> fully redacted; docs 12 and 13 SHARE
+    // "u v" with each other but match nothing in the corpus ->
+    // untouched (cross-arrival matches are out of contract).
+    val corpus = Seq((1L, "a b c d"), (2L, "m n o"))
+      .toDF("doc_id", "text")
+    val arr = Seq((10L, "x a b y"), (11L, "p q p q"), (12L, "u v"),
+      (13L, "u v")).toDF("doc_id", "text")
+    val widx = Dedup.WindowIndex(
+      Dedup.buildWindowIndex(corpus, "doc_id", "text", w = 2))
+    val out = Dedup.spanRedactGate(widx, arr, "doc_id", "text", w = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("kept_ppm"),
+        r.getAs[String]("redacted_text"))).toSeq
+    assert(out === Seq(
+      (10L, 4L, 2L, 500000L, "x y"),
+      (11L, 4L, 4L, 0L, ""),
+      (12L, 2L, 0L, 1000000L, "u v"),
+      (13L, 2L, 0L, 1000000L, "u v")))
+  }
 }

@@ -1156,6 +1156,45 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length <= arriving.length)
   }
 
+  test("streaming span-redaction gate matches the batch gate " +
+      "across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod($"doc_id", lit(10)) < 8)
+    val widx = Dedup.WindowIndex(
+      Dedup.buildWindowIndex(corpus, "doc_id", "text", w = 16))
+    val arriving = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val collected = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Long, Long, String)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.spanRedactStreaming(widx,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", w = 16) { df =>
+      val rows = df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+        r.getAs[Long]("kept_ppm"), r.getAs[String]("redacted_text")))
+      collected.synchronized { collected ++= rows }
+    }
+    val third = arriving.length / 3
+    val (b1, rest) = arriving.splitAt(third)
+    val (b2, b3) = rest.splitAt(third)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      ms.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collected.synchronized { collected.sortBy(_._1).toSeq }
+    val batch = graft.SparkEntry
+      .queries("d33_stream_span_redact")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+        r.getAs[Long]("kept_ppm"), r.getAs[String]("redacted_text")))
+      .toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    assert(streamed.length === arriving.length)
+  }
+
   test("streaming keeper-upgrade monitor converges to the batch " +
       "challenge across batches") {
     implicit val sqlCtx = spark.sqlContext
