@@ -401,6 +401,105 @@ object Ann {
         col("move_ppm"))
   }
 
+  /** Every index member's OLD list vs its list under `newCent` — the
+    * delta a retrain migration applies. Old side = the inverted lists
+    * as stored (base) plus [[arrivalAssign]] (arrivals); new side =
+    * map-side [[argmaxAssign]] against the refreshed centroids. Two
+    * linear passes, no corpus scan, nothing keyed wider than the
+    * member id. */
+  private[graft] def migrationPairs(idx: IvfIndex, arrivals: DataFrame,
+                                    newCent: DataFrame, id: String,
+                                    vec: String): DataFrame = {
+    val oldAssign = idx.lists.select(col("c_id").as("from_c_id"),
+        col("n_id"), col("label"), col("n_vec"), col("n_nrm"))
+      .unionAll(arrivalAssign(idx, arrivals, id, vec)
+        .select(col("c_id").as("from_c_id"), col("n_id"), col("label"),
+          col("n_vec"), col("n_nrm")))
+    argmaxAssign(oldAssign, "n_vec", newCent)
+      .select(col("from_c_id"), col("cid").as("to_c_id"), col("n_id"),
+        col("label"), col("n_vec"), col("n_nrm"))
+  }
+
+  /** Retrain MIGRATION matrix — what applying [[retrainCentroids]]'s
+    * refresh MOVES: per (old list → new list) pair, the member count,
+    * with `moved` = 0 on the diagonal (stayers). The scale argument
+    * for seeded retrain made visible: off-diagonal mass is the only
+    * data a migration rewrites, so a near-diagonal matrix means the
+    * refresh costs a few list rewrites, not an index rebuild. Row
+    * sums equal c80's n_before per from-list and column sums its
+    * n_after per to-list (spec-pinned). */
+  def retrainMigration(idx: IvfIndex, arrivals: DataFrame, id: String,
+                       vec: String): DataFrame = {
+    val newCent = retrainCentroids(idx, arrivals, id, vec).barrier(true)
+    migrationPairs(idx, arrivals, newCent, id, vec)
+      .groupBy(col("from_c_id"), col("to_c_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("moved",
+        when(col("from_c_id") === col("to_c_id"), 0L).otherwise(1L))
+  }
+
+  /** In-memory retrain APPLY: the index after the seeded refresh —
+    * refreshed centroids + every member re-keyed to its new list. By
+    * construction equals rebuilding the lists from scratch over
+    * base+arrivals against the refreshed centroids (spec-pinned,
+    * probes identical). */
+  def migrateLists(idx: IvfIndex, arrivals: DataFrame, id: String,
+                   vec: String): IvfIndex = {
+    val newCent = retrainCentroids(idx, arrivals, id, vec).barrier(true)
+    IvfIndex(
+      newCent.select(col("cid").as("c_id"), col("cv").as("c_vec")),
+      migrationPairs(idx, arrivals, newCent, id, vec)
+        .select(col("to_c_id").as("c_id"), col("n_id"), col("label"),
+          col("n_vec"), col("n_nrm")))
+  }
+
+  /** The PHYSICAL retrain apply for a persisted index directory: the
+    * centroids file is replaced (k rows) and the inverted lists are
+    * migrated IN PLACE — common case: only partitions a mover leaves
+    * or enters are rewritten (dynamic partition overwrite; a
+    * partition no member moved across keeps its files byte-identical,
+    * so a near-diagonal migration matrix costs a few partition
+    * rewrites, not an index rebuild). Rare case: if any old list
+    * DRAINS completely (every member left, or its centroid retired),
+    * dynamic overwrite cannot truncate a partition it writes no rows
+    * into, so the apply falls back to one full lists rewrite — the
+    * `drained.isEmpty` probe is a one-row control-flow action on a
+    * k-row frame, never corpus data. Spec-pinned: reload equals the
+    * in-memory [[migrateLists]], probes identical, untouched
+    * partitions keep their files. */
+  def migrateIndexDir(s: org.apache.spark.sql.SparkSession, base: String,
+                      arrivals: DataFrame, id: String,
+                      vec: String): Unit = {
+    val idx = readIndex(s, base)
+    val newCent = retrainCentroids(idx, arrivals, id, vec).barrier(true)
+    val pairs = migrationPairs(idx, arrivals, newCent, id, vec)
+      .barrier(true)
+    val newLists = pairs.select(col("to_c_id").as("c_id"), col("n_id"),
+      col("label"), col("n_vec"), col("n_nrm"))
+    val drained = idx.centroids.select(col("c_id"))
+      .join(newLists.select(col("c_id")).distinct(), Seq("c_id"),
+        "left_anti")
+    if (drained.isEmpty) {
+      val affected = pairs.where(col("from_c_id") =!= col("to_c_id"))
+        .select(explode(array(col("from_c_id"), col("to_c_id")))
+          .as("c_id")).distinct()
+      newLists.join(affected, Seq("c_id"), "left_semi")
+        .select(col("n_id"), col("label"), col("n_vec"), col("n_nrm"),
+          col("c_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("c_id").parquet(s"$base/lists")
+    } else {
+      newLists
+        .select(col("n_id"), col("label"), col("n_vec"), col("n_nrm"),
+          col("c_id"))
+        .write.mode("overwrite").partitionBy("c_id")
+        .parquet(s"$base/lists")
+    }
+    newCent.select(col("cid").as("c_id"), col("cv").as("c_vec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+  }
+
   /** Lloyd's k-means over an embedding column — fixed iterations,
     * fully deterministic and oracle-reproducible (SURVEY.md §4):
     * seeds are the k lowest-id vectors; assignment is max rounded

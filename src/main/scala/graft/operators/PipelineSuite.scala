@@ -3088,11 +3088,76 @@ object PipelineSuite extends Suite {
       ORDER BY a.c_id"""
     })
 
+  val c81 = Q(
+    "c81_retrain_migration",
+    // Retrain migration matrix (Ann.retrainMigration) — what applying
+    // c80's seeded refresh MOVES: per (old list -> new list) pair the
+    // member count, moved=0 on the diagonal. Off-diagonal mass is the
+    // only data a migration rewrites (Ann.migrateIndexDir rewrites
+    // just the partitions a mover leaves or enters — dynamic
+    // partition overwrite; full rewrite only if a list drains), so a
+    // near-diagonal matrix is the evidence that seeded retrain costs
+    // a few list rewrites, not an index rebuild. Row/column sums tie
+    // to c80's n_before/n_after (spec-pinned); old side = stored
+    // lists + assigned arrivals, new side = map-side argmaxAssign
+    // against the refreshed centroids — two linear passes, no corpus
+    // scan.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val arrivals = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) >= 8)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2, tmp)
+      } { b => Ann.readIndex(s, b) }
+      Ann.retrainMigration(idx, arrivals, "vec_id", "embedding")
+        .orderBy(col("from_c_id"), col("to_c_id"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 < 8),
+      arrivals AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 >= 8),
+      ${kmeansCtes(k = 8, iters = 2)},
+      apick AS (
+        SELECT vec_id, cid FROM (
+          SELECT a.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY ${cos("a.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM arrivals a CROSS JOIN cent2 c) t
+        WHERE rk = 1),
+      old AS (
+        SELECT vec_id, cid AS from_cid FROM pick3
+        UNION ALL
+        SELECT vec_id, cid FROM apick),
+      members AS (
+        SELECT vec_id, embedding FROM corpus
+        UNION ALL
+        SELECT vec_id, embedding FROM arrivals),
+      ${kmeansIterSql("cent2", 9, dim = 64, rel = "members")},
+      ${kmeansPickSql("cent9", 10, rel = "members")}
+      SELECT o.from_cid AS from_c_id, p.cid AS to_c_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(CASE WHEN o.from_cid = p.cid THEN 0 ELSE 1 END
+               AS BIGINT) AS moved
+      FROM old o JOIN pick10 p USING (vec_id)
+      GROUP BY o.from_cid, p.cid
+      ORDER BY from_c_id, to_c_id"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
-      c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80)
+      c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81)
 }

@@ -544,6 +544,120 @@ class DedupAnnSpec extends SparkSpec {
     audit.unpersist(); centDf.unpersist()
   }
 
+  test("migrateLists equals rebuild-from-scratch against the " +
+      "refreshed centroids; migration matrix ties to retrainAudit") {
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val arrivals = emb.where($"vec_id" >= 5 &&
+      pmod($"vec_id", lit(10)) >= 8)
+    val centDf = Ann.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2).cache()
+    val centroids = centDf.select($"vec_id".as("c_id"),
+      $"embedding".as("c_vec"))
+    val cent = Ann.centTable(centDf, "vec_id", "embedding")
+    val baseIdx = Ann.IvfIndex(centroids,
+      Ann.buildLists(base, cent, "vec_id", "embedding"))
+    val migrated = Ann.migrateLists(baseIdx, arrivals, "vec_id",
+      "embedding")
+    val newCentTbl = migrated.centroids.select($"c_id",
+      $"c_vec", graft.functions.VectorOps.norm($"c_vec").as("c_nrm"))
+    val rebuilt = Ann.buildLists(base.unionByName(arrivals), newCentTbl,
+      "vec_id", "embedding")
+    def memb(df: org.apache.spark.sql.DataFrame) =
+      df.select($"c_id".cast("long"), $"n_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    assert(memb(migrated.lists) === memb(rebuilt))
+    val queries = emb.where($"vec_id" < 5)
+    def probe(idx: Ann.IvfIndex) =
+      Ann.indexedTopK(idx, queries, "vec_id", "embedding",
+          nprobe = 2, k = 5)
+        .select($"q_id", $"rank", $"n_id", $"c_id")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    assert(probe(migrated) ===
+      probe(Ann.IvfIndex(migrated.centroids, rebuilt)))
+    // matrix row sums = audit n_before per from-list; column sums =
+    // n_after per to-list
+    val matrix = Ann.retrainMigration(baseIdx, arrivals, "vec_id",
+      "embedding").cache()
+    val audit = Ann.retrainAudit(baseIdx, arrivals, "vec_id",
+        "embedding", maxGrowthPpm = 300000L, maxDriftDownPpm = 20000L)
+      .cache()
+    val rowSums = matrix.groupBy($"from_c_id".as("c_id"))
+      .agg(sum($"n_docs").as("n")).as[(Long, Long)].collect().toMap
+    val colSums = matrix.groupBy($"to_c_id".as("c_id"))
+      .agg(sum($"n_docs").as("n")).as[(Long, Long)].collect().toMap
+    audit.select($"c_id", $"n_before", $"n_after")
+      .as[(Long, Long, Long)].collect().foreach { case (c, nb, na) =>
+        assert(rowSums.getOrElse(c, 0L) === nb, s"row sum for $c")
+        assert(colSums.getOrElse(c, 0L) === na, s"col sum for $c")
+      }
+    matrix.unpersist(); audit.unpersist(); centDf.unpersist()
+  }
+
+  test("migrateIndexDir: reload equals the in-memory migrate; a " +
+      "partition no mover crosses keeps its files") {
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val arrivals = emb.where($"vec_id" >= 5 &&
+      pmod($"vec_id", lit(10)) >= 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-migrate").toString
+    try {
+      Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2, dir)
+      val before = Ann.readIndex(spark, dir)
+      val inMem = Ann.migrateLists(before, arrivals, "vec_id",
+        "embedding")
+      val matrix = Ann.retrainMigration(before, arrivals, "vec_id",
+        "embedding").cache()
+      val untouched = {
+        val crossed = matrix.where($"moved" === 1L)
+          .select(explode(array($"from_c_id", $"to_c_id")).as("c"))
+          .distinct().as[Long].collect().toSet
+        matrix.select($"from_c_id").distinct().as[Long].collect()
+          .filterNot(crossed).toSeq
+      }
+      def files(cid: Long) = {
+        val p = java.nio.file.Paths.get(dir, "lists", s"c_id=$cid")
+        if (!java.nio.file.Files.exists(p)) Set.empty[String]
+        else {
+          import scala.jdk.CollectionConverters._
+          val l = java.nio.file.Files.list(p)
+          try l.iterator().asScala.map(f =>
+            s"${f.getFileName}:${java.nio.file.Files
+              .getLastModifiedTime(f).toMillis}").toSet
+          finally l.close()
+        }
+      }
+      val beforeFiles = untouched.map(c => c -> files(c)).toMap
+      Ann.migrateIndexDir(spark, dir, arrivals, "vec_id", "embedding")
+      val reloaded = Ann.readIndex(spark, dir)
+      def memb(df: org.apache.spark.sql.DataFrame) =
+        df.select($"c_id".cast("long"), $"n_id".cast("long"))
+          .as[(Long, Long)].collect().toSet
+      assert(memb(reloaded.lists) === memb(inMem.lists))
+      assert(reloaded.lists.groupBy($"n_id").count()
+        .where($"count" > 1).isEmpty)
+      def cset(df: org.apache.spark.sql.DataFrame) =
+        df.select($"c_id".cast("long"), $"c_vec")
+          .as[(Long, Seq[Float])].collect().toSet
+      assert(cset(reloaded.centroids) === cset(inMem.centroids))
+      // drains force a full rewrite; otherwise untouched partitions
+      // must keep their files byte-identical (same names + mtimes)
+      val receiving = matrix.select($"to_c_id").distinct()
+        .as[Long].collect().toSet
+      val allOld = matrix.select($"from_c_id").distinct()
+        .as[Long].collect().toSet
+      if ((allOld -- receiving).isEmpty)
+        untouched.foreach { c =>
+          assert(files(c) === beforeFiles(c),
+            s"partition c_id=$c was rewritten without movers")
+        }
+      matrix.unpersist()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("spanRedactGate: corpus-index hits and within-doc repeats " +
       "redacted, cross-arrival matches out of contract (hand-checked)") {
     // w=2 against corpus {1: "a b c d", 2: "m n o"}: doc 10's "a b"
