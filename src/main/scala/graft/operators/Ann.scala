@@ -194,6 +194,40 @@ object Ann {
       .select(col("q_id"), col("rank"), col("n_id"), col("c_id"), col("sim"))
   }
 
+  /** FILTERED probe of a persisted IVF index — constrained vector
+    * search, the production shape behind "nearest neighbors matching
+    * my metadata predicate": each query carries its own target label
+    * and only list members with that label are ranked. The filter
+    * rides the probe join (broadcast probes carry q_label, the
+    * equality lands in the join output before the cosine), so the
+    * scan keeps c_id DPP pruning and non-matching members never pay
+    * the similarity. NB the classic filtered-ANN caveat applies and
+    * is the point of surfacing k/nprobe: a selective filter thins
+    * each probed list, so recall at fixed nprobe drops as selectivity
+    * rises — probe more lists (or partition the index by label) when
+    * the filter is selective. */
+  def indexedFilteredTopK(idx: IvfIndex, queries: DataFrame, id: String,
+                          vec: String, labelCol: String, nprobe: Int,
+                          k: Int): DataFrame = {
+    val cent = centTable(
+      idx.centroids.select(col("c_id").as(id), col("c_vec").as(vec)),
+      id, vec)
+    val queryProbes = assignToCentroids(
+      broadcast(queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+        VectorOps.norm(col(vec)).as("q_nrm"),
+        col(labelCol).as("q_label"))), cent, "q", nprobe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    idx.lists.join(broadcast(queryProbes), "c_id")
+      .where(col("label") === col("q_label"))
+      .withColumn("sim", VectorOps.cosine6Pre(col("n_vec"), col("q_vec"),
+        col("n_nrm"), col("q_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("label"),
+        col("c_id"), col("sim"))
+  }
+
   /** Map-side assignment of ARRIVING vectors to a persisted index's
     * STATIC centroids ([[argmaxAssign]] — the k centroids collapse to
     * a one-row broadcast array, so arrivals are never shuffled), in

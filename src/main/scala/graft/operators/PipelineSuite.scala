@@ -3153,11 +3153,211 @@ object PipelineSuite extends Suite {
       ORDER BY from_c_id, to_c_id"""
     })
 
+  val c82 = Q(
+    "c82_retrain_recall",
+    // Did the retrain HELP? Per query, recall@5 vs the exact
+    // brute-force baseline over base+arrivals, probed two ways with
+    // the same nprobe=2 budget: BEFORE = the appended index (c79 —
+    // arrivals in the lists, centroids still the ones trained before
+    // the arrivals existed) vs AFTER = the migrated index (c80/c81 —
+    // seeded refresh + list migration). The closing evidence of the
+    // index-forever loop: drift that c79's audit flags should show up
+    // here as recall the refresh recovers. Same plan class as c17 —
+    // probes DPP-prune the lists, queries broadcast, the exact
+    // baseline is the documented one-pass crossJoin.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val arrivals = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) >= 8)
+      val queries = e.where(col("vec_id") < 5)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2, tmp)
+      } { b => Ann.readIndex(s, b) }
+      val appended = Ann.appendIndex(idx, arrivals, "vec_id", "embedding")
+      val migrated = Ann.migrateLists(idx, arrivals, "vec_id",
+        "embedding")
+      val exact = Ann.bruteForceTopK(base.unionByName(arrivals), queries,
+        "vec_id", "embedding", k = 5)
+      def recall(probed: org.apache.spark.sql.DataFrame, as: String) =
+        exact.alias("e")
+          .join(probed.alias("i"),
+            col("e.q_id") === col("i.q_id") &&
+              col("e.n_id") === col("i.n_id"), "left")
+          .groupBy(col("e.q_id").as("q_id"))
+          .agg(round(sum(when(col("i.n_id").isNotNull, 1).otherwise(0))
+            .cast("double") / 5, 6).as(as))
+      recall(Ann.indexedTopK(appended, queries, "vec_id", "embedding",
+          nprobe = 2, k = 5), "recall_before")
+        .join(recall(Ann.indexedTopK(migrated, queries, "vec_id",
+          "embedding", nprobe = 2, k = 5), "recall_after"), Seq("q_id"))
+        .orderBy(col("q_id"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 < 8),
+      arrivals AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 >= 8),
+      queries AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      ${kmeansCtes(k = 8, iters = 2)},
+      apick AS (
+        SELECT vec_id, cid FROM (
+          SELECT a.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY ${cos("a.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM arrivals a CROSS JOIN cent2 c) t
+        WHERE rk = 1),
+      members AS (
+        SELECT vec_id, embedding FROM corpus
+        UNION ALL
+        SELECT vec_id, embedding FROM arrivals),
+      ${kmeansIterSql("cent2", 9, dim = 64, rel = "members")},
+      ${kmeansPickSql("cent9", 10, rel = "members")},
+      lists_old AS (
+        SELECT vec_id, cid FROM pick3
+        UNION ALL
+        SELECT vec_id, cid FROM apick),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            v.vec_id) AS rk
+          FROM queries q CROSS JOIN members v) t
+        WHERE rk <= 5),
+      qprobe_old AS (
+        SELECT q_id, cid FROM (
+          SELECT q.vec_id AS q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM queries q CROSS JOIN cent2 c) t
+        WHERE rk <= 2),
+      ivf_old AS (
+        SELECT q_id, n_id FROM (
+          SELECT p.q_id, a.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY p.q_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            a.vec_id) AS rk
+          FROM qprobe_old p
+            JOIN lists_old a ON a.cid = p.cid
+            JOIN members v ON v.vec_id = a.vec_id
+            JOIN queries q ON q.vec_id = p.q_id) t
+        WHERE rk <= 5),
+      qprobe_new AS (
+        SELECT q_id, cid FROM (
+          SELECT q.vec_id AS q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM queries q CROSS JOIN cent9 c) t
+        WHERE rk <= 2),
+      ivf_new AS (
+        SELECT q_id, n_id FROM (
+          SELECT p.q_id, a.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY p.q_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            a.vec_id) AS rk
+          FROM qprobe_new p
+            JOIN pick10 a ON a.cid = p.cid
+            JOIN members v ON v.vec_id = a.vec_id
+            JOIN queries q ON q.vec_id = p.q_id) t
+        WHERE rk <= 5),
+      rb AS (
+        SELECT e.q_id,
+               round(CAST(SUM(CASE WHEN i.n_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / 5, 6)
+                 AS recall_before
+        FROM exact e
+          LEFT JOIN ivf_old i ON i.q_id = e.q_id AND i.n_id = e.n_id
+        GROUP BY e.q_id),
+      ra AS (
+        SELECT e.q_id,
+               round(CAST(SUM(CASE WHEN i.n_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / 5, 6)
+                 AS recall_after
+        FROM exact e
+          LEFT JOIN ivf_new i ON i.q_id = e.q_id AND i.n_id = e.n_id
+        GROUP BY e.q_id)
+      SELECT rb.q_id, rb.recall_before, ra.recall_after
+      FROM rb JOIN ra USING (q_id)
+      ORDER BY rb.q_id"""
+    })
+
+  val c83 = Q(
+    "c83_filtered_ann",
+    // Filtered (metadata-constrained) vector search over the
+    // persisted IVF index (Ann.indexedFilteredTopK): each query's own
+    // label is its predicate — top-3 nearest list members that SHARE
+    // the query's label, nprobe=3. The filter rides the broadcast
+    // probe join (q_label travels with the probes, the equality binds
+    // before the cosine), so the lists scan keeps its c_id DPP
+    // pruning and non-matching members never pay the similarity. The
+    // classic filtered-ANN caveat is the operator's own output
+    // surface: a selective filter thins probed lists, so a query can
+    // return fewer than k rows at fixed nprobe — the signal to raise
+    // nprobe or partition the index by label.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2, tmp)
+      } { b => Ann.readIndex(s, b) }
+      Ann.indexedFilteredTopK(idx, e.where(col("vec_id") < 5), "vec_id",
+          "embedding", "label", nprobe = 3, k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 < 8),
+      queries AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id < 5),
+      ${kmeansCtes(k = 8, iters = 2)},
+      qprobe AS (
+        SELECT q_id, cid FROM (
+          SELECT q.vec_id AS q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM queries q CROSS JOIN cent2 c) t
+        WHERE rk <= 3)
+      SELECT q_id, rank, n_id, label, c_id, sim FROM (
+        SELECT p.q_id, a.vec_id AS n_id, v.label, p.cid AS c_id,
+               ${cos("v.embedding", "q.embedding")} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY p.q_id
+                 ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                          a.vec_id) AS rank
+        FROM qprobe p
+          JOIN pick3 a ON a.cid = p.cid
+          JOIN corpus v ON v.vec_id = a.vec_id
+          JOIN queries q ON q.vec_id = p.q_id
+        WHERE v.label = q.label) t
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
       c30, c31, c32, c33, c34, c35, c36, c37, c38, c39, c40, c41, c42, c43,
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
-      c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81)
+      c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
+      c83)
 }

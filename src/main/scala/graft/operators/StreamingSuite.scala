@@ -1424,8 +1424,69 @@ object StreamingSuite extends Suite {
         arrivalWhere = "doc_id % 10 >= 8")}
       ORDER BY doc_id"""))
 
+  val d34 = Q(
+    "d34_stream_filtered_ann",
+    // Streaming filtered vector search, batch-replayed — c83's
+    // metadata-constrained probe at ingest (Streams.
+    // filteredAnnStreaming): each arriving vector (%10 >= 8) finds
+    // its top-3 SAME-LABEL neighbors in the persisted base index,
+    // nprobe=3 — near-dup-with-metadata lookup as arrivals land. The
+    // micro-batch is the broadcast query side; the probe join
+    // DPP-prunes the lists scan per batch; answers are per-query
+    // independent given the index, so batch boundaries never change
+    // a row (StreamsSpec pins 3-batch slicing parity).
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val arrivals = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) >= 8)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2,
+          tmp)
+      } { b => Ann.readIndex(s, b) }
+      Ann.indexedFilteredTopK(idx, arrivals, "vec_id", "embedding",
+          "label", nprobe = 3, k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      def cos(a: String, b: String) =
+        graft.functions.VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 < 8),
+      queries AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 >= 8),
+      ${PipelineSuite.kmeansCtes(k = 8, iters = 2)},
+      qprobe AS (
+        SELECT q_id, cid FROM (
+          SELECT q.vec_id AS q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM queries q CROSS JOIN cent2 c) t
+        WHERE rk <= 3)
+      SELECT q_id, rank, n_id, label, c_id, sim FROM (
+        SELECT p.q_id, a.vec_id AS n_id, v.label, p.cid AS c_id,
+               ${cos("v.embedding", "q.embedding")} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY p.q_id
+                 ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                          a.vec_id) AS rank
+        FROM qprobe p
+          JOIN pick3 a ON a.cid = p.cid
+          JOIN corpus v ON v.vec_id = a.vec_id
+          JOIN queries q ON q.vec_id = p.q_id
+        WHERE v.label = q.label) t
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""
+    })
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29, d30, d31, d32, d33)
+      d29, d30, d31, d32, d33, d34)
 }

@@ -1287,6 +1287,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming FILTERED vector search — c83's metadata-constrained
+    * probe applied to arriving vectors
+    * ([[graft.operators.Ann.indexedFilteredTopK]]): each arriving
+    * vector finds its top-k same-label neighbors in the persisted
+    * index. The micro-batch IS the (small, broadcast) query side —
+    * the probe join DPP-prunes the lists scan per batch — and
+    * answers are per-query independent given the index, so batch
+    * boundaries can never change a row (StreamsSpec pins slicing
+    * parity). */
+  def filteredAnnStreaming(idx: graft.operators.Ann.IvfIndex,
+      vecs: DataFrame, id: String, vec: String, labelCol: String,
+      nprobe: Int, k: Int)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Ann.indexedFilteredTopK(idx, batch, id,
+          vec, labelCol, nprobe, k))
+      }
+      .start()
+
   /** Streaming keeper-upgrade monitor — c77's quality-aware keeper
     * question asked AT INGEST, kept live across batches: arriving
     * docs that near-dup a corpus doc (banded crossPairs against the

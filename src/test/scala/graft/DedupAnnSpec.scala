@@ -658,6 +658,39 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("retrain recall report: one row per query, recalls in range") {
+    val out = graft.SparkEntry.queries("c82_retrain_recall")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Double]("recall_before"), r.getAs[Double]("recall_after")))
+    assert(out.length === 5)
+    out.foreach { case (q, rb, ra) =>
+      assert(rb >= 0.0 && rb <= 1.0, s"recall_before out of range for $q")
+      assert(ra >= 0.0 && ra <= 1.0, s"recall_after out of range for $q")
+    }
+  }
+
+  test("filtered ANN: every hit shares its query's label, ranks are " +
+      "contiguous from 1") {
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val centDf = Ann.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val idx = Ann.IvfIndex(
+      centDf.select($"vec_id".as("c_id"), $"embedding".as("c_vec")),
+      Ann.buildLists(base, Ann.centTable(centDf, "vec_id", "embedding"),
+        "vec_id", "embedding"))
+    val queries = emb.where($"vec_id" < 5)
+    val out = Ann.indexedFilteredTopK(idx, queries, "vec_id",
+      "embedding", "label", nprobe = 3, k = 3).cache()
+    assert(out.count() > 0L)
+    val qlab = queries.select($"vec_id".as("q_id"),
+      $"label".as("qlabel"))
+    assert(out.join(qlab, "q_id").where($"label" =!= $"qlabel").isEmpty)
+    assert(out.groupBy($"q_id")
+      .agg(max($"rank").as("mx"), count(lit(1)).as("n"))
+      .where($"mx" =!= $"n").isEmpty)
+    out.unpersist()
+  }
+
   test("spanRedactGate: corpus-index hits and within-doc repeats " +
       "redacted, cross-arrival matches out of contract (hand-checked)") {
     // w=2 against corpus {1: "a b c d", 2: "m n o"}: doc 10's "a b"

@@ -1195,6 +1195,53 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length === arriving.length)
   }
 
+  test("streaming filtered ANN matches the batch probe across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val centDf = Ann.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val idx = Ann.IvfIndex(
+      centDf.select($"vec_id".as("c_id"), $"embedding".as("c_vec")),
+      Ann.buildLists(base, Ann.centTable(centDf, "vec_id", "embedding"),
+        "vec_id", "embedding"))
+    val arriving = emb.where($"vec_id" >= 5 &&
+        pmod($"vec_id", lit(10)) >= 8)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    val collected = scala.collection.mutable.ArrayBuffer[
+      (Long, Int, Long, Int, Long)]()
+    val ms = MemoryStream[(Long, Seq[Float], Int)]
+    val q = Streams.filteredAnnStreaming(idx,
+      ms.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", "label", nprobe = 3, k = 3) { df =>
+      val rows = df.collect().map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("label"), r.getAs[Long]("c_id")))
+      collected.synchronized { collected ++= rows }
+    }
+    val third = arriving.length / 3
+    val (b1, rest) = arriving.splitAt(third)
+    val (b2, b3) = rest.splitAt(third)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      ms.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collected.synchronized {
+      collected.sortBy(r => (r._1, r._2)).toSeq
+    }
+    val batch = Ann.indexedFilteredTopK(idx,
+        emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) >= 8),
+        "vec_id", "embedding", "label", nprobe = 3, k = 3)
+      .orderBy($"q_id", $"rank")
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Int]("label"),
+        r.getAs[Long]("c_id"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("streaming keeper-upgrade monitor converges to the batch " +
       "challenge across batches") {
     implicit val sqlCtx = spark.sqlContext
