@@ -137,7 +137,12 @@ class PlanShapeSpec extends SparkSpec {
       "c71_quality_calibration", // broadcast 1-row total-token count (c28)
       "c72_mix_temperature_curve", // broadcast 1-row corpus totals
       "c79_ivf_append",        // broadcast 1-row centroid array
-      "d32_stream_ivf_append") // broadcast 1-row centroid array
+      "d32_stream_ivf_append", // broadcast 1-row centroid array
+      "c80_centroid_retrain",  // broadcast 1-row centroid arrays (old+new)
+      "c81_retrain_migration", // broadcast 1-row centroid arrays (old+new)
+      "c82_retrain_recall",    // broadcast centroids + query set (c17 class)
+      "c83_filtered_ann",      // broadcast centroids (query probe)
+      "d34_stream_filtered_ann") // broadcast centroids (query probe)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
