@@ -228,6 +228,62 @@ object Ann {
         col("c_id"), col("sim"))
   }
 
+  /** LABEL-PARTITIONED index layout — the scale path for SELECTIVE
+    * filtered search ([[indexedFilteredTopK]]'s documented caveat
+    * made structural): the same centroids, but the inverted lists
+    * are written partitioned by (label, c_id), so a filtered probe
+    * joins on BOTH partition columns and the scan dynamic-prunes to
+    * exactly the (query label × probed centroid) directories — a
+    * selective filter stops thinning probed lists because each label
+    * owns complete per-centroid lists of its own members. Costs one
+    * layout decision at build time; the probe contract and results
+    * are IDENTICAL to [[indexedFilteredTopK]] over the flat layout
+    * (spec-pinned). */
+  def writeIndexByLabel(corpus: DataFrame, id: String, vec: String,
+                        k: Int, iters: Int, base: String): Unit = {
+    val cent = kmeansFit(corpus, id, vec, k, iters).barrier(true)
+    cent.select(col(id).as("c_id"), col(vec).as("c_vec"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    buildLists(corpus, centTable(cent, id, vec), id, vec)
+      .write.mode("overwrite").partitionBy("label", "c_id")
+      .parquet(s"$base/lists")
+  }
+
+  def readIndexByLabel(s: org.apache.spark.sql.SparkSession,
+                       base: String): IvfIndex =
+    IvfIndex(
+      s.read.parquet(s"$base/centroids"),
+      s.read.parquet(s"$base/lists")
+        .select(col("c_id").cast("long").as("c_id"), col("n_id"),
+          col("label"), col("n_vec"), col("n_nrm")))
+
+  /** Filtered probe over the label-partitioned layout: the query's
+    * label joins as a KEY next to c_id (not a post-join filter), so
+    * both partition columns carry dynamic pruning into the lists
+    * scan. Output identical to [[indexedFilteredTopK]]. */
+  def indexedFilteredTopKByLabel(idx: IvfIndex, queries: DataFrame,
+                                 id: String, vec: String,
+                                 labelCol: String, nprobe: Int,
+                                 k: Int): DataFrame = {
+    val cent = centTable(
+      idx.centroids.select(col("c_id").as(id), col("c_vec").as(vec)),
+      id, vec)
+    val queryProbes = assignToCentroids(
+      broadcast(queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+        VectorOps.norm(col(vec)).as("q_nrm"),
+        col(labelCol).as("label"))), cent, "q", nprobe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    idx.lists.join(broadcast(queryProbes), Seq("c_id", "label"))
+      .withColumn("sim", VectorOps.cosine6Pre(col("n_vec"), col("q_vec"),
+        col("n_nrm"), col("q_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("label"),
+        col("c_id"), col("sim"))
+  }
+
   /** Map-side assignment of ARRIVING vectors to a persisted index's
     * STATIC centroids ([[argmaxAssign]] — the k centroids collapse to
     * a one-row broadcast array, so arrivals are never shuffled), in
@@ -500,7 +556,12 @@ object Ann {
     * `drained.isEmpty` probe is a one-row control-flow action on a
     * k-row frame, never corpus data. Spec-pinned: reload equals the
     * in-memory [[migrateLists]], probes identical, untouched
-    * partitions keep their files. */
+    * partitions keep their files. NB an in-place rewrite invalidates
+    * any UN-materialized DataFrames still lazily reading this
+    * directory (the standard Spark overwrite hazard) — re-read via
+    * [[readIndex]] after migrating; the migration's own inputs are
+    * barriered before the first write, so the op itself never reads
+    * what it is replacing. */
   def migrateIndexDir(s: org.apache.spark.sql.SparkSession, base: String,
                       arrivals: DataFrame, id: String,
                       vec: String): Unit = {

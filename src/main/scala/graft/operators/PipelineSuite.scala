@@ -3319,9 +3319,14 @@ object PipelineSuite extends Suite {
           "embedding", "label", nprobe = 3, k = 3)
         .orderBy(col("q_id"), col("rank"))
     },
-    Some {
-      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
-      s"""
+    Some(filteredAnnOracleSql))
+
+  /** Shared DuckDB mirror of the filtered probe (c83 flat layout and
+    * c84 label-partitioned layout — identical results by contract;
+    * only the physical lists layout differs). */
+  private[operators] lazy val filteredAnnOracleSql: String = {
+    def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+    s"""
       WITH corpus AS (
         SELECT vec_id, embedding, label FROM embeddings
         WHERE vec_id >= 5 AND vec_id % 10 < 8),
@@ -3350,7 +3355,36 @@ object PipelineSuite extends Suite {
         WHERE v.label = q.label) t
       WHERE rank <= 3
       ORDER BY q_id, rank"""
-    })
+  }
+
+  val c84 = Q(
+    "c84_ann_label_partition",
+    // The SCALE PATH for selective filtered search: c83's contract
+    // over a LABEL-PARTITIONED lists layout (Ann.writeIndexByLabel /
+    // indexedFilteredTopKByLabel — lists partitioned by
+    // (label, c_id), the query's label joins as a KEY next to c_id),
+    // so the scan dynamic-prunes on BOTH partition columns and reads
+    // exactly the (query label x probed centroid) directories; a
+    // selective filter stops thinning probed lists because each
+    // label owns complete per-centroid lists of its own members.
+    // Results are IDENTICAL to c83 by contract (same oracle;
+    // DedupAnnSpec cross-pins the two outputs row for row) — the
+    // layout is the operator.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2-bylabel",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndexByLabel(base, "vec_id", "embedding", k = 8,
+          iters = 2, tmp)
+      } { b => Ann.readIndexByLabel(s, b) }
+      Ann.indexedFilteredTopKByLabel(idx, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", "label", nprobe = 3, k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(filteredAnnOracleSql))
 
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
@@ -3359,5 +3393,5 @@ object PipelineSuite extends Suite {
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
-      c83)
+      c83, c84)
 }

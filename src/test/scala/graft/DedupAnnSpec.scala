@@ -691,6 +691,65 @@ class DedupAnnSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("index-forever lifecycle composes: physical append then " +
+      "physical migrate equals the in-memory pipeline") {
+    // the production sequence: build -> appendIndexDir (c79's write
+    // path, first arrival wave) -> migrateIndexDir (c81's write path,
+    // second wave triggers the refresh) -> reload must equal the
+    // in-memory appendIndex + migrateLists composition, probes
+    // included.
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) === 8)
+    val wave1 = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) === 9)
+    val wave2 = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-lifecycle").toString
+    try {
+      Ann.writeIndex(base, "vec_id", "embedding", k = 4, iters = 2, dir)
+      val built = Ann.readIndex(spark, dir)
+      val afterAppend = Ann.appendIndex(built, wave1, "vec_id",
+        "embedding")
+      Ann.appendIndexDir(spark, dir, wave1, "vec_id", "embedding")
+      val inMem = Ann.migrateLists(afterAppend, wave2, "vec_id",
+        "embedding")
+      def memb(df: org.apache.spark.sql.DataFrame) =
+        df.select($"c_id".cast("long"), $"n_id".cast("long"))
+          .as[(Long, Long)].collect().toSet
+      val queries = emb.where($"vec_id" < 5)
+      def probe(idx: Ann.IvfIndex) =
+        Ann.indexedTopK(idx, queries, "vec_id", "embedding",
+            nprobe = 2, k = 5)
+          .select($"q_id", $"rank", $"n_id", $"c_id")
+          .as[(Long, Int, Long, Long)].collect()
+          .sortBy(r => (r._1, r._2)).toSeq
+      // materialize the in-memory expectation BEFORE the physical
+      // migrate: its lazy frames read the dir's parquet, which
+      // migrateIndexDir is about to overwrite
+      val inMemMemb = memb(inMem.lists)
+      val inMemProbe = probe(inMem)
+      Ann.migrateIndexDir(spark, dir, wave2, "vec_id", "embedding")
+      val reloaded = Ann.readIndex(spark, dir)
+      assert(memb(reloaded.lists) === inMemMemb)
+      assert(reloaded.lists.groupBy($"n_id").count()
+        .where($"count" > 1).isEmpty)
+      assert(probe(reloaded) === inMemProbe)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("label-partitioned filtered probe returns exactly the flat " +
+      "layout's rows") {
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("n_id"), r.getAs[Int]("label"),
+          r.getAs[Long]("c_id"), r.getAs[Double]("sim"))).toSeq
+    val flat = rows("c83_filtered_ann")
+    val part = rows("c84_ann_label_partition")
+    assert(flat.nonEmpty && part === flat)
+  }
+
   test("spanRedactGate: corpus-index hits and within-doc repeats " +
       "redacted, cross-arrival matches out of contract (hand-checked)") {
     // w=2 against corpus {1: "a b c d", 2: "m n o"}: doc 10's "a b"

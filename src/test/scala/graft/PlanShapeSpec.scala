@@ -142,6 +142,7 @@ class PlanShapeSpec extends SparkSpec {
       "c81_retrain_migration", // broadcast 1-row centroid arrays (old+new)
       "c82_retrain_recall",    // broadcast centroids + query set (c17 class)
       "c83_filtered_ann",      // broadcast centroids (query probe)
+      "c84_ann_label_partition", // broadcast centroids (query probe)
       "d34_stream_filtered_ann") // broadcast centroids (query probe)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
@@ -176,12 +177,22 @@ class PlanShapeSpec extends SparkSpec {
     // broadcasts, so the scan must carry a dynamicpruning partition
     // filter — without it every probe is a full-index scan and the
     // persisted layout buys nothing at 100 TB.
-    Seq("c29_ann_index_probe", "d15_stream_retrieval").foreach { name =>
+    Seq("c29_ann_index_probe", "d15_stream_retrieval",
+        "c83_filtered_ann", "c84_ann_label_partition").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("dynamicpruning"),
         s"$name must DPP-prune the lists scan:\n$plan")
     }
+    // the label-partitioned layout's whole point: BOTH partition
+    // columns prune — the label key must appear inside the scan's
+    // PartitionFilters, not as a post-scan Filter
+    val p84 = SparkEntry.queries("c84_ann_label_partition")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pf = p84.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("label"),
+      s"c84 must carry the label key in PartitionFilters:\n$pf")
   }
 
   test("pageRank iteration aggregates with a plain sum — no per-dst array") {
