@@ -671,7 +671,44 @@ object RelationalSuite extends Suite {
       FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
       ORDER BY a.cohort_week, a.week_offset"""))
 
+  val a21 = Q(
+    "a21_json_extract",
+    // Schema-on-read JSON extraction over the semi-structured
+    // `props` column — the warehouse staple the inventory lacked:
+    // get_json_object pulls `$.k` out of each event's JSON payload
+    // (codegen'd path-extraction, no UDF), cast to long, then one
+    // partial-aggregable per-type rollup (count / sum / min / max of
+    // k + distinct users). At 100 TB the extraction is a pure
+    // projection riding the scan — no shuffle beyond the final
+    // per-type aggregate; distinct-user is the only expansion and it
+    // keys on (type, user), never materializing the payloads. All
+    // output integers — no float aggregation to disagree across
+    // engines.
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("k")).cast("long").as("k_sum"),
+        min(col("k")).cast("long").as("k_min"),
+        max(col("k")).cast("long").as("k_max"),
+        countDistinct(col("user_id")).cast("long").as("n_users"))
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+               AS BIGINT) AS k_sum,
+             CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT))
+               AS BIGINT) AS k_min,
+             CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+               AS BIGINT) AS k_max,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   override val queries: Seq[Q] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15,
-      a16, a17, a18, a19, a20)
+      a16, a17, a18, a19, a20, a21)
 }

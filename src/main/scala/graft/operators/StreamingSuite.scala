@@ -1485,8 +1485,31 @@ object StreamingSuite extends Suite {
       ORDER BY q_id, rank"""
     })
 
+  val d35 = Q(
+    "d35_stream_json_metrics",
+    // Semi-structured telemetry over event-time windows — a21's
+    // schema-on-read extraction composed with d1's tumbling-window
+    // shape (Streams.jsonMetricsWindowed): $.k pulled from each
+    // event's JSON props as a codegen'd projection riding the scan
+    // (the payload never reaches the shuffle), all-integer metrics
+    // per (hour, type). Identical on batch and streaming frames;
+    // StreamsSpec pins complete-mode streaming parity.
+    (s, d) => Streams.jsonMetricsWindowed(Tables.events(s, d))
+      .orderBy(col("hour_bucket"), col("event_type")),
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS hour_bucket,
+             event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+               AS BIGINT) AS k_sum,
+             CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+               AS BIGINT) AS k_max
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_bucket, event_type"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29, d30, d31, d32, d33, d34)
+      d29, d30, d31, d32, d33, d34, d35)
 }

@@ -34,6 +34,30 @@ object Streams {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Windowed metrics over a SEMI-STRUCTURED payload — the telemetry
+    * staple (a21's schema-on-read extraction composed with
+    * event-time windows): `$.k` is pulled from each event's JSON
+    * props by codegen'd path extraction riding the scan (a pure
+    * projection — the payload never reaches the shuffle), then the
+    * d1 tumbling-window shape aggregates all-integer metrics per
+    * (hour, type). Identical on batch and streaming frames; the
+    * streaming side watermarks ts like [[windowCounts]]. */
+  def jsonMetricsWindowed(events: DataFrame): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    withWm
+      .select(col("ts"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("k")).cast("long").as("k_sum"),
+        max(col("k")).cast("long").as("k_max"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_bucket"),
+        col("event_type"), col("n_events"), col("k_sum"), col("k_max"))
+  }
+
   /** Gap-based sessionization via Spark's NATIVE session_window —
     * the engine merges per-user event windows [ts, ts+gap) into
     * sessions (end = last event + gap). Works identically on batch

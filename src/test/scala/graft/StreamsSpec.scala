@@ -35,6 +35,25 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming JSON window metrics equal batch (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select($"ts", $"event_type", $"props")
+      .as[(java.sql.Timestamp, String, String)].collect()
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    ms.addData(rows.toSeq)
+    val q = Streams.jsonMetricsWindowed(
+        ms.toDF().toDF("ts", "event_type", "props"))
+      .writeStream.format("memory").queryName("jm")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("jm")
+      .orderBy($"hour_bucket", $"event_type").collect()
+    val batch = Streams.jsonMetricsWindowed(Tables.events(spark, sf))
+      .orderBy($"hour_bucket", $"event_type").collect()
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming sessionize emits the batch sessions (closed ones)") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 1800000000L
