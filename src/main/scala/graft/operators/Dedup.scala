@@ -1318,4 +1318,115 @@ object Dedup {
       .select(col("key").as("cid"), col("id_b").as("vec_id"),
         col("id_a").as("dup_of"), col("sim"), col("n_dups"))
   }
+
+  /** Paragraph-granularity dedup with FIRST-OCCURRENCE-KEEPS
+    * semantics — the C4 / RefinedWeb boilerplate rule (drop repeated
+    * lines, keep one copy) re-expressed over fixed p-token blocks,
+    * since this corpus has no newline structure: each doc is cut into
+    * consecutive NON-overlapping p-token blocks (trailing partial
+    * block included), every occurrence of a block-content hash AFTER
+    * the first in global (doc, block-position) order is removed, and
+    * each doc re-renders from its kept blocks. The contrast with
+    * [[spanRedact]] is the point: ExactSubstr deletes ALL occurrences
+    * of a duplicated window (cross-doc content vanishes entirely),
+    * while the paragraph rule keeps exactly one copy corpus-wide, so
+    * a shared header survives once instead of zero times.
+    *
+    * Scale shape (100 TB): block hashing is map-side — one integer
+    * fold per block over the doc's own token-hash array (blocks are
+    * disjoint, so total fold work = |tokens|, cheaper than the
+    * rolling-window families). The ONLY corpus-wide exchange is the
+    * block-hash partition for the first-occurrence rank (a hash is
+    * its own bucket — no pair join, no quadratic hot-bucket risk),
+    * then a did-keyed removal-list aggregation joined back for the
+    * map-side re-render. (did, b) is a total order, so the keeper is
+    * deterministic under any partitioning or cluster size. */
+  def paragraphDedup(docs: DataFrame, id: String, text: String,
+                     p: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // toks/th projected FIRST so the block-hash lambdas bind
+    // attributes (embedded subtrees re-evaluate once per element —
+    // see dupWindowRate).
+    val th = docs.select(col(id).as("did"),
+        TextOps.tokens(col(text)).as("toks"),
+        transform(TextOps.tokens(col(text)),
+          t => TextOps.polyHash(t)).as("th"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nb", floor((col("n") + lit(p - 1)) / lit(p)).cast("int"))
+      .withColumn("bh", transform(sequence(lit(0), col("nb") - 1),
+        b => aggregate(slice(col("th"), b * p + 1, lit(p)), lit(0L),
+          (acc, x) => (acc * 31L + x) % lit(TextOps.P))))
+    val rm = th.select(col("did"), posexplode(col("bh")).as(Seq("b", "h")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("did"), col("b"))))
+      .where(col("rk") >= 2)
+      .groupBy(col("did"))
+      .agg(sort_array(collect_list(col("b"))).as("rm"))
+    th.join(rm, Seq("did"), "left")
+      .withColumn("rm", coalesce(col("rm"), array().cast("array<int>")))
+      .withColumn("keptb",
+        array_except(sequence(lit(0), col("nb") - 1), col("rm")))
+      .withColumn("kept_toks", flatten(transform(col("keptb"),
+        b => slice(col("toks"), b * p + 1, lit(p)))))
+      .withColumn("n_tokens", col("n").cast("long"))
+      .withColumn("n_kept_tokens", size(col("kept_toks")).cast("long"))
+      .select(col("did").as(id),
+        col("n_tokens"),
+        col("nb").cast("long").as("n_blocks"),
+        size(col("rm")).cast("long").as("n_removed_blocks"),
+        col("n_kept_tokens"),
+        CorpusStats.ppmExpr("n_kept_tokens", "n_tokens").cast("long")
+          .as("kept_ppm"),
+        array_join(col("kept_toks"), " ").as("redacted_text"))
+  }
+
+  /** DuckDB mirror of [[paragraphDedup]] over the `documents` view.
+    * The bounded `range(0, maxB)` unnest carries an error() guard so
+    * corpus growth fails loudly (SURVEY §4). */
+  def paragraphDedupSql(id: String, text: String, p: Int,
+                        maxB: Int): String = {
+    val th = s"""list_transform(toks,
+      tok -> ${TextOps.polyHashSql("tok")})"""
+    s"""
+    WITH m AS (SELECT $id, toks, $th AS th,
+                 len(toks) AS n, (len(toks) + ${p - 1}) // $p AS nb
+               FROM (SELECT $id, ${TextOps.tokensSql(text)} AS toks
+                     FROM documents)),
+    blk AS (SELECT $id, b,
+              list_reduce(list_prepend(0, list_slice(th,
+                b * $p + 1, least(b * $p + $p, n))),
+                (acc, x) -> (acc * 31 + x) % ${TextOps.P}) AS h
+            FROM (SELECT $id, th, n, nb,
+                    unnest(range(0, $maxB)) AS b FROM m)
+            WHERE b < nb
+              AND CASE WHEN (SELECT MAX(nb) FROM m) > $maxB
+                  THEN error('block bound $maxB exceeded')
+                  ELSE TRUE END),
+    rk AS (SELECT $id, b,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY $id, b) AS rk
+           FROM blk),
+    rm AS (SELECT $id, b FROM rk WHERE rk >= 2),
+    cov AS (SELECT $id, b * $p + off.o AS cpos
+            FROM rm, (SELECT unnest(range(0, $p)) AS o) off),
+    tok AS (SELECT $id, u.i AS i, u.t AS t
+            FROM (SELECT $id, unnest(list_transform(range(1, len(toks)+1),
+                   i -> struct_pack(i := i - 1, t := toks[i]))) AS u
+                  FROM m)),
+    red AS (SELECT t.$id, COUNT(*) AS n_kept,
+              string_agg(t.t, ' ' ORDER BY t.i) AS redacted_text
+            FROM tok t LEFT JOIN cov
+              ON t.$id = cov.$id AND t.i = cov.cpos
+            WHERE cov.cpos IS NULL GROUP BY 1),
+    rmc AS (SELECT $id, COUNT(*) AS n_removed_blocks FROM rm GROUP BY 1)
+    SELECT m.$id AS $id, CAST(m.n AS BIGINT) AS n_tokens,
+           CAST(m.nb AS BIGINT) AS n_blocks,
+           CAST(coalesce(rmc.n_removed_blocks, 0) AS BIGINT)
+             AS n_removed_blocks,
+           CAST(coalesce(red.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+           ${CorpusStats.ppmSql("coalesce(red.n_kept, 0)", "m.n")}
+             AS kept_ppm,
+           coalesce(red.redacted_text, '') AS redacted_text
+    FROM m LEFT JOIN red ON m.$id = red.$id
+           LEFT JOIN rmc ON m.$id = rmc.$id"""
+  }
 }

@@ -3386,6 +3386,26 @@ object PipelineSuite extends Suite {
     },
     Some(filteredAnnOracleSql))
 
+  val c85 = Q(
+    "c85_paragraph_dedup",
+    // Paragraph-granularity dedup, FIRST-OCCURRENCE-KEEPS
+    // (Dedup.paragraphDedup — the C4/RefinedWeb boilerplate rule over
+    // fixed 16-token blocks, the corpus having no newline structure):
+    // every repeated block occurrence AFTER the first in global
+    // (doc, position) order is removed; exactly one copy of each
+    // repeated paragraph survives corpus-wide. The semantic
+    // complement of c78's ExactSubstr deletion, which removes ALL
+    // occurrences. Map-side block hashing (disjoint blocks — total
+    // fold work = |tokens|), one block-hash exchange for the
+    // first-occurrence rank, did-keyed removal list joined back for
+    // the map-side re-render.
+    (s, d) => Dedup.paragraphDedup(Tables.documents(s, d), "doc_id",
+        "text", p = 16)
+      .orderBy(col("doc_id")),
+    Some(s"""
+      ${Dedup.paragraphDedupSql("doc_id", "text", 16, 16)}
+      ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3393,5 +3413,5 @@ object PipelineSuite extends Suite {
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
-      c83, c84)
+      c83, c84, c85)
 }

@@ -750,6 +750,57 @@ class DedupAnnSpec extends SparkSpec {
     assert(flat.nonEmpty && part === flat)
   }
 
+  test("paragraphDedup: first occurrence kept, later repeats removed " +
+      "(hand-checked)") {
+    // p=2: block [a b] occurs at (1,0), (2,0), (4,0) -> only doc 1's
+    // copy survives; [c d] at (1,1), (3,0) -> doc 1 keeps it; doc 2's
+    // trailing PARTIAL block [x] is unique and kept. Contrast with
+    // spanRedact: one copy of each repeated paragraph survives.
+    val d = Seq((1L, "a b c d"), (2L, "a b x"), (3L, "c d"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "doc_id", "text", p = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed_blocks"),
+        r.getAs[Long]("n_kept_tokens"), r.getAs[Long]("kept_ppm"),
+        r.getAs[String]("redacted_text"))).toSeq
+    assert(out === Seq(
+      (1L, 4L, 2L, 0L, 4L, 1000000L, "a b c d"),
+      (2L, 3L, 2L, 1L, 1L, 333333L, "x"),
+      (3L, 2L, 1L, 1L, 0L, 0L, ""),
+      (4L, 2L, 1L, 1L, 0L, 0L, "")))
+  }
+
+  test("paragraphDedup corpus invariant: exactly one survivor per " +
+      "distinct block, render matches counts") {
+    import graft.functions.TextOps
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text", p = 16)
+      .cache()
+    val removed = out.agg(sum($"n_removed_blocks")).as[Long].head()
+    assert(removed > 0L, "no blocks removed on the shared-span corpus")
+    val badRender = out.where($"n_kept_tokens" > 0 &&
+      size(TextOps.tokens($"redacted_text")) =!= $"n_kept_tokens")
+      .count()
+    assert(badRender === 0L, "kept token stream != n_kept_tokens")
+    assert(out.where($"n_kept_tokens" === 0 &&
+      $"redacted_text" =!= "").isEmpty)
+    // first-keeps means EXACTLY one occurrence of every distinct
+    // block survives corpus-wide — checked against an independent
+    // STRING-equality block census (the impl compares hashes)
+    val keptBlocks =
+      out.agg(sum($"n_blocks" - $"n_removed_blocks")).as[Long].head()
+    val toks = TextOps.tokens($"text")
+    val distinctBlocks = docs.select(explode(transform(
+        sequence(lit(0), floor((size(toks) + lit(15)) / lit(16))
+          .cast("int") - 1),
+        b => array_join(slice(toks, b * 16 + 1, lit(16)), " ")))
+        .as("s"))
+      .distinct().count()
+    assert(keptBlocks === distinctBlocks,
+      s"$keptBlocks survivors != $distinctBlocks distinct blocks")
+    out.unpersist()
+  }
+
   test("spanRedactGate: corpus-index hits and within-doc repeats " +
       "redacted, cross-arrival matches out of contract (hand-checked)") {
     // w=2 against corpus {1: "a b c d", 2: "m n o"}: doc 10's "a b"
