@@ -400,9 +400,9 @@ object Ann {
           col("drift_ppm") <= -maxDriftDownPpm), 1L)
         .otherwise(0L))
 
-  private[graft] def auditJoin(base: DataFrame,
-                               arrived: DataFrame): DataFrame =
-    base.join(arrived, Seq("c_id"), "full_outer")
+  private[graft] def auditJoin(base: DataFrame, arrived: DataFrame,
+                               keys: Seq[String] = Seq("c_id")): DataFrame =
+    base.join(arrived, keys, "full_outer")
       .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
       .withColumn("n_arrived", coalesce(col("n_arrived"), lit(0L)))
       .withColumn("growth_ppm", when(col("n_base") === 0L, lit(-1L))
@@ -416,9 +416,9 @@ object Ann {
         when(col("n_base") > 0L && col("n_arrived") > 0L,
           col("arrived_sim_ppm") - col("base_sim_ppm"))
           .otherwise(lit(0L)))
-      .select(col("c_id"), col("n_base"), col("n_arrived"),
+      .select(keys.map(col) ++ Seq(col("n_base"), col("n_arrived"),
         col("growth_ppm"), col("base_sim_ppm"),
-        col("arrived_sim_ppm"), col("drift_ppm"))
+        col("arrived_sim_ppm"), col("drift_ppm")): _*)
 
   /** The full index membership as a (vid, v, vn) training frame —
     * base INVERTED LISTS ∪ arrivals. The lists already carry every
@@ -489,6 +489,65 @@ object Ann {
       .select(col("c_id"), col("retrain"), col("n_before"),
         col("n_after"), (col("n_after") - col("n_before")).as("delta_n"),
         col("move_ppm"))
+  }
+
+  /** The retrain-cycle DRIVER, batch-replayed — d32's per-list alarm
+    * composed with c80's apply into one closed loop: arrivals land in
+    * micro-batches (replay slicing: `batch = id mod nBatches`,
+    * processed in batch-index order — the stream's own micro-batch id
+    * plays this role live, see Streams.retrainCycleStreaming), the
+    * per-list [[retrainVerdict]] is evaluated over each cumulative
+    * PREFIX, and the index-level retrain fires at the FIRST batch
+    * where flagged lists reach `majorityPpm` of k (a single drifting
+    * list means splitting, not retraining the whole index — the
+    * majority vote is the index-level decision), else at drain (the
+    * scheduled-refresh fallback). The emitted record is c80's
+    * [[retrainAudit]] evaluated AT the trigger prefix — what the
+    * refresh does at the moment the cycle actually fires, not at
+    * drain — plus the trigger batch id.
+    *
+    * Scale shape: one linear assignment pass over the arrivals (the
+    * map-side [[arrivalAssign]] broadcast fold), one (c_id, batch)
+    * partial-aggregable groupBy, and everything downstream of it is
+    * k x nBatches-row arithmetic; the one-row trigger frame joins
+    * back by broadcast (the bounded-broadcast class), never a
+    * driver-side collect. The audit legs are c80's two linear member
+    * passes over base lists + the trigger prefix. */
+  def retrainCycle(idx: IvfIndex, arrivals: DataFrame, id: String,
+                   vec: String, nBatches: Int, majorityPpm: Long,
+                   maxGrowthPpm: Long, maxDriftDownPpm: Long): DataFrame = {
+    val batchOf = pmod(col(id), lit(nBatches))
+    val assigned = arrivalAssign(idx, arrivals, id, vec)
+      .withColumn("batch", pmod(col("n_id"), lit(nBatches)))
+    val perBatch = assigned.groupBy(col("c_id"), col("batch"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("sim_ppm") + lit(1000000L)).as("s"))
+    // dense batch axis from the k-row centroid frame (batches with
+    // no arrivals still need a verdict row)
+    val batches = idx.centroids.limit(1)
+      .select(explode(sequence(lit(0), lit(nBatches - 1))).as("batch"))
+    val prefixStats = perBatch.as("p")
+      .join(batches.as("b"), col("p.batch") <= col("b.batch"))
+      .groupBy(col("b.batch").as("batch"), col("p.c_id").as("c_id"))
+      .agg(sum(col("n")).cast("long").as("n_arrived"),
+        expr("(sum(s) div sum(n)) - 1000000").cast("long")
+          .as("arrived_sim_ppm"))
+    val flags = retrainVerdict(
+      auditJoin(ivfBaseStats(idx).crossJoin(batches), prefixStats,
+        Seq("c_id", "batch")),
+      maxGrowthPpm, maxDriftDownPpm)
+    val trig = flags.groupBy(col("batch"))
+      .agg(sum(col("retrain")).as("n_flagged"))
+      .crossJoin(idx.centroids.agg(count(lit(1)).as("k")))
+      .agg(min(when(col("n_flagged") * 1000000L >=
+        col("k") * majorityPpm, col("batch"))).as("t"))
+      .select(coalesce(col("t"), lit(nBatches - 1)).cast("long")
+        .as("trigger_batch"))
+    val prefixArrivals = arrivals.crossJoin(broadcast(trig))
+      .where(batchOf <= col("trigger_batch")).drop("trigger_batch")
+    retrainAudit(idx, prefixArrivals, id, vec, maxGrowthPpm,
+        maxDriftDownPpm)
+      .crossJoin(broadcast(trig))
   }
 
   /** Every index member's OLD list vs its list under `newCent` — the

@@ -1508,8 +1508,157 @@ object StreamingSuite extends Suite {
       GROUP BY 1, 2
       ORDER BY hour_bucket, event_type"""))
 
+  val d36 = Q(
+    "d36_stream_retrain_cycle",
+    // The retrain-cycle DRIVER, batch-replayed (Ann.retrainCycle) —
+    // d32's per-list alarm composed with c80's apply into one closed
+    // loop: arrivals (%10 >= 8) land in 4 replay batches
+    // (batch = vec_id mod 4, processed in batch order — live, the
+    // stream's own micro-batch id plays this role, see
+    // Streams.retrainCycleStreaming), the per-list retrainVerdict is
+    // evaluated over each cumulative prefix, and the INDEX-level
+    // retrain fires at the first batch where flagged lists reach 3/4
+    // of k (one drifting list means splitting, not retraining the
+    // whole index), else at drain. Output = c80's retrainAudit AT
+    // the trigger prefix (what the refresh does at the moment the
+    // cycle fires) + the trigger batch id. One linear assignment
+    // pass + one (c_id, batch) groupBy; everything downstream is
+    // k x 4-row arithmetic, the one-row trigger re-joins by
+    // broadcast.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val arrivals = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) >= 8)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2,
+          tmp)
+      } { b => Ann.readIndex(s, b) }
+      Ann.retrainCycle(idx, arrivals, "vec_id", "embedding",
+          nBatches = 4, majorityPpm = 750000L,
+          maxGrowthPpm = 300000L, maxDriftDownPpm = 20000L)
+        .orderBy(col("c_id"))
+    },
+    Some {
+      def cos(a: String, b: String) =
+        graft.functions.VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 < 8),
+      arrivals AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 >= 8),
+      ${PipelineSuite.kmeansCtes(k = 8, iters = 2)},
+      bsim AS (
+        SELECT p.cid,
+               CAST(round(${cos("v.embedding", "c.cv")} * 1000000, 0)
+                 AS BIGINT) AS sim_ppm
+        FROM pick3 p JOIN corpus v USING (vec_id)
+          JOIN cent2 c ON c.cid = p.cid),
+      bstat AS (
+        SELECT cid, COUNT(*) AS n_base,
+               CAST((SUM(sim_ppm + 1000000) // COUNT(*)) - 1000000
+                 AS BIGINT) AS base_sim_ppm
+        FROM bsim GROUP BY 1),
+      apick AS (
+        SELECT vec_id, vec_id % 4 AS batch, cid, sim_ppm FROM (
+          SELECT a.vec_id, c.cid,
+                 CAST(round(${cos("a.embedding", "c.cv")} * 1000000, 0)
+                   AS BIGINT) AS sim_ppm,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY ${cos("a.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM arrivals a CROSS JOIN cent2 c) t
+        WHERE rk = 1),
+      pb AS (
+        SELECT batch, cid, COUNT(*) AS n,
+               SUM(sim_ppm + 1000000) AS s
+        FROM apick GROUP BY 1, 2),
+      bat AS (SELECT unnest(range(0, 4)) AS batch),
+      pstat AS (
+        SELECT b.batch AS batch, p.cid AS cid, SUM(p.n) AS n_arrived,
+               CAST((SUM(p.s) // SUM(p.n)) - 1000000 AS BIGINT)
+                 AS arrived_sim_ppm
+        FROM bat b JOIN pb p ON p.batch <= b.batch GROUP BY 1, 2),
+      fl AS (
+        SELECT coalesce(b.n_base, 0) AS n_base,
+               coalesce(p.n_arrived, 0) AS n_arrived,
+               coalesce(b.batch, p.batch) AS batch,
+               CASE WHEN b.cid IS NULL THEN CAST(-1 AS BIGINT)
+                    ELSE CAST((CAST(coalesce(p.n_arrived, 0) AS HUGEINT)
+                      * 1000000) // b.n_base AS BIGINT) END AS growth_ppm,
+               CASE WHEN b.cid IS NOT NULL AND p.cid IS NOT NULL
+                    THEN p.arrived_sim_ppm - b.base_sim_ppm
+                    ELSE 0 END AS drift_ppm
+        FROM (SELECT s.cid, s.n_base, s.base_sim_ppm, bat.batch
+              FROM bstat s CROSS JOIN bat) b
+          FULL OUTER JOIN pstat p
+            ON b.cid = p.cid AND b.batch = p.batch),
+      flg AS (
+        SELECT batch, SUM(CASE WHEN n_arrived > 0 AND (n_base = 0
+                 OR growth_ppm >= 300000 OR drift_ppm <= -20000)
+               THEN 1 ELSE 0 END) AS n_flagged
+        FROM fl GROUP BY 1),
+      trig AS (
+        SELECT CAST(coalesce(MIN(CASE WHEN n_flagged * 1000000
+                 >= 8 * 750000 THEN batch END), 3) AS BIGINT)
+               AS trigger_batch
+        FROM flg),
+      parr AS (
+        SELECT a.vec_id, a.embedding FROM arrivals a, trig
+        WHERE a.vec_id % 4 <= trig.trigger_batch),
+      astat AS (
+        SELECT cid, COUNT(*) AS n_arrived,
+               CAST((SUM(sim_ppm + 1000000) // COUNT(*)) - 1000000
+                 AS BIGINT) AS arrived_sim_ppm
+        FROM apick, trig WHERE apick.batch <= trig.trigger_batch
+        GROUP BY cid),
+      audit AS (
+        SELECT coalesce(b.cid, a.cid) AS c_id,
+               CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+               CAST(coalesce(a.n_arrived, 0) AS BIGINT) AS n_arrived,
+               CASE WHEN b.cid IS NULL THEN CAST(-1 AS BIGINT)
+                    ELSE CAST((CAST(coalesce(a.n_arrived, 0) AS HUGEINT)
+                      * 1000000) // b.n_base AS BIGINT) END AS growth_ppm,
+               CAST(CASE WHEN b.cid IS NOT NULL AND a.cid IS NOT NULL
+                    THEN a.arrived_sim_ppm - b.base_sim_ppm
+                    ELSE 0 END AS BIGINT) AS drift_ppm
+        FROM bstat b FULL OUTER JOIN astat a ON b.cid = a.cid),
+      members AS (
+        SELECT vec_id, embedding FROM corpus
+        UNION ALL
+        SELECT vec_id, embedding FROM parr),
+      ${PipelineSuite.kmeansIterSql("cent2", 9, dim = 64,
+          rel = "members")},
+      ${PipelineSuite.kmeansPickSql("cent9", 10, rel = "members")},
+      na AS (SELECT cid, COUNT(*) AS n_after FROM pick10 GROUP BY 1)
+      SELECT a.c_id,
+             CAST(CASE WHEN a.n_arrived > 0 AND (a.n_base = 0
+                        OR a.growth_ppm >= 300000
+                        OR a.drift_ppm <= -20000)
+                  THEN 1 ELSE 0 END AS BIGINT) AS retrain,
+             CAST(a.n_base + a.n_arrived AS BIGINT) AS n_before,
+             CAST(coalesce(na.n_after, 0) AS BIGINT) AS n_after,
+             CAST(coalesce(na.n_after, 0) - (a.n_base + a.n_arrived)
+               AS BIGINT) AS delta_n,
+             CASE WHEN c9.cid IS NULL THEN CAST(-1 AS BIGINT)
+                  ELSE CAST(round(${cos("c2.cv", "c9.cv")} * 1000000, 0)
+                    AS BIGINT) END AS move_ppm,
+             trig.trigger_batch
+      FROM audit a
+        CROSS JOIN trig
+        JOIN cent2 c2 ON c2.cid = a.c_id
+        LEFT JOIN cent9 c9 ON c9.cid = a.c_id
+        LEFT JOIN na ON na.cid = a.c_id
+      ORDER BY a.c_id"""
+    })
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29, d30, d31, d32, d33, d34, d35)
+      d29, d30, d31, d32, d33, d34, d35, d36)
 }

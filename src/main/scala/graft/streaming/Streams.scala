@@ -1424,6 +1424,80 @@ object Streams {
       .start()
   }
 
+  /** The retrain-cycle DRIVER live — d32's alarm composed with c80's
+    * apply AT INGEST (the batch contract is Ann.retrainCycle; here
+    * the stream's own micro-batch id IS the batch axis): each batch
+    * folds into the d32 per-list partials, the index-level decision
+    * fires at the first batch where flagged lists reach `majorityPpm`
+    * of k, and firing freezes the cycle record — c80's retrainAudit
+    * over base + the arrivals seen so far, stamped with the firing
+    * batch id. Before the cycle fires, every emission carries the
+    * live verdict with IDENTITY post-columns (n_after = n_before,
+    * delta_n = 0, move_ppm = 1e6, trigger_batch = -1): the index is
+    * unchanged until the cycle actually runs. Cross-batch state =
+    * the k-row partials + the accumulated arrival set (the c80 audit
+    * needs the vectors themselves — bounded by the arrivals between
+    * retrains, which a fired cycle folds into the index); the firing
+    * probe is a k-row isEmpty control action, the migrateIndexDir
+    * class. Same at-least-once batchId guard as dedupChurnStreaming.
+    */
+  def retrainCycleStreaming(idx: graft.operators.Ann.IvfIndex,
+      arrivals: DataFrame, id: String, vec: String,
+      majorityPpm: Long = 750000L, maxGrowthPpm: Long = 300000L,
+      maxDriftDownPpm: Long = 20000L)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Ann
+    import graft.util.Barriers.BarrierOps
+    val baseB = Ann.ivfBaseStats(idx).barrier(true)
+    val kDf = idx.centroids.agg(count(lit(1)).as("k"))
+    var partials: Option[DataFrame] = None
+    var arrAcc: Option[DataFrame] = None
+    var cycle: Option[DataFrame] = None
+    var lastApplied = -1L
+    def liveVerdict(): DataFrame =
+      Ann.retrainVerdict(
+        Ann.auditJoin(baseB, partials.get.groupBy(col("c_id"))
+          .agg(sum(col("n")).cast("long").as("n_arrived"),
+            expr("(sum(s) div sum(n)) - 1000000").cast("long")
+              .as("arrived_sim_ppm"))),
+        maxGrowthPpm, maxDriftDownPpm)
+    arrivals.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val p = Ann.arrivalAssign(idx, batch, id, vec)
+            .groupBy(col("c_id"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("sim_ppm") + lit(1000000L)).as("s"))
+          partials = Some(partials.map(_.unionAll(p)).getOrElse(p)
+            .barrier(true))
+          arrAcc = Some(arrAcc.map(_.unionAll(batch)).getOrElse(batch)
+            .barrier(true))
+          lastApplied = bid
+          if (cycle.isEmpty) {
+            val fire = !liveVerdict()
+              .agg(coalesce(sum(col("retrain")), lit(0L)).as("nf"))
+              .crossJoin(kDf)
+              .where(col("nf") * 1000000L >= col("k") * majorityPpm)
+              .isEmpty
+            if (fire) cycle = Some(
+              Ann.retrainAudit(idx, arrAcc.get, id, vec, maxGrowthPpm,
+                  maxDriftDownPpm)
+                .withColumn("trigger_batch", lit(bid))
+                .barrier(true))
+          }
+        }
+        sink(cycle.getOrElse(liveVerdict()
+            .select(col("c_id"), col("retrain"),
+              (col("n_base") + col("n_arrived")).as("n_before"))
+            .withColumn("n_after", col("n_before"))
+            .withColumn("delta_n", lit(0L))
+            .withColumn("move_ppm", lit(1000000L))
+            .withColumn("trigger_batch", lit(-1L)))
+          .orderBy(col("c_id")))
+      }
+      .start()
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

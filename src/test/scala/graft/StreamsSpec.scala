@@ -784,6 +784,59 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming retrain cycle: pending identity record before the " +
+      "majority fires, frozen c80 audit after") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    import graft.util.Barriers.BarrierOps
+    val e = Tables.embeddings(spark, sf)
+    val base = e.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val arrivals = e.where($"vec_id" >= 5 &&
+      pmod($"vec_id", lit(10)) >= 8)
+    val centDf = Ann.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2).barrier(true)
+    val idx = Ann.IvfIndex(
+      centDf.select($"vec_id".as("c_id"), $"embedding".as("c_vec")),
+      Ann.buildLists(base,
+        Ann.centTable(centDf, "vec_id", "embedding"),
+        "vec_id", "embedding").barrier(true))
+    val arriving = arrivals.select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    type Row7 = (Long, Long, Long, Long, Long, Long, Long)
+    val emissions =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[Row7]]
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[Row7] =
+      df.collect().map(r => (r.getAs[Long]("c_id"),
+        r.getAs[Long]("retrain"), r.getAs[Long]("n_before"),
+        r.getAs[Long]("n_after"), r.getAs[Long]("delta_n"),
+        r.getAs[Long]("move_ppm"), r.getAs[Long]("trigger_batch")))
+        .sortBy(_._1).toSeq
+    val ms = MemoryStream[(Long, Array[Float], Int)]
+    val q = Streams.retrainCycleStreaming(idx,
+        ms.toDF().toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding") { df =>
+      val rows = toRows(df)
+      this.synchronized { emissions += rows }
+    }
+    // batch 0 = two arrivals (at most 2 of 8 lists can flag -> the
+    // 3/4 majority cannot fire); batch 1 = the rest (fires)
+    val (b1, b2) = arriving.splitAt(2)
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(emissions.size === 2)
+    // pending emission: index unchanged -> identity post-columns
+    assert(emissions(0).forall(r => r._7 === -1L && r._6 === 1000000L
+      && r._4 === r._3 && r._5 === 0L))
+    // fired emission: the frozen c80 audit over ALL arrivals seen at
+    // firing time, stamped with the firing batch id
+    val expected = toRows(Ann.retrainAudit(idx, arrivals, "vec_id",
+        "embedding", maxGrowthPpm = 300000L, maxDriftDownPpm = 20000L)
+      .withColumn("trigger_batch", lit(1L)))
+    assert(emissions(1) === expected)
+  }
+
   test("streaming source drift: last emission equals batch drift after drain") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CorpusStats
