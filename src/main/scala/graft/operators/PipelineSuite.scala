@@ -3406,6 +3406,27 @@ object PipelineSuite extends Suite {
       ${Dedup.paragraphDedupSql("doc_id", "text", 16, 16)}
       ORDER BY doc_id"""))
 
+  val c86 = Q(
+    "c86_epoch_repeat",
+    // Fractional-epoch REPEAT (Sampling.epochRepeat/epochAudit) —
+    // the data-constrained mirror of c32: the same isqrt-flattened
+    // share of a 2.5x token budget, but where c32 caps the rate at
+    // 1.0 and samples DOWN, c86 runs it past 1.0 and repeats UP —
+    // each doc emitted floor(epochs) times plus once more iff its
+    // stable hash bucket falls below the fractional remainder, so a
+    // 2.4-epoch source repeats every doc twice and the SAME
+    // deterministic 40% a third time in every run (Muennighoff et
+    // al., data-constrained scaling). Copy generation is a map-side
+    // explode off a broadcast one-row-per-source target table — no
+    // shuffle in the repeat; the audit aggregates the EMITTED frame
+    // so the oracle checks the emit path, not a closed form.
+    (s, d) => Sampling.epochAudit(Tables.documents(s, d), "source",
+        "doc_id", "text", budgetPpm = 2500000L)
+      .orderBy(col("source")),
+    Some(s"""
+      ${Sampling.epochAuditSql("source", "doc_id", "text", 2500000L)}
+      ORDER BY source"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3413,5 +3434,5 @@ object PipelineSuite extends Suite {
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
-      c83, c84, c85)
+      c83, c84, c85, c86)
 }

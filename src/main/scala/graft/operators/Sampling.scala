@@ -254,4 +254,151 @@ object Sampling {
       GROUP BY $source
       ORDER BY $source"""
   }
+
+  /** Per-source fractional-epoch targets for the data-constrained
+    * regime — [[applyMixture]]'s flattened share WITHOUT the 1.0 cap:
+    * when the token budget exceeds a source's share of the corpus,
+    * the source is REPEATED (multiple epochs) instead of sampled
+    * down. epochs_ppm = target_tokens·10^6 div n_tokens, where
+    * target_tokens is the same isqrt-flattened share of
+    * budgetPpm·total tokens. Repeating data for a handful of epochs
+    * trades close to fresh data early and degrades predictably
+    * (Muennighoff et al., "Scaling Data-Constrained Language
+    * Models"), which is why the repeat step is a first-class mixing
+    * operator, not a training-loop hack. All-integer, same
+    * decimal(38,0)/HUGEINT widening discipline as [[applyMixture]]. */
+  private def epochTargets(docs: DataFrame, source: String,
+                           text: String, budgetPpm: Long): DataFrame = {
+    val perSource = docs
+      .select(col(source),
+        size(TextOps.tokens(col(text))).cast("long").as("tok"))
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .withColumn("isq", CorpusStats.isqrtExact(col("n_tokens")))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("tot_tokens"), sum(col("isq")).as("tot_isq"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("budget_tokens",
+        expr(s"(cast(tot_tokens as decimal(38,0)) * $budgetPpm) div 1000000"))
+      .withColumn("target_tokens",
+        expr("(cast(budget_tokens as decimal(38,0)) * isq) div tot_isq"))
+      .withColumn("epochs_ppm",
+        CorpusStats.ppmExpr("target_tokens", "n_tokens"))
+      .select(col(source), col("n_docs"), col("n_tokens"),
+        col("epochs_ppm"))
+  }
+
+  /** The repeated corpus itself: each doc emitted
+    * `epochs_ppm div 10^6` times, plus once more iff its stable hash
+    * bucket falls below the fractional remainder — so a 2.4-epoch
+    * source repeats every doc twice and a deterministic 40% of docs a
+    * third time, and the SAME docs get the extra copy in every run
+    * and on every cluster layout (the [[stratifiedSample]] hash
+    * contract, applied above 1.0 instead of below). The copy index
+    * makes repeats distinct rows for downstream shuffling/packing.
+    *
+    * Shape at 100 TB: the target table is one row per source
+    * (broadcast); copy generation is a map-side explode whose fanout
+    * is the epoch count (single digits by construction — repeating
+    * data past a few epochs is the regime the paper shows stops
+    * paying) — no shuffle anywhere in the repeat itself. */
+  def epochRepeat(docs: DataFrame, source: String, id: String,
+                  text: String, budgetPpm: Long): DataFrame = {
+    val bucket = pmod(
+      TextOps.polyHashMixed(
+        concat(col(source), lit(":"), col(id).cast("string"))),
+      lit(1000000L))
+    docs.select(col(source), col(id),
+        size(TextOps.tokens(col(text))).cast("long").as("tok"))
+      .withColumn("bucket", bucket)
+      .join(broadcast(epochTargets(docs, source, text, budgetPpm)
+        .select(col(source), col("epochs_ppm"))), Seq(source))
+      .withColumn("n_copies",
+        expr("epochs_ppm div 1000000") +
+          when(col("bucket") < expr("epochs_ppm % 1000000"), lit(1L))
+            .otherwise(lit(0L)))
+      .where(col("n_copies") > 0L)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("n_copies") - lit(1L))))
+      .select(col(source), col(id), col("copy"), col("tok"))
+  }
+
+  /** Per-source audit of [[epochRepeat]]: the emitted doc/token mass
+    * aggregated FROM the repeated frame (so the audit checks the emit
+    * path, not a closed form) next to the target, with realized_ppm
+    * quantifying the hash-uniformity error of the fractional step. */
+  def epochAudit(docs: DataFrame, source: String, id: String,
+                 text: String, budgetPpm: Long): DataFrame = {
+    val emitted = epochRepeat(docs, source, id, text, budgetPpm)
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_emitted"),
+        sum(col("tok")).cast("long").as("tokens_emitted"))
+    epochTargets(docs, source, text, budgetPpm)
+      .join(emitted, Seq(source), "left")
+      .withColumn("n_emitted", coalesce(col("n_emitted"), lit(0L)))
+      .withColumn("tokens_emitted",
+        coalesce(col("tokens_emitted"), lit(0L)))
+      .withColumn("realized_ppm",
+        CorpusStats.ppmExpr("tokens_emitted", "n_tokens"))
+      .select(col(source), col("n_docs"), col("n_tokens"),
+        col("epochs_ppm"), col("n_emitted"), col("tokens_emitted"),
+        col("realized_ppm"))
+  }
+
+  /** DuckDB mirror of [[epochAudit]]. The repeat is a bounded unnest
+    * (`range(0, $copyCap)` + WHERE) because range() takes no lateral
+    * column argument; the error() guard makes an epoch count at or
+    * above the cap fail loudly instead of silently truncating. */
+  def epochAuditSql(source: String, id: String, text: String,
+                    budgetPpm: Long, copyCap: Int = 16): String = {
+    val tk = TextOps.tokensSql(text)
+    val bucket =
+      s"(${TextOps.polyHashMixedSql(s"(d.$source || ':' || CAST(d.$id AS VARCHAR))")}) % 1000000"
+    s"""
+      WITH base AS (
+        SELECT $source, COUNT(*) AS n_docs,
+               SUM(CAST(len($tk) AS BIGINT)) AS n_tokens
+        FROM documents GROUP BY 1),
+      per_source AS (
+        SELECT $source, n_docs, n_tokens,
+               ${CorpusStats.isqrtCorrectSql("n_tokens", "isq0")} AS isq
+        FROM (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS isq0
+              FROM base)),
+      tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(isq) AS tot_isq
+              FROM per_source),
+      targets AS (
+        SELECT $source, n_docs, n_tokens,
+               CASE WHEN ep >= ${copyCap}000000
+                    THEN error('epochAudit: epoch count exceeds oracle copy cap $copyCap')
+                    ELSE ep END AS epochs_ppm
+        FROM (
+          SELECT $source, n_docs, n_tokens,
+                 ${CorpusStats.ppmSql("target_tokens", "n_tokens")} AS ep
+          FROM (
+            SELECT $source, n_docs, n_tokens,
+                   ((CAST(tot_tokens AS HUGEINT) * $budgetPpm) // 1000000)
+                     * isq // tot_isq AS target_tokens
+            FROM per_source CROSS JOIN tot))),
+      rep AS (
+        SELECT d.$source, d.$id, r.copy,
+               CAST(len($tk) AS BIGINT) AS tok
+        FROM documents d JOIN targets t ON d.$source = t.$source
+          CROSS JOIN (SELECT unnest(range(0, $copyCap)) AS copy) r
+        WHERE r.copy < (t.epochs_ppm // 1000000)
+              + CASE WHEN $bucket < (t.epochs_ppm % 1000000)
+                     THEN 1 ELSE 0 END),
+      emitted AS (
+        SELECT $source, COUNT(*) AS n_emitted,
+               SUM(tok) AS tokens_emitted
+        FROM rep GROUP BY 1)
+      SELECT t.$source AS $source, t.n_docs,
+             CAST(t.n_tokens AS BIGINT) AS n_tokens,
+             CAST(t.epochs_ppm AS BIGINT) AS epochs_ppm,
+             CAST(COALESCE(e.n_emitted, 0) AS BIGINT) AS n_emitted,
+             CAST(COALESCE(e.tokens_emitted, 0) AS BIGINT)
+               AS tokens_emitted,
+             CAST((CAST(COALESCE(e.tokens_emitted, 0) AS HUGEINT)
+               * 1000000) // t.n_tokens AS BIGINT) AS realized_ppm
+      FROM targets t LEFT JOIN emitted e ON t.$source = e.$source"""
+  }
 }

@@ -94,6 +94,53 @@ class CorpusStatsSpec extends SparkSpec {
     assert(again.map(_.toString).toSeq == out.map(_.toString).toSeq)
   }
 
+  test("epochRepeat: hand-checked epoch factors, exact copy indices, " +
+      "deterministic fractional assignment") {
+    import graft.operators.Sampling
+    val docs = ((1L to 400L).map(i => (i, ("w " * 10).trim, "web")) ++
+      (401L to 440L).map(i => (i, ("b " * 10).trim, "books")))
+      .toDF("doc_id", "text", "source")
+    val audit = Sampling.epochAudit(docs, "source", "doc_id", "text",
+        budgetPpm = 2500000L)
+      .orderBy($"source").collect()
+    val books = audit.find(_.getAs[String]("source") == "books").get
+    val web = audit.find(_.getAs[String]("source") == "web").get
+    // hand-checked: tokens web=4000 books=400, budget=11000,
+    // isq 63+20=83 -> books target=220000 div 83=2650,
+    // epochs=2650e6 div 400=6625000; web target=693000 div 83=8349,
+    // epochs=8349e6 div 4000=2087250
+    assert(books.getAs[Long]("epochs_ppm") == 6625000L)
+    assert(web.getAs[Long]("epochs_ppm") == 2087250L)
+    // every doc gets floor(epochs) copies; the fractional extra is
+    // within hash-uniformity noise of the remainder
+    val bn = books.getAs[Long]("n_emitted")
+    assert(bn >= 6 * 40 && bn <= 7 * 40)
+    assert(math.abs(bn - (6 * 40 + 0.625 * 40)) <= 8, s"books $bn")
+    val wn = web.getAs[Long]("n_emitted")
+    assert(wn >= 2 * 400 && wn <= 3 * 400)
+    assert(math.abs(wn - (2 * 400 + 0.08725 * 400)) <= 25, s"web $wn")
+    // token mass rides the docs (10 tokens each) and realized_ppm is
+    // the emitted/base ratio of the same numbers
+    assert(books.getAs[Long]("tokens_emitted") == bn * 10)
+    assert(books.getAs[Long]("realized_ppm") == bn * 10_000_000L / 400L)
+    // the emitted frame: per doc exactly n_copies rows with copy
+    // indices 0..n_copies-1 (distinct, contiguous)
+    val rep = Sampling.epochRepeat(docs, "source", "doc_id", "text",
+      budgetPpm = 2500000L)
+    val perDoc = rep.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct($"copy").as("nd"),
+        max($"copy").as("mx"))
+      .collect()
+    assert(perDoc.forall(r => r.getAs[Long]("n") == r.getAs[Long]("nd")
+      && r.getAs[Long]("mx") == r.getAs[Long]("n") - 1))
+    // audit aggregates the emitted frame
+    assert(rep.where($"source" === "books").count() == bn)
+    // deterministic on re-run
+    val again = Sampling.epochAudit(docs, "source", "doc_id", "text",
+        budgetPpm = 2500000L).orderBy($"source").collect()
+    assert(again.map(_.toString).toSeq == audit.map(_.toString).toSeq)
+  }
+
   test("unigramSurprisal: rare tokens score more bits than common ones") {
     // corpus: 'the' x 8, 'rare' x 1, others fill to N=16 tokens
     val docs = Seq(

@@ -102,6 +102,7 @@ class PlanShapeSpec extends SparkSpec {
       "c28_lm_surprisal",   // broadcast 1-row total-token count
       "c31_vocab_stats",    // broadcast 1-row vocab totals
       "c32_mix_apply",      // broadcast 1-row corpus totals
+      "c86_epoch_repeat",   // broadcast 1-row corpus totals (c32 class)
       "c35_cluster_profile", // broadcast centroids
       "c36_bm25_retrieval", // broadcast 1-row corpus totals
       "d12_stream_cluster_assign", // broadcast 1-row centroid array
