@@ -284,6 +284,99 @@ object Ann {
         col("c_id"), col("sim"))
   }
 
+  /** FRESHNESS probe, batch-replayed — live-insert vector search:
+    * every arriving vector is BOTH an insert and a query, and a
+    * query's answer set is the base index PLUS every arrival from a
+    * strictly earlier micro-batch (replay axis: `batch = id mod
+    * nBatches`, processed in batch order — live, the stream's own
+    * batch id plays this role, see Streams.annFreshnessStreaming).
+    * This is the search-freshness contract "index forever" needs
+    * between refreshes: d32 appends arrivals and d36 decides when to
+    * retrain, but until searches SEE the appended vectors the index
+    * is stale for exactly the data most likely to be queried next
+    * (near-dup lookups of what just landed). Strict `<` keeps the
+    * contract deterministic under replay and excludes self-matches
+    * by construction (a vector's own batch is never < itself).
+    *
+    * Shape: the probe legs are the c29 class — queries broadcast,
+    * base lists equi-joined on probed centroids (DPP prunes the
+    * lists scan; at 100 TB the fresh leg is the same scan because
+    * appendIndexDir lands arrivals INSIDE the centroid-partitioned
+    * directory), arrival assignment is the map-side one-row-array
+    * fold, and the only member-scale exchange is the top-k
+    * partial/final pair on q_id. `fresh` marks answers that would be
+    * missed by a stale-index probe. */
+  def freshTopK(idx: IvfIndex, arrivals: DataFrame, id: String,
+                vec: String, nBatches: Int, nprobe: Int,
+                k: Int): DataFrame = {
+    val cent = centTable(
+      idx.centroids.select(col("c_id").as(id), col("c_vec").as(vec)),
+      id, vec)
+    val probes = assignToCentroids(
+      broadcast(arrivals.select(col(id).as("q_id"), col(vec).as("q_vec"),
+        VectorOps.norm(col(vec)).as("q_nrm"),
+        pmod(col(id), lit(nBatches)).cast("long").as("q_batch"))),
+      cent, "q", nprobe)
+    val cols = Seq("q_id", "q_vec", "q_nrm", "n_id", "c_id", "n_vec",
+      "n_nrm", "fresh").map(col)
+    val baseLeg = idx.lists
+      .select(col("c_id"), col("n_id"), col("n_vec"), col("n_nrm"))
+      .join(broadcast(probes), "c_id")
+      .withColumn("fresh", lit(0L))
+      .select(cols: _*)
+    val freshLeg = arrivalAssign(idx, arrivals, id, vec)
+      .withColumn("n_batch", pmod(col("n_id"), lit(nBatches)).cast("long"))
+      .select(col("c_id"), col("n_id"), col("n_vec"), col("n_nrm"),
+        col("n_batch"))
+      .join(broadcast(probes), "c_id")
+      .where(col("n_batch") < col("q_batch"))
+      .withColumn("fresh", lit(1L))
+      .select(cols: _*)
+    freshRank(baseLeg.unionAll(freshLeg), k)
+  }
+
+  /** One live probe of base + already-arrived members — the per-batch
+    * unit of the streaming freshness search. `extraAssigned` is the
+    * accumulated [[arrivalAssign]] output for every PRIOR batch. */
+  private[graft] def freshProbe(idx: IvfIndex,
+      extraAssigned: Option[DataFrame], queries: DataFrame, id: String,
+      vec: String, nprobe: Int, k: Int): DataFrame = {
+    val cent = centTable(
+      idx.centroids.select(col("c_id").as(id), col("c_vec").as(vec)),
+      id, vec)
+    val probes = assignToCentroids(
+      broadcast(queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+        VectorOps.norm(col(vec)).as("q_nrm"))), cent, "q", nprobe)
+    val cols = Seq("q_id", "q_vec", "q_nrm", "n_id", "c_id", "n_vec",
+      "n_nrm", "fresh").map(col)
+    val baseLeg = idx.lists
+      .select(col("c_id"), col("n_id"), col("n_vec"), col("n_nrm"))
+      .join(broadcast(probes), "c_id")
+      .withColumn("fresh", lit(0L))
+      .select(cols: _*)
+    val legs = extraAssigned match {
+      case None => baseLeg
+      case Some(extra) => baseLeg.unionAll(
+        extra.select(col("c_id"), col("n_id"), col("n_vec"), col("n_nrm"))
+          .join(broadcast(probes), "c_id")
+          .withColumn("fresh", lit(1L))
+          .select(cols: _*))
+    }
+    freshRank(legs, k)
+  }
+
+  private def freshRank(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    cands
+      .withColumn("sim", VectorOps.cosine6Pre(col("n_vec"), col("q_vec"),
+        col("n_nrm"), col("q_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("c_id"),
+        col("sim"), col("fresh"))
+  }
+
   /** Map-side assignment of ARRIVING vectors to a persisted index's
     * STATIC centroids ([[argmaxAssign]] — the k centroids collapse to
     * a one-row broadcast array, so arrivals are never shuffled), in

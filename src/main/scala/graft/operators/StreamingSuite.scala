@@ -1657,8 +1657,89 @@ object StreamingSuite extends Suite {
       ORDER BY a.c_id"""
     })
 
+  val d37 = Q(
+    "d37_stream_ann_freshness",
+    // Live-insert vector search, batch-replayed (Ann.freshTopK) —
+    // the search-freshness contract between index refreshes: every
+    // arrival (%10 >= 8) is BOTH an insert and a query, and a
+    // query's answers are the base index PLUS every arrival from a
+    // strictly earlier replay batch (vec_id mod 4; live, the
+    // stream's own micro-batch id — Streams.annFreshnessStreaming
+    // probes before appending, StreamsSpec pins slicing parity).
+    // `fresh` marks answers a stale-index probe would miss. Probe
+    // legs are the c29 class (broadcast queries, DPP-prunable lists
+    // join, map-side arrival assignment); the only member-scale
+    // exchange is the top-k pair on q_id.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val arrivals = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) >= 8)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2,
+          tmp)
+      } { b => Ann.readIndex(s, b) }
+      Ann.freshTopK(idx, arrivals, "vec_id", "embedding",
+          nBatches = 4, nprobe = 2, k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      def cos(a: String, b: String) =
+        graft.functions.VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 < 8),
+      arrivals AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 >= 8),
+      ${PipelineSuite.kmeansCtes(k = 8, iters = 2)},
+      aas AS (
+        SELECT vec_id, cid, vec_id % 4 AS batch FROM (
+          SELECT a.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY ${cos("a.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM arrivals a CROSS JOIN cent2 c) t
+        WHERE rk = 1),
+      qprobe AS (
+        SELECT q_id, q_batch, cid FROM (
+          SELECT q.vec_id AS q_id, q.vec_id % 4 AS q_batch, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM arrivals q CROSS JOIN cent2 c) t
+        WHERE rk <= 2),
+      members AS (
+        SELECT cid, vec_id AS n_id, CAST(-1 AS BIGINT) AS n_batch
+        FROM pick3
+        UNION ALL
+        SELECT cid, vec_id, CAST(batch AS BIGINT) FROM aas),
+      vecs AS (
+        SELECT vec_id, embedding FROM corpus
+        UNION ALL
+        SELECT vec_id, embedding FROM arrivals)
+      SELECT q_id, rank, n_id, c_id, sim, fresh FROM (
+        SELECT p.q_id, m.n_id, m.cid AS c_id,
+               ${cos("v.embedding", "q.embedding")} AS sim,
+               CAST(CASE WHEN m.n_batch >= 0 THEN 1 ELSE 0 END
+                 AS BIGINT) AS fresh,
+               ROW_NUMBER() OVER (PARTITION BY p.q_id
+                 ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                          m.n_id) AS rank
+        FROM qprobe p
+          JOIN members m ON m.cid = p.cid AND m.n_batch < p.q_batch
+          JOIN vecs v ON v.vec_id = m.n_id
+          JOIN arrivals q ON q.vec_id = p.q_id) t
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""
+    })
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29, d30, d31, d32, d33, d34, d35, d36)
+      d29, d30, d31, d32, d33, d34, d35, d36, d37)
 }

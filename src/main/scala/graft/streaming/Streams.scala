@@ -1498,6 +1498,42 @@ object Streams {
       .start()
   }
 
+  /** Live-insert vector search AT INGEST — the batch contract is
+    * Ann.freshTopK; here the stream's own micro-batch id IS the batch
+    * axis: each arriving batch first PROBES the base index plus every
+    * prior arrival (so a query's answers include what just landed —
+    * the near-dup-of-recent-data case a stale index misses), then
+    * appends its own map-side assignment to the accumulated state.
+    * Probe-before-append gives the same strictly-earlier visibility
+    * as the replay's `batch <`, so feeding the replay's slices
+    * reproduces freshTopK row for row (StreamsSpec parity pin).
+    * Cross-batch state = the assigned arrivals since the index was
+    * last refreshed (exactly what appendIndexDir folds in at the next
+    * append — live state and the physical index stay in sync by
+    * construction). Same at-least-once batchId guard as
+    * dedupChurnStreaming. */
+  def annFreshnessStreaming(idx: graft.operators.Ann.IvfIndex,
+      arrivals: DataFrame, id: String, vec: String,
+      nprobe: Int = 2, k: Int = 3)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Ann
+    import graft.util.Barriers.BarrierOps
+    var acc: Option[DataFrame] = None
+    var lastApplied = -1L
+    arrivals.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          sink(Ann.freshProbe(idx, acc, batch, id, vec, nprobe, k)
+            .orderBy(col("q_id"), col("rank")))
+          val a = Ann.arrivalAssign(idx, batch, id, vec)
+            .select(col("c_id"), col("n_id"), col("n_vec"), col("n_nrm"))
+          acc = Some(acc.map(_.unionAll(a)).getOrElse(a).barrier(true))
+          lastApplied = bid
+        }
+      }
+      .start()
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

@@ -145,7 +145,8 @@ class PlanShapeSpec extends SparkSpec {
       "c83_filtered_ann",      // broadcast centroids (query probe)
       "c84_ann_label_partition", // broadcast centroids (query probe)
       "d34_stream_filtered_ann", // broadcast centroids (query probe)
-      "d36_stream_retrain_cycle") // broadcast 1-row trigger + centroid arrays
+      "d36_stream_retrain_cycle", // broadcast 1-row trigger + centroid arrays
+      "d37_stream_ann_freshness") // broadcast centroids (query probe)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -1314,6 +1314,61 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("streaming ANN freshness matches the batch replay and answers " +
+      "include prior arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    import graft.util.Barriers.BarrierOps
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val centDf = Ann.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2).barrier(true)
+    val idx = Ann.IvfIndex(
+      centDf.select($"vec_id".as("c_id"), $"embedding".as("c_vec")),
+      Ann.buildLists(base, Ann.centTable(centDf, "vec_id", "embedding"),
+        "vec_id", "embedding").barrier(true))
+    val arrivalsDf = emb.where($"vec_id" >= 5 &&
+      pmod($"vec_id", lit(10)) >= 8)
+    val arriving = arrivalsDf.select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    val collected = scala.collection.mutable.ArrayBuffer[
+      (Long, Int, Long, Long, Double, Long)]()
+    val ms = MemoryStream[(Long, Seq[Float], Int)]
+    val q = Streams.annFreshnessStreaming(idx,
+      ms.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", nprobe = 2, k = 3) { df =>
+      val rows = df.collect().map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("n_id"),
+        r.getAs[Long]("c_id"), r.getAs[Double]("sim"),
+        r.getAs[Long]("fresh")))
+      collected.synchronized { collected ++= rows }
+    }
+    // feed the replay's batch axis: slice i = vec_id mod 4 == i, in
+    // batch order, so the stream's bid reproduces the contract
+    try {
+      (0 until 4).foreach { b =>
+        ms.addData(arriving.filter(_._1 % 4 == b).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = collected.synchronized {
+      collected.sortBy(r => (r._1, r._2)).toSeq
+    }
+    val batch = Ann.freshTopK(idx, arrivalsDf, "vec_id", "embedding",
+        nBatches = 4, nprobe = 2, k = 3)
+      .orderBy($"q_id", $"rank")
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Long]("c_id"),
+        r.getAs[Double]("sim"), r.getAs[Long]("fresh"))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    // the freshness is real on this data: some answer is an arrival
+    // a stale-index probe would have missed
+    assert(streamed.exists(_._6 == 1L))
+    // and batch-0 queries see only the base index
+    val firstBatch = streamed.filter(_._1 % 4 == 0)
+    assert(firstBatch.nonEmpty && firstBatch.forall(_._6 == 0L))
+  }
+
   test("streaming keeper-upgrade monitor converges to the batch " +
       "challenge across batches") {
     implicit val sqlCtx = spark.sqlContext
