@@ -228,6 +228,41 @@ object Ann {
         col("c_id"), col("sim"))
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training complement of
+    * [[indexedFilteredTopK]]: for each query, the most-similar index
+    * members with a DIFFERENT label. High-similarity different-label
+    * neighbors are exactly the "hard negatives" a contrastive or
+    * retrieval objective needs (easy random negatives carry no
+    * gradient signal; the informative ones live near the decision
+    * boundary — Xiong et al.'s ANCE argument), and mining them is an
+    * index probe, not a new algorithm: the inequality rides the probe
+    * join where c83 puts its equality, so the lists scan keeps c_id
+    * DPP pruning and same-label members never pay the cosine. The
+    * `!=` filter is the anti-selective case — it thins each probed
+    * list by only the query's own class share, so the c83 caveat is
+    * mild here by construction. */
+  def indexedHardNegatives(idx: IvfIndex, queries: DataFrame,
+                           id: String, vec: String, labelCol: String,
+                           nprobe: Int, k: Int): DataFrame = {
+    val cent = centTable(
+      idx.centroids.select(col("c_id").as(id), col("c_vec").as(vec)),
+      id, vec)
+    val queryProbes = assignToCentroids(
+      broadcast(queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+        VectorOps.norm(col(vec)).as("q_nrm"),
+        col(labelCol).as("q_label"))), cent, "q", nprobe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    idx.lists.join(broadcast(queryProbes), "c_id")
+      .where(col("label") =!= col("q_label"))
+      .withColumn("sim", VectorOps.cosine6Pre(col("n_vec"), col("q_vec"),
+        col("n_nrm"), col("q_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("rank"), col("n_id"),
+        col("label"), col("c_id"), col("sim"))
+  }
+
   /** LABEL-PARTITIONED index layout — the scale path for SELECTIVE
     * filtered search ([[indexedFilteredTopK]]'s documented caveat
     * made structural): the same centroids, but the inverted lists

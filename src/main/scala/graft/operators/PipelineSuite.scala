@@ -3427,6 +3427,65 @@ object PipelineSuite extends Suite {
       ${Sampling.epochAuditSql("source", "doc_id", "text", 2500000L)}
       ORDER BY source"""))
 
+  val c87 = Q(
+    "c87_hard_negatives",
+    // Hard-negative mining for contrastive/retrieval training
+    // (Ann.indexedHardNegatives) — the complement of c83: for each
+    // query, the top-3 most-similar index members with a DIFFERENT
+    // label. High-similarity different-label neighbors are the
+    // negatives that carry gradient signal (ANCE); the mine is the
+    // same c29 probe with the inequality riding the probe join, so
+    // the lists scan keeps DPP pruning and same-label members never
+    // pay the cosine. Anti-selective by construction: != thins each
+    // probed list only by the query's own class share.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2,
+          tmp)
+      } { b => Ann.readIndex(s, b) }
+      Ann.indexedHardNegatives(idx, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", "label", nprobe = 3, k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 < 8),
+      queries AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id < 5),
+      ${kmeansCtes(k = 8, iters = 2)},
+      qprobe AS (
+        SELECT q_id, cid FROM (
+          SELECT q.vec_id AS q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM queries q CROSS JOIN cent2 c) t
+        WHERE rk <= 3)
+      SELECT q_id, q_label, rank, n_id, label, c_id, sim FROM (
+        SELECT p.q_id, q.label AS q_label, a.vec_id AS n_id, v.label,
+               p.cid AS c_id,
+               ${cos("v.embedding", "q.embedding")} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY p.q_id
+                 ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                          a.vec_id) AS rank
+        FROM qprobe p
+          JOIN pick3 a ON a.cid = p.cid
+          JOIN corpus v ON v.vec_id = a.vec_id
+          JOIN queries q ON q.vec_id = p.q_id
+        WHERE v.label <> q.label) t
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3434,5 +3493,5 @@ object PipelineSuite extends Suite {
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
-      c83, c84, c85, c86)
+      c83, c84, c85, c86, c87)
 }

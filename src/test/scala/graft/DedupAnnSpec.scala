@@ -691,6 +691,44 @@ class DedupAnnSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("hard negatives: labels always differ, and positives + " +
+      "negatives partition the unfiltered probe") {
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val centDf = Ann.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val idx = Ann.IvfIndex(
+      centDf.select($"vec_id".as("c_id"), $"embedding".as("c_vec")),
+      Ann.buildLists(base, Ann.centTable(centDf, "vec_id", "embedding"),
+        "vec_id", "embedding"))
+    val queries = emb.where($"vec_id" < 5)
+    val neg = Ann.indexedHardNegatives(idx, queries, "vec_id",
+      "embedding", "label", nprobe = 3, k = 3).cache()
+    assert(neg.count() > 0L)
+    // every mined negative has a label different from its query's
+    assert(neg.where($"label" === $"q_label").isEmpty)
+    // ranks contiguous from 1 per query
+    assert(neg.groupBy($"q_id")
+      .agg(max($"rank").as("mx"), count(lit(1)).as("n"))
+      .where($"mx" =!= $"n").isEmpty)
+    // with k wide open, same-label (c83) and different-label (c87)
+    // candidate sets PARTITION the unfiltered probe over the same
+    // probed lists — nothing dropped, nothing double-counted
+    val wide = 100000
+    val pos = Ann.indexedFilteredTopK(idx, queries, "vec_id",
+        "embedding", "label", nprobe = 3, k = wide)
+      .select($"q_id", $"n_id")
+    val negAll = Ann.indexedHardNegatives(idx, queries, "vec_id",
+        "embedding", "label", nprobe = 3, k = wide)
+      .select($"q_id", $"n_id")
+    val plain = Ann.indexedTopK(idx, queries, "vec_id", "embedding",
+        nprobe = 3, k = wide)
+      .select($"q_id", $"n_id")
+    assert(pos.intersect(negAll).isEmpty)
+    assert(pos.unionAll(negAll).exceptAll(plain).isEmpty)
+    assert(plain.exceptAll(pos.unionAll(negAll)).isEmpty)
+    neg.unpersist()
+  }
+
   test("index-forever lifecycle composes: physical append then " +
       "physical migrate equals the in-memory pipeline") {
     // the production sequence: build -> appendIndexDir (c79's write

@@ -144,6 +144,7 @@ class PlanShapeSpec extends SparkSpec {
       "c82_retrain_recall",    // broadcast centroids + query set (c17 class)
       "c83_filtered_ann",      // broadcast centroids (query probe)
       "c84_ann_label_partition", // broadcast centroids (query probe)
+      "c87_hard_negatives",    // broadcast centroids (query probe)
       "d34_stream_filtered_ann", // broadcast centroids (query probe)
       "d36_stream_retrain_cycle", // broadcast 1-row trigger + centroid arrays
       "d37_stream_ann_freshness") // broadcast centroids (query probe)
