@@ -3486,6 +3486,46 @@ object PipelineSuite extends Suite {
       ORDER BY q_id, rank"""
     })
 
+  val c88 = Q(
+    "c88_session_transcripts",
+    // Corpus assembly from event logs (Streams.sessionTranscripts):
+    // each 30-min-gap session renders as one ordered text line of
+    // `type@offset_s` tokens — the behavioral-corpus step that turns
+    // telemetry into trainable documents for the text pipeline. Same
+    // single-shuffle core as d2's sessionize; in-group order is the
+    // deterministic id-ordered fold, so the rendered line is
+    // identical under any partitioning.
+    (s, d) => graft.streaming.Streams.sessionTranscripts(
+        Tables.events(s, d), gapUs = 1800000000L)
+      .orderBy(col("user_id"), col("start_us")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      l AS (
+        SELECT *, LAG(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS prev FROM e),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                       THEN 1 ELSE 0 END AS brk FROM l),
+      s AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess FROM f),
+      s2 AS (
+        SELECT *, MIN(us) OVER (PARTITION BY user_id, sess) AS start_us,
+               MAX(us) OVER (PARTITION BY user_id, sess) AS end_us
+        FROM s)
+      SELECT user_id, MIN(start_us) AS start_us,
+             COUNT(*) AS n_events,
+             CAST((MIN(end_us) - MIN(start_us)) // 1000000 AS BIGINT)
+               AS duration_s,
+             string_agg(event_type || '@' ||
+                 CAST((us - start_us) // 1000000 AS VARCHAR), ' '
+               ORDER BY us, event_id) AS transcript
+      FROM s2
+      GROUP BY user_id, sess
+      ORDER BY user_id, start_us"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3493,5 +3533,5 @@ object PipelineSuite extends Suite {
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
-      c83, c84, c85, c86, c87)
+      c83, c84, c85, c86, c87, c88)
 }

@@ -160,6 +160,44 @@ object Streams {
       .as[Session]
   }
 
+  /** Session TRANSCRIPTS — corpus assembly from event logs: each
+    * gap-delimited session renders as one ordered text line
+    * (`type@offset_s` tokens, offsets in whole seconds from session
+    * start), the behavioral-corpus shape that turns telemetry into
+    * trainable documents (and feeds the c8-c11/c37 text pipeline
+    * downstream). Same single-shuffle core as [[sessionize]]: the
+    * per-user window and the (user, session) groupBy share the
+    * user_id hash partitioning, and the in-group event order is the
+    * deterministic id-ordered fold (`sort_array(collect_list(...))`
+    * — the §4 idiom), so the rendered line is identical under any
+    * physical partitioning. Per-session state is bounded by the
+    * session length; no corpus-wide ordering exists anywhere. */
+  def sessionTranscripts(events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    toEv(events).toDF()
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        sort_array(collect_list(struct(col("us"), col("event_id"),
+          col("event_type")))).as("evs"))
+      .withColumn("transcript", array_join(
+        transform(col("evs"), x => concat(x("event_type"), lit("@"),
+          ((x("us") - col("start_us")) / lit(1000000L)).cast("long")
+            .cast("string"))), " "))
+      .select(col("user_id"), col("start_us"), col("n_events"),
+        ((col("end_us") - col("start_us")) / lit(1000000L)).cast("long")
+          .as("duration_s"),
+        col("transcript"))
+  }
+
   /** Streaming flavor: flatMapGroupsWithState keyed by user, emitting
     * a session when the gap passes (or on state timeout). Each
     * micro-batch's per-key group is folded in (event-time, id) order,

@@ -54,6 +54,31 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
   }
 
+  test("sessionTranscripts: hand-checked rendering, gap split, " +
+      "id-ordered ties") {
+    // user 1: a@0s, b@10s (same second-resolution offsets differ),
+    // then c 40 min later -> new session; user 2: one event.
+    // events 10/11 share the same timestamp -> id order breaks the tie
+    val ev = Seq(
+      (1L, 1L, "a", 0L, 0.0),
+      (2L, 1L, "b", 10L * 1000000, 0.0),
+      (3L, 1L, "c", 40L * 60 * 1000000, 0.0),
+      (10L, 2L, "x", 5L * 1000000, 0.0),
+      (11L, 2L, "y", 5L * 1000000, 0.0))
+      .toDF("event_id", "user_id", "event_type", "us", "value")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    val out = Streams.sessionTranscripts(ev, gapUs = 1800000000L)
+      .orderBy($"user_id", $"start_us")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("duration_s"), r.getAs[String]("transcript")))
+      .toSeq
+    assert(out === Seq(
+      (1L, 0L, 2L, 10L, "a@0 b@10"),
+      (1L, 2400000000L, 1L, 0L, "c@0"),
+      (2L, 5000000L, 2L, 0L, "x@0 y@0")))
+  }
+
   test("streaming sessionize emits the batch sessions (closed ones)") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 1800000000L
