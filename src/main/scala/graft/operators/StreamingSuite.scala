@@ -1738,8 +1738,54 @@ object StreamingSuite extends Suite {
       ORDER BY q_id, rank"""
     })
 
+  val d38 = Q(
+    "d38_stream_session_transcripts",
+    // c88's corpus assembly AT INGEST (batch contract =
+    // Streams.sessionTranscriptsClosed; live =
+    // sessionTranscriptsStreaming): the gap closing renders and
+    // emits the finished `type@offset_s` line, so transcripts become
+    // training documents as the log arrives. A gap-close emitter can
+    // only emit a session once a later same-user event proves the
+    // gap passed, so the contract is c88 minus each user's final
+    // (still-open) session. State = the open session's events,
+    // bounded by session length; StreamsSpec pins emission parity.
+    (s, d) => graft.streaming.Streams.sessionTranscriptsClosed(
+        Tables.events(s, d), gapUs = 1800000000L)
+      .orderBy(col("user_id"), col("start_us")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      l AS (
+        SELECT *, LAG(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS prev FROM e),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                       THEN 1 ELSE 0 END AS brk FROM l),
+      s AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess FROM f),
+      s2 AS (
+        SELECT *, MIN(us) OVER (PARTITION BY user_id, sess) AS start_us,
+               MAX(us) OVER (PARTITION BY user_id, sess) AS end_us
+        FROM s),
+      g AS (
+        SELECT user_id, MIN(start_us) AS start_us,
+               COUNT(*) AS n_events,
+               CAST((MIN(end_us) - MIN(start_us)) // 1000000 AS BIGINT)
+                 AS duration_s,
+               string_agg(event_type || '@' ||
+                   CAST((us - start_us) // 1000000 AS VARCHAR), ' '
+                 ORDER BY us, event_id) AS transcript
+        FROM s2
+        GROUP BY user_id, sess)
+      SELECT user_id, start_us, n_events, duration_s, transcript
+      FROM g
+      QUALIFY start_us < MAX(start_us) OVER (PARTITION BY user_id)
+      ORDER BY user_id, start_us"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29, d30, d31, d32, d33, d34, d35, d36, d37)
+      d29, d30, d31, d32, d33, d34, d35, d36, d37, d38)
 }

@@ -198,6 +198,70 @@ object Streams {
         col("transcript"))
   }
 
+  /** The CLOSED-session restriction of [[sessionTranscripts]] — the
+    * batch contract of the streaming emitter: a gap-close emitter on
+    * an ordered feed can only emit a user's session once a LATER
+    * event of the same user proves the gap passed, so each user's
+    * final session stays open (in state) at any cutoff. Relationally:
+    * drop each user's last session. */
+  def sessionTranscriptsClosed(events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    sessionTranscripts(events, gapUs)
+      .withColumn("__last", max(col("start_us")).over(w))
+      .where(col("start_us") < col("__last"))
+      .drop("__last")
+  }
+
+  /** Public: Spark codegens the state (de)serializer for this type. */
+  case class TransEv(us: Long, event_id: Long, event_type: String)
+  case class TransState(evs: Seq[TransEv])
+  case class Transcript(user_id: Long, start_us: Long, n_events: Long,
+                        duration_s: Long, transcript: String)
+
+  /** [[sessionTranscripts]] AT INGEST — corpus assembly as the log
+    * arrives: flatMapGroupsWithState keyed by user holds the OPEN
+    * session's events (state bounded by session length, exactly the
+    * rows the batch fold would buffer), and the gap closing renders
+    * and emits the finished line — the same `type@offset_s` integer
+    * rendering as the batch op, so emissions match
+    * [[sessionTranscriptsClosed]] row for row (StreamsSpec parity
+    * pin). Same ordered-feed convention as [[sessionizeStreaming]];
+    * a disordered feed takes the watermark-bounded reorder buffer
+    * class (sessionizeStreamingOoo) in front. */
+  def sessionTranscriptsStreaming(events: DataFrame,
+                                  gapUs: Long): Dataset[Transcript] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def render(evs: Seq[TransEv]): Transcript = {
+      val sorted = evs.sortBy(e => (e.us, e.event_id))
+      val start = sorted.head.us
+      Transcript(0L, start, sorted.length.toLong,
+        (sorted.last.us - start) / 1000000L,
+        sorted.map(e => s"${e.event_type}@${(e.us - start) / 1000000L}")
+          .mkString(" "))
+    }
+    toEv(events.withWatermark("ts", "2 hours"))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transcript](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[TransState]) =>
+          val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transcript]
+          var open = state.getOption.map(_.evs.toVector)
+            .getOrElse(Vector.empty)
+          evs.foreach { e =>
+            if (open.nonEmpty && e.us - open.last.us > gapUs) {
+              out += render(open).copy(user_id = uid)
+              open = Vector.empty
+            }
+            open = open :+ TransEv(e.us, e.event_id, e.event_type)
+          }
+          state.update(TransState(open))
+          out.iterator
+      }
+  }
+
   /** Streaming flavor: flatMapGroupsWithState keyed by user, emitting
     * a session when the gap passes (or on state timeout). Each
     * micro-batch's per-key group is folded in (event-time, id) order,

@@ -101,6 +101,27 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq === closed.toSeq)
   }
 
+  test("streaming session transcripts: emissions equal the closed " +
+      "batch contract across a batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1800000000L
+    val ms = MemoryStream[Raw]
+    val (h1, h2) = rawRows.splitAt(rawRows.length / 2)
+    val q = Streams.sessionTranscriptsStreaming(ms.toDF(), gap)
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    try {
+      ms.addData(h1.toSeq); q.processAllAvailable()
+      ms.addData(h2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("trans")
+      .orderBy($"user_id", $"start_us").collect()
+    val closed = Streams.sessionTranscriptsClosed(eventsDf, gap)
+      .orderBy($"user_id", $"start_us").collect()
+    // a session spanning the feed split must merge and render whole
+    assert(streamed.nonEmpty && streamed.toSeq === closed.toSeq)
+  }
+
   test("sessionize state carries across batches (boundary sessions merge)") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 1800000000L
