@@ -108,7 +108,12 @@ object Bench {
     // outgrew ~2 KB of JSON. Persist the full line to a repo file as well
     // so per-query history survives each round (driver commits leftovers).
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+      // A SPARK_GRAFT_ONLY-restricted run is a local probe, not the
+      // round record: route it to a scratch file so a probe window can
+      // never clobber BENCH_local.json at a snapshot boundary (the r9
+      // end-of-round snapshot committed a single-query stub that way).
+      val dflt = if (only.isDefined) "BENCH_probe.json" else "BENCH_local.json"
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", dflt)
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
