@@ -1019,24 +1019,36 @@ object Dedup {
     * construction. */
   def dupWindowRate(docs: DataFrame, id: String, text: String,
                     w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // th is projected FIRST so ngramHashes' lambdas bind an attribute
     // — an inline subtree re-evaluates the whole tokenize+hash once
     // per element (TextOps.ngramHashes doc; measured 30 s vs 2 s at
-    // sf0.1), and the window-count shape replaces the join-back: the
-    // per-hash doc count rides ONE exchange on h (wh is distinct per
-    // doc, so count(*) over h = distinct docs) instead of a second
-    // scan + aggregate + join of the same window table.
+    // sf0.1). The per-hash doc count is a map-side-combinable
+    // groupBy(h) joined back on h — NOT count() over
+    // Window.partitionBy(h): WindowExec has no partial aggregation,
+    // so a viral boilerplate window occurring 1e8-1e9 times in a
+    // 100 TB corpus would land every occurrence in ONE sorted task.
+    // The groupBy combines the hot key map-side down to one partial
+    // row per input partition, and the join-back is AQE-skew-
+    // splittable (the count side replicates across the split probe
+    // partitions) — the second tokenize scan this costs is the right
+    // 100 TB trade (HotHashAB measures it; SURVEY §8).
     val th = docs.select(col(id).as("did"),
       transform(TextOps.tokens(col(text)),
         t => TextOps.polyHash(t)).as("th"))
     val wh = th.select(col("did"),
       explode(array_distinct(TextOps.ngramHashes(col("th"), w))).as("h"))
-    wh.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
+    // wh is distinct per doc, so count(*) per h = distinct docs; only
+    // the DUPLICATED hashes (nd >= 2) are carried into the join-back —
+    // that set is tiny relative to the corpus's distinct windows, so
+    // AQE usually demotes the probe to a broadcast join at runtime
+    // (zero shuffle of wh), and when it IS shuffle-sized the probe is
+    // skew-splittable.
+    val dup = wh.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("h"), lit(1L).as("isdup"))
+    wh.join(dup, Seq("h"), "left")
       .groupBy(col("did"))
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L))
-          .as("n_dup_windows"))
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_windows"))
       .select(col("did").as(id),
         col("n_windows").cast("long").as("n_windows"),
         col("n_dup_windows").cast("long").as("n_dup_windows"),
@@ -1056,17 +1068,21 @@ object Dedup {
     * (tokens joined by single spaces — the tokenizer's own rendering;
     * original runs of whitespace are not preserved, by definition).
     *
-    * Scale shape: the only exchanges are the window-hash count (one
-    * Window partition on h — a hash is its own bucket, no pair join
-    * and no quadratic hot-bucket risk, unlike c30's pair output) and
-    * the did-keyed starts aggregation joined back to the doc frame;
-    * redaction itself is a map-side array program (covered = distinct
-    * flatten of [p, p+w) runs, kept = ordered positional
-    * set-difference, render = array_join). Nothing collects; state
-    * per doc is its own token array. */
+    * Scale shape: the window-hash duplication test is a map-side-
+    * combinable groupBy(h).count filtered to >= 2 and LEFT-SEMI
+    * joined back on h (a hash is its own bucket, no pair join and no
+    * quadratic hot-bucket risk, unlike c30's pair output — and no
+    * WindowExec either: a per-hash window count has no partial
+    * aggregation, so a viral boilerplate window would pin one task
+    * at 100 TB, while the groupBy combines it map-side and the
+    * semi-join is AQE-skew-splittable); then one did-keyed starts
+    * aggregation joined back to the doc frame. Redaction itself is a
+    * map-side array program (covered = distinct flatten of [p, p+w)
+    * runs, kept = ordered positional set-difference, render =
+    * array_join). Nothing collects; state per doc is its own token
+    * array. */
   def spanRedact(docs: DataFrame, id: String, text: String,
                  w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // toks/th projected FIRST so ngramHashes binds an attribute (its
     // lambdas re-evaluate embedded subtrees once per element — see
     // dupWindowRate).
@@ -1079,9 +1095,10 @@ object Dedup {
     // the ≥2 duplication bar, exactly like cross-doc ones
     val occ = th.select(col("did"),
       posexplode(TextOps.ngramHashes(col("th"), w)).as(Seq("pos", "h")))
+    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("h"))
     val starts = occ
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .where(col("nd") >= 2)
+      .join(dup, Seq("h"), "leftsemi")
       .groupBy(col("did"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     renderRedaction(th, starts, id, w)
@@ -1335,15 +1352,19 @@ object Dedup {
     * Scale shape (100 TB): block hashing is map-side — one integer
     * fold per block over the doc's own token-hash array (blocks are
     * disjoint, so total fold work = |tokens|, cheaper than the
-    * rolling-window families). The ONLY corpus-wide exchange is the
-    * block-hash partition for the first-occurrence rank (a hash is
-    * its own bucket — no pair join, no quadratic hot-bucket risk),
-    * then a did-keyed removal-list aggregation joined back for the
-    * map-side re-render. (did, b) is a total order, so the keeper is
+    * rolling-window families). The first-occurrence keeper is a
+    * map-side-combinable per-hash min(struct(did, b)) joined back on
+    * h — NOT row_number() over Window.partitionBy(h): WindowExec has
+    * no partial aggregation, so a boilerplate block repeated 1e8
+    * times would sort every occurrence in ONE task, while min() folds
+    * the hot hash to one partial row per input partition and the
+    * join-back is AQE-skew-splittable (a hash is its own bucket — no
+    * pair join, no quadratic hot-bucket risk either way). Then a
+    * did-keyed removal-list aggregation joins back for the map-side
+    * re-render. (did, b) is a total order, so the keeper is
     * deterministic under any partitioning or cluster size. */
   def paragraphDedup(docs: DataFrame, id: String, text: String,
                      p: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // toks/th projected FIRST so the block-hash lambdas bind
     // attributes (embedded subtrees re-evaluate once per element —
     // see dupWindowRate).
@@ -1356,10 +1377,16 @@ object Dedup {
       .withColumn("bh", transform(sequence(lit(0), col("nb") - 1),
         b => aggregate(slice(col("th"), b * p + 1, lit(p)), lit(0L),
           (acc, x) => (acc * 31L + x) % lit(TextOps.P))))
-    val rm = th.select(col("did"), posexplode(col("bh")).as(Seq("b", "h")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("h")).orderBy(col("did"), col("b"))))
-      .where(col("rk") >= 2)
+    val blk = th.select(col("did"), posexplode(col("bh")).as(Seq("b", "h")))
+    // only DUPLICATED block hashes (nd >= 2) carry a keeper into the
+    // join-back — unique blocks are never removed, so the join's build
+    // side is the (small) duplicated-hash set, AQE-broadcastable.
+    val keep = blk.groupBy(col("h"))
+      .agg(min(struct(col("did"), col("b"))).as("keep"),
+        count(lit(1)).as("ndup"))
+      .where(col("ndup") >= 2).select(col("h"), col("keep"))
+    val rm = blk.join(keep, Seq("h"))
+      .where(struct(col("did"), col("b")) =!= col("keep"))
       .groupBy(col("did"))
       .agg(sort_array(collect_list(col("b"))).as("rm"))
     th.join(rm, Seq("did"), "left")

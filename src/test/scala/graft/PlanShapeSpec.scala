@@ -158,6 +158,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("window-hash count trio plans partial aggregation on h — no WindowExec") {
+    // c57/c78/c85 count/rank occurrences of a corpus-scale window/block
+    // hash. A per-hash WindowExec has NO partial aggregation — a viral
+    // boilerplate window occurring 1e8+ times lands in one sorted task
+    // at 100 TB — so the trio must plan the count as a map-side-
+    // combinable aggregate on h joined back (AQE-skew-splittable),
+    // never a Window over the hash key.
+    val aggOnH = "(Hash|ObjectHash|Sort)Aggregate\\(keys?=\\[h#\\d+L?\\], functions=\\[partial_".r
+    Seq("c57_dup_window_rate", "c78_span_dedup_apply",
+        "c85_paragraph_dedup").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window ["),
+        s"$name must not plan a per-hash WindowExec:\n$plan")
+      assert(aggOnH.findFirstIn(plan).isDefined,
+        s"$name must plan a partial aggregate keyed on h:\n$plan")
+    }
+  }
+
   test("fuzzy decontamination candidate joins broadcast the eval side") {
     // c76/d30's scale contract: candidate generation is train-bands
     // against the BROADCAST eval bands — never a corpus self-join.
