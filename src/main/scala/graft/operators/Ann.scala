@@ -470,6 +470,50 @@ object Ann {
       .write.mode("append").partitionBy("c_id")
       .parquet(s"$base/lists")
 
+  /** Takedown AUDIT — what deleting `deleteIds` (one column `n_id`)
+    * from the index costs, per inverted list: members before, members
+    * deleted, members after. `n_deleted > 0` marks a TOUCHED list —
+    * the only partitions [[deleteFromIndexDir]] rewrites. One
+    * broadcast-or-semi join + a partial-aggregable groupBy; never
+    * reads vectors. */
+  def takedownAudit(idx: IvfIndex, deleteIds: DataFrame): DataFrame =
+    idx.lists
+      .join(deleteIds.select(col("n_id"), lit(1L).as("del")).distinct(),
+        Seq("n_id"), "left")
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("nb"),
+        sum(coalesce(col("del"), lit(0L))).as("ndel"))
+      .select(col("c_id"),
+        col("nb").cast("long").as("n_before"),
+        col("ndel").cast("long").as("n_deleted"),
+        (col("nb") - col("ndel")).cast("long").as("n_after"))
+
+  /** In-memory takedown: the index minus the deleted members. The
+    * centroids are deliberately UNTOUCHED — a takedown removes data,
+    * it does not retrain (c80/c81 own that); probes over the result
+    * equal probes over an index built from the surviving corpus
+    * against the same centroids (spec-pinned delete-equals-rebuild). */
+  def deleteFromIndex(idx: IvfIndex, deleteIds: DataFrame): IvfIndex =
+    IvfIndex(idx.centroids,
+      idx.lists.join(deleteIds.select(col("n_id")), Seq("n_id"),
+          "left_anti")
+        .select(col("c_id"), col("n_id"), col("label"), col("n_vec"),
+          col("n_nrm")))
+
+  /** The PHYSICAL takedown for a persisted index directory — the
+    * tombstone-and-compact write path "index forever" was missing:
+    * only the `c_id=` partitions holding a deleted member are
+    * rewritten ([[graft.util.PartitionedRewrite]], the c81
+    * migrateIndexDir seam), every other partition keeps its files
+    * byte-identical, and the centroids file is untouched. Works for
+    * both the flat layout (partCols = c_id) and the c84
+    * label-partitioned layout (partCols = label, c_id). */
+  def deleteFromIndexDir(s: org.apache.spark.sql.SparkSession,
+                         base: String, deleteIds: DataFrame,
+                         partCols: Seq[String] = Seq("c_id")): Unit =
+    graft.util.PartitionedRewrite.deleteRows(s, s"$base/lists", "n_id",
+      deleteIds, partCols)
+
   /** Per-list stats of a persisted index's TRAINING distribution:
     * list size and the floor-mean assigned cosine (integer ppm; the
     * sum is shifted by +1e6 per row so the integer division never

@@ -723,14 +723,26 @@ object Dedup {
         col("band_val")))
   }
 
+  /** Doc-id bucket count for the persisted dedup artifacts: both
+    * index tables are directory-partitioned on `bk = did mod 16` so a
+    * takedown rewrites only the buckets holding a deleted doc
+    * ([[deleteFromIndexDir]]); at 100 TB this would be thousands of
+    * buckets, locally 16 keeps directory counts sane. Readers are
+    * unaffected — [[readIndex]] projects the data columns. */
+  val IndexBuckets = 16
+
   /** Write the corpus index under `path` (parquet: path/shingles,
-    * path/bands). At cluster scale the bands table is what you'd
-    * bucket by (band_idx, band_val) so daily batch probes co-locate. */
+    * path/bands), each partitioned by the [[IndexBuckets]] doc-id
+    * bucket. At cluster scale the bands table is what you'd
+    * ADDITIONALLY bucket by (band_idx, band_val) so daily batch
+    * probes co-locate. */
   def writeIndex(docs: DataFrame, id: String, text: String,
                  k: Int, bands: Int, path: String): Unit = {
     val idx = buildIndex(docs, id, text, k, bands)
-    idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
-    idx.bands.write.mode("overwrite").parquet(s"$path/bands")
+    idx.shingles.withColumn("bk", pmod(col("did"), lit(IndexBuckets)))
+      .write.mode("overwrite").partitionBy("bk").parquet(s"$path/shingles")
+    idx.bands.withColumn("bk", pmod(col("did"), lit(IndexBuckets)))
+      .write.mode("overwrite").partitionBy("bk").parquet(s"$path/bands")
   }
 
   def readIndex(s: org.apache.spark.sql.SparkSession, path: String): DedupIndex =
@@ -738,6 +750,54 @@ object Dedup {
       s.read.parquet(s"$path/shingles").select(col("did"), col("shh"), col("n")),
       s.read.parquet(s"$path/bands").select(col("did"), col("band_idx"),
         col("band_val")))
+
+  /** In-memory takedown of the dedup index: both tables minus the
+    * deleted docs' rows. Per-doc rows carry no cross-doc state, so
+    * delete-equals-rebuild holds EXACTLY: the result is
+    * [[buildIndex]] of the surviving corpus (spec-pinned). */
+  def deleteFromIndex(idx: DedupIndex, deleteIds: DataFrame): DedupIndex = {
+    val del = deleteIds.select(col("did"))
+    DedupIndex(
+      idx.shingles.join(del, Seq("did"), "left_anti"),
+      idx.bands.join(del, Seq("did"), "left_anti"))
+  }
+
+  /** PHYSICAL takedown for a persisted dedup-index directory: only
+    * the doc-id buckets holding a deleted doc are rewritten
+    * ([[graft.util.PartitionedRewrite]] — the c81 seam), everything
+    * else keeps its files byte-identical. */
+  def deleteFromIndexDir(s: org.apache.spark.sql.SparkSession,
+                         path: String, deleteIds: DataFrame): Unit = {
+    graft.util.PartitionedRewrite.deleteRows(s, s"$path/shingles", "did",
+      deleteIds, Seq("bk"))
+    graft.util.PartitionedRewrite.deleteRows(s, s"$path/bands", "did",
+      deleteIds, Seq("bk"))
+  }
+
+  /** Rebuild the (did, keeper) cluster map FROM a (possibly
+    * compacted) [[DedupIndex]] — never from corpus text: candidates
+    * are the index's own band self-join, the exact-Jaccard verify
+    * reads the index's shingle sets, clusters are the same bounded-
+    * round CC as [[deduplicate]]. This is how the keeper-map artifact
+    * heals after a takedown: recompute over the compacted index
+    * (components can legitimately SPLIT when a bridge doc is deleted
+    * — a row-level tombstone on the old map could not express that).
+    * Equals [[deduplicate]] of the surviving corpus (spec-pinned). */
+  def clustersFromIndex(idx: DedupIndex, tau: Double): DataFrame = {
+    val cand = idx.bands.alias("a")
+      .join(idx.bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .distinct()
+    val sh = idx.shingles.select(col("did"), explode(col("shh")).as("sh"))
+    val sizes = idx.shingles.select(col("did"), col("n"))
+    val pairs = verifyJaccard(cand, sh, sizes, tau)
+    graft.graph.GraphAlgo
+      .connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .select(col("node").as("did"), col("component").as("keeper"))
+  }
 
   /** Incremental near-dup dedup — the operator a production pipeline
     * runs daily: decide keep/drop for each doc of a NEW batch against
@@ -1239,11 +1299,73 @@ object Dedup {
   def writeWindowIndex(corpus: DataFrame, id: String, text: String,
                        w: Int, base: String): Unit =
     buildWindowIndex(corpus, id, text, w)
-      .write.mode("overwrite").parquet(s"$base/windows")
+      .withColumn("bk", pmod(col("h"), lit(IndexBuckets)))
+      .write.mode("overwrite").partitionBy("bk")
+      .parquet(s"$base/windows")
 
   def readWindowIndex(s: org.apache.spark.sql.SparkSession,
                       base: String): WindowIndex =
-    WindowIndex(s.read.parquet(s"$base/windows"))
+    WindowIndex(s.read.parquet(s"$base/windows")
+      .select(col("h"), col("nd")))
+
+  /** In-memory takedown of a [[WindowIndex]]: a window index is a
+    * COUNT artifact, so deleting docs DECREMENTS — each deleted doc's
+    * window-hash occurrences are subtracted and hashes whose count
+    * reaches zero leave the index. Needs the deleted docs' TEXT (a
+    * takedown request carries its documents); the surviving corpus is
+    * never rescanned. Equals [[buildWindowIndex]] of the surviving
+    * corpus (spec-pinned). */
+  def decrementWindowIndex(widx: WindowIndex, deletedDocs: DataFrame,
+                           id: String, text: String,
+                           w: Int): DataFrame = {
+    val dc = buildWindowIndex(deletedDocs, id, text, w)
+      .select(col("h"), col("nd").as("dnd"))
+    widx.hashes.join(dc, Seq("h"), "left")
+      .select(col("h"),
+        (col("nd") - coalesce(col("dnd"), lit(0L))).cast("long").as("nd"))
+      .where(col("nd") > 0L)
+  }
+
+  /** PHYSICAL window-index takedown: the decrement applied in place —
+    * only the hash buckets containing a deleted doc's windows are
+    * rewritten (dynamic partition overwrite, the c81 seam's merge
+    * flavor: rows here are MERGED not just filtered, so this stays
+    * local instead of delegating to PartitionedRewrite). Falls back
+    * to a full rewrite if a touched bucket drains completely. */
+  def deleteFromWindowIndexDir(s: org.apache.spark.sql.SparkSession,
+                               base: String, deletedDocs: DataFrame,
+                               id: String, text: String,
+                               w: Int): Unit = {
+    import graft.util.Barriers.BarrierOps
+    val dc = buildWindowIndex(deletedDocs, id, text, w)
+      .select(col("h"), col("nd").as("dnd"),
+        pmod(col("h"), lit(IndexBuckets)).as("bk"))
+      .barrier(true)
+    val t = s.read.parquet(s"$base/windows")
+    val touched = dc.select(col("bk")).distinct().barrier(true)
+    val merged = t.join(touched, Seq("bk"), "left_semi")
+      .join(dc.select(col("h"), col("dnd")), Seq("h"), "left")
+      .select(col("h"),
+        (col("nd") - coalesce(col("dnd"), lit(0L))).cast("long").as("nd"),
+        col("bk"))
+      .where(col("nd") > 0L)
+      .barrier(true)
+    val drained = touched
+      .join(merged.select(col("bk")).distinct(), Seq("bk"), "left_anti")
+    if (drained.isEmpty) {
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bk").parquet(s"$base/windows")
+    } else {
+      t.join(dc.select(col("h"), col("dnd")), Seq("h"), "left")
+        .select(col("h"),
+          (col("nd") - coalesce(col("dnd"), lit(0L))).cast("long").as("nd"),
+          col("bk"))
+        .where(col("nd") > 0L).barrier(true)
+        .write.mode("overwrite").partitionBy("bk")
+        .parquet(s"$base/windows")
+    }
+  }
 
   /** Streaming span-redaction GATE — [[spanRedact]]'s deletion
     * semantics applied AT INGEST against the static corpus

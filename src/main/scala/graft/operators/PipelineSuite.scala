@@ -1103,7 +1103,7 @@ object PipelineSuite extends Suite {
       val docs = Tables.documents(s, d)
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
       val batch = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
-      val idx = graft.util.DiskCache.cached(s, "dedup-index", "v1",
+      val idx = graft.util.DiskCache.cached(s, "dedup-index", "v2",
         Seq(s"$d/documents.parquet"), "mod10lt8-k48b24",
         Seq("shingles", "bands")) { tmp =>
         Dedup.writeIndex(corpus, "doc_id", "text", k = 48, bands = 24, tmp)
@@ -2688,7 +2688,7 @@ object PipelineSuite extends Suite {
       val v1 = docs.where(pmod(col("doc_id"), lit(10)) < 8)
       val v2 = docs.where(pmod(col("doc_id"), lit(10)) >= 2)
       def idx(tag: String, corpus: org.apache.spark.sql.DataFrame) =
-        graft.util.DiskCache.cached(s, "dedup-index", "v1",
+        graft.util.DiskCache.cached(s, "dedup-index", "v2",
           Seq(s"$d/documents.parquet"), tag, Seq("shingles", "bands")) {
           tmp => Dedup.writeIndex(corpus, "doc_id", "text",
             k = 48, bands = 24, tmp)
@@ -3526,6 +3526,170 @@ object PipelineSuite extends Suite {
       GROUP BY user_id, sess
       ORDER BY user_id, start_us"""))
 
+  val c89 = Q(
+    "c89_takedown_audit",
+    // Takedown/opt-out propagation through the PERSISTED artifact
+    // family — the r9-verdict gap #1 (a production pipeline hits this
+    // the first time a deletion request lands; until now the only
+    // path was a full rebuild of every artifact). The audit prices a
+    // deterministic delete set (docs doc_id%10==3 inside the indexed
+    // corpus; vectors vec_id%10==5 inside the indexed base) against
+    // every artifact: the dedup band index (per-band row counts), the
+    // shingle table, the span WindowIndex (a COUNT artifact — deletes
+    // DECREMENT, and a hash leaves the index only when its count
+    // reaches zero), the IVF inverted lists (per-list member counts,
+    // Ann.takedownAudit), and the keeper map REBUILT from the
+    // compacted index (Dedup.clustersFromIndex — components can
+    // legitimately SPLIT when a bridge doc is deleted, so
+    // n_after != n_before - n_deleted is a real outcome a row
+    // tombstone could not express). The physical applies
+    // (PartitionedRewrite.deleteRows over the bucket/c_id-partitioned
+    // layouts, deleteFromWindowIndexDir's merge flavor) rewrite ONLY
+    // touched partitions and are delete-equals-rebuild spec-pinned in
+    // DedupAnnSpec; d39 is the streaming delete-feed flavor.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val delDocs = corpus.where(pmod(col("doc_id"), lit(10)) === 3)
+      val e = Tables.embeddings(s, d)
+      val baseE = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val delVec = baseE.where(pmod(col("vec_id"), lit(10)) === 5)
+      val dIdx = graft.util.DiskCache.cached(s, "dedup-index", "v2",
+        Seq(s"$d/documents.parquet"), "mod10lt8-k48b24",
+        Seq("shingles", "bands")) { tmp =>
+        Dedup.writeIndex(corpus, "doc_id", "text", k = 48, bands = 24, tmp)
+      } { base => Dedup.readIndex(s, base) }
+      val widx = graft.util.DiskCache.cached(s, "span-index", "v2",
+        Seq(s"$d/documents.parquet"), "mod10lt8-w16", Seq("windows")) {
+        tmp => Dedup.writeWindowIndex(corpus, "doc_id", "text", 16, tmp)
+      } { b => Dedup.readWindowIndex(s, b) }
+      val aIdx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(baseE, "vec_id", "embedding", k = 8, iters = 2, tmp)
+      } { b => Ann.readIndex(s, b) }
+      def summary(art: String, df: org.apache.spark.sql.DataFrame) = df
+        .select(lit(art).as("artifact"), lit(-1L).as("part"),
+          col("nb").cast("long").as("n_before"),
+          col("ndel").cast("long").as("n_deleted"),
+          (col("nb") - col("ndel")).cast("long").as("n_after"))
+      val delFlag = sum(when(pmod(col("did"), lit(10)) === 3, 1L)
+        .otherwise(0L)).as("ndel")
+      val bandsRows = dIdx.bands.groupBy(col("band_idx"))
+        .agg(count(lit(1)).as("nb"), delFlag)
+        .select(lit("bands").as("artifact"),
+          col("band_idx").cast("long").as("part"),
+          col("nb").cast("long").as("n_before"),
+          col("ndel").cast("long").as("n_deleted"),
+          (col("nb") - col("ndel")).cast("long").as("n_after"))
+      val shRow = summary("shingles",
+        dIdx.shingles.agg(count(lit(1)).as("nb"), delFlag))
+      val dc = Dedup.buildWindowIndex(delDocs, "doc_id", "text", 16)
+        .select(col("h"), col("nd").as("dnd"))
+      val wRow = summary("windows",
+        widx.hashes.join(dc, Seq("h"), "left")
+          .agg(count(lit(1)).as("nb"),
+            sum(when(coalesce(col("dnd"), lit(0L)) === col("nd"), 1L)
+              .otherwise(0L)).as("ndel")))
+      val ivfRows = Ann
+        .takedownAudit(aIdx, delVec.select(col("vec_id").as("n_id")))
+        .select(lit("ivf_lists").as("artifact"),
+          col("c_id").cast("long").as("part"),
+          col("n_before"), col("n_deleted"), col("n_after"))
+      val mBefore = Dedup.clustersFromIndex(dIdx, 0.5)
+      val mAfter = Dedup.clustersFromIndex(
+        Dedup.deleteFromIndex(dIdx,
+          delDocs.select(col("doc_id").as("did"))), 0.5)
+      val kRow = mBefore.agg(count(lit(1)).as("nb"), delFlag)
+        .crossJoin(mAfter.agg(count(lit(1)).as("na")))
+        .select(lit("keeper_map").as("artifact"), lit(-1L).as("part"),
+          col("nb").cast("long").as("n_before"),
+          col("ndel").cast("long").as("n_deleted"),
+          col("na").cast("long").as("n_after"))
+      bandsRows.unionAll(shRow).unionAll(wRow).unionAll(ivfRows)
+        .unionAll(kRow)
+        .orderBy(col("artifact"), col("part"))
+    },
+    Some {
+      val th = s"""list_transform(string_split(text, ' '),
+        tok -> ${TextOps.polyHashSql("tok")})"""
+      s"""
+      WITH RECURSIVE
+      corpusdocs AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+      cnts AS (SELECT COUNT(*) AS nb,
+                 SUM(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS ndel
+               FROM corpusdocs),
+      wth AS (SELECT doc_id, $th AS th FROM corpusdocs),
+      wocc AS (SELECT doc_id,
+                 unnest(${TextOps.ngramHashesSql("th", 16)}) AS h
+               FROM wth),
+      wcnt AS (SELECT h, COUNT(*) AS nd,
+                 SUM(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS dnd
+               FROM wocc GROUP BY 1),
+      corpus AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id >= 5 AND vec_id % 10 < 8),
+      ${kmeansCtes(k = 8, iters = 2)},
+      sh0 AS (SELECT doc_id, unnest($SH) AS s FROM corpusdocs),
+      sizes0 AS (SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY 1),
+      inter0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                 FROM sh0 a JOIN sh0 b
+                   ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+      pairs0 AS (SELECT id_a, id_b FROM inter0
+                   JOIN sizes0 sa ON id_a = sa.doc_id
+                   JOIN sizes0 sb ON id_b = sb.doc_id
+                 WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+                   >= 0.5),
+      und0 AS (SELECT id_a AS a, id_b AS b FROM pairs0
+               UNION ALL SELECT id_b, id_a FROM pairs0),
+      reach0(n, m) AS (
+        SELECT a, b FROM und0
+        UNION
+        SELECT r.n, u.b FROM reach0 r JOIN und0 u ON r.m = u.a),
+      mb AS (SELECT n AS doc_id FROM reach0 GROUP BY n),
+      und1 AS (SELECT a, b FROM und0
+               WHERE a % 10 != 3 AND b % 10 != 3),
+      reach1(n, m) AS (
+        SELECT a, b FROM und1
+        UNION
+        SELECT r.n, u.b FROM reach1 r JOIN und1 u ON r.m = u.a),
+      ma AS (SELECT n AS doc_id FROM reach1 GROUP BY n)
+      SELECT artifact, part, n_before, n_deleted, n_after FROM (
+        SELECT 'bands' AS artifact, CAST(g.b AS BIGINT) AS part,
+               CAST(nb AS BIGINT) AS n_before,
+               CAST(ndel AS BIGINT) AS n_deleted,
+               CAST(nb - ndel AS BIGINT) AS n_after
+        FROM cnts, (SELECT unnest(range(0, 24)) AS b) g
+        UNION ALL
+        SELECT 'shingles', CAST(-1 AS BIGINT), CAST(nb AS BIGINT),
+               CAST(ndel AS BIGINT), CAST(nb - ndel AS BIGINT)
+        FROM cnts
+        UNION ALL
+        SELECT 'windows', CAST(-1 AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN dnd = nd THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) -
+                 SUM(CASE WHEN dnd = nd THEN 1 ELSE 0 END) AS BIGINT)
+        FROM wcnt
+        UNION ALL
+        SELECT 'ivf_lists', CAST(p.cid AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN p.vec_id % 10 = 5 THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(COUNT(*) -
+                 SUM(CASE WHEN p.vec_id % 10 = 5 THEN 1 ELSE 0 END)
+                 AS BIGINT)
+        FROM pick3 p GROUP BY p.cid
+        UNION ALL
+        SELECT 'keeper_map', CAST(-1 AS BIGINT),
+               CAST((SELECT COUNT(*) FROM mb) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM mb WHERE doc_id % 10 = 3)
+                 AS BIGINT),
+               CAST((SELECT COUNT(*) FROM ma) AS BIGINT))
+      ORDER BY artifact, part"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3533,5 +3697,5 @@ object PipelineSuite extends Suite {
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
-      c83, c84, c85, c86, c87, c88)
+      c83, c84, c85, c86, c87, c88, c89)
 }

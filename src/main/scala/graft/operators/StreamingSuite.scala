@@ -165,7 +165,7 @@ object StreamingSuite extends Suite {
       val docs = Tables.documents(s, d)
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
       val batch = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
-      val idx = graft.util.DiskCache.cached(s, "dedup-index", "v1",
+      val idx = graft.util.DiskCache.cached(s, "dedup-index", "v2",
         Seq(s"$d/documents.parquet"), "mod10lt8-k48b24",
         Seq("shingles", "bands")) { tmp =>
         graft.operators.Dedup.writeIndex(corpus, "doc_id", "text",
@@ -1062,7 +1062,7 @@ object StreamingSuite extends Suite {
       val v1 = docs.where(pmod(col("doc_id"), lit(10)) < 8)
       val v2 = docs.where(pmod(col("doc_id"), lit(10)) >= 2)
       def idx(tag: String, corpus: org.apache.spark.sql.DataFrame) =
-        graft.util.DiskCache.cached(s, "dedup-index", "v1",
+        graft.util.DiskCache.cached(s, "dedup-index", "v2",
           Seq(s"$d/documents.parquet"), tag, Seq("shingles", "bands")) {
           tmp => graft.operators.Dedup.writeIndex(corpus, "doc_id",
             "text", k = 48, bands = 24, tmp)
@@ -1209,7 +1209,7 @@ object StreamingSuite extends Suite {
       val docs = Tables.documents(s, d)
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
       val arriving = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
-      val idx = graft.util.DiskCache.cached(s, "dedup-index", "v1",
+      val idx = graft.util.DiskCache.cached(s, "dedup-index", "v2",
         Seq(s"$d/documents.parquet"), "mod10lt8-k48b24",
         Seq("shingles", "bands")) { tmp =>
         graft.operators.Dedup.writeIndex(corpus, "doc_id", "text",
@@ -1409,7 +1409,7 @@ object StreamingSuite extends Suite {
       val docs = Tables.documents(s, d)
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
       val arrivals = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
-      val widx = graft.util.DiskCache.cached(s, "span-index", "v1",
+      val widx = graft.util.DiskCache.cached(s, "span-index", "v2",
         Seq(s"$d/documents.parquet"), "mod10lt8-w16", Seq("windows")) {
         tmp => graft.operators.Dedup.writeWindowIndex(corpus, "doc_id",
           "text", w = 16, tmp)
@@ -1784,8 +1784,79 @@ object StreamingSuite extends Suite {
       QUALIFY start_us < MAX(start_us) OVER (PARTITION BY user_id)
       ORDER BY user_id, start_us"""))
 
+  val d39 = Q(
+    "d39_stream_delete_feed",
+    // Streaming takedown feed, batch-replayed — c89's physical
+    // delete applied per arriving batch (live =
+    // Streams.deleteFeedStreaming: Ann.deleteFromIndexDir compacts
+    // only touched c_id partitions per batch, audit rows barriered
+    // across the in-place overwrites). The batch contract is pure
+    // arithmetic over the persisted index + the delete rule: per
+    // batch (deterministic slice (vec_id div 10) mod 4 of the
+    // vec_id%10==5 takedown set), the members actually present, the
+    // lists the batch touches, and the cumulative survivor count.
+    // Deletes are order-free anti-joins, so sequential batches equal
+    // the one-shot union delete (StreamsSpec pins dir state AND
+    // emission parity).
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val base = e.where(col("vec_id") >= 5 &&
+        pmod(col("vec_id"), lit(10)) < 8)
+      val idx = graft.util.DiskCache.cached(s, "ann-index", "v1",
+        Seq(s"$d/embeddings.parquet"), "ge5mod10lt8-k8i2",
+        Seq("centroids", "lists")) { tmp =>
+        Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2,
+          tmp)
+      } { b => Ann.readIndex(s, b) }
+      val dels = base.where(pmod(col("vec_id"), lit(10)) === 5)
+        .select(col("vec_id").as("n_id"),
+          pmod(floor(col("vec_id") / 10).cast("long"), lit(4L))
+            .as("batch"))
+      val db = dels
+        .join(idx.lists.select(col("n_id"), col("c_id")), Seq("n_id"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).cast("long").as("n_deleted"),
+          countDistinct(col("c_id")).cast("long").as("lists_touched"))
+      val nb = idx.lists.agg(count(lit(1)).cast("long").as("nb"))
+      // 4-row frame x 1-row total: driver-plan arithmetic, the d36
+      // bounded-broadcast class; the running sum is a window over
+      // the 4 batch rows, never member-scale data.
+      db.crossJoin(nb)
+        .withColumn("n_after",
+          (col("nb") - sum(col("n_deleted")).over(
+            Window.orderBy(col("batch"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .cast("long"))
+        .select(col("batch"), col("n_deleted"), col("lists_touched"),
+          col("n_after"))
+        .orderBy(col("batch"))
+    },
+    Some {
+      def cos(a: String, b: String) =
+        graft.functions.VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 5 AND vec_id % 10 < 8),
+      ${PipelineSuite.kmeansCtes(k = 8, iters = 2)},
+      dels AS (
+        SELECT vec_id, CAST((vec_id // 10) % 4 AS BIGINT) AS batch
+        FROM corpus WHERE vec_id % 10 = 5),
+      db AS (
+        SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_deleted,
+               CAST(COUNT(DISTINCT p.cid) AS BIGINT) AS lists_touched
+        FROM dels JOIN pick3 p USING (vec_id) GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM corpus)
+      SELECT batch, n_deleted, lists_touched,
+             CAST(nb - SUM(n_deleted) OVER (ORDER BY batch
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_after
+      FROM db, tot
+      ORDER BY batch"""
+    })
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29, d30, d31, d32, d33, d34, d35, d36, d37, d38)
+      d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39)
 }

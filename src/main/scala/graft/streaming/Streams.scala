@@ -1526,6 +1526,55 @@ object Streams {
       .start()
   }
 
+  /** Streaming takedown feed — c89's physical delete applied AT
+    * ARRIVAL against a persisted IVF index directory: each batch of
+    * delete ids compacts the index in place (Ann.deleteFromIndexDir —
+    * only the touched `c_id=` partitions rewrite, the c81 seam) and
+    * emits the running per-batch audit (ids actually present, lists
+    * touched, members remaining). Deletes are idempotent row
+    * removals, so the d29-style batchId guard makes at-least-once
+    * redelivery harmless; cross-batch state is the accumulated audit
+    * rows (one per batch), nothing corpus-sized. The audit rows are
+    * barriered before the next batch's overwrite so no emission ever
+    * lazily reads files a later compaction replaced. Sequential
+    * batches equal the one-shot delete of their union
+    * (delete-is-an-anti-join — order-free; StreamsSpec pins it). */
+  def deleteFeedStreaming(baseDir: String, deletes: DataFrame,
+      id: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Ann
+    import graft.util.Barriers.BarrierOps
+    var acc: Option[DataFrame] = None
+    var lastApplied = -1L
+    deletes.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        if (bid > lastApplied) {
+          val dset = batch.select(col(id).as("n_id")).distinct()
+            .barrier(true)
+          val memb = s.read.parquet(s"$baseDir/lists")
+            .select(col("n_id"), col("c_id").cast("long").as("c_id"))
+          val hit = memb.join(dset, Seq("n_id"), "left_semi")
+            .agg(count(lit(1)).cast("long").as("n_deleted"),
+              countDistinct(col("c_id")).cast("long")
+                .as("lists_touched"))
+            .withColumn("batch", lit(bid))
+          Ann.deleteFromIndexDir(s, baseDir, dset)
+          val after = s.read.parquet(s"$baseDir/lists")
+            .agg(count(lit(1)).cast("long").as("n_after"))
+          val row = hit.crossJoin(after)
+            .select(col("batch"), col("n_deleted"),
+              col("lists_touched"), col("n_after"))
+            .barrier(true)
+          acc = Some(acc.map(_.unionAll(row)).getOrElse(row)
+            .barrier(true))
+          lastApplied = bid
+        }
+        sink(acc.get.orderBy(col("batch")))
+      }
+      .start()
+  }
+
   /** The retrain-cycle DRIVER live — d32's alarm composed with c80's
     * apply AT INGEST (the batch contract is Ann.retrainCycle; here
     * the stream's own micro-batch id IS the batch axis): each batch

@@ -863,4 +863,195 @@ class DedupAnnSpec extends SparkSpec {
       (12L, 2L, 0L, 1000000L, "u v"),
       (13L, 2L, 0L, 1000000L, "u v")))
   }
+
+  // ---- c89 takedown: delete-equals-rebuild per persisted artifact ---
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rmDir(dir: String): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  /** (relative path -> mtime) of data files under `dir` whose
+    * relative path starts with one of `prefixes`. */
+  private def fileSnap(dir: String,
+                       prefixes: Seq[String]): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    val w = java.nio.file.Files.walk(p)
+    try w.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => p.relativize(f).toString -> f)
+      .filter { case (n, _) => prefixes.exists(n.startsWith) }
+      .map { case (n, f) =>
+        n -> java.nio.file.Files.getLastModifiedTime(f).toMillis }
+      .toMap
+    finally w.close()
+  }
+
+  test("takedown: deleteFromIndexDir equals rebuild on survivors and " +
+      "leaves untouched c_id partitions byte-identical") {
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val dir = tmpDir("graft-ivf-del")
+    try {
+      Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2, dir)
+      val idx = Ann.readIndex(spark, dir)
+      // delete 3 members of ONE list -> exactly one touched partition
+      val c0 = idx.lists.orderBy($"c_id", $"n_id")
+        .select($"c_id").head().getLong(0)
+      // materialize the delete set INDEPENDENTLY of the artifact: the
+      // physical overwrite refreshes the path, which would make a
+      // lazy (even cached) frame over the dir re-resolve against the
+      // compacted files — the production contract is that a takedown
+      // list arrives as data, not as a view of the index
+      val delIds = idx.lists.where($"c_id" === c0)
+        .select($"n_id").orderBy($"n_id").limit(3)
+        .as[Long].collect().toSeq.toDF("n_id")
+      val audit = Ann.takedownAudit(idx, delIds)
+      assert(audit.where($"n_deleted" > 0).count() === 1)
+      val untouched = idx.lists.select($"c_id").distinct()
+        .as[Long].collect().filter(_ != c0).map(c => s"c_id=$c").toSeq
+      def memb(df: org.apache.spark.sql.DataFrame) =
+        df.select($"c_id", $"n_id").as[(Long, Long)].collect().toSet
+      // the in-memory arm is evaluated BEFORE the physical rewrite:
+      // an in-place overwrite invalidates lazy frames over the dir
+      // (the standard Spark overwrite hazard migrateIndexDir documents)
+      val inMem = memb(Ann.deleteFromIndex(idx, delIds).lists)
+      val before = fileSnap(s"$dir/lists", untouched)
+      Ann.deleteFromIndexDir(spark, dir, delIds)
+      assert(fileSnap(s"$dir/lists", untouched) === before,
+        "untouched partitions must keep their files byte-identical")
+      val reloaded = Ann.readIndex(spark, dir)
+      // physical == in-memory takedown
+      assert(memb(reloaded.lists) === inMem)
+      // == rebuild of the lists over the surviving corpus against the
+      // SAME centroids (takedown never retrains)
+      val surv = base.join(delIds.withColumnRenamed("n_id", "vec_id"),
+        Seq("vec_id"), "left_anti")
+      val rebuilt = Ann.buildLists(surv,
+        Ann.centTable(idx.centroids, "c_id", "c_vec"),
+        "vec_id", "embedding")
+      assert(memb(reloaded.lists) === memb(rebuilt))
+      // probes over the compacted dir == probes over the rebuild
+      val queries = emb.where($"vec_id" < 5)
+      def probe(i: Ann.IvfIndex) =
+        Ann.indexedTopK(i, queries, "vec_id", "embedding",
+            nprobe = 2, k = 5)
+          .select($"q_id", $"rank", $"n_id")
+          .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(probe(reloaded) ===
+        probe(Ann.IvfIndex(idx.centroids, rebuilt)))
+    } finally rmDir(dir)
+  }
+
+  test("takedown: label-partitioned lists delete only touches the " +
+      "deleted members' (label, c_id) partitions") {
+    val base = emb.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val dir = tmpDir("graft-ivf-label-del")
+    try {
+      Ann.writeIndexByLabel(base, "vec_id", "embedding", k = 4,
+        iters = 2, dir)
+      val idx = Ann.readIndexByLabel(spark, dir)
+      val delIds = idx.lists.select($"n_id").orderBy($"n_id").limit(5)
+        .as[Long].collect().toSeq.toDF("n_id")
+      def memb(df: org.apache.spark.sql.DataFrame) =
+        df.select($"c_id", $"n_id", $"label")
+          .as[(Long, Long, String)].collect().toSet
+      val inMem = memb(Ann.deleteFromIndex(idx, delIds).lists)
+      Ann.deleteFromIndexDir(spark, dir, delIds,
+        partCols = Seq("label", "c_id"))
+      val reloaded = Ann.readIndexByLabel(spark, dir)
+      assert(memb(reloaded.lists) === inMem)
+    } finally rmDir(dir)
+  }
+
+  test("takedown: dedup-index bucket delete equals buildIndex of the " +
+      "surviving corpus, untouched buckets byte-identical") {
+    val dir = tmpDir("graft-dedup-del")
+    try {
+      Dedup.writeIndex(docs, "doc_id", "text", k = 48, bands = 24, dir)
+      val idx = Dedup.readIndex(spark, dir)
+      // one deleted doc -> exactly one touched bucket per table
+      val delDid = docs.select($"doc_id").orderBy($"doc_id")
+        .head().getLong(0)
+      val delIds = Seq(delDid).toDF("did")
+      val bk = delDid % Dedup.IndexBuckets
+      val untouched = (0L until Dedup.IndexBuckets.toLong)
+        .filter(_ != bk).map(b => s"bk=$b")
+      val beforeSh = fileSnap(s"$dir/shingles", untouched)
+      val beforeBd = fileSnap(s"$dir/bands", untouched)
+      Dedup.deleteFromIndexDir(spark, dir, delIds)
+      assert(fileSnap(s"$dir/shingles", untouched) === beforeSh)
+      assert(fileSnap(s"$dir/bands", untouched) === beforeBd)
+      val reloaded = Dedup.readIndex(spark, dir)
+      val surv = docs.where($"doc_id" =!= delDid)
+      val rebuilt = Dedup.buildIndex(surv, "doc_id", "text", 48, 24)
+      def shs(i: Dedup.DedupIndex) = i.shingles
+        .select($"did", $"n").as[(Long, Long)].collect().toSet
+      def bds(i: Dedup.DedupIndex) = i.bands
+        .select($"did", $"band_idx").groupBy($"did")
+        .count().as[(Long, Long)].collect().toSet
+      assert(shs(reloaded) === shs(rebuilt))
+      assert(bds(reloaded) === bds(rebuilt))
+    } finally rmDir(dir)
+  }
+
+  test("takedown: window-index decrement equals buildWindowIndex of " +
+      "the surviving corpus (in-memory and on disk)") {
+    val dir = tmpDir("graft-widx-del")
+    try {
+      Dedup.writeWindowIndex(docs, "doc_id", "text", 16, dir)
+      val widx = Dedup.readWindowIndex(spark, dir)
+      val delDid = docs.select($"doc_id").orderBy($"doc_id")
+        .head().getLong(0)
+      val deleted = docs.where($"doc_id" === delDid)
+      val surv = docs.where($"doc_id" =!= delDid)
+      def hs(df: org.apache.spark.sql.DataFrame) =
+        df.select($"h", $"nd").as[(Long, Long)].collect().toSet
+      val expected = hs(Dedup.buildWindowIndex(surv, "doc_id", "text", 16))
+      assert(hs(Dedup.decrementWindowIndex(widx, deleted, "doc_id",
+        "text", 16)) === expected)
+      Dedup.deleteFromWindowIndexDir(spark, dir, deleted, "doc_id",
+        "text", 16)
+      assert(hs(Dedup.readWindowIndex(spark, dir).hashes) === expected)
+    } finally rmDir(dir)
+  }
+
+  test("takedown: keeper map rebuilt from the compacted index equals " +
+      "deduplicate of survivors; deleting a bridge doc splits") {
+    // chain A~B~C (J=0.6 adjacent — above the banding's reliable
+    // band, J=0.33 across) + distant D: the before-map is one {A,B,C}
+    // cluster; deleting bridge B leaves A,C dissimilar -> the
+    // after-map is EMPTY (components split away, which a row
+    // tombstone on the old map could not express).
+    val d = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6"), (2L, "t2 t3 t4 t5 t6 t7"),
+      (3L, "t3 t4 t5 t6 t7 t8"), (9L, "zz yy xx ww vv uu")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildIndex(d, "doc_id", "text", 48, 24)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select($"did", $"keeper").as[(Long, Long)].collect().toSet
+    val before = m(Dedup.clustersFromIndex(idx, 0.5))
+    assert(before === m(Dedup.deduplicate(d, "doc_id", "text", 0.5)
+      .select($"doc_id".as("did"), $"keeper")))
+    assert(before === Set((1L, 1L), (2L, 1L), (3L, 1L)))
+    val compacted = Dedup.deleteFromIndex(idx, Seq(2L).toDF("did"))
+    val after = m(Dedup.clustersFromIndex(compacted, 0.5))
+    val survDedup = m(Dedup.deduplicate(
+        d.where($"doc_id" =!= 2L), "doc_id", "text", 0.5)
+      .select($"doc_id".as("did"), $"keeper"))
+    assert(after === survDedup)
+    assert(after === Set.empty[(Long, Long)])
+  }
+
+  test("takedown: clustersFromIndex equals deduplicate on the sf corpus") {
+    val idx = Dedup.buildIndex(docs, "doc_id", "text", 48, 24)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select($"did", $"keeper").as[(Long, Long)].collect().toSet
+    assert(m(Dedup.clustersFromIndex(idx, 0.5)) ===
+      m(Dedup.deduplicate(docs, "doc_id", "text", 0.5)
+        .select($"doc_id".as("did"), $"keeper")))
+  }
 }

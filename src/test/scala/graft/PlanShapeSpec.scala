@@ -147,7 +147,9 @@ class PlanShapeSpec extends SparkSpec {
       "c87_hard_negatives",    // broadcast centroids (query probe)
       "d34_stream_filtered_ann", // broadcast centroids (query probe)
       "d36_stream_retrain_cycle", // broadcast 1-row trigger + centroid arrays
-      "d37_stream_ann_freshness") // broadcast centroids (query probe)
+      "d37_stream_ann_freshness", // broadcast centroids (query probe)
+      "c89_takedown_audit",      // broadcast 1-row map-size totals
+      "d39_stream_delete_feed")  // broadcast 1-row member total
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
