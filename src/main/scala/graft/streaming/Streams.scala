@@ -1554,11 +1554,16 @@ object Streams {
             .barrier(true)
           val memb = s.read.parquet(s"$baseDir/lists")
             .select(col("n_id"), col("c_id").cast("long").as("c_id"))
+          // Materialize the pre-delete audit BEFORE the compaction
+          // rewrites the `c_id=` partitions it reads — a lazy `hit`
+          // evaluated after deleteFromIndexDir would scan the
+          // replaced files (n_deleted=0 or FileNotFoundException).
           val hit = memb.join(dset, Seq("n_id"), "left_semi")
             .agg(count(lit(1)).cast("long").as("n_deleted"),
               countDistinct(col("c_id")).cast("long")
                 .as("lists_touched"))
             .withColumn("batch", lit(bid))
+            .barrier(true)
           Ann.deleteFromIndexDir(s, baseDir, dset)
           val after = s.read.parquet(s"$baseDir/lists")
             .agg(count(lit(1)).cast("long").as("n_after"))

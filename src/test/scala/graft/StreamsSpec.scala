@@ -1844,4 +1844,69 @@ class StreamsSpec extends SparkSpec {
         r.getAs[Long]("week_offset"), r.getAs[Long]("n_active"))).toSeq
     assert(streamed.nonEmpty && streamed === batch)
   }
+
+  test("streaming delete feed: replayed batches equal the one-shot " +
+      "union delete (dir state) and audits match the d39 batch contract") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def rm(d: String): Unit = {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(d)).deleteRecursively()
+    }
+    val e = Tables.embeddings(spark, sf)
+    val base = e.where($"vec_id" >= 5 && pmod($"vec_id", lit(10)) < 8)
+    val dirA = tmp("graft-delfeed-live")
+    val dirB = tmp("graft-delfeed-oneshot")
+    try {
+      // two byte-independent but content-identical indexes (writeIndex
+      // is deterministic): A takes the streamed feed, B the union delete
+      Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2, dirA)
+      Ann.writeIndex(base, "vec_id", "embedding", k = 8, iters = 2, dirB)
+      val pre = Ann.readIndex(spark, dirA)
+      // the d39 slicing: takedown set vec_id%10==5, batch = (id/10)%4;
+      // ids arrive as DATA (collected), never as a view of the index
+      val delRows = base.where(pmod($"vec_id", lit(10)) === 5)
+        .select($"vec_id",
+          pmod(floor($"vec_id" / 10).cast("long"), lit(4L)).as("b"))
+        .as[(Long, Long)].collect()
+      val batches = (0L to 3L).map(b =>
+        delRows.filter(_._2 == b).map(_._1).toSeq)
+      // expected audits from the PRE-delete lists (the batch contract)
+      val listOf = pre.lists.select($"n_id", $"c_id")
+        .as[(Long, Long)].collect().toMap
+      val nb0 = listOf.size.toLong
+      val expected = batches.zipWithIndex
+        .scanLeft((-1L, 0L, 0L, nb0)) { case ((_, _, _, left), (ids, i)) =>
+          val present = ids.filter(listOf.contains)
+          (i.toLong, present.size.toLong,
+            present.map(listOf).distinct.size.toLong,
+            left - present.size)
+        }.drop(1)
+      val emissions = scala.collection.mutable.ArrayBuffer
+        .empty[Seq[(Long, Long, Long, Long)]]
+      val ms = MemoryStream[Long]
+      val q = Streams.deleteFeedStreaming(dirA,
+          ms.toDF().toDF("n_id"), "n_id") { df =>
+        val rows = df.collect().map(r => (r.getAs[Long]("batch"),
+          r.getAs[Long]("n_deleted"), r.getAs[Long]("lists_touched"),
+          r.getAs[Long]("n_after"))).toSeq
+        this.synchronized { emissions += rows }
+      }
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      // emission parity: the final audit is one row per batch, each
+      // matching the pre-delete arithmetic (audits were barriered
+      // BEFORE each in-place compaction replaced the files they read)
+      assert(emissions.size === 4 && emissions.last === expected)
+      // dir-state parity: sequential feed == one-shot union delete
+      Ann.deleteFromIndexDir(spark, dirB,
+        delRows.map(_._1).toSeq.toDF("n_id"))
+      def memb(d: String) = Ann.readIndex(spark, d).lists
+        .select($"c_id", $"n_id").as[(Long, Long)].collect().toSet
+      val a = memb(dirA)
+      assert(a === memb(dirB) && a.size.toLong === expected.last._4)
+    } finally { rm(dirA); rm(dirB) }
+  }
 }
