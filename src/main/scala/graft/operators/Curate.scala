@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 
@@ -22,6 +21,28 @@ import graft.functions.TextOps
   * keys; nothing is quadratic and nothing collects to the driver.
   */
 object Curate {
+
+  /** Exact-dedup survivors: keep the min-id row per content
+    * fingerprint WITHOUT a WindowExec on the fingerprint. The
+    * map-side-combinable groupBy collapses each fingerprint to one
+    * (keeper, size) row BEFORE the shuffle, and the join-back build
+    * side is filtered to DUPLICATED fingerprints only — tiny on real
+    * corpora, so AQE broadcasts it. A viral duplicate (one document
+    * pasted a million times) costs one combined row per map task
+    * here, where `min(id) over Window.partitionBy(hash)` would sort
+    * the whole cluster inside a single task — the skew class that
+    * killed c57/c78/c85 before the round-10 reshape. */
+  private[graft] def exactSurvivors(df: DataFrame, id: String,
+                                    text: String): DataFrame = {
+    val fp = df.withColumn("ex_fp", TextOps.polyHash(col(text)))
+    val dups = fp.groupBy(col("ex_fp"))
+      .agg(min(col(id)).as("ex_keeper"), count(lit(1)).as("ex_n"))
+      .where(col("ex_n") > 1L)
+      .select(col("ex_fp"), col("ex_keeper"))
+    fp.join(dups, Seq("ex_fp"), "left")
+      .where(col("ex_keeper").isNull || col(id) === col("ex_keeper"))
+      .drop("ex_fp", "ex_keeper")
+  }
 
   /** @param maxDup3gram repetition gate ([[TextQuality.repetitionSignals]]):
     *   docs whose duplicate-3-gram fraction exceeds it are dropped
@@ -47,13 +68,9 @@ object Curate {
             .select(col(id)),
           Seq(id), "left_semi")
       else qualityGated
-    // exact dedup: the window partitions on the content fingerprint
-    // (a 64-bit hash — cheap shuffle key), keeper = min id
-    val ex = surv
-      .withColumn("ex_keeper",
-        min(col(id)).over(Window.partitionBy(TextOps.polyHash(col(text)))))
-      .where(col(id) === col("ex_keeper"))
-      .drop("ex_keeper")
+    // exact dedup: keeper = min id per content fingerprint, in the
+    // skew-safe groupBy + dup-filtered join-back shape (no WindowExec)
+    val ex = exactSurvivors(surv, id, text)
     // near-dup dedup on the exact-deduped survivors
     val dropped = Dedup.deduplicate(ex, id, text, tau)
       .where(col(id) =!= col("keeper"))
@@ -79,11 +96,7 @@ object Curate {
     val gated = docs.select(col(id), col(text))
       .join(q.where(col("quality") >= minQuality).select(col(id)),
         Seq(id), "left_semi")
-    val ex = gated
-      .withColumn("ex_keeper",
-        min(col(id)).over(Window.partitionBy(TextOps.polyHash(col(text)))))
-      .where(col(id) === col("ex_keeper"))
-      .drop("ex_keeper")
+    val ex = exactSurvivors(gated, id, text)
       .barrier(true) // read by the near-dup stage and its own count
     val dropped = Dedup.deduplicate(ex, id, text, tau)
       .where(col(id) =!= col("keeper"))

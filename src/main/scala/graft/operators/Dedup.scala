@@ -623,13 +623,22 @@ object Dedup {
     * near-dup); the exact pair path stays [[deduplicate]]. */
   def nearDupNovelty(docs: DataFrame, id: String, text: String,
                      k: Int, bands: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val banded = bandBuckets(docs, id, text, k, bands)
-    banded
-      .withColumn("mn", min(col("did")).over(
-        Window.partitionBy(col("band_idx"), col("band_val"))))
+    // bucket owners via the skew-safe groupBy + join-back shape (no
+    // WindowExec on the band-bucket key): the partial agg collapses
+    // each bucket map-side, and only CONTENDED buckets (n > 1) ride
+    // the join-back — a sole occupant trivially owns its bucket, so
+    // the build side is the near-dup candidate set, AQE-broadcastable.
+    // A viral band bucket never pins one task the way
+    // Window.partitionBy(band_idx, band_val) would.
+    val contended = banded.groupBy(col("band_idx"), col("band_val"))
+      .agg(min(col("did")).as("mn"), count(lit(1)).as("bn"))
+      .where(col("bn") > 1L)
+      .select(col("band_idx"), col("band_val"), col("mn"))
+    banded.join(contended, Seq("band_idx", "band_val"), "left")
       .groupBy(col("did"))
-      .agg(min(when(col("did") === col("mn"), 1L).otherwise(0L)).as("novel"))
+      .agg(min(when(col("mn").isNull || col("did") === col("mn"), 1L)
+        .otherwise(0L)).as("novel"))
       .withColumnRenamed("did", id)
   }
 
@@ -1326,6 +1335,55 @@ object Dedup {
       .where(col("nd") > 0L)
   }
 
+  /** In-memory APPEND of a [[WindowIndex]] — c89's decrement in
+    * reverse: arriving docs' window-hash occurrences are ADDED, and
+    * hashes the index has never seen enter with their arrival count.
+    * Needs only the arriving docs' text (one linear pass over the
+    * batch); the indexed corpus is never rescanned — the incremental
+    * re-price that lets d33's span gate absorb arrivals into the
+    * corpus contract without rebuilding the artifact. Equals
+    * [[buildWindowIndex]] of corpus ∪ arrivals (spec-pinned). */
+  def incrementWindowIndex(widx: WindowIndex, newDocs: DataFrame,
+                           id: String, text: String,
+                           w: Int): DataFrame =
+    widx.hashes
+      .unionByName(buildWindowIndex(newDocs, id, text, w)
+        .select(col("h"), col("nd")))
+      .groupBy(col("h"))
+      .agg(sum(col("nd")).cast("long").as("nd"))
+
+  /** PHYSICAL window-index append: [[incrementWindowIndex]] applied
+    * in place — only the hash buckets an arriving hash lands in are
+    * rewritten (dynamic partition overwrite, the same merge-flavor
+    * c81 seam as [[deleteFromWindowIndexDir]]). A NEW hash's bucket
+    * is touched by construction (bk = h mod [[IndexBuckets]]), so the
+    * anti-join that finds index-new hashes only ever scans touched
+    * buckets; and appends never drain a bucket, so no full-rewrite
+    * fallback exists on this path. */
+  def appendToWindowIndexDir(s: org.apache.spark.sql.SparkSession,
+                             base: String, newDocs: DataFrame,
+                             id: String, text: String,
+                             w: Int): Unit = {
+    import graft.util.Barriers.BarrierOps
+    val inc = buildWindowIndex(newDocs, id, text, w)
+      .select(col("h"), col("nd").as("ind"),
+        pmod(col("h"), lit(IndexBuckets)).as("bk"))
+      .barrier(true)
+    val t = s.read.parquet(s"$base/windows")
+    val touched = inc.select(col("bk")).distinct().barrier(true)
+    val tT = t.join(touched, Seq("bk"), "left_semi")
+    val upd = tT.join(inc.select(col("h"), col("ind")), Seq("h"), "left")
+      .select(col("h"),
+        (col("nd") + coalesce(col("ind"), lit(0L))).cast("long").as("nd"),
+        col("bk"))
+    val fresh = inc.join(tT.select(col("h")), Seq("h"), "left_anti")
+      .select(col("h"), col("ind").cast("long").as("nd"), col("bk"))
+    upd.unionByName(fresh).barrier(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bk").parquet(s"$base/windows")
+  }
+
   /** PHYSICAL window-index takedown: the decrement applied in place —
     * only the hash buckets containing a deleted doc's windows are
     * rewritten (dynamic partition overwrite, the c81 seam's merge
@@ -1357,11 +1415,15 @@ object Dedup {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bk").parquet(s"$base/windows")
     } else {
-      t.join(dc.select(col("h"), col("dnd")), Seq("h"), "left")
-        .select(col("h"),
-          (col("nd") - coalesce(col("dnd"), lit(0L))).cast("long").as("nd"),
-          col("bk"))
-        .where(col("nd") > 0L).barrier(true)
+      // a touched bucket drained: dynamic overwrite cannot delete a
+      // whole partition, so rewrite the artifact — reusing the
+      // already-materialized decrement for the touched buckets and
+      // re-reading only the untouched ones (barriered before the
+      // overwrite replaces the files they scan).
+      val untouched = t.join(touched, Seq("bk"), "left_anti")
+        .select(col("h"), col("nd"), col("bk"))
+        .barrier(true)
+      merged.unionByName(untouched)
         .write.mode("overwrite").partitionBy("bk")
         .parquet(s"$base/windows")
     }

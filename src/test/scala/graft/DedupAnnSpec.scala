@@ -979,7 +979,7 @@ class DedupAnnSpec extends SparkSpec {
       val delIds = Seq(delDid).toDF("did")
       val bk = delDid % Dedup.IndexBuckets
       val untouched = (0L until Dedup.IndexBuckets.toLong)
-        .filter(_ != bk).map(b => s"bk=$b")
+        .filter(_ != bk).map(b => s"bk=$b/") // slash: bk=1 vs bk=1x
       val beforeSh = fileSnap(s"$dir/shingles", untouched)
       val beforeBd = fileSnap(s"$dir/bands", untouched)
       Dedup.deleteFromIndexDir(spark, dir, delIds)
@@ -1017,6 +1017,82 @@ class DedupAnnSpec extends SparkSpec {
         "text", 16)
       assert(hs(Dedup.readWindowIndex(spark, dir).hashes) === expected)
     } finally rmDir(dir)
+  }
+
+  test("takedown: window-index delete drained-bucket fallback equals " +
+      "the survivor rebuild") {
+    val dir = tmpDir("graft-widx-drain")
+    try {
+      // tiny fixture: doc 2's two window hashes live in buckets no
+      // survivor hash occupies, so its takedown DRAINS buckets and
+      // forces the full-rewrite fallback (asserted below, not assumed)
+      val tiny = Seq((1L, "aa bb"), (2L,
+        (0 until 40).map(i => s"t$i").mkString(" ")),
+        (3L, "aa bb")).toDF("doc_id", "text")
+      Dedup.writeWindowIndex(tiny, "doc_id", "text", 2, dir)
+      val deleted = tiny.where($"doc_id" === 2L)
+      val surv = tiny.where($"doc_id" =!= 2L)
+      def bks(df: org.apache.spark.sql.DataFrame) =
+        df.select(pmod($"h", lit(Dedup.IndexBuckets)))
+          .distinct().as[Long].collect().toSet
+      val before = bks(Dedup.buildWindowIndex(tiny, "doc_id", "text", 2))
+      val survIdx = Dedup.buildWindowIndex(surv, "doc_id", "text", 2)
+      assert((before -- bks(survIdx)).nonEmpty,
+        "fixture must drain at least one bucket")
+      Dedup.deleteFromWindowIndexDir(spark, dir, deleted, "doc_id",
+        "text", 2)
+      def hs(df: org.apache.spark.sql.DataFrame) =
+        df.select($"h", $"nd").as[(Long, Long)].collect().toSet
+      assert(hs(Dedup.readWindowIndex(spark, dir).hashes) === hs(survIdx))
+    } finally rmDir(dir)
+  }
+
+  test("append: window-index increment equals buildWindowIndex of " +
+      "corpus ∪ arrivals (in-memory and on disk), untouched buckets " +
+      "byte-identical") {
+    val dir = tmpDir("graft-widx-app")
+    try {
+      val corpus = docs.where(pmod($"doc_id", lit(10)) < 8)
+      val arrivals = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      Dedup.writeWindowIndex(corpus, "doc_id", "text", 16, dir)
+      val widx = Dedup.readWindowIndex(spark, dir)
+      def hs(df: org.apache.spark.sql.DataFrame) =
+        df.select($"h", $"nd").as[(Long, Long)].collect().toSet
+      val expected = hs(Dedup.buildWindowIndex(
+        corpus.unionByName(arrivals), "doc_id", "text", 16))
+      assert(hs(Dedup.incrementWindowIndex(widx, arrivals, "doc_id",
+        "text", 16)) === expected)
+      Dedup.appendToWindowIndexDir(spark, dir, arrivals, "doc_id",
+        "text", 16)
+      assert(hs(Dedup.readWindowIndex(spark, dir).hashes) === expected)
+    } finally rmDir(dir)
+    // a TINY arrival (2 window hashes -> <=2 buckets) pins that the
+    // physical append rewrites only touched buckets: the rest keep
+    // their files byte-identical
+    val dir2 = tmpDir("graft-widx-app2")
+    try {
+      val corpus = docs.where(pmod($"doc_id", lit(10)) < 8)
+      Dedup.writeWindowIndex(corpus, "doc_id", "text", 16, dir2)
+      val tiny = Seq((999999L,
+        (0 until 17).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+      val touched = Dedup.buildWindowIndex(tiny, "doc_id", "text", 16)
+        .select(pmod($"h", lit(Dedup.IndexBuckets))).distinct()
+        .as[Long].collect().toSet
+      assert(touched.nonEmpty && touched.size < Dedup.IndexBuckets,
+        "fixture must leave some buckets untouched")
+      // trailing slash: prefix "bk=1" would also match bk=10/bk=13
+      val untouched = (0L until Dedup.IndexBuckets.toLong)
+        .filterNot(touched).map(b => s"bk=$b/")
+      val before = fileSnap(s"$dir2/windows", untouched)
+      Dedup.appendToWindowIndexDir(spark, dir2, tiny, "doc_id",
+        "text", 16)
+      assert(fileSnap(s"$dir2/windows", untouched) === before)
+      def hs2(df: org.apache.spark.sql.DataFrame) =
+        df.select($"h", $"nd").as[(Long, Long)].collect().toSet
+      assert(hs2(Dedup.readWindowIndex(spark, dir2).hashes) ===
+        hs2(Dedup.buildWindowIndex(corpus.select($"doc_id", $"text")
+          .unionByName(tiny), "doc_id", "text", 16)))
+    } finally rmDir(dir2)
   }
 
   test("takedown: keeper map rebuilt from the compacted index equals " +

@@ -179,6 +179,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("curation exact-dedup + band-claim plans: keeper via partial " +
+      "aggregate on the corpus key — no WindowExec") {
+    // Round-11 close of the WindowExec-on-corpus-key class: c19/c60's
+    // exact-dedup keeper (min id per content fingerprint) and c20's
+    // band-bucket owner (min did per (band_idx, band_val)) must plan
+    // as map-side-combinable aggregates + dup-filtered join-back,
+    // never a Window over the corpus-cardinality key (a viral
+    // duplicate would land its whole cluster in one sorted task).
+    val aggOnFp =
+      "(Hash|ObjectHash|Sort)Aggregate\\(keys?=\\[ex_fp#\\d+L?\\], functions=\\[partial_".r
+    val aggOnBand =
+      "(Hash|ObjectHash|Sort)Aggregate\\(keys?=\\[band_idx#\\d+, band_val#\\d+[^\\]]*\\], functions=\\[partial_".r
+    // c19's final frame keeps the exact-dedup branch lazy: assert the
+    // full executed plan. (c60 materializes the stage behind a
+    // barrier, so its final plan can't show the agg — it routes
+    // through the same exactSurvivors helper asserted directly below.)
+    val p19 = SparkEntry.queries("c19_curate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p19.contains("Window ["),
+      s"c19_curate must not plan a per-fingerprint WindowExec:\n$p19")
+    assert(aggOnFp.findFirstIn(p19).isDefined,
+      s"c19_curate must plan a partial aggregate keyed on ex_fp:\n$p19")
+    val pHelper = graft.operators.Curate.exactSurvivors(
+        graft.model.Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!pHelper.contains("Window [") &&
+        aggOnFp.findFirstIn(pHelper).isDefined,
+      s"exactSurvivors (c19/c60 stage) must plan partial agg on ex_fp:\n$pHelper")
+    val p20 = SparkEntry.queries("c20_neardup_novelty")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p20.contains("Window ["),
+      s"c20_neardup_novelty must not plan a per-bucket WindowExec:\n$p20")
+    assert(aggOnBand.findFirstIn(p20).isDefined,
+      s"c20_neardup_novelty must plan a partial aggregate on the band key:\n$p20")
+  }
+
   test("fuzzy decontamination candidate joins broadcast the eval side") {
     // c76/d30's scale contract: candidate generation is train-bands
     // against the BROADCAST eval bands — never a corpus self-join.
