@@ -94,15 +94,21 @@ object Bench {
     // line that fits the tail intact: headline total + the top-20
     // slowest queries + a pointer to the committed full map.
     def r3(d: Double): Double = math.round(d * 1000) / 1000.0
+    // Each top-20 entry carries [median, min]: three consecutive
+    // rounds the end-of-round window inflated medians 2-4x over
+    // quiet-box numbers (b26 -> b18 -> c57), so the per-query MIN —
+    // the contention-free load floor — rides the headline line as a
+    // first-class number instead of needing a post-hoc probe.
     val top = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(20)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v._1) }
+      .map { case (k, v) => "\"" + k + "\":[" + r3(v._1) + "," + r3(v._2) + "]" }
       .mkString("{", ",", "}")
+    val totalMin = results.map(_._2._2).filter(_ >= 0).sum
     // "truncated":true marks this line's queries map as the top-20
     // subset so a parser scanning for "metric":"total" cannot mistake
     // it for the full per-query inventory printed above.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+    println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec",""" +
       s""""queries":$top,"n_queries":${results.size},"truncated":true,""" +
-      s""""queries_note":"top-20 medians; full map in BENCH_local.json / SURVEY sec 8","runs":$runs,"sf":"$sfDir"}""")
+      s""""queries_note":"top-20 [median,min] sec; value_min = sum of per-query minima (load floor); full map in BENCH_local.json / SURVEY sec 8","runs":$runs,"sf":"$sfDir"}""")
     // The driver's BENCH_r{N}.json artifact retains only the tail of the
     // bench output, which truncates the per-query map once the inventory
     // outgrew ~2 KB of JSON. Persist the full line to a repo file as well

@@ -3690,6 +3690,122 @@ object PipelineSuite extends Suite {
       ORDER BY artifact, part"""
     })
 
+  val c90 = Q(
+    "c90_surprisal_quantile_sketch",
+    // Mergeable log-bucketed quantile sketch (QuantileSketch) over
+    // the per-doc unigram-surprisal ppm (c28's quality signal) — the
+    // bounded-state quantile path for UNBOUNDED domains, where c38's
+    // exact histogram would carry one row per distinct value: state
+    // is ≤252 (bucket, n) rows whatever the corpus size, counts add
+    // across shards/batches (merge == global, spec-pinned in
+    // QuantileSketchSpec), and the p50/p90/p99 nearest-rank marks
+    // land within one sub-bucket (≤25% relative). All bucket math is
+    // bitlength + integer shifts (§4 — no float log), so the DuckDB
+    // oracle reproduces the sketch bit-for-bit.
+    (s, d) => {
+      val sur = CorpusStats.unigramSurprisal(
+        Tables.documents(s, d), "doc_id", "text")
+      val marks = Seq("p50" -> 500000L, "p90" -> 900000L,
+        "p99" -> 990000L)
+      // two metrics off the one surprisal pass: the quality signal
+      // (mean bits ppm — narrow domain, few buckets) and the doc
+      // length (n_tokens — the c37 packing input, wide domain)
+      QuantileSketch.quantiles(
+          QuantileSketch.sketch(sur, "mean_bits_ppm"), marks)
+        .withColumn("metric", lit("mean_bits_ppm"))
+        .unionByName(QuantileSketch.quantiles(
+            QuantileSketch.sketch(sur, "n_tokens"), marks)
+          .withColumn("metric", lit("n_tokens")))
+        .orderBy(col("metric"), col("bucket"))
+    },
+    Some {
+      val qsql = QuantileSketch.quantilesSql(
+        Seq("p50" -> 500000L, "p90" -> 900000L, "p99" -> 990000L))
+      s"""
+      WITH src AS (${CorpusStats.unigramSurprisalSql("doc_id", "text")}),
+      m1 AS (WITH vals AS (SELECT mean_bits_ppm AS v FROM src),
+        $qsql),
+      m2 AS (WITH vals AS (SELECT n_tokens AS v FROM src),
+        $qsql)
+      SELECT 'mean_bits_ppm' AS metric, * FROM m1
+      UNION ALL
+      SELECT 'n_tokens' AS metric, * FROM m2
+      ORDER BY metric, bucket"""
+    })
+
+  val c91 = Q(
+    "c91_window_index_append_audit",
+    // Incremental re-price of the span WindowIndex — c89's decrement
+    // in REVERSE (Dedup.incrementWindowIndex): arriving docs' window
+    // hashes fold into the persisted COUNT artifact with one linear
+    // pass over the batch, no corpus rescan, so d33's span gate can
+    // absorb arrivals into the corpus contract at append cost. The
+    // audit prices the increment per hash bucket (the c81 partition
+    // seam appendToWindowIndexDir rewrites): hashes already indexed
+    // (n_before), index-new hashes the batch opens (n_new), existing
+    // hashes it increments (n_upd), occurrence mass added
+    // (occ_added), and the bucket's post-append size (n_after =
+    // n_before + n_new). Bounded output (IndexBuckets rows);
+    // append-equals-rebuild and untouched-bucket byte-identity are
+    // spec-pinned in DedupAnnSpec.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val arrivals = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val widx = graft.util.DiskCache.cached(s, "span-index", "v2",
+        Seq(s"$d/documents.parquet"), "mod10lt8-w16", Seq("windows")) {
+        tmp => Dedup.writeWindowIndex(corpus, "doc_id", "text", 16, tmp)
+      } { b => Dedup.readWindowIndex(s, b) }
+      val inc = Dedup.buildWindowIndex(arrivals, "doc_id", "text", 16)
+        .select(col("h"), col("nd").as("ind"))
+      val j = widx.hashes.join(inc, Seq("h"), "full")
+        .select(col("nd"), col("ind"),
+          pmod(col("h"), lit(Dedup.IndexBuckets.toLong)).as("bk"))
+      j.groupBy(col("bk"))
+        .agg(
+          sum(when(col("nd").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_before"),
+          sum(when(col("nd").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_new"),
+          sum(when(col("nd").isNotNull && col("ind").isNotNull, 1L)
+            .otherwise(0L)).cast("long").as("n_upd"),
+          sum(coalesce(col("ind"), lit(0L))).cast("long").as("occ_added"))
+        .withColumn("n_after",
+          (col("n_before") + col("n_new")).cast("long"))
+        .orderBy(col("bk"))
+    },
+    Some {
+      val th = s"""list_transform(${TextOps.tokensSql("text")},
+        tok -> ${TextOps.polyHashSql("tok")})"""
+      s"""
+      WITH thc AS (SELECT $th AS th FROM documents WHERE doc_id % 10 < 8),
+      cw AS (SELECT u AS h, CAST(COUNT(*) AS BIGINT) AS nd
+             FROM (SELECT unnest(${TextOps.ngramHashesSql("th", 16)}) AS u
+                   FROM thc)
+             GROUP BY 1),
+      tha AS (SELECT $th AS th FROM documents WHERE doc_id % 10 >= 8),
+      aw AS (SELECT u AS h, CAST(COUNT(*) AS BIGINT) AS ind
+             FROM (SELECT unnest(${TextOps.ngramHashesSql("th", 16)}) AS u
+                   FROM tha)
+             GROUP BY 1),
+      j AS (SELECT coalesce(cw.h, aw.h) AS h, cw.nd AS nd, aw.ind AS ind
+            FROM cw FULL JOIN aw ON cw.h = aw.h)
+      SELECT CAST(h % ${Dedup.IndexBuckets} AS BIGINT) AS bk,
+             CAST(SUM(CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN nd IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN nd IS NOT NULL AND ind IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+             CAST(SUM(coalesce(ind, 0)) AS BIGINT) AS occ_added,
+             CAST(SUM(CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END) +
+                  SUM(CASE WHEN nd IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_after
+      FROM j
+      GROUP BY 1
+      ORDER BY bk"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3697,5 +3813,5 @@ object PipelineSuite extends Suite {
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
-      c83, c84, c85, c86, c87, c88, c89)
+      c83, c84, c85, c86, c87, c88, c89, c90, c91)
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic MERGEABLE quantile sketch over non-negative longs —
+  * the bounded-state replacement for c38's exact histogram when the
+  * value domain is NOT bounded (counts, ppm scores, byte sizes): the
+  * state is one (bucket, n) row per occupied log-bucket, ≤ 4·62+4
+  * rows total for the full long range, so it folds across shards,
+  * days, or stream micro-batches the way d9/d11's HLL/CMS states do
+  * (counts add; merge = groupBy(bucket).sum — set-aggregate
+  * semantics, batch slicing can never change a number).
+  *
+  * Bucketing is HDR-histogram-style, computed ONLY with integer
+  * arithmetic (bitlength via `length(bin(v))` and integer shifts —
+  * no float log anywhere, §4, so Spark and DuckDB agree bit-for-bit):
+  *
+  *   - v < 4:  bucket = v (exact singletons);
+  *   - v ≥ 4:  octave o = bitlength(v) ≥ 3, two significand bits s =
+  *     (v >> (o-3)) - 4 ∈ [0,3], bucket = 4·(o-2) + s.
+  *
+  * Bucket index is monotone in v and invertible to bounds
+  * lo = (4+s) << (o-3), hi = lo + 2^(o-3) - 1, so the nearest-rank
+  * quantile read off the cumulative bucket counts is exact to one
+  * sub-bucket: relative error ≤ 1/(4+s) ≤ 25%, vs a full octave (2×)
+  * for plain bitlength buckets.
+  *
+  * Unlike KLL/t-digest the sketch involves no sampling, no compaction
+  * order and no float centroids — the state for a dataset is a pure
+  * function of its multiset of values, which is what makes the DuckDB
+  * oracle reproduce it bit-for-bit and the merge spec-pinnable
+  * (sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly).
+  */
+object QuantileSketch {
+
+  /** The sketch STATE: one (bucket, n) row per occupied bucket.
+    * `value` must be a non-negative integral column. */
+  def sketch(df: DataFrame, value: String): DataFrame =
+    df.select(col(value).cast("long").as("__v"))
+      .withColumn("bucket",
+        when(col("__v") < 4L, col("__v"))
+          .otherwise(expr(
+            "4 * (length(bin(__v)) - 2) + " +
+              "(shiftright(__v, cast(length(bin(__v)) - 3 AS int)) - 4)")
+            .cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** Fold sketch states: counts add per bucket. Associative and
+    * commutative — the streaming/sharded merge. */
+  def merge(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_.unionByName(_))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).cast("long").as("n"))
+
+  /** Presentation over a state: bucket value bounds, cumulative
+    * counts, and a 0/1 mark per requested quantile on the bucket
+    * where the nearest rank ceil(ppm·N/1e6) lands. The window is
+    * over the ≤252-row bucket table — bounded by construction, never
+    * corpus-scale (SURVEY §8l). */
+  def quantiles(state: DataFrame,
+                marks: Seq[(String, Long)]): DataFrame = {
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = state.agg(sum(col("n")).cast("long").as("tot"))
+    val cum = state
+      .withColumn("lo",
+        when(col("bucket") < 4L, col("bucket"))
+          .otherwise(expr(
+            "shiftleft(4 + bucket % 4, cast(bucket div 4 - 1 AS int))")
+            .cast("long")))
+      .withColumn("hi",
+        when(col("bucket") < 4L, col("bucket"))
+          .otherwise(col("lo") - 1L +
+            // 1 must be BIGINT (an int literal shifts mod 32), and
+            // the -1 rides BEFORE the add: lo + width overflows at
+            // the top bucket, whose hi IS Long.MaxValue
+            expr("shiftleft(cast(1 AS bigint), cast(bucket div 4 - 1 AS int))")
+              .cast("long")))
+      .withColumn("cum", sum(col("n")).over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+    marks.foldLeft(cum) { case (d, (name, ppm)) =>
+      d.withColumn(name,
+        (col("cum") >= expr(s"($ppm * tot + 999999) div 1000000") &&
+          col("cum") - col("n") <
+            expr(s"($ppm * tot + 999999) div 1000000"))
+          .cast("long"))
+    }.select(Seq(col("bucket"), col("lo"), col("hi"), col("n"),
+        col("cum")) ++ marks.map { case (name, _) => col(name) }: _*)
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB mirror of [[sketch]] + [[quantiles]] over a one-column
+    * CTE `vals(v)`: emits the CTE tail + final SELECT. */
+  def quantilesSql(marks: Seq[(String, Long)]): String = {
+    val markCols = marks.map { case (name, ppm) =>
+      s"""CAST(CASE WHEN cum >= ($ppm * tot + 999999) // 1000000
+         AND cum - n < ($ppm * tot + 999999) // 1000000
+         THEN 1 ELSE 0 END AS BIGINT) AS $name"""
+    }.mkString(",\n             ")
+    s"""
+      b AS (
+        SELECT CASE WHEN v < 4 THEN v
+               ELSE 4 * (length(bin(v)) - 2) + ((v >> (length(bin(v)) - 3)) - 4)
+               END AS bucket
+        FROM vals),
+      st AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+             FROM b GROUP BY 1),
+      cum AS (
+        SELECT bucket, n,
+               CAST(CASE WHEN bucket < 4 THEN bucket
+                 ELSE (4 + bucket % 4) << (bucket // 4 - 1)
+                 END AS BIGINT) AS lo,
+               CAST(CASE WHEN bucket < 4 THEN bucket
+                 ELSE ((4 + bucket % 4) << (bucket // 4 - 1)) - 1
+                   + (CAST(1 AS BIGINT) << (bucket // 4 - 1))
+                 END AS BIGINT) AS hi,
+               CAST(SUM(n) OVER (ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(n) OVER () AS BIGINT) AS tot
+        FROM st)
+      SELECT bucket, lo, hi, n, cum,
+             $markCols
+      FROM cum
+      ORDER BY bucket"""
+  }
+}
