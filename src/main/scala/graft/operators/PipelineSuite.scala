@@ -3703,8 +3703,11 @@ object PipelineSuite extends Suite {
     // bitlength + integer shifts (§4 — no float log), so the DuckDB
     // oracle reproduces the sketch bit-for-bit.
     (s, d) => {
+      import graft.util.Barriers.BarrierOps
+      // barrier: both metric sketches read the one surprisal pass —
+      // without it each sketch re-runs the corpus scoring
       val sur = CorpusStats.unigramSurprisal(
-        Tables.documents(s, d), "doc_id", "text")
+        Tables.documents(s, d), "doc_id", "text").barrier(true)
       val marks = Seq("p50" -> 500000L, "p90" -> 900000L,
         "p99" -> 990000L)
       // two metrics off the one surprisal pass: the quality signal
