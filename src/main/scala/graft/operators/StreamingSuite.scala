@@ -1855,8 +1855,42 @@ object StreamingSuite extends Suite {
       ORDER BY batch"""
     })
 
+  val d40 = Q(
+    "d40_stream_sketch_fold",
+    // c90's mergeable quantile sketch AT INGEST (live =
+    // Streams.sketchFoldStreaming): arriving docs are scored against
+    // the STATIC bigram LM (the d13/d18 trained-artifact seam,
+    // trained on the %10<8 corpus) and folded into the running
+    // (bucket, n) sketch state — counts add, so the drained stream
+    // equals this batch contract exactly and batch slicing can never
+    // change a number (StreamsSpec pins it cross-batch). The emitted
+    // frame is the live ingest-quality distribution monitor:
+    // log-bucket bounds, cumulative counts, p50/p90/p99 nearest-rank
+    // marks over every doc seen so far. State ≤252 rows whatever the
+    // stream length — the d9/d11 bounded-sketch-state class.
+    (s, d) => {
+      import graft.operators.{CorpusStats, QuantileSketch}
+      val docs = Tables.documents(s, d)
+      val lm = CorpusStats.bigramLm(
+        docs.where(pmod(col("doc_id"), lit(10)) < 8), "text")
+      QuantileSketch.quantiles(
+        QuantileSketch.sketch(
+          CorpusStats.bigramScore(lm,
+            docs.where(pmod(col("doc_id"), lit(10)) >= 8),
+            "doc_id", "text"),
+          "mean_bits_ppm"),
+        Seq("p50" -> 500000L, "p90" -> 900000L, "p99" -> 990000L))
+    },
+    Some(s"""
+      WITH src AS (${graft.operators.CorpusStats.bigramSurprisalSql(
+        "doc_id", "text", trainWhere = "doc_id % 10 < 8",
+        scoreWhere = "doc_id % 10 >= 8")}),
+      vals AS (SELECT mean_bits_ppm AS v FROM src),
+      ${graft.operators.QuantileSketch.quantilesSql(
+        Seq("p50" -> 500000L, "p90" -> 900000L, "p99" -> 990000L))}"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39)
+      d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40)
 }

@@ -1024,6 +1024,43 @@ object Streams {
       }
       .start()
 
+  /** Streaming fold of the c90 quantile sketch over LM-scored
+    * arrivals — d40's live path and the reason the sketch is
+    * mergeable at all: each arriving micro-batch is scored against
+    * the STATIC bigram LM ([[surprisalScoreStreaming]]'s artifact
+    * seam), bucketed into the ≤252-row QuantileSketch state, and
+    * FOLDED into the running per-bucket partials (counts add — the
+    * d9/d11 set-aggregate class, so drain parity with the batch
+    * sketch is exact and batch slicing can never change a number;
+    * StreamsSpec pins it cross-batch). Every batch re-emits the full
+    * quantile frame (bounds, cumulative counts, nearest-rank marks)
+    * — the live ingest-quality distribution monitor. Cross-batch
+    * state = the (bucket, n) partials only, never doc-scale. Same
+    * at-least-once batchId guard as dedupChurnStreaming. */
+  def sketchFoldStreaming(lm: graft.operators.CorpusStats.BigramLm,
+      docs: DataFrame, id: String, text: String,
+      marks: Seq[(String, Long)])
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{CorpusStats, QuantileSketch}
+    import graft.util.Barriers.BarrierOps
+    var partials: Option[DataFrame] = None
+    var lastApplied = -1L
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val p = QuantileSketch.sketch(
+            CorpusStats.bigramScore(lm, batch, id, text),
+            "mean_bits_ppm")
+          partials = Some(partials.map(_.unionAll(p)).getOrElse(p)
+            .barrier(true))
+          lastApplied = bid
+        }
+        sink(QuantileSketch.quantiles(
+          QuantileSketch.merge(Seq(partials.get)), marks))
+      }
+      .start()
+  }
+
   /** Streaming Moore-Lewis selection gate: arriving docs are scored
     * against TWO static trained bigram LMs (in-domain + general,
     * both barriered — the d19 static-artifact seam doubled) and

@@ -1845,6 +1845,49 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("streaming sketch fold: drained emission equals the d40 batch " +
+      "sketch; per-bucket counts are monotone across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{CorpusStats, QuantileSketch}
+    val docs = Tables.documents(spark, sf)
+    val lm = CorpusStats.bigramLm(
+      docs.where(pmod($"doc_id", lit(10)) < 8), "text")
+    val arriving = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val marks = Seq("p50" -> 500000L, "p90" -> 900000L,
+      "p99" -> 990000L)
+    type Row8 = (Long, Long, Long, Long, Long, Long, Long, Long)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[Row8] =
+      df.collect().map(r => (r.getAs[Long]("bucket"),
+        r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("n"),
+        r.getAs[Long]("cum"), r.getAs[Long]("p50"),
+        r.getAs[Long]("p90"), r.getAs[Long]("p99")))
+        .sortBy(_._1).toSeq
+    val emissions =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[Row8]]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.sketchFoldStreaming(lm,
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", marks) {
+      df => val rows = toRows(df); this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 3).toSeq,
+      arriving.slice(n / 3, 2 * n / 3).toSeq,
+      arriving.slice(2 * n / 3, n).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = toRows(
+      graft.SparkEntry.queries("d40_stream_sketch_fold")(spark, sf))
+    assert(emissions.size === 3 && emissions.last === batch)
+    // the sketch only accumulates: per-bucket n is monotone
+    val per = emissions.map(_.map(t => t._1 -> t._4).toMap)
+    per.sliding(2).foreach { w =>
+      w(0).foreach { case (b, cnt) =>
+        assert(cnt <= w(1).getOrElse(b, Long.MaxValue),
+          s"bucket $b count went backwards") }
+    }
+  }
+
   test("streaming delete feed: replayed batches equal the one-shot " +
       "union delete (dir state) and audits match the d39 batch contract") {
     implicit val sqlCtx = spark.sqlContext
