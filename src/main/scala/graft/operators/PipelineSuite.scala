@@ -3809,6 +3809,26 @@ object PipelineSuite extends Suite {
       ORDER BY bk"""
     })
 
+  val c92 = Q(
+    "c92_sketch_ks_drift",
+    // KS-style per-source length-distribution drift computed ONLY
+    // from c90 sketch states (QuantileSketch.ksDrift) — the
+    // artifact-vs-artifact compare c43 can't do: c43's L1 needs the
+    // corpus-sized unigram tables, while this reads each source's
+    // ≤252-row sketch and the corpus blend (which IS the fold of the
+    // per-source states — mergeability makes the reference free).
+    // Two shards/days/sources compare without any raw-data rescan:
+    // the shape a 100 TB ingest monitor actually runs, since the
+    // states are what the d40 stream already maintains. Distance =
+    // max over buckets of |cum_g ppm − cum_all ppm|; everything past
+    // the one corpus pass is |sources| × ≤252-row arithmetic.
+    (s, d) => QuantileSketch.ksDrift(
+      Tables.documents(s, d).select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("v")),
+      "source", "v"),
+    Some(QuantileSketch.ksDriftSql("documents", "source",
+      s"len(${TextOps.tokensSql("text")})")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3816,5 +3836,5 @@ object PipelineSuite extends Suite {
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
-      c83, c84, c85, c86, c87, c88, c89, c90, c91)
+      c83, c84, c85, c86, c87, c88, c89, c90, c91, c92)
 }

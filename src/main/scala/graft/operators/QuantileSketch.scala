@@ -35,18 +35,114 @@ import org.apache.spark.sql.functions._
   */
 object QuantileSketch {
 
+  /** The HDR bucket index of the materialized `__v` column. */
+  private def bucketCol: org.apache.spark.sql.Column =
+    when(col("__v") < 4L, col("__v"))
+      .otherwise(expr(
+        "4 * (length(bin(__v)) - 2) + " +
+          "(shiftright(__v, cast(length(bin(__v)) - 3 AS int)) - 4)")
+        .cast("long"))
+
   /** The sketch STATE: one (bucket, n) row per occupied bucket.
     * `value` must be a non-negative integral column. */
   def sketch(df: DataFrame, value: String): DataFrame =
     df.select(col(value).cast("long").as("__v"))
-      .withColumn("bucket",
-        when(col("__v") < 4L, col("__v"))
-          .otherwise(expr(
-            "4 * (length(bin(__v)) - 2) + " +
-              "(shiftright(__v, cast(length(bin(__v)) - 3 AS int)) - 4)")
-            .cast("long")))
+      .withColumn("bucket", bucketCol)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).cast("long").as("n"))
+
+  /** Per-group sketch states: one (key, bucket, n) row per group ×
+    * occupied bucket — the sharded form whose per-key states merge
+    * into [[sketch]]'s global state by summing counts. */
+  def sketchBy(df: DataFrame, key: String, value: String): DataFrame =
+    df.select(col(key), col(value).cast("long").as("__v"))
+      .withColumn("bucket", bucketCol)
+      .groupBy(col(key), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** KS-style drift per group, computed ONLY from sketch states —
+    * the artifact-vs-artifact distribution compare: each group's
+    * cumulative bucket distribution against the merged corpus blend
+    * (which IS the fold of the per-group states — mergeability is
+    * what makes this free), distance = max over buckets of
+    * |cum_g·1e6 div n_g − cum_all·1e6 div n_all| in ppm. Everything
+    * downstream of the one [[sketchBy]] pass is |groups| × ≤252-row
+    * arithmetic; the cumsum windows run over that bounded grid
+    * (SURVEY §8l histogram class), never over corpus rows. */
+  def ksDrift(df: DataFrame, key: String, value: String): DataFrame = {
+    val per = sketchBy(df, key, value)
+    val all = per.groupBy(col("bucket"))
+      .agg(sum(col("n")).cast("long").as("n_all"))
+    val totAll = all.agg(sum(col("n_all")).cast("long").as("tot_all"))
+    val tot = per.groupBy(col(key))
+      .agg(sum(col("n")).cast("long").as("tot_g"))
+    val wAll = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allCum = all.withColumn("cum_all",
+      sum(col("n_all")).over(wAll).cast("long"))
+    val grid = per.select(col(key)).distinct()
+      .crossJoin(all.select(col("bucket")))
+    val wG = Window.partitionBy(col(key)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(per, Seq(key, "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("cum_g", sum(col("n")).over(wG).cast("long"))
+      .join(allCum.select(col("bucket"), col("cum_all")), Seq("bucket"))
+      .join(tot, Seq(key))
+      .crossJoin(broadcast(totAll))
+      .withColumn("d",
+        abs(expr("cum_g * 1000000 div tot_g") -
+          expr("cum_all * 1000000 div tot_all")).cast("long"))
+      .groupBy(col(key))
+      .agg(max(col("tot_g")).cast("long").as("n_docs"),
+        max(col("d")).cast("long").as("ks_ppm"))
+      .orderBy(col(key))
+  }
+
+  /** DuckDB mirror of [[ksDrift]] over `rel`, grouping by `key`,
+    * sketching the BIGINT expression `valueSql`. */
+  def ksDriftSql(rel: String, key: String, valueSql: String): String =
+    s"""
+      WITH vals AS (SELECT $key AS k, CAST($valueSql AS BIGINT) AS v
+                    FROM $rel),
+      b AS (
+        SELECT k, CASE WHEN v < 4 THEN v
+               ELSE 4 * (length(bin(v)) - 2) + ((v >> (length(bin(v)) - 3)) - 4)
+               END AS bucket
+        FROM vals),
+      per AS (SELECT k, bucket, CAST(COUNT(*) AS BIGINT) AS n
+              FROM b GROUP BY 1, 2),
+      allb AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_all
+               FROM per GROUP BY 1),
+      totall AS (SELECT CAST(SUM(n_all) AS BIGINT) AS tot_all FROM allb),
+      tot AS (SELECT k, CAST(SUM(n) AS BIGINT) AS tot_g
+              FROM per GROUP BY 1),
+      allcum AS (SELECT bucket,
+                   CAST(SUM(n_all) OVER (ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all
+                 FROM allb),
+      grid AS (SELECT k, bucket
+               FROM (SELECT DISTINCT k FROM per), (SELECT bucket FROM allb)),
+      g AS (
+        SELECT grid.k, grid.bucket, coalesce(per.n, 0) AS n
+        FROM grid LEFT JOIN per
+          ON grid.k = per.k AND grid.bucket = per.bucket),
+      cums AS (
+        SELECT k, bucket,
+               CAST(SUM(n) OVER (PARTITION BY k ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g
+        FROM g)
+      SELECT c.k AS $key,
+             CAST(MAX(t.tot_g) AS BIGINT) AS n_docs,
+             CAST(MAX(ABS(c.cum_g * 1000000 // t.tot_g
+                 - a.cum_all * 1000000 // tt.tot_all)) AS BIGINT)
+               AS ks_ppm
+      FROM cums c
+        JOIN allcum a ON c.bucket = a.bucket
+        JOIN tot t ON c.k = t.k
+        CROSS JOIN totall tt
+      GROUP BY 1
+      ORDER BY $key"""
 
   /** Fold sketch states: counts add per bucket. Associative and
     * commutative — the streaming/sharded merge. */

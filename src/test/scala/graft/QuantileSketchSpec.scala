@@ -58,6 +58,51 @@ class QuantileSketchSpec extends SparkSpec {
       rows(QuantileSketch.sketch(sur, "mean_bits_ppm")))
   }
 
+  test("ksDrift: zero for groups with identical multisets, matches " +
+      "the exact bucket-granularity statistic on real data, and " +
+      "near 1e6 for disjoint ranges") {
+    // replicate the bucket map in plain Scala
+    def bkt(v: Long): Long =
+      if (v < 4L) v
+      else {
+        val o = 64 - java.lang.Long.numberOfLeadingZeros(v)
+        4L * (o - 2) + ((v >> (o - 3)) - 4)
+      }
+    // identical multisets -> every group distribution == blend
+    val same = Seq("a", "b").flatMap(k =>
+      Seq(1L, 5L, 9L, 100L, 1000L).map(v => (k, v))).toDF("source", "v")
+    val z = QuantileSketch.ksDrift(same, "source", "v")
+      .select($"ks_ppm").as[Long].collect()
+    assert(z.toSeq === Seq(0L, 0L))
+    // disjoint ranges -> drift approaches the groups' blend shares
+    val far = (Seq.fill(50)(3L).map(("lo", _)) ++
+      Seq.fill(50)(1000000L).map(("hi", _))).toDF("source", "v")
+    val f = QuantileSketch.ksDrift(far, "source", "v")
+      .select($"source", $"ks_ppm").as[(String, Long)].collect().toMap
+    assert(f("lo") === 500000L && f("hi") === 500000L)
+    // real data: ksDrift == the statistic computed from exact values
+    // at sketch-bucket granularity
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"source",
+        size(graft.functions.TextOps.tokens($"text")).cast("long")
+          .as("v"))
+    val rows = docs.as[(String, Long)].collect()
+    val buckets = rows.map(_._2).map(bkt).distinct.sorted
+    val tots = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nAll = rows.length.toLong
+    def cum(vs: Seq[Long], b: Long): Long = vs.count(bkt(_) <= b).toLong
+    val allVs = rows.map(_._2).toSeq
+    val expected = tots.keys.map { k =>
+      val vs = rows.filter(_._1 == k).map(_._2).toSeq
+      k -> buckets.map(b => math.abs(
+        cum(vs, b) * 1000000L / tots(k) -
+          cum(allVs, b) * 1000000L / nAll)).max
+    }.toMap
+    val got = QuantileSketch.ksDrift(docs, "source", "v")
+      .select($"source", $"ks_ppm").as[(String, Long)].collect().toMap
+    assert(got === expected)
+  }
+
   test("quantile marks: exactly one bucket per mark, and the exact " +
       "nearest-rank value lies inside the marked bucket") {
     val docs = graft.model.Tables.documents(spark, sf)
