@@ -68,25 +68,47 @@ object GraphAlgo {
     // convergence loop below — so it was rejected.)
     import org.apache.spark.sql.expressions.Window
 
+    // `spark.graft.cc.aggstars=true` swaps both stars' per-center min
+    // from the window shape to groupBy(center).agg(min) + join-back —
+    // same two exchanges per phase (the join's both sides land on the
+    // center key the window would shuffle to anyway), but the min
+    // combines MAP-SIDE and the probe join is AQE-skew-splittable, so
+    // a web-crawl hub with 1e8 neighbors costs one combined row per
+    // map task instead of one sorted WindowExec task. Default stays
+    // windowed: on the max-degree-3k testdata graphs the shapes tie
+    // (CcAB, SURVEY §8l) and the window saves a join operator; the
+    // flag is the documented escape hatch for hub-degree graphs.
+    val aggStars = edgesIn.sparkSession.conf
+      .getOption("spark.graft.cc.aggstars").contains("true")
     // large-star: around each center c, link every LARGER neighbor to
     // the minimum of N(c) ∪ {c} (keeps orientation, halves path reach)
     def largeStar(E: DataFrame): DataFrame = {
       val bid = E.select(col("u").as("c"), col("v").as("n"))
         .unionAll(E.select(col("v").as("c"), col("u").as("n")))
-      bid
-        .withColumn("m",
+      val withMin =
+        if (aggStars)
+          bid.join(bid.groupBy(col("c")).agg(min(col("n")).as("__mn")),
+              Seq("c"))
+            .withColumn("m", least(col("__mn"), col("c")))
+        else bid.withColumn("m",
           least(min(col("n")).over(Window.partitionBy(col("c"))), col("c")))
+      withMin
         .where(col("n") > col("c") && col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
-      // no distinct here: both windows' mins are duplicate-
+      // no distinct here: both shapes' mins are duplicate-
       // insensitive and small-star's distinct bounds the round's
       // output — saves one shuffle per phase
     }
     // small-star: around each center u (over the oriented edges), link
-    // every smaller neighbor and u itself to min(N(u) ∪ {u})
+    // every smaller neighbor and u itself to min(N(u) ∪ {u}) (edges
+    // are oriented u>v, so min(N(u) ∪ {u}) = min(v))
     def smallStar(E: DataFrame): DataFrame = {
-      E
-        .withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+      val withMin =
+        if (aggStars)
+          E.join(E.groupBy(col("u")).agg(min(col("v")).as("m")), Seq("u"))
+        else
+          E.withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+      withMin
         .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
         .where(col("n") =!= col("m"))
         .select(greatest(col("n"), col("m")).as("u"),

@@ -86,6 +86,35 @@ class GraphSpec extends SparkSpec {
     assert(cc.where($"node" === $"component").count() === nComponents)
   }
 
+  test("connectedComponents: aggstars shape equals the window shape " +
+      "(sf chains and a hub star)") {
+    import graft.graph.GraphAlgo
+    def withFlag[T](v: Boolean)(f: => T): T = {
+      spark.conf.set("spark.graft.cc.aggstars", v.toString)
+      try f finally spark.conf.unset("spark.graft.cc.aggstars")
+    }
+    def comps(e: org.apache.spark.sql.DataFrame, flag: Boolean) =
+      withFlag(flag) {
+        GraphAlgo.connectedComponents(e)
+          .as[(String, String)].collect().toSet
+      }
+    // the b14 input: consecutive same-(user, type) event chains
+    val ev = Tables.events(spark, sf)
+    val chain = ev.select($"user_id", $"event_type", $"event_id")
+      .withColumn("nxt", org.apache.spark.sql.functions.lead($"event_id", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"event_type").orderBy($"event_id")))
+      .where($"nxt".isNotNull)
+      .select(concat(lit("e"), $"event_id").as("src"),
+        concat(lit("e"), $"nxt").as("dst"))
+    assert(comps(chain, flag = true) === comps(chain, flag = false))
+    // a hub star (the shape the agg variant exists for) + a ring
+    val hub = ((1 to 500).map(i => ("hub", s"n$i")) ++
+      (1 to 10).map(i => (s"r$i", s"r${i % 10 + 1}"))).toDF("src", "dst")
+    val w = comps(hub, flag = false)
+    assert(comps(hub, flag = true) === w && w.map(_._2).size > 0)
+  }
+
   test("export is the full node set") {
     assert(g.export().count() === g.nodes.count())
   }
