@@ -1889,8 +1889,53 @@ object StreamingSuite extends Suite {
       ${graft.operators.QuantileSketch.quantilesSql(
         Seq("p50" -> 500000L, "p90" -> 900000L, "p99" -> 990000L))}"""))
 
+  val d41 = Q(
+    "d41_stream_span_reprice",
+    // The d33 gate with the c91 append folded into the loop (live =
+    // Streams.spanRepriceStreaming): batch b (the d39 slicing,
+    // (doc_id div 10) mod 4, replayed in batch order) is redacted
+    // against the corpus WindowIndex ∪ every EARLIER batch's windows
+    // — prefix semantics, so a doc pasted twice across arrivals is
+    // caught the second time, the cross-arrival match d33's static
+    // contract deliberately excludes — then folds its own windows
+    // into the state (incrementWindowIndex: counts add, one linear
+    // batch pass, never a corpus rescan; the persisted flavor is
+    // c91's appendToWindowIndexDir). StreamsSpec pins live-replay
+    // parity at this slicing AND the semantic win (a cross-batch
+    // duplicate redacts fully where d33's gate would keep it).
+    (s, d) => {
+      import graft.operators.Dedup
+      import graft.util.Barriers.BarrierOps
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val arrivals = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val widx0 = graft.util.DiskCache.cached(s, "span-index", "v2",
+        Seq(s"$d/documents.parquet"), "mod10lt8-w16", Seq("windows")) {
+        tmp => Dedup.writeWindowIndex(corpus, "doc_id", "text", 16, tmp)
+      } { b => Dedup.readWindowIndex(s, b) }
+      def slice(b: Long) = arrivals.where(
+        pmod(expr("doc_id div 10").cast("long"), lit(4L)) === b)
+      (0L to 3L).map { b =>
+        val widxB =
+          if (b == 0L) widx0
+          else Dedup.WindowIndex(Dedup.incrementWindowIndex(widx0,
+            arrivals.where(pmod(expr("doc_id div 10").cast("long"),
+              lit(4L)) < b), "doc_id", "text", 16).barrier(true))
+        Dedup.spanRedactGate(widxB, slice(b), "doc_id", "text", 16)
+      }.reduce(_.unionAll(_)).orderBy(col("doc_id"))
+    },
+    Some {
+      def gate(b: Int) = graft.operators.Dedup.spanRedactGateSql(
+        "doc_id", "text", 16,
+        corpusWhere = s"doc_id % 10 < 8 OR (doc_id % 10 >= 8" +
+          s" AND (doc_id // 10) % 4 < $b)",
+        arrivalWhere = s"doc_id % 10 >= 8 AND (doc_id // 10) % 4 = $b")
+      (0 to 3).map(b => s"SELECT * FROM (${gate(b)})")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY doc_id")
+    })
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40)
+      d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41)
 }

@@ -1061,6 +1061,41 @@ object Streams {
       .start()
   }
 
+  /** Streaming span-redaction gate WITH per-batch index re-price —
+    * d41: the d33 gate plus the c91 append folded into the loop.
+    * Batch b is redacted against the corpus WindowIndex ∪ every
+    * EARLIER batch's windows (prefix semantics — a doc pasted twice
+    * across arrivals is caught the second time, the cross-arrival
+    * match d33 deliberately excludes), then its own windows fold
+    * into the state via incrementWindowIndex (counts add, one linear
+    * batch pass — never a corpus rescan). Cross-batch state = the
+    * (h, nd) count artifact, exactly what the persisted index holds;
+    * production checkpoints it with appendToWindowIndexDir at the
+    * same cadence. Contract is PREFIX-ordered by construction, so
+    * the spec pins parity against the batch replay at the SAME
+    * slicing (not slicing-invariance — that is d33's contract).
+    * Gate-then-fold runs inside the batchId guard: an at-least-once
+    * redelivery neither re-emits nor double-counts. */
+  def spanRepriceStreaming(widx: graft.operators.Dedup.WindowIndex,
+      docs: DataFrame, id: String, text: String, w: Int)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.util.Barriers.BarrierOps
+    var state = widx.hashes.barrier(true)
+    var lastApplied = -1L
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val cur = Dedup.WindowIndex(state)
+          sink(Dedup.spanRedactGate(cur, batch, id, text, w))
+          state = Dedup.incrementWindowIndex(cur, batch, id, text, w)
+            .barrier(true)
+          lastApplied = bid
+        }
+      }
+      .start()
+  }
+
   /** Streaming Moore-Lewis selection gate: arriving docs are scored
     * against TWO static trained bigram LMs (in-domain + general,
     * both barriered — the d19 static-artifact seam doubled) and

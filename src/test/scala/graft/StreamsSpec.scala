@@ -1888,6 +1888,57 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming span re-price: replay at the d41 slicing equals the " +
+      "batch contract; a cross-batch duplicate redacts fully") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod($"doc_id", lit(10)) < 8)
+    val arrivals = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text")
+    val widx0 = Dedup.WindowIndex(
+      Dedup.buildWindowIndex(corpus, "doc_id", "text", 16))
+    type R = (Long, Long, Long, Long, String)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+        r.getAs[Long]("kept_ppm"), r.getAs[String]("redacted_text"))).toSeq
+    val got = scala.collection.mutable.ArrayBuffer.empty[R]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.spanRepriceStreaming(widx0,
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 16) { df =>
+      val rows = toRows(df); this.synchronized { got ++= rows }
+    }
+    val slices = (0L to 3L).map(b => arrivals
+      .where(pmod(expr("doc_id div 10").cast("long"), lit(4L)) === b)
+      .as[(Long, String)].collect().toSeq)
+    try slices.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = toRows(
+      graft.SparkEntry.queries("d41_stream_span_reprice")(spark, sf))
+    assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1))
+    // the semantic win over d33: a 16+-token doc unseen by the corpus
+    // index, fed in batch 0 and pasted again in batch 1 — the copy is
+    // fully redacted (every window now in the state), the original
+    // untouched
+    val novel = (0 until 20).map(i => s"q$i").mkString(" ")
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[R]
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = Streams.spanRepriceStreaming(widx0,
+        ms2.toDF().toDF("doc_id", "text"), "doc_id", "text", 16) { df =>
+      val rows = toRows(df); this.synchronized { got2 ++= rows }
+    }
+    try {
+      ms2.addData(Seq((100001L, novel))); q2.processAllAvailable()
+      ms2.addData(Seq((100002L, novel))); q2.processAllAvailable()
+    } finally q2.stop()
+    val byId = got2.map(r => r._1 -> r).toMap
+    assert(byId(100001L)._3 === 0L && byId(100001L)._4 === 1000000L,
+      "first arrival of a novel doc must keep every token")
+    assert(byId(100002L)._3 === 20L && byId(100002L)._5 === "",
+      "the cross-batch copy must redact fully")
+  }
+
   test("streaming delete feed: replayed batches equal the one-shot " +
       "union delete (dir state) and audits match the d39 batch contract") {
     implicit val sqlCtx = spark.sqlContext
