@@ -70,7 +70,11 @@ object QuantileSketch {
     * arithmetic; the cumsum windows run over that bounded grid
     * (SURVEY §8l histogram class), never over corpus rows. */
   def ksDrift(df: DataFrame, key: String, value: String): DataFrame = {
-    val per = sketchBy(df, key, value)
+    import graft.util.Barriers.BarrierOps
+    // one corpus pass: the blend, the per-group totals and the grid
+    // all derive from the materialized per-group states (without the
+    // barrier each branch would re-run the corpus scan)
+    val per = sketchBy(df, key, value).barrier(true)
     val all = per.groupBy(col("bucket"))
       .agg(sum(col("n")).cast("long").as("n_all"))
     val totAll = all.agg(sum(col("n_all")).cast("long").as("tot_all"))

@@ -149,7 +149,10 @@ class PlanShapeSpec extends SparkSpec {
       "d36_stream_retrain_cycle", // broadcast 1-row trigger + centroid arrays
       "d37_stream_ann_freshness", // broadcast centroids (query probe)
       "c89_takedown_audit",      // broadcast 1-row map-size totals
-      "d39_stream_delete_feed")  // broadcast 1-row member total
+      "d39_stream_delete_feed",  // broadcast 1-row member total
+      "c90_surprisal_quantile_sketch", // broadcast 1-row sketch total
+      "c92_sketch_ks_drift",     // broadcast 1-row blend total
+      "d40_stream_sketch_fold")  // broadcast 1-row sketch total
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
