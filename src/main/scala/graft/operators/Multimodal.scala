@@ -394,4 +394,135 @@ object Multimodal {
       .withColumn("rms",
         round(sqrt(col("sum_sq").cast("double") / frameSize), 6))
   }
+
+  /** Block-mean RESIZE of a gray8 raster to an `ow`×`oh` thumbnail —
+    * the image-preprocessing step a multimodal training pipeline runs
+    * before feature extraction. The payload is read as a row-major
+    * w×h raster (w = the blob table's metadata width, h = ⌈n/w⌉ with
+    * a ragged last row); output pixel (r, c) is the FLOOR-MEAN of
+    * the source block rows [r·h div oh, (r+1)·h div oh) × cols
+    * [c·w div ow, (c+1)·w div ow) — integer arithmetic only (sum div
+    * count, no float), so the DuckDB oracle reproduces every pixel
+    * exactly. Degenerate blocks (dims smaller than the grid, or a
+    * block entirely inside the ragged tail) emit -1 — decode
+    * shortfall is data, not an exception. Entirely per-row
+    * higher-order array functions: map-only, no shuffle, no UDF; a
+    * real image path feeds its decoded pixel buffer through the same
+    * column (the [[BlobCodec]] boundary). */
+  def resizeGray8(docs: DataFrame, id: String, text: String,
+                  ow: Int = 8, oh: Int = 8): DataFrame = {
+    val r0 = s"((k div $ow) * h) div $oh"
+    val r1 = s"(((k div $ow) + 1) * h) div $oh"
+    val c0 = s"((k % $ow) * w) div $ow"
+    val c1 = s"(((k % $ow) + 1) * w) div $ow"
+    val poss = s"filter(flatten(transform(sequence($r0, ($r1) - 1), " +
+      s"i -> transform(sequence($c0, ($c1) - 1), j -> i * w + j))), " +
+      "p -> p < n)"
+    docs
+      .select(col(id).as("did"),
+        expr(s"transform(sequence(1, length($text)), i -> " +
+          s"cast(ascii(substr($text, i, 1)) as bigint))").as("bs"),
+        (col("n_chars") % 640 + 1).cast("long").as("w"))
+      .select(col("did"), col("bs"), col("w"),
+        size(col("bs")).cast("long").as("n"))
+      .withColumn("h", expr("(n + w - 1) div w"))
+      .select(col("did").as(id), col("w").as("in_w"), col("h").as("in_h"),
+        expr(s"""transform(sequence(0, ${ow * oh - 1}), k -> CASE
+          WHEN ($r1) > ($r0) AND ($c1) > ($c0) AND size($poss) > 0
+          THEN aggregate($poss, cast(0 as bigint),
+                 (a, p) -> a + element_at(bs, cast(p + 1 as int)))
+               div size($poss)
+          ELSE cast(-1 as bigint) END)""").as("px"))
+  }
+
+  /** DuckDB mirror of [[resizeGray8]] over the `documents` view. */
+  def resizeGray8Sql(id: String, text: String,
+                     ow: Int = 8, oh: Int = 8): String = {
+    val r0 = s"((k // $ow) * h) // $oh"
+    val r1 = s"(((k // $ow) + 1) * h) // $oh"
+    val c0 = s"((k % $ow) * w) // $ow"
+    val c1 = s"(((k % $ow) + 1) * w) // $ow"
+    val poss = s"list_filter(flatten(list_transform(range($r0, $r1), " +
+      s"i -> list_transform(range($c0, $c1), j -> i * w + j))), " +
+      "p -> p < n)"
+    s"""
+      WITH bs AS (
+        SELECT $id, list_transform(range(1, length($text) + 1),
+                 i -> CAST(ascii($text[i]) AS BIGINT)) AS bs,
+               CAST(n_chars % 640 + 1 AS BIGINT) AS w
+        FROM documents),
+      pre AS (
+        SELECT $id, bs, w, CAST(len(bs) AS BIGINT) AS n,
+               CAST((len(bs) + w - 1) // w AS BIGINT) AS h
+        FROM bs)
+      SELECT $id, w AS in_w, h AS in_h,
+             list_transform(range(0, ${ow * oh}), k -> CASE
+               WHEN ($r1) > ($r0) AND ($c1) > ($c0) AND len($poss) > 0
+               THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform($poss,
+                        p -> bs[CAST(p + 1 AS BIGINT)])),
+                      (a, x) -> a + x) // len($poss)
+               ELSE CAST(-1 AS BIGINT) END) AS px
+      FROM pre
+      ORDER BY $id"""
+  }
+
+  /** Stride frame-sampling over a video-shaped payload — the
+    * frame-subsample step a video training pipeline runs instead of
+    * decoding every frame. The payload splits into `frameSize`-byte
+    * frames (full frames only, the [[audioFrames]] convention); the
+    * sampler keeps every `stride`-th frame and emits per kept frame
+    * its timestamp under `fps` (integer ms), the floor-mean luma
+    * ×100, and a rolling content hash (the dedup/alignment key) —
+    * all exact integers, map-only per row, no UDF. A real video path
+    * swaps the byte-split for the container's frame index and feeds
+    * decoded frames through the same columns. */
+  def frameSample(docs: DataFrame, id: String, text: String,
+                  frameSize: Int = 256, fps: Int = 25,
+                  stride: Int = 4): DataFrame =
+    docs
+      .select(col(id).as("did"),
+        expr(s"transform(sequence(1, length($text)), i -> " +
+          s"cast(ascii(substr($text, i, 1)) as bigint))").as("bs"))
+      .withColumn("nf", expr(s"size(bs) div $frameSize"))
+      .select(col("did"), explode(expr(
+        s"""transform(
+          filter(sequence(0, greatest(nf, 1) - 1),
+            f -> f < nf AND f % $stride = 0),
+          f -> struct(
+            cast(f as bigint) as frame_idx,
+            cast((f * 1000) div $fps as bigint) as ts_ms,
+            (aggregate(slice(bs, f * $frameSize + 1, $frameSize),
+               cast(0 as bigint), (a, x) -> a + x) * 100)
+              div $frameSize as mean_x100,
+            aggregate(slice(bs, f * $frameSize + 1, $frameSize),
+              cast(0 as bigint),
+              (a, x) -> (a * 31 + x) % 1000003) as fhash))"""))
+        .as("fr"))
+      .select(col("did").as(id), col("fr.frame_idx"), col("fr.ts_ms"),
+        col("fr.mean_x100"), col("fr.fhash"))
+
+  /** DuckDB mirror of [[frameSample]] over the `documents` view. */
+  def frameSampleSql(id: String, text: String, frameSize: Int = 256,
+                     fps: Int = 25, stride: Int = 4): String =
+    s"""
+      WITH bs AS (
+        SELECT $id, list_transform(range(1, length($text) + 1),
+                 i -> CAST(ascii($text[i]) AS BIGINT)) AS bs
+        FROM documents),
+      fr AS (
+        SELECT $id, f, bs[f * $frameSize + 1 : (f + 1) * $frameSize] AS fb
+        FROM (SELECT $id, bs,
+                unnest(generate_series(0, len(bs) // $frameSize)) AS f
+              FROM bs) t
+        WHERE (f + 1) * $frameSize <= len(bs) AND f % $stride = 0)
+      SELECT $id, CAST(f AS BIGINT) AS frame_idx,
+             CAST((f * 1000) // $fps AS BIGINT) AS ts_ms,
+             CAST((list_reduce(list_prepend(CAST(0 AS BIGINT), fb),
+                (a, x) -> a + x) * 100) // $frameSize AS BIGINT)
+               AS mean_x100,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fb),
+                (a, x) -> (a * 31 + x) % 1000003) AS BIGINT) AS fhash
+      FROM fr
+      ORDER BY $id, frame_idx"""
 }

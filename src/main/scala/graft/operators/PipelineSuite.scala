@@ -3829,6 +3829,37 @@ object PipelineSuite extends Suite {
     Some(QuantileSketch.ksDriftSql("documents", "source",
       s"len(${TextOps.tokensSql("text")})")))
 
+  val c93 = Q(
+    "c93_image_resize",
+    // Block-mean gray8 resize to an 8×8 thumbnail
+    // (Multimodal.resizeGray8) — the image-preprocessing step before
+    // feature extraction, on the opaque-payload contract: the blob
+    // reads as a row-major w×h raster (w from the blob table's
+    // metadata, ragged last row), each output pixel is the exact
+    // integer floor-mean of its source block, empty/degenerate
+    // blocks emit -1 (decode shortfall is data, not an exception).
+    // Map-only per-row higher-order functions — no shuffle, no UDF;
+    // a real decoder feeds pixel buffers through the same column
+    // (the BlobCodec boundary, c12).
+    (s, d) => Multimodal.resizeGray8(Tables.documents(s, d),
+        "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(Multimodal.resizeGray8Sql("doc_id", "text")))
+
+  val c94 = Q(
+    "c94_video_frame_sample",
+    // Stride frame-sampling over video-shaped payloads
+    // (Multimodal.frameSample) — the subsample step a video pipeline
+    // runs instead of decoding every frame: 256-byte frames (full
+    // frames only, c18's convention), every 4th kept, per kept frame
+    // the fps-25 timestamp in integer ms, floor-mean luma ×100 and a
+    // rolling content hash (the cross-modal dedup/alignment key).
+    // Exact integers end to end, map-only per row.
+    (s, d) => Multimodal.frameSample(Tables.documents(s, d),
+        "doc_id", "text")
+      .orderBy(col("doc_id"), col("frame_idx")),
+    Some(Multimodal.frameSampleSql("doc_id", "text")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3836,5 +3867,5 @@ object PipelineSuite extends Suite {
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
-      c83, c84, c85, c86, c87, c88, c89, c90, c91, c92)
+      c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94)
 }

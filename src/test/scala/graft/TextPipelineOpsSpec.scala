@@ -32,6 +32,47 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L, 1L), (1L, 3L, 4L), (2L, 3L, 5L)))
   }
 
+  test("resizeGray8: hand-checked 4x4 -> 2x2 block means, ragged tail " +
+      "block emits -1") {
+    import graft.operators.Multimodal
+    // w comes from the blob metadata (n_chars % 640 + 1): n_chars=3
+    // -> w=4. 16 bytes 'a'..'p' as a 4x4 raster, 2x2 resize: each
+    // output pixel is the floor-mean of its 2x2 block.
+    val full = Seq((1L, "abcdefghijklmnop", 3L))
+      .toDF("doc_id", "text", "n_chars")
+    val px1 = Multimodal.resizeGray8(full, "doc_id", "text",
+        ow = 2, oh = 2)
+      .select($"px").as[Seq[Long]].head()
+    assert(px1 === Seq(99L, 101L, 107L, 109L))
+    // 6 bytes at w=4 -> h=2 with a ragged last row: the block whose
+    // positions all fall past n emits -1
+    val ragged = Seq((2L, "abcdef", 3L)).toDF("doc_id", "text", "n_chars")
+    val px2 = Multimodal.resizeGray8(ragged, "doc_id", "text",
+        ow = 2, oh = 2)
+      .select($"px").as[Seq[Long]].head()
+    assert(px2 === Seq(97L, 99L, 101L, -1L))
+  }
+
+  test("frameSample: hand-checked stride sampling, timestamps, means " +
+      "and rolling hashes; short payload emits nothing") {
+    import graft.operators.Multimodal
+    val docs = Seq((1L, "abcdabcdabcd"), (2L, "abc"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.frameSample(docs, "doc_id", "text",
+        frameSize = 4, fps = 2, stride = 2)
+      .orderBy($"doc_id", $"frame_idx").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("ts_ms"), r.getAs[Long]("mean_x100"),
+        r.getAs[Long]("fhash"))).toSeq
+    // 12 bytes / frameSize 4 -> frames 0,1,2; stride 2 keeps 0 and 2
+    // (identical "abcd" content -> same mean and hash); doc 2 has no
+    // full frame and is absent
+    val h = ((97L * 31 + 98) * 31 + 99) * 31 + 100 // < P, no mod hit
+    assert(got === Seq(
+      (1L, 0L, 0L, 9850L, h % 1000003L),
+      (1L, 2L, 1000L, 9850L, h % 1000003L)))
+  }
+
   test("curation funnel is monotone and ends at the c19 survivor set") {
     import graft.operators.Curate
     import graft.model.Tables
