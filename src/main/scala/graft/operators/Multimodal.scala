@@ -179,9 +179,12 @@ object Multimodal {
     * pixel buffers through the same column. */
   def blockMeanHash(docs: DataFrame, id: String, text: String): DataFrame =
     docs
+      // split-based byte extraction is O(n) (substr(text, i, 1) in a
+      // lambda re-navigates the string per position -> O(n^2) on long
+      // docs); the slice drops split's trailing "" (Java split -1)
       .select(col(id).as("did"), expr(
-        s"transform(sequence(1, length($text)), i -> " +
-          s"cast(ascii(substr($text, i, 1)) as bigint))").as("bs"))
+        s"transform(slice(split($text, ''), 1, length($text)), " +
+          "ch -> cast(ascii(ch) as bigint))").as("bs"))
       .select(col("did"), col("bs"), size(col("bs")).cast("long").as("n"),
         expr("aggregate(bs, cast(0 as bigint), (a, x) -> a + x)")
           .as("tot"))
@@ -415,23 +418,32 @@ object Multimodal {
     val r1 = s"(((k div $ow) + 1) * h) div $oh"
     val c0 = s"((k % $ow) * w) div $ow"
     val c1 = s"(((k % $ow) + 1) * w) div $ow"
-    val poss = s"filter(flatten(transform(sequence($r0, ($r1) - 1), " +
-      s"i -> transform(sequence($c0, ($c1) - 1), j -> i * w + j))), " +
-      "p -> p < n)"
+    // a block row's bytes are CONTIGUOUS in the raster: row i of the
+    // block is slice(bs, i·w + c0 + 1, cnt_i) with cnt_i clipped at
+    // the ragged tail — so the block fold is nested slice-sums over
+    // contiguous memory, no per-position list is ever materialized
+    // (the flatten/filter formulation measured ~3x slower at sf0.1)
+    val cnt = s"greatest(cast(0 as bigint), least($c1, n - i * w) - ($c0))"
     docs
       .select(col(id).as("did"),
-        expr(s"transform(sequence(1, length($text)), i -> " +
-          s"cast(ascii(substr($text, i, 1)) as bigint))").as("bs"),
+        expr(s"transform(slice(split($text, ''), 1, length($text)), " +
+          "ch -> cast(ascii(ch) as bigint))").as("bs"),
         (col("n_chars") % 640 + 1).cast("long").as("w"))
       .select(col("did"), col("bs"), col("w"),
         size(col("bs")).cast("long").as("n"))
       .withColumn("h", expr("(n + w - 1) div w"))
       .select(col("did").as(id), col("w").as("in_w"), col("h").as("in_h"),
         expr(s"""transform(sequence(0, ${ow * oh - 1}), k -> CASE
-          WHEN ($r1) > ($r0) AND ($c1) > ($c0) AND size($poss) > 0
-          THEN aggregate($poss, cast(0 as bigint),
-                 (a, p) -> a + element_at(bs, cast(p + 1 as int)))
-               div size($poss)
+          WHEN ($r1) > ($r0) AND ($c1) > ($c0)
+          THEN aggregate(sequence($r0, ($r1) - 1),
+                 struct(cast(0 as bigint) as s, cast(0 as bigint) as c),
+                 (a, i) -> struct(
+                   a.s + aggregate(
+                     slice(bs, cast(i * w + ($c0) + 1 as int),
+                       cast($cnt as int)),
+                     cast(0 as bigint), (x, y) -> x + y) as s,
+                   a.c + $cnt as c),
+                 a -> if(a.c > 0L, a.s div a.c, cast(-1 as bigint)))
           ELSE cast(-1 as bigint) END)""").as("px"))
   }
 
@@ -482,8 +494,8 @@ object Multimodal {
                   stride: Int = 4): DataFrame =
     docs
       .select(col(id).as("did"),
-        expr(s"transform(sequence(1, length($text)), i -> " +
-          s"cast(ascii(substr($text, i, 1)) as bigint))").as("bs"))
+        expr(s"transform(slice(split($text, ''), 1, length($text)), " +
+          "ch -> cast(ascii(ch) as bigint))").as("bs"))
       .withColumn("nf", expr(s"size(bs) div $frameSize"))
       .select(col("did"), explode(expr(
         s"""transform(
