@@ -74,7 +74,15 @@ object QuantileSketch {
     // one corpus pass: the blend, the per-group totals and the grid
     // all derive from the materialized per-group states (without the
     // barrier each branch would re-run the corpus scan)
-    val per = sketchBy(df, key, value).barrier(true)
+    ksDriftFromState(sketchBy(df, key, value).barrier(true), key)
+  }
+
+  /** [[ksDrift]] computed from an already-materialized per-group
+    * state frame (key, bucket, n) — the form a streaming monitor
+    * calls on its folded partials (d42), and the reason the compare
+    * is free on persisted artifacts: no raw data is touched. `per`
+    * MUST be materialized (barriered state); four branches read it. */
+  def ksDriftFromState(per: DataFrame, key: String): DataFrame = {
     val all = per.groupBy(col("bucket"))
       .agg(sum(col("n")).cast("long").as("n_all"))
     val totAll = all.agg(sum(col("n_all")).cast("long").as("tot_all"))

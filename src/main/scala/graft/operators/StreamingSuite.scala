@@ -1934,8 +1934,32 @@ object StreamingSuite extends Suite {
         .mkString("", "\nUNION ALL\n", "\nORDER BY doc_id")
     })
 
+  val d42 = Q(
+    "d42_stream_ks_monitor",
+    // c92's sketch-state KS drift AT INGEST (live =
+    // Streams.ksDriftStreaming): arriving docs' per-(source, bucket)
+    // counts fold into the running ≤252-row-per-source state, and
+    // every batch re-emits each source's KS distance against the
+    // CURRENT blend — the live "is one source walking away from the
+    // mix?" alarm, computed from states only (no raw row re-read,
+    // the c92 artifact-compare argument). Counts add, so the drained
+    // stream equals this batch contract exactly and batch slicing
+    // can never change a number (StreamsSpec pins cross-batch drain
+    // parity). Batch contract = c92 over the arrival slice.
+    (s, d) => QuantileSketch.ksDrift(
+      Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) >= 8)
+        .select(col("source"),
+          size(graft.functions.TextOps.tokens(col("text"))).cast("long")
+            .as("v")),
+      "source", "v"),
+    Some(QuantileSketch.ksDriftSql(
+      "(SELECT * FROM documents WHERE doc_id % 10 >= 8)", "source",
+      s"len(${graft.functions.TextOps.tokensSql("text")})")))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-      d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41)
+      d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
+      d42)
 }

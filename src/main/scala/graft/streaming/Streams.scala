@@ -1096,6 +1096,38 @@ object Streams {
       .start()
   }
 
+  /** Streaming KS-drift monitor — c92 LIVE: each arriving batch's
+    * per-(source, bucket) sketch rows fold into the running partials
+    * (counts add — the same set-aggregate state as [[sketchFoldStreaming]],
+    * ≤252 rows per source), and every batch re-emits the per-source
+    * KS distance against the CURRENT blend
+    * (QuantileSketch.ksDriftFromState over the re-aggregated state —
+    * no raw row is ever re-read). The ingest answer to "is one
+    * source's length distribution walking away from the mix?", drain
+    * parity with the batch c92 contract exact by construction
+    * (StreamsSpec pins it). Same at-least-once batchId guard as
+    * dedupChurnStreaming. */
+  def ksDriftStreaming(docs: DataFrame, key: String, value: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.QuantileSketch
+    import graft.util.Barriers.BarrierOps
+    var partials: Option[DataFrame] = None
+    var lastApplied = -1L
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val p = QuantileSketch.sketchBy(batch, key, value)
+          partials = Some(partials.map(_.unionAll(p)).getOrElse(p)
+            .barrier(true))
+          lastApplied = bid
+        }
+        val state = partials.get.groupBy(col(key), col("bucket"))
+          .agg(sum(col("n")).cast("long").as("n")).barrier(true)
+        sink(QuantileSketch.ksDriftFromState(state, key))
+      }
+      .start()
+  }
+
   /** Streaming Moore-Lewis selection gate: arriving docs are scored
     * against TWO static trained bigram LMs (in-domain + general,
     * both barriered — the d19 static-artifact seam doubled) and

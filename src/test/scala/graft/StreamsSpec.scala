@@ -1888,6 +1888,38 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming KS monitor: drained emission equals the d42 batch " +
+      "contract under arbitrary slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    val arriving = Tables.documents(spark, sf)
+      .where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"source",
+        size(graft.functions.TextOps.tokens($"text")).cast("long")
+          .as("v"))
+      .as[(String, Long)].collect()
+    val emissions = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, Long, Long)]]
+    val ms = MemoryStream[(String, Long)]
+    val q = Streams.ksDriftStreaming(
+        ms.toDF().toDF("source", "v"), "source", "v") { df =>
+      val rows = df.collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("ks_ppm")))
+        .sortBy(_._1).toSeq
+      this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 3).toSeq,
+      arriving.slice(n / 3, 2 * n / 3).toSeq,
+      arriving.slice(2 * n / 3, n).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = graft.SparkEntry.queries("d42_stream_ks_monitor")(
+        spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("ks_ppm"))).sortBy(_._1).toSeq
+    assert(emissions.size === 3 && emissions.last === batch)
+  }
+
   test("streaming span re-price: replay at the d41 slicing equals the " +
       "batch contract; a cross-batch duplicate redacts fully") {
     implicit val sqlCtx = spark.sqlContext
