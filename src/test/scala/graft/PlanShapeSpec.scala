@@ -152,7 +152,8 @@ class PlanShapeSpec extends SparkSpec {
       "d39_stream_delete_feed",  // broadcast 1-row member total
       "c90_surprisal_quantile_sketch", // broadcast 1-row sketch total
       "c92_sketch_ks_drift",     // broadcast 1-row blend total
-      "d40_stream_sketch_fold")  // broadcast 1-row sketch total
+      "d40_stream_sketch_fold",  // broadcast 1-row sketch total
+      "d42_stream_ks_monitor")   // broadcast 1-row blend total (c92)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
