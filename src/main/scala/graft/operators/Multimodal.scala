@@ -411,7 +411,13 @@ object Multimodal {
     * shortfall is data, not an exception. Entirely per-row
     * higher-order array functions: map-only, no shuffle, no UDF; a
     * real image path feeds its decoded pixel buffer through the same
-    * column (the [[BlobCodec]] boundary). */
+    * column (the [[BlobCodec]] boundary). Output is one SCALAR row
+    * per pixel — (id, in_w, in_h, k, px) with k the row-major pixel
+    * index — because the driver's correctness comparator hashes
+    * column-wise scalars and cannot sort an array-typed column
+    * (the round-11 c93 lesson: list columns are unhashable in a
+    * pandas sort). The explode is a Generate over the map-side
+    * projection — still narrow, still no shuffle. */
   def resizeGray8(docs: DataFrame, id: String, text: String,
                   ow: Int = 8, oh: Int = 8): DataFrame = {
     val r0 = s"((k div $ow) * h) div $oh"
@@ -444,10 +450,15 @@ object Multimodal {
                      cast(0 as bigint), (x, y) -> x + y) as s,
                    a.c + $cnt as c),
                  a -> if(a.c > 0L, a.s div a.c, cast(-1 as bigint)))
-          ELSE cast(-1 as bigint) END)""").as("px"))
+          ELSE cast(-1 as bigint) END)""").as("pxs"))
+      .select(col(id), col("in_w"), col("in_h"),
+        posexplode(col("pxs")).as(Seq("k", "px")))
+      .withColumn("k", col("k").cast("long"))
   }
 
-  /** DuckDB mirror of [[resizeGray8]] over the `documents` view. */
+  /** DuckDB mirror of [[resizeGray8]] over the `documents` view —
+    * one scalar row per output pixel (cross join against the pixel
+    * grid instead of building a list then unnesting). */
   def resizeGray8Sql(id: String, text: String,
                      ow: Int = 8, oh: Int = 8): String = {
     val r0 = s"((k // $ow) * h) // $oh"
@@ -467,16 +478,16 @@ object Multimodal {
         SELECT $id, bs, w, CAST(len(bs) AS BIGINT) AS n,
                CAST((len(bs) + w - 1) // w AS BIGINT) AS h
         FROM bs)
-      SELECT $id, w AS in_w, h AS in_h,
-             list_transform(range(0, ${ow * oh}), k -> CASE
+      SELECT $id, w AS in_w, h AS in_h, CAST(k AS BIGINT) AS k,
+             CASE
                WHEN ($r1) > ($r0) AND ($c1) > ($c0) AND len($poss) > 0
                THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
                       list_transform($poss,
                         p -> bs[CAST(p + 1 AS BIGINT)])),
                       (a, x) -> a + x) // len($poss)
-               ELSE CAST(-1 AS BIGINT) END) AS px
-      FROM pre
-      ORDER BY $id"""
+               ELSE CAST(-1 AS BIGINT) END AS px
+      FROM pre, range(0, ${ow * oh}) AS grid(k)
+      ORDER BY $id, k"""
   }
 
   /** Stride frame-sampling over a video-shaped payload — the

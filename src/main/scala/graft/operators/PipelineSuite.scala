@@ -3843,7 +3843,7 @@ object PipelineSuite extends Suite {
     // (the BlobCodec boundary, c12).
     (s, d) => Multimodal.resizeGray8(Tables.documents(s, d),
         "doc_id", "text")
-      .orderBy(col("doc_id")),
+      .orderBy(col("doc_id"), col("k")),
     Some(Multimodal.resizeGray8Sql("doc_id", "text")))
 
   val c94 = Q(

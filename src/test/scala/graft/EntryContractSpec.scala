@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType,
+  TimestampNTZType, TimestampType}
 import graft.operators.Multimodal
 import graft.model.Tables
 
@@ -35,12 +36,25 @@ class EntryContractSpec extends SparkSpec {
       s"SURVEY-only: ${keys.diff(q)}; code-only: ${q.diff(keys)}")
   }
 
-  test("every query analyzes at sf0.001 and emits no raw timestamps") {
+  test("every query analyzes at sf0.001, emits no raw timestamps and " +
+      "no complex-typed columns") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val schema = fn(spark, sf).schema // forces analysis only
       val bad = schema.fields.filter(f =>
         f.dataType == TimestampType || f.dataType == TimestampNTZType)
       assert(bad.isEmpty, s"$name leaks timestamp cols: ${bad.map(_.name).toSeq}")
+      // the driver's comparator loads results into pandas and
+      // sorts/hashes column-wise — a top-level array/map/struct
+      // column raises `unhashable type: numpy.ndarray` there even
+      // when values match (the round-11 c93 driver-red): every §2
+      // output column must be scalar
+      val complex = schema.fields.filter(_.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      assert(complex.isEmpty,
+        s"$name emits driver-unhashable complex cols: " +
+          complex.map(f => s"${f.name}: ${f.dataType.simpleString}").toSeq)
     }
   }
 

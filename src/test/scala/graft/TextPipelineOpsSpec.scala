@@ -42,14 +42,14 @@ class TextPipelineOpsSpec extends SparkSpec {
       .toDF("doc_id", "text", "n_chars")
     val px1 = Multimodal.resizeGray8(full, "doc_id", "text",
         ow = 2, oh = 2)
-      .select($"px").as[Seq[Long]].head()
+      .orderBy($"k").select($"px").as[Long].collect().toSeq
     assert(px1 === Seq(99L, 101L, 107L, 109L))
     // 6 bytes at w=4 -> h=2 with a ragged last row: the block whose
     // positions all fall past n emits -1
     val ragged = Seq((2L, "abcdef", 3L)).toDF("doc_id", "text", "n_chars")
     val px2 = Multimodal.resizeGray8(ragged, "doc_id", "text",
         ow = 2, oh = 2)
-      .select($"px").as[Seq[Long]].head()
+      .orderBy($"k").select($"px").as[Long].collect().toSeq
     assert(px2 === Seq(97L, 99L, 101L, -1L))
   }
 

@@ -68,6 +68,22 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
         fail += 1
         continue
+    # DRIVER PARITY: the driver loads both sides into pandas and
+    # sort_values/hashes column-wise — a list/dict-typed cell raises
+    # `unhashable type: numpy.ndarray` there (the round-11 c93 err).
+    # Mimic both behaviors: reject non-scalar cells, then re-sort rows
+    # instead of trusting the queries' ORDER BY.
+    nonscalar = sorted({c for row in (g[:1] + e[:1])
+                        for c, v in zip(sorted(gotcols), row)
+                        if isinstance(v, (list, dict, tuple, set))})
+    if nonscalar:
+        print(f"FAIL {name}: driver-unhashable non-scalar cols {nonscalar}"
+              " (driver comparator would err: unhashable numpy.ndarray)")
+        fail += 1
+        continue
+    sortkey = lambda r: tuple((v is None, str(type(v)), v) for v in r)
+    g = sorted(g, key=sortkey)
+    e = sorted(e, key=sortkey)
     bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b]
     if bad:
         i, a, b = bad[0]
