@@ -1039,7 +1039,8 @@ object Streams {
     * at-least-once batchId guard as dedupChurnStreaming. */
   def sketchFoldStreaming(lm: graft.operators.CorpusStats.BigramLm,
       docs: DataFrame, id: String, text: String,
-      marks: Seq[(String, Long)])
+      marks: Seq[(String, Long)],
+      stateProbe: DataFrame => Unit = _ => ())
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{CorpusStats, QuantileSketch}
     import graft.util.Barriers.BarrierOps
@@ -1047,16 +1048,21 @@ object Streams {
     var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // fold AND compact inside the guard: the materialized state
+        // really is the ≤252-row merged sketch whatever the stream
+        // length (counts add, so compacting at fold time changes no
+        // number), and a redelivered batch re-emits nothing — the
+        // emission-parity contract counts frames
         if (bid > lastApplied) {
           val p = QuantileSketch.sketch(
             CorpusStats.bigramScore(lm, batch, id, text),
             "mean_bits_ppm")
-          partials = Some(partials.map(_.unionAll(p)).getOrElse(p)
-            .barrier(true))
+          partials = Some(QuantileSketch.merge(
+              partials.toSeq :+ p).barrier(true))
           lastApplied = bid
+          stateProbe(partials.get)
+          sink(QuantileSketch.quantiles(partials.get, marks))
         }
-        sink(QuantileSketch.quantiles(
-          QuantileSketch.merge(Seq(partials.get)), marks))
       }
       .start()
   }
@@ -1107,7 +1113,8 @@ object Streams {
     * parity with the batch c92 contract exact by construction
     * (StreamsSpec pins it). Same at-least-once batchId guard as
     * dedupChurnStreaming. */
-  def ksDriftStreaming(docs: DataFrame, key: String, value: String)
+  def ksDriftStreaming(docs: DataFrame, key: String, value: String,
+      stateProbe: DataFrame => Unit = _ => ())
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.QuantileSketch
     import graft.util.Barriers.BarrierOps
@@ -1115,15 +1122,18 @@ object Streams {
     var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // fold AND compact inside the guard (the d40 shape): state
+        // stays ≤252 rows per source however many batches arrive,
+        // and a redelivered batch re-emits no duplicate frame
         if (bid > lastApplied) {
           val p = QuantileSketch.sketchBy(batch, key, value)
           partials = Some(partials.map(_.unionAll(p)).getOrElse(p)
-            .barrier(true))
+            .groupBy(col(key), col("bucket"))
+            .agg(sum(col("n")).cast("long").as("n")).barrier(true))
           lastApplied = bid
+          stateProbe(partials.get)
+          sink(QuantileSketch.ksDriftFromState(partials.get, key))
         }
-        val state = partials.get.groupBy(col(key), col("bucket"))
-          .agg(sum(col("n")).cast("long").as("n")).barrier(true)
-        sink(QuantileSketch.ksDriftFromState(state, key))
       }
       .start()
   }

@@ -1865,9 +1865,15 @@ class StreamsSpec extends SparkSpec {
         .sortBy(_._1).toSeq
     val emissions =
       scala.collection.mutable.ArrayBuffer.empty[Seq[Row8]]
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val ms = MemoryStream[(Long, String)]
     val q = Streams.sketchFoldStreaming(lm,
-        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", marks) {
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", marks,
+        stateProbe = { st =>
+          val c = st.count()
+          val d = st.select($"bucket").distinct().count()
+          this.synchronized { stateRows += ((c, d)) }
+        }) {
       df => val rows = toRows(df); this.synchronized { emissions += rows }
     }
     val n = arriving.length
@@ -1886,6 +1892,15 @@ class StreamsSpec extends SparkSpec {
         assert(cnt <= w(1).getOrElse(b, Long.MaxValue),
           s"bucket $b count went backwards") }
     }
+    // cross-batch state is COMPACTED at fold time: the materialized
+    // partials hold exactly one row per occupied bucket after every
+    // batch — never O(batches × buckets) — and stay under the 252
+    // HDR-bucket bound however long the stream runs
+    assert(stateRows.size === 3)
+    stateRows.foreach { case (c, d) =>
+      assert(c === d, s"state carries duplicate bucket rows ($c vs $d)")
+      assert(c <= 252L)
+    }
   }
 
   test("streaming KS monitor: drained emission equals the d42 batch " +
@@ -1899,9 +1914,15 @@ class StreamsSpec extends SparkSpec {
       .as[(String, Long)].collect()
     val emissions = scala.collection.mutable.ArrayBuffer
       .empty[Seq[(String, Long, Long)]]
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val ms = MemoryStream[(String, Long)]
     val q = Streams.ksDriftStreaming(
-        ms.toDF().toDF("source", "v"), "source", "v") { df =>
+        ms.toDF().toDF("source", "v"), "source", "v",
+        stateProbe = { st =>
+          val c = st.count()
+          val d = st.select($"source", $"bucket").distinct().count()
+          this.synchronized { stateRows += ((c, d)) }
+        }) { df =>
       val rows = df.collect().map(r => (r.getAs[String]("source"),
         r.getAs[Long]("n_docs"), r.getAs[Long]("ks_ppm")))
         .sortBy(_._1).toSeq
@@ -1918,6 +1939,13 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("ks_ppm"))).sortBy(_._1).toSeq
     assert(emissions.size === 3 && emissions.last === batch)
+    // compacted-at-fold state: one row per (source, bucket) after
+    // every batch, bounded by |sources| × 252 — not by batch count
+    assert(stateRows.size === 3)
+    stateRows.foreach { case (c, d) =>
+      assert(c === d, s"state carries duplicate (source,bucket) rows")
+      assert(c <= 4L * 252L)
+    }
   }
 
   test("streaming span re-price: replay at the d41 slicing equals the " +
