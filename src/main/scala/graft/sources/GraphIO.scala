@@ -62,6 +62,47 @@ object GraphIO {
     nodeRows.unionAll(edgeRows)
   }
 
+  /** Parse a Datalog `:put` dump BACK into typed node/edge frames —
+    * the import half the reference exposes as `mie import` with a
+    * `.dl` payload (cmd/mie/import.go:209 hands the raw CozoScript to
+    * the engine; here the renderer's grammar is inverted directly).
+    * Input is any DataFrame with a `datalog` string column —
+    * [[toDatalog]]'s output, or `spark.read.text(dir)` renamed. Line
+    * shape selects the relation kind (`?[id, content, attr, score]`
+    * = node, `?[src, dst, prop]` = edge); quoted fields unescape
+    * `\'` back to `'`; scores parse from the fixed-6-decimal text.
+    * Truncation markers (`// ...`) and unparseable lines are dropped,
+    * not errors — a capped export imports its kept prefix. All
+    * codegen'd regexp columns, map-only per line, no UDF. */
+  def fromDatalog(lines: DataFrame): MemoryGraph = {
+    val F = "'((?:\\\\'|[^'])*)'"
+    val nodeRe = "^\\?\\[id, content, attr, score\\] <- \\[\\[" +
+      s"$F, $F, $F, (-?[0-9]+\\.[0-9]{6})" +
+      "\\]\\] :put graft_([A-Za-z0-9_]+) \\{ id => content, attr, score \\}$"
+    val edgeRe = "^\\?\\[src, dst, prop\\] <- \\[\\[" +
+      s"$F, $F, $F" +
+      "\\]\\] :put graft_([A-Za-z0-9_]+) \\{ src, dst => prop \\}$"
+    def un(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "\\\\'", "'")
+    val nodes = lines
+      .where(col("datalog").rlike(nodeRe))
+      .select(
+        un(regexp_extract(col("datalog"), nodeRe, 1)).as("id"),
+        regexp_extract(col("datalog"), nodeRe, 5).as("ntype"),
+        un(regexp_extract(col("datalog"), nodeRe, 2)).as("content"),
+        un(regexp_extract(col("datalog"), nodeRe, 3)).as("attr"),
+        regexp_extract(col("datalog"), nodeRe, 4).cast("double")
+          .as("score"))
+    val edges = lines
+      .where(col("datalog").rlike(edgeRe))
+      .select(
+        regexp_extract(col("datalog"), edgeRe, 4).as("etype"),
+        un(regexp_extract(col("datalog"), edgeRe, 1)).as("src"),
+        un(regexp_extract(col("datalog"), edgeRe, 2)).as("dst"),
+        un(regexp_extract(col("datalog"), edgeRe, 3)).as("prop"))
+    new MemoryGraph(nodes, edges)
+  }
+
   /** [[toDatalog]] with a byte cap applied PER RELATION — an
     * adaptation of the reference's cap, not a mirror: export.go's
     * Datalog path truncates the WHOLE dump at 100 KB mid-line with a

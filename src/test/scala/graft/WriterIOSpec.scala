@@ -62,6 +62,41 @@ class WriterIOSpec extends SparkSpec {
     assert(eline.contains(":put graft_decision_entity"))
   }
 
+  test("datalog export/import round-trips the graph (the reference's " +
+      "`mie import` .dl path, cmd/mie/import.go:209)") {
+    // adversarial strings first: quotes (the \' escape), commas,
+    // brackets and the :put keyword inside quoted fields must all
+    // survive the render → parse inversion exactly
+    val nodes = Seq(
+      ("n1", "fact", "it's 'quoted', [a, b]] :put trap", "attr' x", 0.5),
+      ("n2", "entity", "plain", "a", -1.25),
+      ("n3", "decision", "", "", 123.456789)
+    ).toDF("id", "ntype", "content", "attr", "score")
+    val edges = Seq(
+      ("fact_entity", "n1", "n2", "p'1"),
+      ("decision_entity", "n3", "n2", "")
+    ).toDF("etype", "src", "dst", "prop")
+    val g0 = new MemoryGraph(nodes, edges)
+    val back = GraphIO.fromDatalog(GraphIO.toDatalog(g0))
+    // scores render as fixed-6-decimal text, so values with <= 6
+    // decimals round-trip bit-exactly
+    assert(back.nodes.exceptAll(nodes).isEmpty &&
+      nodes.exceptAll(back.nodes).isEmpty)
+    assert(back.edges.exceptAll(edges).isEmpty &&
+      edges.exceptAll(back.edges).isEmpty)
+    // the full graph: every line parses back into the right relation
+    val big = GraphIO.fromDatalog(GraphIO.toDatalog(g))
+    assert(big.nodes.count() === g.nodes.count())
+    assert(big.edges.count() === g.edges.count())
+    assert(big.nodes.select($"id", $"ntype")
+      .exceptAll(g.nodes.select($"id", $"ntype")).isEmpty)
+    assert(big.edges.exceptAll(g.edges).isEmpty)
+    // a capped dump imports its kept prefix: markers drop, lines parse
+    val cappedBack = GraphIO.fromDatalog(
+      GraphIO.toDatalogCapped(g0, maxBytes = 100L * 1000 * 1000))
+    assert(cappedBack.nodes.count() === 3 && cappedBack.edges.count() === 2)
+  }
+
   test("capped datalog truncates per relation with a byte-count trailer") {
     val full = GraphIO.toDatalog(g)
     // generous cap: identity, no markers
