@@ -381,6 +381,36 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
     * needed when broadcast). */
   def validNodes(ntype: String): DataFrame =
     notInvalidated(nodes.where(col("ntype") === ntype))
+
+  /** The `mie://context/recent` preflight resource
+    * (cmd/mie/mcp.go:988 buildRecentContext): latest VALID facts
+    * (limit 5), latest decisions (3) and latest entities (5), each
+    * section ranked newest-first — the reference sorts on created_at;
+    * here creation order is the id's numeric suffix (ids are minted
+    * sequentially in this mapping), ties to the smaller id. Three
+    * ntype-pruned orderBy+limit heads (TakeOrderedAndProject each —
+    * bounded heaps, never a global sort) unioned into one frame; the
+    * markdown rendering around it is presentation, not query surface. */
+  def recentContext(nFacts: Int = 5, nDecisions: Int = 3,
+                    nEntities: Int = 5): DataFrame = {
+    def section(ntype: String, k: Int, validOnly: Boolean): DataFrame = {
+      val base0 = nodes.where(col("ntype") === ntype)
+      val base = if (validOnly) notInvalidated(base0) else base0
+      val num = regexp_extract(col("id"), "([0-9]+)$", 1).cast("long")
+      // rank only the k-row head; partitioning by the constant ntype
+      // keeps the window off the empty-partition-spec path (the
+      // `list` trick above)
+      val w = Window.partitionBy(col("ntype"))
+        .orderBy(num.desc, col("id"))
+      base.orderBy(num.desc, col("id")).limit(k)
+        .withColumn("pos", row_number().over(w))
+        .select(lit(ntype).as("section"), col("pos"), col("id"),
+          col("content"), col("attr"), col("score"))
+    }
+    section("fact", nFacts, validOnly = true)
+      .unionAll(section("decision", nDecisions, validOnly = false))
+      .unionAll(section("entity", nEntities, validOnly = false))
+  }
 }
 
 object MemoryGraph {

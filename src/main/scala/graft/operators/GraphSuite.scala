@@ -861,8 +861,44 @@ object GraphSuite extends Suite {
       GROUP BY cnt
       ORDER BY component_size"""))
 
+  val b30 = Q(
+    "b30_recent_context",
+    // The mie://context/recent preflight resource (cmd/mie/mcp.go:988
+    // buildRecentContext, CHANGELOG 0.1.2): latest valid facts (5),
+    // latest decisions (3), latest entities (5), newest-first —
+    // composed from b2's list machinery as three ntype-pruned
+    // TakeOrderedAndProject heads unioned into one frame. Recency =
+    // the id's numeric suffix (this mapping mints ids sequentially;
+    // the reference sorts created_at), ties to the smaller id.
+    (s, d) => MemoryGraph.persisted(s, d).recentContext()
+      .orderBy(col("section"), col("pos")),
+    Some(s"""
+      WITH nodes AS ($N), edges AS ($E),
+      sec AS (
+        SELECT 'fact' AS section, 5 AS lim, n.id, n.content, n.attr, n.score
+        FROM nodes n
+        WHERE n.ntype = 'fact'
+          AND NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.etype = 'invalidates' AND e.dst = n.id)
+        UNION ALL
+        SELECT 'decision', 3, n.id, n.content, n.attr, n.score
+        FROM nodes n WHERE n.ntype = 'decision'
+        UNION ALL
+        SELECT 'entity', 5, n.id, n.content, n.attr, n.score
+        FROM nodes n WHERE n.ntype = 'entity'),
+      ranked AS (
+        SELECT section, lim,
+               ROW_NUMBER() OVER (PARTITION BY section
+                 ORDER BY CAST(regexp_extract(id, '([0-9]+)$$', 1)
+                               AS BIGINT) DESC, id) AS pos,
+               id, content, attr, score
+        FROM sec)
+      SELECT section, pos, id, content, attr, score
+      FROM ranked WHERE pos <= lim
+      ORDER BY section, pos"""))
+
   override val queries: Seq[Q] =
     Seq(b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14, b15,
       b16, b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28,
-      b29)
+      b29, b30)
 }

@@ -49,8 +49,14 @@ object CcAB {
       times(name) = dt :: times.getOrElse(name, Nil)
       println(f"AB rep=$rep $name%-48s $dt%6.2f s")
     }
-    for ((name, ts) <- times.toSeq.sortBy(_._1))
-      println(f"AB SUMMARY $name%-48s median=${ts.sorted.apply(ts.size / 2)}%6.2f min=${ts.min}%6.2f")
+    for ((name, ts) <- times.toSeq.sortBy(_._1)) {
+      // true median: average the two middle samples on even counts
+      // (upper-middle alone biases high on skewed timings)
+      val s = ts.sorted
+      val med = if (s.size % 2 == 1) s(s.size / 2)
+                else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      println(f"AB SUMMARY $name%-48s median=$med%6.2f min=${ts.min}%6.2f")
+    }
     s.stop()
   }
 }

@@ -112,7 +112,30 @@ class GraphSpec extends SparkSpec {
     val hub = ((1 to 500).map(i => ("hub", s"n$i")) ++
       (1 to 10).map(i => (s"r$i", s"r${i % 10 + 1}"))).toDF("src", "dst")
     val w = comps(hub, flag = false)
-    assert(comps(hub, flag = true) === w && w.map(_._2).size > 0)
+    assert(comps(hub, flag = true) === w)
+    // exactly two components: the 501-node hub star and the 10-node ring
+    assert(w.map(_._2).size === 2)
+    assert(w.size === 511)
+  }
+
+  test("recentContext: newest-first per-section heads with the " +
+      "reference's 5/3/5 limits") {
+    val rows = g.recentContext().collect()
+      .map(r => (r.getAs[String]("section"), r.getAs[Int]("pos"),
+        r.getAs[String]("id"))).toSeq
+    val bySec = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(bySec("fact").size === 5 && bySec("decision").size === 3 &&
+      bySec("entity").size === 5)
+    // newest-first: the top fact is the max doc_id
+    val maxDoc = Tables.documents(spark, sf)
+      .agg(max($"doc_id")).as[Long].head()
+    assert(bySec("fact").head._3 === s"fact:$maxDoc")
+    // ranks are 1..k and ids strictly decrease numerically per section
+    bySec.values.foreach { s =>
+      assert(s.map(_._2) === (1 to s.size))
+      val nums = s.map(_._3.split(":").last.toLong)
+      assert(nums === nums.sorted.reverse)
+    }
   }
 
   test("export is the full node set") {
