@@ -3860,6 +3860,22 @@ object PipelineSuite extends Suite {
       .orderBy(col("doc_id"), col("frame_idx")),
     Some(Multimodal.frameSampleSql("doc_id", "text")))
 
+  val c95 = Q(
+    "c95_bottomk_sample",
+    // Per-source bottom-k-by-hash sample over DISTINCT content + the
+    // KMV distinct estimate (Sampling.bottomKSample): k smallest
+    // mixed poly hashes per source, rep_id = min doc id per hash —
+    // a duplication-invariant uniform QA sample (a doc crawled a
+    // million times holds one slot) whose k-th hash doubles as the
+    // distinct-count estimator est = (k−1)·P div h_k, emitted next
+    // to the exact count so the synopsis audits itself. Mergeable
+    // bottom-k state (the d43 streaming seam); one map-side-
+    // combinable groupBy + the TopKPerKey bounded heap.
+    (s, d) => Sampling.bottomKSample(Tables.documents(s, d),
+        "source", "doc_id", "text")
+      .orderBy(col("source"), col("rk")),
+    Some(Sampling.bottomKSampleSql("source", "doc_id", "text")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3867,5 +3883,5 @@ object PipelineSuite extends Suite {
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
-      c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94)
+      c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95)
 }

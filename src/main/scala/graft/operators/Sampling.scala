@@ -47,6 +47,79 @@ object Sampling {
       case (acc, (s, q)) => s"CASE WHEN $stratum = '$s' THEN $q ELSE $acc END"
     }
 
+  /** Per-stratum bottom-k-by-hash sample over DISTINCT content — the
+    * KMV (k-minimum-values) synopsis made a first-class operator. For
+    * each stratum, hash every doc's text with the mixed poly hash,
+    * collapse to distinct hashes (rep_id = the smallest doc id per
+    * hash — duplication-invariant: a doc pasted a million times holds
+    * exactly one sample slot), and keep the k smallest hashes. Two
+    * things fall out of that one bounded state:
+    *
+    *   - a UNIFORM sample of distinct content (hash order is
+    *     content-blind), reproducible across runs/layouts — the
+    *     eyeball-k-docs-per-source QA probe that ISN'T biased toward
+    *     whatever got crawled twice, unlike naive row sampling;
+    *   - the KMV distinct-count estimate est = (k−1)·P div h_k
+    *     (Bar-Yossef et al. 2002): the k-th smallest of n uniform
+    *     draws on [0,P) sits near k·P/n. Exact n_distinct is emitted
+    *     alongside — the estimate audits itself.
+    *
+    * MERGEABLE: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B))
+    * and rep ids combine by min, so per-shard states fold without
+    * rescans — the d43 streaming seam, same contract as c90's sketch.
+    * Shape at 100 TB: one map-side-combinable groupBy(stratum, h),
+    * then the bounded-heap TopKPerKey (partial per partition, k rows
+    * per stratum cross the exchange) + one tiny distinct-count agg.
+    * All-integer outputs. */
+  def bottomKSample(docs: DataFrame, stratum: String, id: String,
+                    text: String, k: Int = 8): DataFrame = {
+    val perHash = docs
+      .select(col(stratum), TextOps.polyHashMixed(col(text)).as("h"),
+        col(id).cast("long").as("rep0"))
+      .groupBy(col(stratum), col("h"))
+      .agg(min(col("rep0")).as("rep_id"))
+    val nd = perHash.groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_distinct"))
+    val kept = graft.plans.TopKPerKey(perHash, Seq(col(stratum)),
+      Seq(col("h"), col("rep_id")), k, rankName = "rk")
+    val kth = kept.groupBy(col(stratum)).agg(max(col("h")).as("h_k"))
+    kept
+      .join(broadcast(nd), Seq(stratum))
+      .join(broadcast(kth), Seq(stratum))
+      .withColumn("est_distinct",
+        when(col("n_distinct") >= k,
+          expr(s"${(k - 1).toLong * TextOps.P} div h_k"))
+          .otherwise(col("n_distinct")))
+      .select(col(stratum), col("rk").cast("long").as("rk"),
+        col("rep_id"), col("h"), col("est_distinct"), col("n_distinct"))
+  }
+
+  /** DuckDB mirror of [[bottomKSample]]. */
+  def bottomKSampleSql(stratum: String, id: String, text: String,
+                       k: Int = 8): String = s"""
+      WITH ph AS (
+        SELECT $stratum, h, MIN($id) AS rep_id FROM (
+          SELECT $stratum, ${TextOps.polyHashMixedSql(text)} AS h, $id
+          FROM documents) t
+        GROUP BY $stratum, h),
+      nd AS (SELECT $stratum, COUNT(*) AS n_distinct FROM ph GROUP BY 1),
+      ranked AS (
+        SELECT $stratum, h, rep_id,
+               ROW_NUMBER() OVER (PARTITION BY $stratum
+                 ORDER BY h, rep_id) AS rk
+        FROM ph),
+      kept AS (SELECT * FROM ranked WHERE rk <= $k),
+      kth AS (SELECT $stratum, MAX(h) AS h_k FROM kept GROUP BY 1)
+      SELECT kept.$stratum AS $stratum, rk, rep_id, h,
+             CAST(CASE WHEN nd.n_distinct >= $k
+                  THEN ${(k - 1).toLong * TextOps.P} // kth.h_k
+                  ELSE nd.n_distinct END AS BIGINT) AS est_distinct,
+             CAST(nd.n_distinct AS BIGINT) AS n_distinct
+      FROM kept
+        JOIN nd ON nd.$stratum = kept.$stratum
+        JOIN kth ON kth.$stratum = kept.$stratum
+      ORDER BY $stratum, rk"""
+
   /** Apply a temperature-flattened mixture (CorpusStats.domainMix's
     * alpha=0.5 weights) as an ACTUAL deterministic resample — the
     * daily step that turns mixture math into a training corpus.

@@ -1957,9 +1957,34 @@ object StreamingSuite extends Suite {
       "(SELECT * FROM documents WHERE doc_id % 10 >= 8)", "source",
       s"len(${graft.functions.TextOps.tokensSql("text")})")))
 
+  val d43 = Q(
+    "d43_stream_bottomk_fold",
+    // c95's bottom-k KMV sample AT INGEST (live =
+    // Streams.bottomKFoldStreaming): arriving batches' per-(source,
+    // hash) representatives fold into the running bottom-k state
+    // (bottom-k of a union = bottom-k of the two bottom-k's, reps
+    // combine by min — mergeable exactly like c90's sketch), and
+    // every batch re-emits the current duplication-invariant sample
+    // plus the live KMV distinct estimate — the ingest "how much NEW
+    // content is arriving" monitor: a re-crawl storm of known docs
+    // moves nothing. State ≤ |sources| × k rows by construction;
+    // drained stream equals this batch contract exactly
+    // (StreamsSpec pins cross-batch drain parity + the monotone
+    // estimate). Batch contract = c95 minus the exact count (which
+    // is deliberately NOT mergeable from a k-row state).
+    (s, d) => graft.operators.Sampling.bottomKSample(
+        Tables.documents(s, d), "source", "doc_id", "text")
+      .drop("n_distinct")
+      .orderBy(col("source"), col("rk")),
+    Some(s"""
+      SELECT source, rk, rep_id, h, est_distinct
+      FROM (${graft.operators.Sampling.bottomKSampleSql(
+        "source", "doc_id", "text")}) t
+      ORDER BY source, rk"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42)
+      d42, d43)
 }

@@ -1804,6 +1804,60 @@ object Streams {
       .start()
   }
 
+  /** Streaming fold of the c95 bottom-k-by-hash sample — d43: each
+    * arriving batch's per-(stratum, hash) representatives merge into
+    * the running bottom-k state (bottom-k of a union = bottom-k of
+    * the two bottom-k's; rep ids combine by min — the KMV synopsis is
+    * mergeable exactly like c90's sketch, so drain parity with the
+    * batch operator is by construction and slicing can never change a
+    * row). Every applied batch re-emits the current sample plus the
+    * live KMV distinct estimate — the ingest-side "how much NEW
+    * content is actually arriving" monitor (duplication-invariant: a
+    * re-crawl storm of known docs moves nothing). Cross-batch state ≤
+    * |strata| × k rows by construction (the TopKPerKey compaction IS
+    * the fold); gate-then-fold inside the batchId guard — an
+    * at-least-once redelivery neither re-emits nor double-folds. */
+  def bottomKFoldStreaming(docs: DataFrame, stratum: String,
+      id: String, text: String, k: Int = 8,
+      stateProbe: DataFrame => Unit = _ => ())
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextOps
+    import graft.util.Barriers.BarrierOps
+    var state: Option[DataFrame] = None
+    var lastApplied = -1L
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val p = batch
+            .select(col(stratum), TextOps.polyHashMixed(col(text)).as("h"),
+              col(id).cast("long").as("rep0"))
+            .groupBy(col(stratum), col("h"))
+            .agg(min(col("rep0")).as("rep_id"))
+          val merged = state.map(_.unionByName(p)).getOrElse(p)
+            .groupBy(col(stratum), col("h"))
+            .agg(min(col("rep_id")).as("rep_id"))
+          val topk = graft.plans.TopKPerKey(merged, Seq(col(stratum)),
+            Seq(col("h"), col("rep_id")), k, rankName = "rk")
+            .barrier(true)
+          state = Some(topk.drop("rk"))
+          lastApplied = bid
+          stateProbe(state.get)
+          val kth = topk.groupBy(col(stratum))
+            .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_kept"))
+          sink(topk
+            .join(broadcast(kth), Seq(stratum))
+            .withColumn("est_distinct",
+              when(col("n_kept") >= k,
+                expr(s"${(k - 1).toLong * TextOps.P} div h_k"))
+                .otherwise(col("n_kept")))
+            .select(col(stratum), col("rk").cast("long").as("rk"),
+              col("rep_id"), col("h"), col("est_distinct"))
+            .orderBy(col(stratum), col("rk")))
+        }
+      }
+      .start()
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

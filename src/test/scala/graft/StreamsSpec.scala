@@ -1948,6 +1948,56 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming bottom-k fold: drained emission equals the d43 batch " +
+      "contract under arbitrary slicing; estimate monotone; state " +
+      "bounded by strata x k") {
+    implicit val sqlCtx = spark.sqlContext
+    val arriving = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", $"text")
+      .as[(String, Long, String)].collect()
+    type R = (String, Long, Long, Long, Long)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("rk"), r.getAs[Long]("rep_id"),
+        r.getAs[Long]("h"), r.getAs[Long]("est_distinct")))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[(String, Long, String)]
+    val q = Streams.bottomKFoldStreaming(
+        ms.toDF().toDF("source", "doc_id", "text"),
+        "source", "doc_id", "text",
+        stateProbe = { st =>
+          val c = st.count(); this.synchronized { stateRows += c }
+        }) { df =>
+      val rows = toRows(df); this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 3).toSeq,
+      arriving.slice(n / 3, 2 * n / 3).toSeq,
+      arriving.slice(2 * n / 3, n).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = toRows(graft.SparkEntry.queries("d43_stream_bottomk_fold")(
+      spark, sf))
+    assert(emissions.size === 3 && emissions.last === batch)
+    // the estimate only refines upward: h_k is non-increasing under
+    // the fold, so est = (k-1)P div h_k is non-decreasing per source
+    // once the stratum holds k rows
+    val perSrc = emissions.map(_.groupBy(_._1).view
+      .mapValues(rs => (rs.size, rs.map(_._5).max)).toMap)
+    perSrc.sliding(2).foreach { w =>
+      w(0).foreach { case (src, (cnt, est)) =>
+        if (cnt == 8)
+          assert(est <= w(1)(src)._2, s"$src estimate went backwards")
+      }
+    }
+    // state bounded: never more than |sources| x k rows
+    val nSources = arriving.map(_._1).distinct.length
+    assert(stateRows.size === 3)
+    stateRows.foreach(c => assert(c <= nSources.toLong * 8L))
+  }
+
   test("streaming span re-price: replay at the d41 slicing equals the " +
       "batch contract; a cross-batch duplicate redacts fully") {
     implicit val sqlCtx = spark.sqlContext

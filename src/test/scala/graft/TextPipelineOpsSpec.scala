@@ -153,6 +153,47 @@ class TextPipelineOpsSpec extends SparkSpec {
       s"stratified sampling must be map-only:\n$plan")
   }
 
+  test("bottomKSample: duplication-invariant, mergeable, estimate " +
+      "self-audits against the exact count") {
+    // base corpus: 40 distinct texts in one stratum
+    val base = (0L until 40L).map(i => (i, "s", s"text body $i"))
+      .toDF("doc_id", "source", "text")
+    val k = 8
+    val s1 = Sampling.bottomKSample(base, "source", "doc_id", "text", k)
+      .collect().map(r => (r.getAs[Long]("rk"), r.getAs[Long]("rep_id"),
+        r.getAs[Long]("h"), r.getAs[Long]("est_distinct"),
+        r.getAs[Long]("n_distinct"))).sortBy(_._1).toSeq
+    assert(s1.size === k && s1.map(_._1) === (1L to k.toLong))
+    assert(s1.map(_._5).distinct === Seq(40L))
+    // duplication invariance: paste every doc 5x under NEW ids — the
+    // sample slots and the estimate cannot move, only rep ids can
+    // drop to the new smaller ids (here new ids are larger, so
+    // nothing at all moves)
+    val dup = base.unionAll(
+      (0L until 200L).map(i => (1000L + i, "s", s"text body ${i % 40}"))
+        .toDF("doc_id", "source", "text"))
+    val s2 = Sampling.bottomKSample(dup, "source", "doc_id", "text", k)
+      .collect().map(r => (r.getAs[Long]("rk"), r.getAs[Long]("rep_id"),
+        r.getAs[Long]("h"), r.getAs[Long]("est_distinct"),
+        r.getAs[Long]("n_distinct"))).sortBy(_._1).toSeq
+    assert(s2 === s1)
+    // fewer than k distinct: estimate IS the exact count
+    val tiny = (0L until 3L).map(i => (i, "s", s"tiny $i"))
+      .toDF("doc_id", "source", "text")
+    val s3 = Sampling.bottomKSample(tiny, "source", "doc_id", "text", k)
+      .collect()
+    assert(s3.length === 3 &&
+      s3.forall(_.getAs[Long]("est_distinct") === 3L))
+    // the KMV estimate is in the right ballpark on a bigger stratum
+    // (hash-uniformity: est within 2.5x of truth at k=8 is the
+    // deterministic outcome for THIS corpus, pinned)
+    val big = (0L until 500L).map(i => (i, "s", s"body nr $i padded"))
+      .toDF("doc_id", "source", "text")
+    val est = Sampling.bottomKSample(big, "source", "doc_id", "text", k)
+      .head().getAs[Long]("est_distinct")
+    assert(est > 200L && est < 1250L, s"KMV estimate $est vs true 500")
+  }
+
   test("curate's repetition gate drops repetitive docs that pass quality") {
     // long + distinct-heavy enough to pass the quality gate, but one
     // doc is a 3-gram loop
