@@ -1208,6 +1208,138 @@ object Ann {
       .orderBy(col("dim"))
   }
 
+  /** Top principal component of the int8 embedding codes by
+    * FIXED-POINT power iteration — the spectral half of the c69
+    * embedding-health audit: c69 sees per-dimension marginals (dead
+    * dims, saturation), this sees the joint structure — a dominant
+    * component carrying most of the scatter means the embedding has
+    * collapsed toward a line (anisotropy/cone effect) and cosine
+    * retrieval is about to stop separating anything, a failure mode
+    * marginals cannot show.
+    *
+    * Exactness: `rounds` iterations of v ← B·v on the CENTERED
+    * scatter matrix B = n·QᵀQ − m·mᵀ (m = per-dim code sums — the
+    * multiply-through centering that stays integral), computed
+    * matrix-free as z = n·Qᵀ(Qv) − m·(m·v). All arithmetic is exact
+    * decimal(38,0)/HUGEINT integers; per-round renormalization is
+    * sign-split magnitude division (v' = sign(z)·(|z|·S div max|z|))
+    * because truncating negative quotients splits engines (§4). The
+    * oracle replays the same `rounds` iterations from the same all-
+    * ones start, so every output digit matches — the claim is the
+    * deterministic algorithm, not convergence.
+    *
+    * Shape at 100 TB: codes materialize ONCE (barrier), then each
+    * round is two linear passes (per-doc dot = explode + broadcast-v
+    * join + partial-agg sum; per-dim fold = the same in transpose)
+    * with 64-row broadcast artifacts between — no corpus-sized
+    * shuffle anywhere, overflow-safe past 10^9 docs (|z|·S ≤ 10^37 <
+    * decimal(38)). */
+  def pcaTop(corpus: DataFrame, id: String, vec: String,
+             rounds: Int = 3, fix: Long = 1000000L): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    def normalized(v: Column, nrm: Column): Column =
+      transform(v, x => x.cast("double") / nrm)
+    val cN = corpus.select(col(id).as("n_id"), col(vec).as("n_vec"),
+        VectorOps.norm(col(vec)).as("n_nrm"))
+      .withColumn("nv", normalized(col("n_vec"), col("n_nrm")))
+    val mm = broadcast(quantScale(cN, "nv").barrier(true))
+    val codes = cN.crossJoin(mm)
+      .select(col("n_id"), quantize(col("nv"), col("scale")).as("q"))
+      .barrier(true)
+    val perDim = codes
+      .select(col("n_id"), posexplode(col("q")).as(Seq("dim", "c")))
+    val nRow = broadcast(codes.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n")).barrier(true))
+    val mFrame = perDim.groupBy(col("dim"))
+      .agg(sum(col("c")).cast("decimal(38,0)").as("m")).barrier(true)
+    val v0 = mFrame.select(col("dim"),
+      lit(fix).cast("decimal(38,0)").as("v"))
+    val vFinal = (1 to rounds).foldLeft(v0) { (vPrev, _) =>
+      val vB = broadcast(vPrev)
+      val sv = perDim.join(vB, "dim")
+        .groupBy(col("n_id"))
+        .agg(sum(expr("cast(c as decimal(38,0)) * v")).as("s"))
+      val t = perDim.join(sv, "n_id")
+        .groupBy(col("dim"))
+        .agg(sum(expr("cast(c as decimal(38,0)) * s")).as("t"))
+      val mv = broadcast(mFrame.join(vB, "dim")
+        .agg(sum(expr("m * v")).as("mv")))
+      val z = t.join(mFrame, "dim").crossJoin(mv).crossJoin(nRow)
+        .select(col("dim"), expr("n * t - m * mv").as("z"))
+      val mx = broadcast(z.agg(
+        greatest(max(abs(col("z"))), lit(1).cast("decimal(38,0)"))
+          .as("mx")))
+      z.crossJoin(mx)
+        .select(col("dim"),
+          expr(s"""CASE WHEN z < 0
+            THEN -(((-z) * $fix) div mx)
+            ELSE ((z * $fix) div mx) END""").as("v"))
+        .barrier(true)
+    }
+    vFinal.join(mFrame, "dim")
+      .select(col("dim").cast("long").as("dim"),
+        col("m").cast("long").as("code_sum"),
+        col("v").cast("long").as("v_fix"))
+      .orderBy(col("dim"))
+  }
+
+  /** DuckDB mirror of [[pcaTop]]: the c24 quantization CTEs + the
+    * same `rounds` unrolled power-iteration rounds from the same
+    * all-ones start. */
+  def pcaTopSql(rounds: Int = 3, fix: Long = 1000000L,
+                dims: Int = 64): String = {
+    val quant = s"""
+      corpusn AS (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) / ${VectorOps.normSql("embedding")})
+                 AS nv
+        FROM embeddings),
+      mm AS (
+        SELECT MAX(abs(x)) / CAST(127 AS DOUBLE) AS scale
+        FROM (SELECT unnest(nv) AS x FROM corpusn)),
+      cq AS (
+        SELECT vec_id,
+               list_transform(nv, x -> least(greatest(
+                 CAST(floor(x / m.scale) AS BIGINT), -127), 127)) AS qv
+        FROM corpusn CROSS JOIN mm m),
+      nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM cq),
+      md AS (
+        SELECT g.dim, SUM(CAST(qv[g.dim + 1] AS HUGEINT)) AS m
+        FROM cq CROSS JOIN range(0, $dims) AS g(dim)
+        GROUP BY g.dim),
+      v0 AS (SELECT dim, CAST($fix AS HUGEINT) AS v FROM md)"""
+    val roundCtes = (1 to rounds).map { r =>
+      val p = if (r == 1) "v0" else s"v${r - 1}"
+      s"""
+      s$r AS (
+        SELECT cq.vec_id, SUM(CAST(qv[$p.dim + 1] AS HUGEINT) * $p.v) AS s
+        FROM cq CROSS JOIN $p GROUP BY cq.vec_id),
+      mv$r AS (SELECT SUM(md.m * $p.v) AS mv
+               FROM md JOIN $p USING (dim)),
+      t$r AS (
+        SELECT g.dim, SUM(CAST(qv[g.dim + 1] AS HUGEINT) * s$r.s) AS t
+        FROM cq JOIN s$r USING (vec_id) CROSS JOIN range(0, $dims) AS g(dim)
+        GROUP BY g.dim),
+      z$r AS (
+        SELECT t$r.dim,
+               (SELECT n FROM nn) * t - md.m * (SELECT mv FROM mv$r) AS z
+        FROM t$r JOIN md USING (dim)),
+      zx$r AS (SELECT greatest(MAX(abs(z)), 1) AS mx FROM z$r),
+      v$r AS (
+        SELECT dim, CASE WHEN z < 0
+                 THEN -(((-z) * $fix) // (SELECT mx FROM zx$r))
+                 ELSE ((z * $fix) // (SELECT mx FROM zx$r)) END AS v
+        FROM z$r)"""
+    }.mkString(",")
+    s"""
+      WITH $quant, $roundCtes
+      SELECT CAST(v$rounds.dim AS BIGINT) AS dim,
+             CAST(md.m AS BIGINT) AS code_sum,
+             CAST(v$rounds.v AS BIGINT) AS v_fix
+      FROM v$rounds JOIN md USING (dim)
+      ORDER BY dim"""
+  }
+
   /** Quantized ANN: vectors are L2-NORMALIZED, then symmetrically
     * scalar-quantized to int8, so the integer dot product of the
     * codes approximates cosine directly (the float32 -> unit-sphere

@@ -3876,6 +3876,21 @@ object PipelineSuite extends Suite {
       .orderBy(col("source"), col("rk")),
     Some(Sampling.bottomKSampleSql("source", "doc_id", "text")))
 
+  val c96 = Q(
+    "c96_embedding_pca",
+    // Top principal component of the int8 embedding codes by
+    // fixed-point power iteration (Ann.pcaTop) — the spectral half
+    // of c69's embedding-health audit: 3 exact-integer v ← B·v
+    // rounds on the CENTERED scatter B = n·QᵀQ − m·mᵀ, computed
+    // matrix-free (two linear passes per round, 64-row broadcast
+    // artifacts between, codes materialized once). A dominant
+    // component = the embedding collapsed toward a line (anisotropy)
+    // and cosine retrieval is about to stop separating — the joint-
+    // structure failure c69's marginals can't see. Oracle replays
+    // the identical rounds, digit-exact.
+    (s, d) => Ann.pcaTop(Tables.embeddings(s, d), "vec_id", "embedding"),
+    Some(Ann.pcaTopSql()))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3883,5 +3898,6 @@ object PipelineSuite extends Suite {
       c44, c45, c46, c47, c48, c49, c50, c51, c52, c53, c54, c55, c56,
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
-      c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95)
+      c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
+      c96)
 }

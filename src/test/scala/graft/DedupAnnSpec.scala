@@ -278,6 +278,31 @@ class DedupAnnSpec extends SparkSpec {
       (1L, 3L, -127L, 127L, 127L, 3L * 127L * 127L)))
   }
 
+  test("pcaTop recovers a planted dominant direction; uniform cloud " +
+      "has no runaway component") {
+    // planted anisotropy: all variance lives on dim 1 (values swing
+    // ±9), dim 3 wiggles a little, dims 0/2 are constant offsets —
+    // after centering, the top component must be the dim-1 axis:
+    // |v_fix| = fix exactly at dim 1, small everywhere else
+    val vecs = (0 until 40).map { i =>
+      val s = if (i % 2 == 0) 9f else -9f
+      val t = if (i % 4 < 2) 0.5f else -0.5f
+      (i.toLong, Array(2f, s, 1f, t))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.pcaTop(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("dim") -> r.getAs[Long]("v_fix"))
+      .toMap
+    assert(out.size === 4)
+    assert(math.abs(out(1L)) === 1000000L, s"dominant dim: $out")
+    Seq(0L, 2L, 3L).foreach { d =>
+      assert(math.abs(out(d)) < 100000L, s"dim $d too large: $out") }
+    // determinism: re-run is identical
+    val again = Ann.pcaTop(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("dim") -> r.getAs[Long]("v_fix"))
+      .toMap
+    assert(again === out)
+  }
+
   test("clusterStats: histogram partitions the corpus, removal mass " +
       "hand-checked") {
     val d = Seq(

@@ -219,6 +219,34 @@ class PlanShapeSpec extends SparkSpec {
       s"c20_neardup_novelty must plan a partial aggregate on the band key:\n$p20")
   }
 
+  test("c95 bottom-k sample plans the partial TopKPerKey heap over a " +
+      "map-side-combinable hash agg — no WindowExec") {
+    val p = SparkEntry.queries("c95_bottomk_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window ["),
+      s"c95 must not rank with a per-stratum WindowExec:\n$p")
+    assert(p.contains("TopKPerKeyPartial"),
+      s"c95 must plan the partial bounded heap before the exchange:\n$p")
+    assert("functions=\\[partial_min".r.findFirstIn(p).isDefined,
+      s"c95's (stratum, h) collapse must partial-aggregate:\n$p")
+    assertNoNestedLoop(p)
+  }
+
+  test("c96 pca rounds plan broadcast joins over the barriered codes — " +
+      "no WindowExec, no nested loop beyond the one-row totals") {
+    val p = SparkEntry.queries("c96_embedding_pca")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window ["),
+      s"c96 must not plan any WindowExec:\n$p")
+    // the per-round v/m/n artifacts join back as broadcasts: the
+    // only nested-loop joins allowed are the one-row scalar
+    // crossJoins (mv, n, mx — the allowlisted bounded class)
+    assert(p.contains("BroadcastHashJoin"),
+      s"c96's dim joins must broadcast the 64-row artifacts:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"c96 must not plan a cartesian product:\n$p")
+  }
+
   test("fuzzy decontamination candidate joins broadcast the eval side") {
     // c76/d30's scale contract: candidate generation is train-bands
     // against the BROADCAST eval bands — never a corpus self-join.
