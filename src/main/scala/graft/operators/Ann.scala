@@ -1340,6 +1340,98 @@ object Ann {
       ORDER BY dim"""
   }
 
+  /** Sufficient statistics of [[pcaTop]]'s scatter matrix, as a
+    * MERGEABLE bounded state — the d44 streaming seam: n (row count),
+    * m_j (per-dim code sums) and the full Gram G_jl = Σ_d q_dj·q_dl,
+    * all exact-integer sums that ADD across shards/batches. Emitted
+    * as (j, l, g, m_j, n) rows — dims² rows whatever the corpus (the
+    * c90 bounded-state argument on the spectral side). The Gram
+    * fan-out is a per-row nested transform (dims² products) flattened
+    * through one posexplode, then a map-side-combinable groupBy —
+    * ONE corpus pass collects everything [[pcaTop]] needs, after
+    * which the component is dims²-row arithmetic with no corpus
+    * re-read (the artifact-only compute d40/d42 run for quantiles). */
+  /** The frozen quantization scale for a corpus — the 1-row artifact
+    * [[gramStats]] folds under so per-batch states stay mergeable
+    * (codes must come from ONE scale; a per-batch scale would break
+    * the fold — the same static-artifact seam as d40's trained LM). */
+  def pcaScale(corpus: DataFrame, id: String, vec: String): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    def normalized(v: Column, nrm: Column): Column =
+      transform(v, x => x.cast("double") / nrm)
+    val cN = corpus.select(col(vec).as("n_vec"),
+        VectorOps.norm(col(vec)).as("n_nrm"))
+      .withColumn("nv", normalized(col("n_vec"), col("n_nrm")))
+    quantScale(cN, "nv").barrier(true)
+  }
+
+  def gramStats(corpus: DataFrame, id: String, vec: String,
+                scale: DataFrame): DataFrame = {
+    def normalized(v: Column, nrm: Column): Column =
+      transform(v, x => x.cast("double") / nrm)
+    val cN = corpus.select(col(id).as("n_id"), col(vec).as("n_vec"),
+        VectorOps.norm(col(vec)).as("n_nrm"))
+      .withColumn("nv", normalized(col("n_vec"), col("n_nrm")))
+    val codes = cN.crossJoin(broadcast(scale))
+      .select(quantize(col("nv"), col("scale")).as("q"))
+    val dims = 64
+    val prods = codes.select(
+      posexplode(expr("flatten(transform(q, x -> transform(q, " +
+        "y -> cast(x as decimal(38,0)) * y)))")).as(Seq("p", "v")),
+      expr("transform(q, x -> cast(x as decimal(38,0)))").as("qd"))
+    prods
+      .select(expr(s"cast(p div $dims as int)").as("j"),
+        pmod(col("p"), lit(dims)).cast("int").as("l"),
+        col("v"),
+        element_at(col("qd"),
+          expr(s"cast(p div $dims as int)") + 1).as("cj"))
+      .groupBy(col("j"), col("l"))
+      .agg(sum(col("v")).cast("decimal(38,0)").as("g"),
+        sum(col("cj")).cast("decimal(38,0)").as("mj"),
+        count(lit(1)).cast("decimal(38,0)").as("n"))
+  }
+
+  /** [[pcaTop]] computed FROM a [[gramStats]] state only — no corpus
+    * access: z = n·G·v − m·(m·v) is integer-identical to the matrix-
+    * free z = n·Qᵀ(Qv) − m·(m·v) (sum reassociation over exact
+    * integers), so the output matches [[pcaTop]] digit-for-digit.
+    * Everything is dims²-row joins; the live d44 monitor calls this
+    * per batch over the folded state. */
+  def pcaFromState(state: DataFrame, rounds: Int = 3,
+                   fix: Long = 1000000L): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    val st = state.barrier(true)
+    val mFrame = st.where(col("j") === col("l"))
+      .select(col("j").as("dim"), col("mj").as("m"))
+    val nRow = broadcast(st.agg(max(col("n")).as("n")))
+    val v0 = mFrame.select(col("dim"),
+      lit(fix).cast("decimal(38,0)").as("v"))
+    val vFinal = (1 to rounds).foldLeft(v0) { (vPrev, _) =>
+      val vB = broadcast(vPrev)
+      val gv = st.join(vB, st("l") === vB("dim"))
+        .groupBy(st("j").as("dim"))
+        .agg(sum(expr("g * v")).as("t"))
+      val mv = broadcast(mFrame.join(vB, "dim")
+        .agg(sum(expr("m * v")).as("mv")))
+      val z = gv.join(mFrame, "dim").crossJoin(mv).crossJoin(nRow)
+        .select(col("dim"), expr("n * t - m * mv").as("z"))
+      val mx = broadcast(z.agg(
+        greatest(max(abs(col("z"))), lit(1).cast("decimal(38,0)"))
+          .as("mx")))
+      z.crossJoin(mx)
+        .select(col("dim"),
+          expr(s"""CASE WHEN z < 0
+            THEN -(((-z) * $fix) div mx)
+            ELSE ((z * $fix) div mx) END""").as("v"))
+        .barrier(true)
+    }
+    vFinal.join(mFrame, "dim")
+      .select(col("dim").cast("long").as("dim"),
+        col("m").cast("long").as("code_sum"),
+        col("v").cast("long").as("v_fix"))
+      .orderBy(col("dim"))
+  }
+
   /** Quantized ANN: vectors are L2-NORMALIZED, then symmetrically
     * scalar-quantized to int8, so the integer dot product of the
     * codes approximates cosine directly (the float32 -> unit-sphere

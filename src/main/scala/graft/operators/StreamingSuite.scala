@@ -1982,9 +1982,31 @@ object StreamingSuite extends Suite {
         "source", "doc_id", "text")}) t
       ORDER BY source, rk"""))
 
+  val d44 = Q(
+    "d44_stream_pca_fold",
+    // c96's spectral health AT INGEST (live = Streams.pcaFoldStreaming):
+    // arriving vectors' Gram sufficient statistics (n, m, the dims²
+    // Gram — exact-integer sums under the FROZEN quant scale, the
+    // d40 static-artifact seam) fold into the running state by
+    // addition, and every batch re-emits the top component power-
+    // iterated FROM THE STATE ONLY (Ann.pcaFromState — no corpus
+    // re-read). n·G·v − m·(m·v) is integer-identical to c96's
+    // matrix-free form (sum reassociation over exact integers), so
+    // this batch contract — the one-pass Gram route — equals c96
+    // digit-for-digit, and the drained stream equals both
+    // (StreamsSpec pins it). State = dims² rows whatever the corpus.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val scale = graft.operators.Ann.pcaScale(e, "vec_id", "embedding")
+      graft.operators.Ann.pcaFromState(
+        graft.operators.Ann.gramStats(e, "vec_id", "embedding", scale))
+    },
+    // identical output to c96 by construction — same oracle
+    Some(graft.operators.Ann.pcaTopSql()))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42, d43)
+      d42, d43, d44)
 }

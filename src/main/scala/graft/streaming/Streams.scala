@@ -1858,6 +1858,46 @@ object Streams {
       .start()
   }
 
+  /** Streaming fold of c96's spectral health — d44: each arriving
+    * batch's Gram sufficient statistics (n, per-dim sums m, the full
+    * dims² Gram — all exact-integer sums under the FROZEN quant
+    * scale, the d40 static-artifact seam) fold into the running
+    * state by addition, and every applied batch re-emits the top
+    * principal component power-iterated FROM THE STATE ONLY
+    * (Ann.pcaFromState — never a corpus re-read, the d40/d42
+    * artifact-only compute on the spectral side). z = n·G·v − m·(m·v)
+    * is integer-identical to c96's matrix-free form, so the drained
+    * stream equals the c96 batch output digit-for-digit whatever the
+    * slicing. Cross-batch state = dims² (j, l, g, mj, n) rows,
+    * compacted AT FOLD TIME by the groupBy; gate-then-fold inside the
+    * batchId guard. The live "is the embedding collapsing?" monitor
+    * an ingest pipeline runs next to d42's length drift. */
+  def pcaFoldStreaming(scale: DataFrame, vecs: DataFrame,
+      id: String, vec: String,
+      stateProbe: DataFrame => Unit = _ => ())
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Ann
+    import graft.util.Barriers.BarrierOps
+    var state: Option[DataFrame] = None
+    var lastApplied = -1L
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val p = Ann.gramStats(batch, id, vec, scale)
+          state = Some(state.map(_.unionByName(p)).getOrElse(p)
+            .groupBy(col("j"), col("l"))
+            .agg(sum(col("g")).cast("decimal(38,0)").as("g"),
+              sum(col("mj")).cast("decimal(38,0)").as("mj"),
+              sum(col("n")).cast("decimal(38,0)").as("n"))
+            .barrier(true))
+          lastApplied = bid
+          stateProbe(state.get)
+          sink(Ann.pcaFromState(state.get))
+        }
+      }
+      .start()
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

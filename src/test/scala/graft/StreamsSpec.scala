@@ -1998,6 +1998,46 @@ class StreamsSpec extends SparkSpec {
     stateRows.foreach(c => assert(c <= nSources.toLong * 8L))
   }
 
+  test("streaming pca fold: drained emission equals c96 and the d44 " +
+      "batch contract under arbitrary slicing; state stays dims^2") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    val e = Tables.embeddings(spark, sf)
+    val scale = Ann.pcaScale(e, "vec_id", "embedding")
+    val arriving = e.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    type R = (Long, Long, Long)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[Long]("dim"),
+        r.getAs[Long]("code_sum"), r.getAs[Long]("v_fix")))
+        .sortBy(_._1).toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = Streams.pcaFoldStreaming(scale,
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        stateProbe = { st =>
+          val c = st.count(); this.synchronized { stateRows += c }
+        }) { df =>
+      val rows = toRows(df); this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 3).toSeq,
+      arriving.slice(n / 3, 2 * n / 3).toSeq,
+      arriving.slice(2 * n / 3, n).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = toRows(graft.SparkEntry.queries("d44_stream_pca_fold")(
+      spark, sf))
+    val c96out = toRows(graft.SparkEntry.queries("c96_embedding_pca")(
+      spark, sf))
+    assert(emissions.size === 3 && emissions.last === batch)
+    // the Gram route and c96's matrix-free route are integer-identical
+    assert(batch === c96out)
+    // state compacted at fold time: exactly dims^2 rows every batch
+    assert(stateRows.size === 3 && stateRows.forall(_ === 64L * 64L))
+  }
+
   test("streaming span re-price: replay at the d41 slicing equals the " +
       "batch contract; a cross-batch duplicate redacts fully") {
     implicit val sqlCtx = spark.sqlContext
