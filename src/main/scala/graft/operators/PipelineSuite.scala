@@ -3891,6 +3891,22 @@ object PipelineSuite extends Suite {
     (s, d) => Ann.pcaTop(Tables.embeddings(s, d), "vec_id", "embedding"),
     Some(Ann.pcaTopSql()))
 
+  val c97 = Q(
+    "c97_priority_sample",
+    // Deterministic token-mass-weighted PRIORITY SAMPLING per source
+    // (Sampling.prioritySample — Duffield–Lund–Thorup integerized):
+    // priority = id-hash div token-count, k smallest kept — docs
+    // sampled ≈ proportional to token mass, the right sampler when
+    // the budget is tokens (uniform doc sampling over-represents
+    // short docs' tokens). The DLT threshold estimator of total
+    // token mass rides along next to the exact total (self-auditing,
+    // c95's discipline). Mergeable bottom-k (d43's fold pattern);
+    // map-only priorities + TopKPerKey bounded heap.
+    (s, d) => Sampling.prioritySample(Tables.documents(s, d),
+        "source", "doc_id", "text")
+      .orderBy(col("source"), col("rk")),
+    Some(Sampling.prioritySampleSql("source", "doc_id", "text")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3899,5 +3915,5 @@ object PipelineSuite extends Suite {
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
-      c96)
+      c96, c97)
 }

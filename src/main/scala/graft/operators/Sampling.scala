@@ -120,6 +120,96 @@ object Sampling {
         JOIN kth ON kth.$stratum = kept.$stratum
       ORDER BY $stratum, rk"""
 
+  /** Deterministic PRIORITY SAMPLING (Duffield–Lund–Thorup, VLDB'04 /
+    * JACM'07, integerized) per stratum, weighted by token mass: doc i
+    * draws u_i = mixed-poly-hash(stratum:id) ∈ [0,P) and gets
+    * priority p_i = u_i div w_i (w_i = token count) — keeping the k
+    * SMALLEST priorities samples docs with probability ≈ proportional
+    * to w, which is the right sampler when the budget is tokens, not
+    * documents (every token equally likely, so a 10k-token doc is
+    * 100× likelier than a 100-token one — a uniform doc sample
+    * over-represents short docs' tokens). The DLT threshold estimator
+    * rides along: with τ = P div p_(k+1), est_mass = Σ_kept
+    * max(w_i, τ) estimates the stratum's TOTAL token mass from the k
+    * kept rows (exact by construction when the stratum has ≤ k docs);
+    * the exact total is emitted alongside — the synopsis audits
+    * itself, c95's discipline. Integer truncation makes the
+    * estimator's unbiasedness approximate (documented), determinism
+    * and the oracle exact.
+    *
+    * Mergeable exactly like c95 (bottom-k by priority; priorities are
+    * per-doc constants), so the streaming fold is d43's pattern
+    * verbatim. Same scale shape: map-only priorities, TopKPerKey
+    * bounded heap, broadcast joins of per-stratum scalars. */
+  def prioritySample(docs: DataFrame, stratum: String, id: String,
+                     text: String, k: Int = 8): DataFrame = {
+    val w = size(TextOps.tokens(col(text))).cast("long")
+    val u = TextOps.polyHashMixed(
+      concat(col(stratum), lit(":"), col(id).cast("string")))
+    val rows = docs.select(col(stratum), col(id).cast("long").as("did"),
+        w.as("w"), u.as("u"))
+      .withColumn("priority", expr("u div greatest(w, 1L)"))
+    val totals = rows.groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).cast("long").as("total_mass"))
+    val kept1 = graft.plans.TopKPerKey(rows, Seq(col(stratum)),
+      Seq(col("priority"), col("did")), k + 1, rankName = "rk")
+    val tau = kept1.groupBy(col(stratum))
+      .agg(max(when(col("rk") === k + 1,
+        expr(s"${TextOps.P} div greatest(priority, 1L)"))).as("tau"))
+    val kept = kept1.where(col("rk") <= k)
+    val est = kept.join(broadcast(tau), Seq(stratum))
+      .groupBy(col(stratum))
+      .agg(sum(greatest(col("w"), coalesce(col("tau"), lit(0L))))
+        .cast("long").as("est_mass"))
+    kept
+      .join(broadcast(totals), Seq(stratum))
+      .join(broadcast(est), Seq(stratum))
+      .select(col(stratum), col("rk").cast("long").as("rk"),
+        col("did"), col("w"), col("priority"),
+        col("est_mass"), col("total_mass"))
+  }
+
+  /** DuckDB mirror of [[prioritySample]]. */
+  def prioritySampleSql(stratum: String, id: String, text: String,
+                        k: Int = 8): String = {
+    val u = TextOps.polyHashMixedSql(
+      s"($stratum || ':' || CAST($id AS VARCHAR))")
+    val w = s"CAST(len(${TextOps.tokensSql(text)}) AS BIGINT)"
+    s"""
+      WITH rows_ AS (
+        SELECT $stratum, CAST($id AS BIGINT) AS did, $w AS w,
+               ($u) // greatest($w, 1) AS priority
+        FROM documents),
+      totals AS (
+        SELECT $stratum, COUNT(*) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS total_mass
+        FROM rows_ GROUP BY 1),
+      ranked AS (
+        SELECT $stratum, did, w, priority,
+               ROW_NUMBER() OVER (PARTITION BY $stratum
+                 ORDER BY priority, did) AS rk
+        FROM rows_),
+      tau AS (
+        SELECT $stratum,
+               MAX(CASE WHEN rk = ${k + 1}
+                   THEN ${TextOps.P} // greatest(priority, 1) END) AS tau
+        FROM ranked WHERE rk <= ${k + 1} GROUP BY 1),
+      kept AS (SELECT * FROM ranked WHERE rk <= $k),
+      est AS (
+        SELECT kept.$stratum,
+               CAST(SUM(greatest(w, COALESCE(tau, 0))) AS BIGINT)
+                 AS est_mass
+        FROM kept JOIN tau ON tau.$stratum = kept.$stratum
+        GROUP BY 1)
+      SELECT kept.$stratum AS $stratum, rk, did, w, priority,
+             est.est_mass, totals.total_mass
+      FROM kept
+        JOIN totals ON totals.$stratum = kept.$stratum
+        JOIN est ON est.$stratum = kept.$stratum
+      ORDER BY $stratum, rk"""
+  }
+
   /** Apply a temperature-flattened mixture (CorpusStats.domainMix's
     * alpha=0.5 weights) as an ACTUAL deterministic resample — the
     * daily step that turns mixture math into a training corpus.

@@ -194,6 +194,41 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(est > 200L && est < 1250L, s"KMV estimate $est vs true 500")
   }
 
+  test("prioritySample: mass-weighted inclusion, exact-when-small " +
+      "estimator, deterministic") {
+    // sub-k stratum: everything kept, estimator IS the exact total
+    val small = (0L until 5L).map(i =>
+      (i, "s", (1 to 10).map(j => s"w$i$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val s1 = Sampling.prioritySample(small, "source", "doc_id", "text")
+      .collect()
+    assert(s1.length === 5)
+    s1.foreach { r =>
+      assert(r.getAs[Long]("est_mass") === r.getAs[Long]("total_mass"))
+      assert(r.getAs[Long]("w") === 10L)
+    }
+    // weighting: heavy docs (1000 tokens) vs light (2 tokens) — the
+    // k=8 sample from a 20/200 mix must skew heavily to heavy docs
+    // (each heavy doc's priority is ~500x smaller at equal hash)
+    val heavy = (0L until 20L).map(i =>
+      (i, "m", (1 to 1000).map(j => s"h$j").mkString(" ")))
+    val light = (100L until 300L).map(i => (i, "m", "a b"))
+    val mix = (heavy ++ light).toDF("doc_id", "source", "text")
+    val kept = Sampling.prioritySample(mix, "source", "doc_id", "text")
+      .collect().map(_.getAs[Long]("did")).toSeq
+    assert(kept.size === 8)
+    assert(kept.count(_ < 100L) >= 6,
+      s"mass-weighted sample should be mostly heavy docs: $kept")
+    // estimator ballpark on the mix: true mass = 20*1000 + 200*2
+    val est = Sampling.prioritySample(mix, "source", "doc_id", "text")
+      .head().getAs[Long]("est_mass")
+    assert(est > 5000L && est < 100000L, s"est $est vs true 20400")
+    // determinism
+    val again = Sampling.prioritySample(mix, "source", "doc_id", "text")
+      .collect().map(_.getAs[Long]("did")).toSeq
+    assert(again === kept)
+  }
+
   test("curate's repetition gate drops repetitive docs that pass quality") {
     // long + distinct-heavy enough to pass the quality gate, but one
     // doc is a 3-gram loop
