@@ -29,6 +29,79 @@ import graft.functions.TextOps
   */
 object Packing {
 
+  /** Deterministic EPOCH SHUFFLE + mixing-quality audit — the
+    * training-order step between mixing (c32/c86) and packing (c37/
+    * c48): each epoch reshuffles the corpus by a stable hash key
+    * (key = mixed-poly-hash(epoch:id) — a different but REPRODUCIBLE
+    * permutation per epoch, the property a distributed loader needs
+    * for resumable training and run-to-run comparisons), docs land in
+    * shard = key mod S and are ordered by (key, id) within the shard.
+    * The audit answers "did the shuffle actually mix?" per shard:
+    * doc/token mass (balance), same-source adjacency count (clumping
+    * — a shuffle that leaves source runs intact feeds the model
+    * correlated batches; well-mixed ⇒ adjacencies ≈ Σ n_s(n_s−1)/N
+    * per shard), and an ORDER-SENSITIVE position checksum
+    * (Σ pos·id mod P — any reordering, dropped or duplicated doc
+    * changes it; the loader re-derives it to prove it read the right
+    * order). The within-shard window IS the shard write's own sort —
+    * S scales with the cluster (thousands in production, so a shard
+    * is one task's output file); everything else is per-shard
+    * bounded aggregation. All-integer, oracle digit-exact. */
+  def epochShuffle(docs: DataFrame, id: String, text: String,
+                   source: String, epoch: Long,
+                   shards: Int = 16): DataFrame = {
+    val key = TextOps.polyHashMixed(
+      concat(lit(epoch.toString), lit(":"), col(id).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("did"))
+    docs
+      .select(col(id).cast("long").as("did"), col(source).as("src"),
+        size(TextOps.tokens(col(text))).cast("long").as("tok"),
+        key.as("key"))
+      .withColumn("shard", pmod(col("key"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("prev_src", lag(col("src"), 1).over(w))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("tok_mass"),
+        sum(when(col("prev_src") === col("src"), 1L).otherwise(0L))
+          .as("same_src_adj"),
+        pmod(sum(pmod(expr("cast(pos as decimal(38,0)) * did"),
+          lit(TextOps.P))), lit(TextOps.P)).cast("long")
+          .as("pos_checksum"))
+      .orderBy(col("shard"))
+  }
+
+  /** DuckDB mirror of [[epochShuffle]]. */
+  def epochShuffleSql(id: String, text: String, source: String,
+                      epoch: Long, shards: Int = 16): String = {
+    val key = TextOps.polyHashMixedSql(
+      s"('$epoch' || ':' || CAST($id AS VARCHAR))")
+    s"""
+      WITH keyed AS (
+        SELECT CAST($id AS BIGINT) AS did, $source AS src,
+               CAST(len(${TextOps.tokensSql(text)}) AS BIGINT) AS tok,
+               ($key) AS key
+        FROM documents),
+      sharded AS (
+        SELECT *, key % $shards AS shard FROM keyed),
+      ordered AS (
+        SELECT shard, did, src, tok,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                 ORDER BY key, did) AS BIGINT) AS pos,
+               LAG(src, 1) OVER (PARTITION BY shard
+                 ORDER BY key, did) AS prev_src
+        FROM sharded)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS tok_mass,
+             CAST(SUM(CASE WHEN prev_src = src THEN 1 ELSE 0 END)
+               AS BIGINT) AS same_src_adj,
+             CAST(SUM((CAST(pos AS HUGEINT) * did) % ${TextOps.P})
+               % ${TextOps.P} AS BIGINT) AS pos_checksum
+      FROM ordered
+      GROUP BY shard
+      ORDER BY shard"""
+  }
+
   /** Global token offset, sequence id and in-sequence position for
     * every document: `budget`-token sequences over the id-ordered
     * concatenation. Output: (id, n_tokens, offset, seq_id, seq_pos,

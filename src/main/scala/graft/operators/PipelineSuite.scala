@@ -3907,6 +3907,24 @@ object PipelineSuite extends Suite {
       .orderBy(col("source"), col("rk")),
     Some(Sampling.prioritySampleSql("source", "doc_id", "text")))
 
+  val c98 = Q(
+    "c98_epoch_shuffle",
+    // Deterministic epoch shuffle + mixing-quality audit
+    // (Packing.epochShuffle) — the training-order step between
+    // mixing (c32/c86) and packing (c37/c48): a stable per-epoch
+    // hash permutation (reproducible for resumable loaders),
+    // sharded by key mod S, audited per shard for balance (doc/
+    // token mass), clumping (same-source adjacency count — a
+    // shuffle that leaves source runs intact feeds correlated
+    // batches), and an order-sensitive position checksum the loader
+    // re-derives to prove it read the right order. The within-shard
+    // window is the shard write's own sort; S scales with the
+    // cluster.
+    (s, d) => Packing.epochShuffle(Tables.documents(s, d),
+      "doc_id", "text", "source", epoch = 1L),
+    Some(Packing.epochShuffleSql("doc_id", "text", "source",
+      epoch = 1L)))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3915,5 +3933,5 @@ object PipelineSuite extends Suite {
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
-      c96, c97)
+      c96, c97, c98)
 }

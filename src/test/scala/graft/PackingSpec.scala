@@ -268,4 +268,37 @@ class PackingSpec extends SparkSpec {
     // FFD never uses more bins than next-fit on the same order
     assert(out("ffd")._2 <= out("sorted")._2)
   }
+
+  test("epochShuffle: reproducible per epoch, epochs differ, shuffle " +
+      "breaks source runs, checksum catches a dropped doc") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // two sources in solid runs of 200 - unshuffled adjacency would
+    // be 398; a mixing shuffle should land near the random level
+    // (~199 expected over 16 shards) and far from run-level
+    val docs = ((0L until 200L).map(i => (i, "aaa bbb ccc ddd", "s1")) ++
+      (200L until 400L).map(i => (i, "aaa bbb ccc ddd", "s2")))
+      .toDF("doc_id", "text", "source")
+    type R = (Long, Long, Long, Long, Long)
+    def run(epoch: Long): Seq[R] =
+      Packing.epochShuffle(docs, "doc_id", "text", "source", epoch)
+        .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("tok_mass"), r.getAs[Long]("same_src_adj"),
+          r.getAs[Long]("pos_checksum"))).toSeq
+    val e1 = run(1L)
+    assert(run(1L) === e1, "same epoch must reproduce exactly")
+    val e2 = run(2L)
+    assert(e1 !== e2, "different epochs must permute differently")
+    assert(e1.map(_._2).sum === 400L && e1.map(_._3).sum === 1600L)
+    val adj = e1.map(_._4).sum
+    assert(adj < 280L, s"shuffle left source runs intact: adj=$adj")
+    // checksum is order-sensitive: dropping one doc changes at least
+    // the shard it lived in
+    val dropped = Packing.epochShuffle(docs.where($"doc_id" =!= 7L),
+        "doc_id", "text", "source", 1L)
+      .collect().map(r => (r.getAs[Long]("shard"),
+        r.getAs[Long]("pos_checksum"))).toMap
+    val orig = e1.map(t => t._1 -> t._5).toMap
+    assert(dropped.exists { case (s2, c) => orig(s2) != c })
+  }
 }
