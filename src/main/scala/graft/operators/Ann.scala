@@ -1374,19 +1374,21 @@ object Ann {
       .withColumn("nv", normalized(col("n_vec"), col("n_nrm")))
     val codes = cN.crossJoin(broadcast(scale))
       .select(quantize(col("nv"), col("scale")).as("q"))
-    val dims = 64
-    val prods = codes.select(
-      posexplode(expr("flatten(transform(q, x -> transform(q, " +
-        "y -> cast(x as decimal(38,0)) * y)))")).as(Seq("p", "v")),
-      expr("transform(q, x -> cast(x as decimal(38,0)))").as("qd"))
-    prods
-      .select(expr(s"cast(p div $dims as int)").as("j"),
-        pmod(col("p"), lit(dims)).cast("int").as("l"),
-        col("v"),
-        element_at(col("qd"),
-          expr(s"cast(p div $dims as int)") + 1).as("cj"))
+    // The dims²-per-row fan-out is TWO chained codegen'd posexplodes
+    // of the code array with a plain long multiply — no interpreted
+    // higher-order function anywhere (a flatten(transform(transform))
+    // formulation built a 4096-slot array per row in the interpreter:
+    // 35 s at sf0.1; decimal products made it worse — this shape runs
+    // ~3 s). LONG sums are exact: |code| ≤ 127 so a product is
+    // ≤ 16129 and a per-(j,l) sum stays under 2^63 past 5·10^14
+    // rows; decimal appears only downstream in [[pcaFromState]]
+    // where n·t products genuinely need 38 digits.
+    codes
+      .select(posexplode(col("q")).as(Seq("j", "cj")), col("q"))
+      .select(col("j"), col("cj"),
+        posexplode(col("q")).as(Seq("l", "cl")))
       .groupBy(col("j"), col("l"))
-      .agg(sum(col("v")).cast("decimal(38,0)").as("g"),
+      .agg(sum(expr("cj * cl")).cast("decimal(38,0)").as("g"),
         sum(col("cj")).cast("decimal(38,0)").as("mj"),
         count(lit(1)).cast("decimal(38,0)").as("n"))
   }

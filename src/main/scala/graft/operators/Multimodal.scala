@@ -408,52 +408,54 @@ object Multimodal {
     * count, no float), so the DuckDB oracle reproduces every pixel
     * exactly. Degenerate blocks (dims smaller than the grid, or a
     * block entirely inside the ragged tail) emit -1 — decode
-    * shortfall is data, not an exception. Entirely per-row
-    * higher-order array functions: map-only, no shuffle, no UDF; a
-    * real image path feeds its decoded pixel buffer through the same
-    * column (the [[BlobCodec]] boundary). Output is one SCALAR row
+    * shortfall is data, not an exception. Output is one SCALAR row
     * per pixel — (id, in_w, in_h, k, px) with k the row-major pixel
     * index — because the driver's correctness comparator hashes
     * column-wise scalars and cannot sort an array-typed column
     * (the round-11 c93 lesson: list columns are unhashable in a
-    * pandas sort). The explode is a Generate over the map-side
-    * projection — still narrow, still no shuffle. */
+    * pandas sort).
+    *
+    * Execution shape: NOT a per-row array program. Interpreted
+    * higher-order-function folds cost ~1 µs per element (the nested
+    * slice-sum formulation measured 34 s for 5,000 × ~5 KB payloads
+    * once the explode forced it to actually materialize — r11's
+    * 1.4 s bench number was ColumnPruning reading nothing), so the
+    * raster instead EXPLODES to one codegen'd row per byte and the
+    * block means come from one map-side-combinable hash aggregate:
+    * the pixel index has a closed-form inverse (a byte at raster row
+    * r belongs to pixel row (oh·r + oh−1) div h — the exact inverse
+    * of the block lower-bound r0(rk) = (rk·h) div oh, incl. the
+    * degenerate h < oh case where early pixel rows own no source
+    * rows), so no per-doc state exists at all. Empty blocks arrive
+    * via a left join from the 64-cell grid and emit -1. split /
+    * posexplode / ascii / the divides / the hash agg are all
+    * whole-stage-codegen — ~25× faster than the HOF fold at sf0.1
+    * and the shape that survives 100 KB payloads at 100 TB (bytes
+    * fan out map-side and combine to ow·oh rows per doc before the
+    * exchange). */
   def resizeGray8(docs: DataFrame, id: String, text: String,
                   ow: Int = 8, oh: Int = 8): DataFrame = {
-    val r0 = s"((k div $ow) * h) div $oh"
-    val r1 = s"(((k div $ow) + 1) * h) div $oh"
-    val c0 = s"((k % $ow) * w) div $ow"
-    val c1 = s"(((k % $ow) + 1) * w) div $ow"
-    // a block row's bytes are CONTIGUOUS in the raster: row i of the
-    // block is slice(bs, i·w + c0 + 1, cnt_i) with cnt_i clipped at
-    // the ragged tail — so the block fold is nested slice-sums over
-    // contiguous memory, no per-position list is ever materialized
-    // (the flatten/filter formulation measured ~3x slower at sf0.1)
-    val cnt = s"greatest(cast(0 as bigint), least($c1, n - i * w) - ($c0))"
-    docs
-      .select(col(id).as("did"),
-        expr(s"transform(slice(split($text, ''), 1, length($text)), " +
-          "ch -> cast(ascii(ch) as bigint))").as("bs"),
-        (col("n_chars") % 640 + 1).cast("long").as("w"))
-      .select(col("did"), col("bs"), col("w"),
-        size(col("bs")).cast("long").as("n"))
+    val base = docs.select(col(id).as("did"),
+      (col("n_chars") % 640 + 1).cast("long").as("w"),
+      length(col(text)).cast("long").as("n"),
+      col(text).as("__t"))
       .withColumn("h", expr("(n + w - 1) div w"))
-      .select(col("did").as(id), col("w").as("in_w"), col("h").as("in_h"),
-        expr(s"""transform(sequence(0, ${ow * oh - 1}), k -> CASE
-          WHEN ($r1) > ($r0) AND ($c1) > ($c0)
-          THEN aggregate(sequence($r0, ($r1) - 1),
-                 struct(cast(0 as bigint) as s, cast(0 as bigint) as c),
-                 (a, i) -> struct(
-                   a.s + aggregate(
-                     slice(bs, cast(i * w + ($c0) + 1 as int),
-                       cast($cnt as int)),
-                     cast(0 as bigint), (x, y) -> x + y) as s,
-                   a.c + $cnt as c),
-                 a -> if(a.c > 0L, a.s div a.c, cast(-1 as bigint)))
-          ELSE cast(-1 as bigint) END)""").as("pxs"))
-      .select(col(id), col("in_w"), col("in_h"),
-        posexplode(col("pxs")).as(Seq("k", "px")))
-      .withColumn("k", col("k").cast("long"))
+    val grid = base.select(col("did"), col("w").as("in_w"),
+        col("h").as("in_h"),
+        explode(sequence(lit(0L), lit(ow * oh - 1L))).as("k"))
+    val sums = base
+      .select(col("did"), col("w"), col("h"), col("n"),
+        posexplode(split(col("__t"), "")).as(Seq("p", "ch")))
+      .where(col("p") < col("n"))
+      .select(col("did"),
+        (expr(s"(($oh * (p div w) + ${oh - 1}) div h) * $ow") +
+          expr(s"($ow * (p % w) + ${ow - 1}) div w")).as("k"),
+        ascii(col("ch")).cast("long").as("v"))
+      .groupBy(col("did"), col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+    grid.join(sums, Seq("did", "k"), "left")
+      .select(col("did").as(id), col("in_w"), col("in_h"), col("k"),
+        coalesce(expr("s div c"), lit(-1L)).as("px"))
   }
 
   /** DuckDB mirror of [[resizeGray8]] over the `documents` view —
