@@ -1016,6 +1016,106 @@ object CorpusStats {
       (p, t) => struct(p.as("h1"), t.as("h2")))).as("pr"): _*)
       .select(extra :+ col("pr.h1") :+ col("pr.h2"): _*)
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020): score every doc against a reference-corpus
+    * LM and split the corpus into head/middle/tail TERCILES of the
+    * surprisal distribution — the quality triage CCNet runs before
+    * anything else, kept as buckets (not a hard cut) so downstream
+    * mixing can weight them. Reference LM = the bigram LM trained on
+    * the id%10<8 split (the d40 artifact seam); terciles are EXACT
+    * nearest-rank cuts over a centibit-binned histogram of the
+    * surprisal (bin = mean_bits_ppm div 10^4, i.e. 0.01-bit
+    * granularity — the c38/c64 bounded-histogram move: per-token
+    * surprisal is ≤ ~66 bits by the scoring formula's construction,
+    * so the histogram is ≤ ~6 600 rows whatever the corpus; the c90
+    * HDR sketch's 25%-relative buckets are far too coarse here — a
+    * corpus whose mean surprisal spans ±30% collapses into one
+    * bucket and the terciles degenerate, measured at sf0.001). Each
+    * doc is assigned by ITS OWN bin vs the threshold bins — exact,
+    * deterministic, oracle reproduces every count. Audit output per
+    * (source, bucket): docs, token mass, summed surprisal ppm (raw
+    * sums, no division — §4).
+    *
+    * Shape: one scoring pass (the c50 shuffle-hash LM joins),
+    * barriered; the histogram cumsum runs over the ≤6 600-row bin
+    * table (§8l histogram class); the label pass is a broadcast
+    * threshold crossJoin (one row) + one partial-aggregable
+    * groupBy. */
+  def perplexityBuckets(docs: DataFrame, id: String, text: String,
+                        source: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.Barriers.BarrierOps
+    val binW = 10000L
+    val lm = bigramLm(docs.where(pmod(col(id), lit(10)) < 8), text)
+    val scored = bigramScore(lm, docs, id, text)
+      .select(col(id), col("n_tokens"), col("mean_bits_ppm"))
+      .barrier(true)
+    val hist = scored
+      .select(expr(s"mean_bits_ppm div $binW").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+    def cut(ppm: Long) = min(when(
+      col("cum") >= expr(s"($ppm * tot + 999999) div 1000000"),
+      col("bin")))
+    val th = broadcast(cum.agg(
+      cut(333333L).as("b33"), cut(666666L).as("b67")))
+    scored
+      .withColumn("bin", expr(s"mean_bits_ppm div $binW"))
+      .join(docs.select(col(id), col(source)), Seq(id))
+      .crossJoin(th)
+      .withColumn("bucket_label",
+        when(col("bin") <= col("b33"), "head")
+          .when(col("bin") <= col("b67"), "middle")
+          .otherwise("tail"))
+      .groupBy(col(source), col("bucket_label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("tokens"),
+        sum(col("mean_bits_ppm")).cast("long").as("sum_bits_ppm"))
+      .orderBy(col(source), col("bucket_label"))
+  }
+
+  /** DuckDB mirror of [[perplexityBuckets]]. */
+  def perplexityBucketsSql(id: String, text: String,
+                           source: String): String = s"""
+      WITH sc AS (${bigramSurprisalSql(id, text,
+        trainWhere = s"$id % 10 < 8", scoreWhere = "TRUE")}),
+      bkt AS (
+        SELECT $id, n_tokens, mean_bits_ppm,
+               mean_bits_ppm // 10000 AS bin
+        FROM sc),
+      st AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM bkt GROUP BY 1),
+      cum AS (
+        SELECT bin, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+        FROM st),
+      mk AS (
+        SELECT MIN(CASE WHEN cum >= (333333 * tot + 999999) // 1000000
+                   THEN bin END) AS b33,
+               MIN(CASE WHEN cum >= (666666 * tot + 999999) // 1000000
+                   THEN bin END) AS b67
+        FROM cum),
+      lab AS (
+        SELECT d.$source,
+               CASE WHEN bin <= b33 THEN 'head'
+                    WHEN bin <= b67 THEN 'middle'
+                    ELSE 'tail' END AS bucket_label,
+               bkt.n_tokens, bkt.mean_bits_ppm
+        FROM bkt JOIN documents d USING ($id) CROSS JOIN mk)
+      SELECT $source, bucket_label, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+             CAST(SUM(mean_bits_ppm) AS BIGINT) AS sum_bits_ppm
+      FROM lab
+      GROUP BY $source, bucket_label
+      ORDER BY $source, bucket_label"""
+
   /** Train the [[BigramLm]] tables on `train`. */
   def bigramLm(train: DataFrame, text: String): BigramLm = {
     val uni = hashedToks(train, text)

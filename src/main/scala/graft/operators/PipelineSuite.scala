@@ -3925,6 +3925,20 @@ object PipelineSuite extends Suite {
     Some(Packing.epochShuffleSql("doc_id", "text", "source",
       epoch = 1L)))
 
+  val c99 = Q(
+    "c99_perplexity_buckets",
+    // CCNet-style head/middle/tail perplexity bucketing
+    // (CorpusStats.perplexityBuckets, Wenzek et al. LREC 2020): every
+    // doc scored against the reference-split bigram LM, corpus split
+    // into surprisal TERCILES via the c90 sketch's nearest-rank
+    // marks (sketch-granular thresholds — deterministic, oracle-
+    // exact), audited per (source, bucket) with docs / token mass /
+    // summed surprisal. The quality triage CCNet runs first, kept as
+    // buckets so downstream mixing can weight them.
+    (s, d) => CorpusStats.perplexityBuckets(Tables.documents(s, d),
+      "doc_id", "text", "source"),
+    Some(CorpusStats.perplexityBucketsSql("doc_id", "text", "source")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3933,5 +3947,5 @@ object PipelineSuite extends Suite {
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
-      c96, c97, c98)
+      c96, c97, c98, c99)
 }

@@ -472,4 +472,34 @@ class CorpusStatsSpec extends SparkSpec {
       (1L, 1, "apple", 1333333L), (1L, 2, "banana", 333333L),
       (2L, 1, "cherry", 1000000L), (2L, 2, "banana", 500000L)))
   }
+
+  test("perplexityBuckets: terciles cover the corpus, head reads lower " +
+      "surprisal than tail, labels deterministic") {
+    import graft.operators.CorpusStats
+    import graft.model.Tables
+    val docs = Tables.documents(spark, sf)
+    val out = CorpusStats.perplexityBuckets(docs, "doc_id", "text",
+        "source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("bucket_label"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("sum_bits_ppm"))).toSeq
+    // partition: every doc lands in exactly one bucket
+    assert(out.map(_._3).sum === docs.count())
+    val byLabel = out.groupBy(_._2).view
+      .mapValues(rs => (rs.map(_._3).sum, rs.map(_._5).sum)).toMap
+    assert(byLabel.keySet === Set("head", "middle", "tail"))
+    // terciles are balanced up to sketch-bucket granularity
+    val n = docs.count()
+    byLabel.values.foreach { case (cnt, _) =>
+      assert(cnt > n / 10 && cnt < n * 6 / 10, s"lumpy tercile: $byLabel") }
+    // the whole point: head = lowest mean surprisal, tail = highest
+    def mean(l: String) = byLabel(l)._2.toDouble / byLabel(l)._1
+    assert(mean("head") < mean("middle") && mean("middle") < mean("tail"),
+      s"bucket means out of order: head=${mean("head")} " +
+        s"middle=${mean("middle")} tail=${mean("tail")}")
+    // deterministic
+    val again = CorpusStats.perplexityBuckets(docs, "doc_id", "text",
+        "source").collect().length
+    assert(again === out.size)
+  }
 }

@@ -153,7 +153,8 @@ class PlanShapeSpec extends SparkSpec {
       "c90_surprisal_quantile_sketch", // broadcast 1-row sketch total
       "c92_sketch_ks_drift",     // broadcast 1-row blend total
       "d40_stream_sketch_fold",  // broadcast 1-row sketch total
-      "d42_stream_ks_monitor")   // broadcast 1-row blend total (c92)
+      "d42_stream_ks_monitor",   // broadcast 1-row blend total (c92)
+      "c99_perplexity_buckets")  // broadcast 1-row tercile thresholds + LM totals (c50 class)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
