@@ -1079,6 +1079,93 @@ object CorpusStats {
       .orderBy(col(source), col("bucket_label"))
   }
 
+  /** The FROZEN artifacts a live perplexity router runs on — d45's
+    * static seam: the reference-split LM plus the 1-row tercile
+    * threshold bins computed from the reference split's OWN score
+    * distribution (same centibit binning as [[perplexityBuckets]]).
+    * Thresholds learned once from the reference corpus and applied
+    * to arrivals — the online CCNet shape, where the triage bands
+    * cannot drift with the (possibly drifting) arrival mix. */
+  def perplexityThresholds(ref: DataFrame, id: String,
+                           text: String): (BigramLm, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.Barriers.BarrierOps
+    val binW = 10000L
+    val lm = bigramLm(ref, text)
+    val hist = bigramScore(lm, ref, id, text)
+      .select(expr(s"mean_bits_ppm div $binW").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+    def cut(ppm: Long) = min(when(
+      col("cum") >= expr(s"($ppm * tot + 999999) div 1000000"),
+      col("bin")))
+    (lm, cum.agg(cut(333333L).as("b33"), cut(666666L).as("b67"))
+      .barrier(true))
+  }
+
+  /** Route a batch of docs through the frozen [[perplexityThresholds]]
+    * artifacts — per-doc independent given the artifacts (the d13/d19
+    * gate property), so the same call labels an arriving micro-batch.
+    * Returns the per-(source, bucket) audit of THIS batch. */
+  def perplexityRoute(lm: BigramLm, th: DataFrame, docs: DataFrame,
+                      id: String, text: String,
+                      source: String): DataFrame =
+    bigramScore(lm, docs, id, text)
+      .select(col(id), col("n_tokens"), col("mean_bits_ppm"))
+      .withColumn("bin", expr("mean_bits_ppm div 10000"))
+      .join(docs.select(col(id), col(source)), Seq(id))
+      .crossJoin(broadcast(th))
+      .withColumn("bucket_label",
+        when(col("bin") <= col("b33"), "head")
+          .when(col("bin") <= col("b67"), "middle")
+          .otherwise("tail"))
+      .groupBy(col(source), col("bucket_label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("tokens"),
+        sum(col("mean_bits_ppm")).cast("long").as("sum_bits_ppm"))
+
+  /** DuckDB mirror of [[perplexityRoute]] over train/score splits of
+    * the `documents` view. */
+  def perplexityRouteSql(id: String, text: String, source: String,
+                         trainWhere: String,
+                         scoreWhere: String): String = s"""
+      WITH ref AS (${bigramSurprisalSql(id, text,
+        trainWhere = trainWhere, scoreWhere = trainWhere)}),
+      rst AS (SELECT mean_bits_ppm // 10000 AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM ref GROUP BY 1),
+      rcum AS (
+        SELECT bin,
+               CAST(SUM(cnt) OVER (ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+        FROM rst),
+      mk AS (
+        SELECT MIN(CASE WHEN cum >= (333333 * tot + 999999) // 1000000
+                   THEN bin END) AS b33,
+               MIN(CASE WHEN cum >= (666666 * tot + 999999) // 1000000
+                   THEN bin END) AS b67
+        FROM rcum),
+      sc AS (${bigramSurprisalSql(id, text,
+        trainWhere = trainWhere, scoreWhere = scoreWhere)}),
+      lab AS (
+        SELECT d.$source,
+               CASE WHEN sc.mean_bits_ppm // 10000 <= b33 THEN 'head'
+                    WHEN sc.mean_bits_ppm // 10000 <= b67 THEN 'middle'
+                    ELSE 'tail' END AS bucket_label,
+               sc.n_tokens, sc.mean_bits_ppm
+        FROM sc JOIN documents d USING ($id) CROSS JOIN mk)
+      SELECT $source, bucket_label, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+             CAST(SUM(mean_bits_ppm) AS BIGINT) AS sum_bits_ppm
+      FROM lab
+      GROUP BY $source, bucket_label
+      ORDER BY $source, bucket_label"""
+
   /** DuckDB mirror of [[perplexityBuckets]]. */
   def perplexityBucketsSql(id: String, text: String,
                            source: String): String = s"""

@@ -2004,9 +2004,34 @@ object StreamingSuite extends Suite {
     // identical output to c96 by construction — same oracle
     Some(graft.operators.Ann.pcaTopSql()))
 
+  val d45 = Q(
+    "d45_stream_perplexity_router",
+    // c99's live half (Streams.perplexityRouteStreaming): arrivals
+    // scored against the FROZEN reference LM and labeled against the
+    // FROZEN tercile threshold bins learned from the reference
+    // split's own distribution (the d13/d19 static-artifact seam —
+    // the online CCNet shape, where triage bands can't drift with
+    // the arrival mix). Per-batch audits fold by addition
+    // (≤ sources·3-row state); drained stream equals this batch
+    // contract exactly (StreamsSpec pins it). Batch contract =
+    // route the %10>=8 arrivals through thresholds trained on the
+    // %10<8 reference split.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (lm, th) = graft.operators.CorpusStats.perplexityThresholds(
+        docs.where(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text")
+      graft.operators.CorpusStats.perplexityRoute(lm, th,
+          docs.where(pmod(col("doc_id"), lit(10)) >= 8),
+          "doc_id", "text", "source")
+        .orderBy(col("source"), col("bucket_label"))
+    },
+    Some(graft.operators.CorpusStats.perplexityRouteSql(
+      "doc_id", "text", "source",
+      trainWhere = "doc_id % 10 < 8", scoreWhere = "doc_id % 10 >= 8")))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42, d43, d44)
+      d42, d43, d44, d45)
 }

@@ -1898,6 +1898,44 @@ object Streams {
       .start()
   }
 
+  /** Streaming perplexity router — d45, c99's live half: arriving
+    * docs are scored against the FROZEN reference LM and labeled
+    * head/middle/tail against the FROZEN tercile threshold bins
+    * (CorpusStats.perplexityThresholds — the d13/d19 static-artifact
+    * seam: the triage bands are learned once from the reference
+    * corpus and cannot drift with the arrival mix, the online CCNet
+    * shape). Per-batch audits FOLD by addition into the running
+    * per-(source, label) counts (≤ |sources|·3 rows, compacted at
+    * fold time), and every applied batch re-emits the cumulative
+    * audit — drain parity with the batch contract is exact because
+    * counts add, so slicing can never change a number. Gate-then-
+    * fold inside the batchId guard. */
+  def perplexityRouteStreaming(lm: graft.operators.CorpusStats.BigramLm,
+      th: DataFrame, docs: DataFrame, id: String, text: String,
+      source: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.CorpusStats
+    import graft.util.Barriers.BarrierOps
+    var state: Option[DataFrame] = None
+    var lastApplied = -1L
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val p = CorpusStats.perplexityRoute(lm, th, batch, id, text,
+            source)
+          state = Some(state.map(_.unionByName(p)).getOrElse(p)
+            .groupBy(col(source), col("bucket_label"))
+            .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+              sum(col("tokens")).cast("long").as("tokens"),
+              sum(col("sum_bits_ppm")).cast("long").as("sum_bits_ppm"))
+            .barrier(true))
+          lastApplied = bid
+          sink(state.get.orderBy(col(source), col("bucket_label")))
+        }
+      }
+      .start()
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

@@ -2038,6 +2038,46 @@ class StreamsSpec extends SparkSpec {
     assert(stateRows.size === 3 && stateRows.forall(_ === 64L * 64L))
   }
 
+  test("streaming perplexity router: drained emission equals the d45 " +
+      "batch contract under arbitrary slicing; state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusStats
+    val docs = Tables.documents(spark, sf)
+    val (lm, th) = CorpusStats.perplexityThresholds(
+      docs.where(pmod($"doc_id", lit(10)) < 8), "doc_id", "text")
+    val arriving = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect()
+    type R = (String, String, Long, Long, Long)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[String]("source"),
+        r.getAs[String]("bucket_label"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("tokens"), r.getAs[Long]("sum_bits_ppm")))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val ms = MemoryStream[(Long, String, String)]
+    val q = Streams.perplexityRouteStreaming(lm, th,
+        ms.toDF().toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source") { df =>
+      val rows = toRows(df); this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 3).toSeq,
+      arriving.slice(n / 3, 2 * n / 3).toSeq,
+      arriving.slice(2 * n / 3, n).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = toRows(graft.SparkEntry.queries(
+      "d45_stream_perplexity_router")(spark, sf))
+    assert(emissions.size === 3 && emissions.last === batch)
+    // state bound: never more than |sources| x 3 label rows
+    val nSources = arriving.map(_._3).distinct.length
+    emissions.foreach(e => assert(e.size <= nSources * 3))
+    // counts only accumulate across batches
+    val tot = emissions.map(_.map(_._3).sum)
+    assert(tot === tot.sorted)
+  }
+
   test("streaming span re-price: replay at the d41 slicing equals the " +
       "batch contract; a cross-batch duplicate redacts fully") {
     implicit val sqlCtx = spark.sqlContext
