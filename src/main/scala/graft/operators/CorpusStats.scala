@@ -1079,6 +1079,100 @@ object CorpusStats {
       .orderBy(col(source), col("bucket_label"))
   }
 
+  /** Per-source DATA CARD — the one-frame datasheet ("Datasheets for
+    * Datasets", Gebru et al., CACM 2021) a corpus owner reads before
+    * training: for every source, the size (docs / token mass / token
+    * min-max), duplication exposure (docs whose exact content hash
+    * collides corpus-WIDE — cross-source copies count, since dedup
+    * is corpus-wide), language mix (c8's en heuristic), quality mass
+    * (c9's composite, ppm-integerized) and distribution drift vs the
+    * corpus blend (c92's sketch-state KS). One row per source, every
+    * column an exact integer — a composition of the engine's own
+    * audit primitives into the report that actually gets read.
+    *
+    * Shape: three partial-aggregable corpus passes (per-doc features
+    * pass, fingerprint pass + one corpus-wide hash-count equi-join,
+    * the c92 sketch pass) joined on the |sources|-row key — nothing
+    * wider than the fingerprint join's (h) shuffle. Quality doubles
+    * are integerized per doc (floor(q·10^6 + 0.5) on the SAME
+    * round(·,6) value both engines compute) BEFORE summing, so the
+    * aggregate is order-free exact — never a float sum. */
+  def dataCard(docs: DataFrame, id: String, text: String,
+               source: String): DataFrame = {
+    import graft.functions.TextOps
+    import graft.operators.TextQuality
+    val base = TextQuality.qualityFeatures(docs, id, text)
+      .join(docs.select(col(id), col(source), col(text)), Seq(id))
+      .select(col(source),
+        col("n_tokens"),
+        when(TextQuality.langId(col(text)) === "en", 1L).otherwise(0L)
+          .as("is_en"),
+        expr("cast(floor(quality * 1000000 + 0.5) as bigint)")
+          .as("q_ppm"))
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("is_en")).cast("long").as("en_docs"),
+        sum(col("q_ppm")).cast("long").as("q_sum_ppm"))
+    val fp = docs.select(col(source),
+      TextOps.polyHash(col(text)).as("h"))
+    val dup = fp
+      .join(fp.groupBy(col("h")).agg(count(lit(1)).as("c")), Seq("h"))
+      .groupBy(col(source))
+      .agg(sum(when(col("c") > 1L, 1L).otherwise(0L)).as("dup_docs"))
+    val ks = QuantileSketch.ksDrift(
+        docs.select(col(source),
+          size(TextOps.tokens(col(text))).cast("long").as("v")),
+        source, "v")
+      .select(col(source), col("ks_ppm"))
+    base.join(dup, Seq(source)).join(ks, Seq(source))
+      .select(col(source), col("n_docs"), col("n_tokens"),
+        col("min_tokens"), col("max_tokens"), col("dup_docs"),
+        col("en_docs"), col("q_sum_ppm"), col("ks_ppm"))
+      .orderBy(col(source))
+  }
+
+  /** DuckDB mirror of [[dataCard]]. */
+  def dataCardSql(id: String, text: String, source: String): String = {
+    import graft.functions.TextOps
+    import graft.operators.TextQuality
+    s"""
+      WITH qf AS (${TextQuality.qualityFeaturesSql(id, text)}),
+      base AS (
+        SELECT d.$source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(qf.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(MIN(qf.n_tokens) AS BIGINT) AS min_tokens,
+               CAST(MAX(qf.n_tokens) AS BIGINT) AS max_tokens,
+               CAST(SUM(CASE WHEN (${TextQuality.langIdSql(s"d.$text")})
+                    = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs,
+               CAST(SUM(CAST(floor(qf.quality * 1000000 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS q_sum_ppm
+        FROM qf JOIN documents d USING ($id)
+        GROUP BY d.$source),
+      fp AS (SELECT $source, ${TextOps.polyHashSql(text)} AS h
+             FROM documents),
+      hc AS (SELECT h, COUNT(*) AS c FROM fp GROUP BY 1),
+      dup AS (
+        SELECT $source,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_docs
+        FROM fp JOIN hc USING (h)
+        GROUP BY $source),
+      ks AS (SELECT $source, ks_ppm FROM (
+        ${QuantileSketch.ksDriftSql("documents", source,
+          s"len(${TextOps.tokensSql(text)})")}) t)
+      SELECT base.$source AS $source, n_docs, n_tokens, min_tokens,
+             max_tokens, dup_docs, en_docs, q_sum_ppm,
+             CAST(ks_ppm AS BIGINT) AS ks_ppm
+      FROM base
+        JOIN dup ON dup.$source = base.$source
+        JOIN ks ON ks.$source = base.$source
+      ORDER BY $source"""
+  }
+
   /** The FROZEN artifacts a live perplexity router runs on — d45's
     * static seam: the reference-split LM plus the 1-row tercile
     * threshold bins computed from the reference split's OWN score

@@ -3939,6 +3939,19 @@ object PipelineSuite extends Suite {
       "doc_id", "text", "source"),
     Some(CorpusStats.perplexityBucketsSql("doc_id", "text", "source")))
 
+  val c100 = Q(
+    "c100_data_card",
+    // Per-source DATA CARD (CorpusStats.dataCard — "Datasheets for
+    // Datasets", Gebru et al. 2021): size (docs/token mass/min-max),
+    // corpus-wide duplication exposure, language mix, integerized
+    // quality mass, and sketch-state KS drift vs the corpus blend —
+    // the engine's own audit primitives composed into the one-frame
+    // report a corpus owner reads before training. Three partial-
+    // aggregable passes joined on the |sources|-row key.
+    (s, d) => CorpusStats.dataCard(Tables.documents(s, d),
+      "doc_id", "text", "source"),
+    Some(CorpusStats.dataCardSql("doc_id", "text", "source")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3947,5 +3960,5 @@ object PipelineSuite extends Suite {
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
-      c96, c97, c98, c99)
+      c96, c97, c98, c99, c100)
 }

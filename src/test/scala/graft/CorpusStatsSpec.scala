@@ -473,6 +473,37 @@ class CorpusStatsSpec extends SparkSpec {
       (2L, 1, "cherry", 1000000L), (2L, 2, "banana", 500000L)))
   }
 
+  test("dataCard: hand-checked duplication/language/size columns on a " +
+      "crafted corpus; sf partition checks") {
+    import graft.operators.CorpusStats
+    // 2 sources; one cross-source exact duplicate pair; one 'en' doc
+    val docs = Seq(
+      (1L, "the quick brown fox", "a"),   // en marker 'the'
+      (2L, "zz yy xx ww vv", "a"),
+      (3L, "zz yy xx ww vv", "b"),        // dup of doc 2, other source
+      (4L, "aa bb cc", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusStats.dataCard(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+         r.getAs[Long]("min_tokens"), r.getAs[Long]("max_tokens"),
+         r.getAs[Long]("dup_docs"), r.getAs[Long]("en_docs"))).toMap
+    // duplication is corpus-WIDE: docs 2 and 3 both count, one per source
+    assert(out("a") === ((2L, 9L, 4L, 5L, 1L, 1L)))
+    assert(out("b") === ((2L, 8L, 3L, 5L, 1L, 0L)))
+    // sf corpus: cards partition the corpus, quality mass positive
+    import graft.model.Tables
+    val sfDocs = Tables.documents(spark, sf)
+    val cards = CorpusStats.dataCard(sfDocs, "doc_id", "text", "source")
+      .collect()
+    assert(cards.map(_.getAs[Long]("n_docs")).sum === sfDocs.count())
+    cards.foreach { r =>
+      assert(r.getAs[Long]("q_sum_ppm") > 0L)
+      assert(r.getAs[Long]("min_tokens") <= r.getAs[Long]("max_tokens"))
+      assert(r.getAs[Long]("ks_ppm") >= 0L)
+    }
+  }
+
   test("perplexityBuckets: terciles cover the corpus, head reads lower " +
       "surprisal than tail, labels deterministic") {
     import graft.operators.CorpusStats
