@@ -53,6 +53,49 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(px2 === Seq(97L, 99L, 101L, -1L))
   }
 
+  test("resizeGray8: randomized parity against a brute-force reference " +
+      "(the closed-form inverse pixel index on arbitrary w/h/ragged shapes)") {
+    import graft.operators.Multimodal
+    // brute force follows the ORIGINAL block-boundary definition:
+    // pixel (rk, ck) owns rows [rk*h div 8, (rk+1)*h div 8) x cols
+    // [ck*w div 8, (ck+1)*w div 8), mean over positions < n, else -1
+    def ref(bytes: Array[Int], w: Int): Map[Long, Long] = {
+      val n = bytes.length
+      val h = (n + w - 1) / w
+      (0 until 64).map { k =>
+        val (rk, ck) = (k / 8, k % 8)
+        val (r0, r1) = (rk * h / 8, (rk + 1) * h / 8)
+        val (c0, c1) = (ck * w / 8, (ck + 1) * w / 8)
+        val ps = for {
+          r <- r0 until r1; c <- c0 until c1
+          p = r * w + c if p < n
+        } yield bytes(p).toLong
+        k.toLong -> (if (ps.nonEmpty) ps.sum / ps.size else -1L)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(1234)
+    // n_chars drives w via (n_chars % 640 + 1); cover w in {1..12}
+    // and lengths around ragged boundaries incl. tiny and sub-grid
+    val cases = (1 to 40).map { i =>
+      val w = 1 + rnd.nextInt(12)
+      val n = 1 + rnd.nextInt(200)
+      val text = (0 until n)
+        .map(_ => (97 + rnd.nextInt(26)).toChar).mkString
+      (i.toLong, text, (w - 1).toLong) // n_chars % 640 + 1 == w
+    }
+    val df = cases.toDF("doc_id", "text", "n_chars")
+    val got = Multimodal.resizeGray8(df, "doc_id", "text")
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r =>
+        r.getAs[Long]("k") -> r.getAs[Long]("px")).toMap).toMap
+    cases.foreach { case (id, text, nc) =>
+      val w = (nc % 640 + 1).toInt
+      val expected = ref(text.map(_.toInt).toArray, w)
+      assert(got(id) === expected, s"doc $id w=$w n=${text.length}")
+    }
+  }
+
   test("frameSample: hand-checked stride sampling, timestamps, means " +
       "and rolling hashes; short payload emits nothing") {
     import graft.operators.Multimodal
