@@ -1478,6 +1478,107 @@ object Ann {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
 
+  // --- binary (1 bit/dim) Hamming ANN --------------------------------
+  /** Per-dim balanced-binarization thresholds as ONE broadcastable
+    * row: thr = the 64-element array of per-dim fixed-point sums
+    * Σ floor(x_i·2^30) (exact for float inputs — the kmeansFit trick)
+    * plus the corpus count n. A component binarizes to 1 iff
+    * floor(x·2^30)·n > thr[i] — i.e. strictly above the per-dim MEAN,
+    * but compared cross-multiplied so no division (and no float mean)
+    * ever happens (§4). Mean-thresholding balances each bit ~50/50
+    * even when a dimension's mass sits off zero, which is what makes
+    * 64 bits carry 64 bits of information; plain sign(x) wastes any
+    * biased dimension. One bounded aggregation; at cluster scale this
+    * row is the persisted artifact a streaming encoder broadcasts
+    * (the c24 quantScale seam). */
+  def binaryThresholds(corpus: DataFrame, id: String, vec: String): DataFrame =
+    corpus.select(posexplode(col(vec)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(sum(floor(col("x").cast("double") * lit(1073741824.0))
+          .cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("cnt"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+          t => t.getField("s")).as("thr"),
+        max(col("cnt")).cast("decimal(38,0)").as("n"))
+
+  /** Binary codes: 64 mean-thresholded sign bits packed into TWO
+    * longs (bits 0-31 → lo, 32-63 → hi; two halves keep every shift
+    * below 2^31 so the packing is overflow-free and engine-portable —
+    * a single 64-bit word would need the sign bit). Map-side against
+    * the broadcast one-row threshold artifact: the encode pass
+    * shuffles NOTHING at any corpus size. */
+  def binaryCodes(df: DataFrame, id: String, vec: String,
+                  thr: DataFrame, prefix: String): DataFrame = {
+    val bits = zip_with(col(vec), col("thr"), (x, s) =>
+      when(floor(x.cast("double") * lit(1073741824.0))
+        .cast("decimal(38,0)") * col("n") > s, 1L).otherwise(0L))
+    // coalesce: zip_with pads the shorter side with null, so sub-
+    // 32-dim tails (unit tests; dim is 64 in production) pack as 0
+    def pack(half: Column): Column =
+      aggregate(zip_with(half, sequence(lit(0), lit(31)),
+        (b, j) => coalesce(b * pow(lit(2.0), j).cast("long"), lit(0L))),
+        lit(0L), _ + _)
+    df.crossJoin(broadcast(thr))
+      .withColumn("_bits", bits)
+      .withColumn(s"${prefix}_lo", pack(slice(col("_bits"), 1, 32)))
+      .withColumn(s"${prefix}_hi", pack(slice(col("_bits"), 33, 32)))
+      .drop("_bits", "thr", "n")
+  }
+
+  /** Binary-sketch ANN (the sign-hash retrieval family: SimHash /
+    * binary passage retrieval): 1 bit per dimension — a 64-dim float
+    * vector at rest is 16 BYTES of code + its stored norm, a 32×
+    * smaller scan than the floats and 4× smaller than c24's int8 —
+    * Hamming distance (two XOR + popcounts) shortlists candMult·k
+    * candidates per query, ONLY those fetch their floats for the
+    * exact cosine rescore, final top-k ranks by the exact score with
+    * exact-top-k membership flagged per row (the c61 funnel +
+    * evidence shape). Hamming on mean-balanced bits approximates
+    * angular distance (SimHash's guarantee, here with axis-aligned
+    * hyperplanes through the per-dim means — deterministic, no random
+    * projections to ship, §4-exact in both engines).
+    *
+    * Shape at 100 TB: threshold artifact = one bounded agg; encode =
+    * map-side vs the broadcast row; scan = broadcast-query crossJoin
+    * with the TopKPerKey bounded heap — one corpus pass, 16 B/vector
+    * of traffic; rescore touches candMult·k·|queries| rows. */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame,
+                  id: String, vec: String, k: Int,
+                  candMult: Int = 10): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    val thr = binaryThresholds(corpus, id, vec).barrier(true)
+    val c = binaryCodes(
+      corpus.select(col(id).as("n_id"), col(vec).as("n_vec"),
+        VectorOps.norm(col(vec)).as("n_nrm")),
+      "n_id", "n_vec", thr, "c")
+    val q = broadcast(binaryCodes(
+      queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+        VectorOps.norm(col(vec)).as("q_nrm")),
+      "q_id", "q_vec", thr, "q"))
+    val scored = c.crossJoin(q)
+      .withColumn("hamming",
+        expr("bit_count(c_lo ^ q_lo) + bit_count(c_hi ^ q_hi)")
+          .cast("long"))
+    val cand = graft.plans.TopKPerKey(scored, Seq(col("q_id")),
+      Seq(col("hamming"), col("n_id")), candMult * k, rankName = "hrank")
+    val rescored = cand
+      .withColumn("sim", VectorOps.cosine6Pre(col("n_vec"), col("q_vec"),
+        col("n_nrm"), col("q_nrm")))
+      .select(col("q_id"), col("n_id"), col("hamming"), col("sim"))
+    val top = graft.plans.TopKPerKey(rescored, Seq(col("q_id")),
+      Seq(col("sim").desc, col("n_id")), k)
+    val exact = bruteForceTopK(corpus, queries, id, vec, k)
+    top.alias("t")
+      .join(exact.alias("e"),
+        col("t.q_id") === col("e.q_id") && col("t.n_id") === col("e.n_id"),
+        "left")
+      .select(col("t.q_id").as("q_id"),
+        col("t.rank").cast("long").as("rank"), col("t.n_id").as("n_id"),
+        col("hamming"), col("t.sim").as("sim"),
+        col("e.n_id").isNotNull.as("in_exact"))
+  }
+
   /** Bucketed ANN: queries probe only their own bucket; ranking within
     * the bucket is exact cosine. Recall < 1 by construction — the
     * scale/latency trade the reference makes with HNSW `ef`/`k`. */

@@ -3952,6 +3952,120 @@ object PipelineSuite extends Suite {
       "doc_id", "text", "source"),
     Some(CorpusStats.dataCardSql("doc_id", "text", "source")))
 
+  val c101 = Q(
+    "c101_gopher_rules",
+    // The five word-level Gopher quality rules (Rae et al. 2021,
+    // Appendix A1.1) as an explicit per-source rule-gate audit
+    // (TextQuality.gopherRules): independent fail counts per rule
+    // (which rule kills how many docs — the tuning view c9's
+    // composite hides) + kept doc/token mass and kept_ppm. Every
+    // ratio rule is a cross-multiplied integer comparison (§4), the
+    // flags are one map stage, the audit one partial-aggregable
+    // groupBy — the gate shape a 100 TB filter pass needs. Raw sums
+    // are mergeable (the d46 streaming fold state).
+    (s, d) => TextQuality.gopherRules(Tables.documents(s, d),
+      "doc_id", "text", "source"),
+    Some(TextQuality.gopherRulesSql("doc_id", "text", "source")))
+
+  val c102 = Q(
+    "c102_hamming_ann",
+    // Binary-sketch ANN (Ann.hammingTopK — the SimHash/binary-
+    // passage-retrieval member of the compressed-ANN family next to
+    // c24's int8 and c61's PQ): 1 bit per dimension, mean-balanced
+    // via cross-multiplied integer thresholds (§4 — no float mean),
+    // packed into two longs (16 B/vector: a 32× smaller scan than
+    // floats, 4× smaller than int8), Hamming = two XOR+popcounts.
+    // Threshold artifact = one bounded agg; encode = map-side vs the
+    // broadcast row (NO shuffle); scan = broadcast-query crossJoin +
+    // TopKPerKey heap; only the top-50 shortlist fetches floats for
+    // the exact rescore, with exact-top-5 membership flagged per row
+    // (the c61 funnel + evidence shape).
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.hammingTopK(e.where(col("vec_id") >= 5),
+          e.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      queries AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      thr AS (
+        SELECT t.i AS dim,
+               SUM(CAST(FLOOR(CAST(c.embedding[t.i] AS DOUBLE)
+                 * 1073741824.0) AS HUGEINT)) AS s,
+               CAST(COUNT(*) AS HUGEINT) AS n
+        FROM corpus c CROSS JOIN range(1, 65) t(i)
+        GROUP BY t.i),
+      cbits AS (
+        SELECT c.vec_id, t.dim,
+               CASE WHEN CAST(FLOOR(CAST(c.embedding[t.dim] AS DOUBLE)
+                 * 1073741824.0) AS HUGEINT) * t.n > t.s
+                 THEN 1 ELSE 0 END AS bit
+        FROM corpus c CROSS JOIN thr t),
+      qbits AS (
+        SELECT q.vec_id, t.dim,
+               CASE WHEN CAST(FLOOR(CAST(q.embedding[t.dim] AS DOUBLE)
+                 * 1073741824.0) AS HUGEINT) * t.n > t.s
+                 THEN 1 ELSE 0 END AS bit
+        FROM queries q CROSS JOIN thr t),
+      ccode AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dim <= 32 THEN bit
+                 * CAST(pow(2, dim - 1) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS c_lo,
+               CAST(SUM(CASE WHEN dim > 32 THEN bit
+                 * CAST(pow(2, dim - 33) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS c_hi
+        FROM cbits GROUP BY vec_id),
+      qcode AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dim <= 32 THEN bit
+                 * CAST(pow(2, dim - 1) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS q_lo,
+               CAST(SUM(CASE WHEN dim > 32 THEN bit
+                 * CAST(pow(2, dim - 33) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS q_hi
+        FROM qbits GROUP BY vec_id),
+      cand AS (
+        SELECT q_id, n_id, hamming FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 CAST(bit_count(xor(c.c_lo, q.q_lo))
+                   + bit_count(xor(c.c_hi, q.q_hi)) AS BIGINT) AS hamming,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(c.c_lo, q.q_lo))
+                     + bit_count(xor(c.c_hi, q.q_hi)), c.vec_id) AS hrank
+          FROM ccode c CROSS JOIN qcode q) t
+        WHERE hrank <= 50),
+      rescored AS (
+        SELECT cand.q_id, cand.n_id, cand.hamming,
+               ${cos("v.embedding", "q.embedding")} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                 ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                          cand.n_id) AS rank
+        FROM cand
+          JOIN corpus v ON v.vec_id = cand.n_id
+          JOIN queries q ON q.vec_id = cand.q_id),
+      approx AS (SELECT * FROM rescored WHERE rank <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            v.vec_id) AS rk
+          FROM queries q CROSS JOIN corpus v) t
+        WHERE rk <= 5)
+      SELECT a.q_id AS q_id, CAST(a.rank AS BIGINT) AS rank,
+             a.n_id AS n_id, a.hamming, a.sim,
+             e.n_id IS NOT NULL AS in_exact
+      FROM approx a
+        LEFT JOIN exact e ON e.q_id = a.q_id AND e.n_id = a.n_id
+      ORDER BY a.q_id, a.rank"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -3960,5 +4074,5 @@ object PipelineSuite extends Suite {
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
-      c96, c97, c98, c99, c100)
+      c96, c97, c98, c99, c100, c101, c102)
 }

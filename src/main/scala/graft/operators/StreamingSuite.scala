@@ -2029,9 +2029,28 @@ object StreamingSuite extends Suite {
       "doc_id", "text", "source",
       trainWhere = "doc_id % 10 < 8", scoreWhere = "doc_id % 10 >= 8")))
 
+  val d46 = Q(
+    "d46_stream_gopher_gate",
+    // c101's live half (Streams.gopherGateStreaming): every arriving
+    // doc flagged against the five word-level Gopher rules (per-row
+    // integer comparisons — the rules are constants, so no trained
+    // artifact is even needed), per-(source, rule) fail counts and
+    // kept doc/token mass folding by ADDITION into the
+    // ≤ |sources|-row state, kept_ppm computed at emission from the
+    // folded sums (ratios never fold — the d40/d42 discipline).
+    // Drain parity with this batch contract is exact under any batch
+    // slicing (StreamsSpec pins it + the state bound). Batch
+    // contract = c101 over the %10>=8 arrival slice.
+    (s, d) => graft.operators.TextQuality.gopherRules(
+      Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) >= 8),
+      "doc_id", "text", "source"),
+    Some(graft.operators.TextQuality.gopherRulesSql(
+      "doc_id", "text", "source",
+      from = "(SELECT * FROM documents WHERE doc_id % 10 >= 8)")))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42, d43, d44, d45)
+      d42, d43, d44, d45, d46)
 }

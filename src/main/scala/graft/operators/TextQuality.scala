@@ -190,6 +190,139 @@ object TextQuality {
         .as("top_token_ratio"))
   }
 
+  // --- Gopher rule gate (Rae et al. 2021, Appendix A1.1) -------------
+  /** The five word-level Gopher quality rules as explicit per-doc
+    * flags, every comparison integer-only (cross-multiplied ratios,
+    * §4 — no float division anywhere):
+    *
+    *   - len:     minTok <= n_tokens <= maxTok (paper: 50..100 000)
+    *   - wordlen: mean word length in [3, 10]  → 3n <= chars <= 10n,
+    *              where chars = length(text) − (n−1) (space-split
+    *              tokens make the subtraction exact — no per-token
+    *              length fold needed)
+    *   - symbol:  symbol-to-word ratio ('#'/'…' stand-ins) <= 0.1
+    *              → 10·n_sym <= n
+    *   - alpha:   >= 80% of words contain an alphabetic char
+    *              → 5·n_alpha >= 4·n
+    *   - stop:    >= 2 DISTINCT stop words present (the marker set)
+    *
+    * Per-row expression work only — the flags frame is the map stage
+    * a 100 TB gate runs before any shuffle. */
+  def gopherFlags(docs: DataFrame, id: String, text: String,
+                  source: String,
+                  minTok: Long = 50L, maxTok: Long = 100000L): DataFrame = {
+    val staged = docs.select(col(source), col(id),
+      TextOps.tokens(col(text)).as("tk"),
+      length(col(text)).cast("long").as("raw_len"),
+      (size(regexp_extract_all(col(text), lit("#"), lit(0))) +
+        size(regexp_extract_all(col(text), lit("""\.\.\."""), lit(0))))
+        .cast("long").as("n_sym"))
+    val n = size(col("tk")).cast("long")
+    val chars = col("raw_len") - (n - lit(1L))
+    val nAlpha = size(filter(col("tk"), t => t.rlike("[a-z]"))).cast("long")
+    val nStop = size(array_intersect(array_distinct(col("tk")),
+      array(enMarkers.map(lit): _*))).cast("long")
+    staged.select(
+      col(source), col(id), n.as("n_tokens"),
+      (n >= minTok && n <= maxTok).as("pass_len"),
+      (chars >= lit(3L) * n && chars <= lit(10L) * n).as("pass_wordlen"),
+      (lit(10L) * col("n_sym") <= n).as("pass_symbol"),
+      (lit(5L) * nAlpha >= lit(4L) * n).as("pass_alpha"),
+      (nStop >= 2L).as("pass_stop"))
+      .withColumn("keep",
+        col("pass_len") && col("pass_wordlen") && col("pass_symbol") &&
+          col("pass_alpha") && col("pass_stop"))
+  }
+
+  /** Raw per-source Gopher audit: independent fail counts per rule +
+    * kept doc/token mass. Pure sums — the mergeable half of
+    * [[gopherRules]] (counts add across shards/batches: the d46
+    * streaming fold state). */
+  def gopherAuditRaw(flags: DataFrame, source: String): DataFrame = {
+    def failCnt(c: String) =
+      sum(when(!col(c), 1L).otherwise(0L)).as(c.replace("pass_", "fail_"))
+    flags.groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        failCnt("pass_len"), failCnt("pass_wordlen"),
+        failCnt("pass_symbol"), failCnt("pass_alpha"),
+        failCnt("pass_stop"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+          .cast("long").as("tokens_kept"))
+  }
+
+  /** kept_ppm finalizer over [[gopherAuditRaw]] sums (ratios never
+    * fold — computed at emission, the d40/d42 discipline). */
+  def gopherFinalize(raw: DataFrame, source: String): DataFrame =
+    raw.withColumn("kept_ppm",
+        CorpusStats.ppmExpr("n_kept", "n_docs").cast("long"))
+      .orderBy(col(source))
+
+  /** c101: the per-source Gopher rule-gate audit — which rule kills
+    * how many docs per source, and what survives all five. One map
+    * (the flags) + one partial-aggregable groupBy; output |sources|
+    * rows, all-integer. */
+  def gopherRules(docs: DataFrame, id: String, text: String,
+                  source: String,
+                  minTok: Long = 50L, maxTok: Long = 100000L): DataFrame =
+    gopherFinalize(
+      gopherAuditRaw(gopherFlags(docs, id, text, source, minTok, maxTok),
+        source), source)
+
+  /** DuckDB mirror of [[gopherRules]] over `from` (default: the
+    * documents table; the d46 batch contract passes a filtered CTE). */
+  def gopherRulesSql(id: String, t: String, source: String,
+                     minTok: Long = 50L, maxTok: Long = 100000L,
+                     from: String = "documents"): String = {
+    val lst = enMarkers.map(w => s"'$w'").mkString(", ")
+    val tk = TextOps.tokensSql(t)
+    s"""
+      WITH gr_flags AS (
+        SELECT $source, $id, n AS n_tokens,
+               n BETWEEN $minTok AND $maxTok AS pass_len,
+               chars BETWEEN 3 * n AND 10 * n AS pass_wordlen,
+               10 * n_sym <= n AS pass_symbol,
+               5 * n_alpha >= 4 * n AS pass_alpha,
+               n_stop >= 2 AS pass_stop
+        FROM (
+          SELECT $source, $id,
+                 CAST(len($tk) AS BIGINT) AS n,
+                 CAST(length($t) AS BIGINT)
+                   - (CAST(len($tk) AS BIGINT) - 1) AS chars,
+                 CAST(len(regexp_extract_all($t, '#')) AS BIGINT)
+                   + CAST(len(regexp_extract_all($t, '\\.\\.\\.')) AS BIGINT)
+                   AS n_sym,
+                 CAST(len(list_filter($tk,
+                     x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(len(list_intersect(list_distinct($tk), [$lst]))
+                   AS BIGINT) AS n_stop
+          FROM $from) b),
+      gr_keep AS (
+        SELECT *, pass_len AND pass_wordlen AND pass_symbol
+                  AND pass_alpha AND pass_stop AS keep
+        FROM gr_flags),
+      gr_raw AS (
+        SELECT $source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN NOT pass_len THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fail_len,
+               CAST(SUM(CASE WHEN NOT pass_wordlen THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fail_wordlen,
+               CAST(SUM(CASE WHEN NOT pass_symbol THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fail_symbol,
+               CAST(SUM(CASE WHEN NOT pass_alpha THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fail_alpha,
+               CAST(SUM(CASE WHEN NOT pass_stop THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fail_stop,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END)
+                 AS BIGINT) AS tokens_kept
+        FROM gr_keep GROUP BY 1)
+      SELECT *, ${CorpusStats.ppmSql("n_kept", "n_docs")} AS kept_ppm
+      FROM gr_raw
+      ORDER BY $source"""
+  }
+
   def repetitionSignalsSql(id: String, t: String): String = {
     val P = TextOps.P
     def ngrams(w: Int): String =

@@ -1936,6 +1936,48 @@ object Streams {
       .start()
   }
 
+  /** Streaming Gopher rule gate — d46, c101's live half: every
+    * arriving doc is flagged against the five word-level Gopher rules
+    * (TextQuality.gopherFlags — per-row integer comparisons, no
+    * trained artifact needed: the rules are constants, the simplest
+    * static-seam case), and the per-(source, rule) fail counts +
+    * kept doc/token mass FOLD by addition into the running
+    * ≤ |sources|-row state, compacted at fold time. kept_ppm is a
+    * ratio, so it is computed at EMISSION from the folded sums, never
+    * folded itself (the d40/d42 discipline) — which is exactly why
+    * drain parity with the c101 batch contract is exact under any
+    * batch slicing. Gate-then-fold inside the batchId guard. */
+  def gopherGateStreaming(docs: DataFrame, id: String, text: String,
+      source: String, minTok: Long = 50L, maxTok: Long = 100000L)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextQuality
+    import graft.util.Barriers.BarrierOps
+    var state: Option[DataFrame] = None
+    var lastApplied = -1L
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val p = TextQuality.gopherAuditRaw(
+            TextQuality.gopherFlags(batch, id, text, source,
+              minTok, maxTok), source)
+          state = Some(state.map(_.unionByName(p)).getOrElse(p)
+            .groupBy(col(source))
+            .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+              sum(col("fail_len")).cast("long").as("fail_len"),
+              sum(col("fail_wordlen")).cast("long").as("fail_wordlen"),
+              sum(col("fail_symbol")).cast("long").as("fail_symbol"),
+              sum(col("fail_alpha")).cast("long").as("fail_alpha"),
+              sum(col("fail_stop")).cast("long").as("fail_stop"),
+              sum(col("n_kept")).cast("long").as("n_kept"),
+              sum(col("tokens_kept")).cast("long").as("tokens_kept"))
+            .barrier(true))
+          lastApplied = bid
+          sink(TextQuality.gopherFinalize(state.get, source))
+        }
+      }
+      .start()
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

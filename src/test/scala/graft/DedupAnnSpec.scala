@@ -176,6 +176,61 @@ class DedupAnnSpec extends SparkSpec {
     assert(joined.where($"sim" =!= $"bf_sim").isEmpty)
   }
 
+  test("binaryCodes: hand-checked mean-thresholded bit packing") {
+    // corpus a=(1,0,0,0) b=(0,1,0,0) c=(1,1,1,1): per-dim fixed-point
+    // sums s = (2,2,1,1)*2^30, n=3; bit = f*3 > s -> 1.0 components
+    // set their bit (3*2^30 > 2*2^30), 0.0 never does. Packed lo:
+    // a=1, b=2, c=15 (dims 1..4 -> bits 0..3), hi=0 everywhere.
+    val corpus = Seq(
+      (5L, Array(1f, 0f, 0f, 0f)), (6L, Array(0f, 1f, 0f, 0f)),
+      (7L, Array(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val thr = Ann.binaryThresholds(corpus, "vec_id", "embedding")
+    val codes = Ann.binaryCodes(corpus, "vec_id", "embedding", thr, "c")
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getAs[Long]("c_lo"), r.getAs[Long]("c_hi"))).toSeq
+    assert(codes === Seq((1L, 0L), (2L, 0L), (15L, 0L)))
+  }
+
+  test("hammingTopK: hand-checked hamming distances, exact-cosine " +
+      "final order, in_exact flags") {
+    // query (0.9, 0.1, 0, 0) binarizes to lo=1 against the corpus
+    // thresholds -> hamming 0 to a, 2 to b, 3 to c; final order is
+    // by EXACT cosine: a (.9939) > c (.5522) > b (.1104).
+    val corpus = Seq(
+      (5L, Array(1f, 0f, 0f, 0f), 0), (6L, Array(0f, 1f, 0f, 0f), 0),
+      (7L, Array(1f, 1f, 1f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Array(0.9f, 0.1f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.hammingTopK(corpus, queries, "vec_id", "embedding",
+        k = 3).orderBy($"rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("n_id"),
+        r.getAs[Long]("hamming"), r.getAs[Boolean]("in_exact"))).toSeq
+    assert(out === Seq((1L, 5L, 0L, true), (2L, 7L, 3L, true),
+      (3L, 6L, 2L, true)))
+  }
+
+  test("hamming ANN on the corpus: recall floor vs brute force, " +
+      "rescored sims exact") {
+    val corpus = emb.where($"vec_id" >= 5)
+    val queries = emb.where($"vec_id" < 5)
+    val ha = Ann.hammingTopK(corpus, queries, "vec_id", "embedding",
+      k = 5).cache()
+    val bf = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+      k = 5)
+    val hits = ha.where($"in_exact").count()
+    val total = bf.count()
+    // 64 bits of a 64-dim float vector keep coarse angular order; the
+    // 10k shortlist + exact rescore recovers most of the true top-5
+    // (structureless mock embeddings: measured 0.92 at sf0.01)
+    assert(hits >= (total * 0.5).toLong,
+      s"hamming recall $hits/$total below 0.5 floor")
+    val bfAll = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+      k = 1000)
+    val joined = ha.join(bfAll.select($"q_id", $"n_id", $"sim".as("bf_sim")),
+      Seq("q_id", "n_id"))
+    assert(joined.where($"sim" =!= $"bf_sim").isEmpty)
+  }
+
   test("persisted IVF index probe equals the in-session IVF path") {
     import org.apache.spark.sql.functions.col
     val e = graft.model.Tables.embeddings(spark, sf)

@@ -2078,6 +2078,45 @@ class StreamsSpec extends SparkSpec {
     assert(tot === tot.sorted)
   }
 
+  test("streaming gopher gate: drained emission equals the d46 batch " +
+      "contract under arbitrary slicing; state bounded; counts accumulate") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val arriving = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect()
+    type R = (String, Long, Long, Long, Long, Long, Long, Long, Long, Long)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("fail_len"),
+        r.getAs[Long]("fail_wordlen"), r.getAs[Long]("fail_symbol"),
+        r.getAs[Long]("fail_alpha"), r.getAs[Long]("fail_stop"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("tokens_kept"),
+        r.getAs[Long]("kept_ppm"))).sortBy(_._1).toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val ms = MemoryStream[(Long, String, String)]
+    val q = Streams.gopherGateStreaming(
+        ms.toDF().toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source") { df =>
+      val rows = toRows(df); this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 3).toSeq,
+      arriving.slice(n / 3, 2 * n / 3).toSeq,
+      arriving.slice(2 * n / 3, n).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = toRows(graft.SparkEntry.queries(
+      "d46_stream_gopher_gate")(spark, sf))
+    assert(emissions.size === 3 && emissions.last === batch)
+    // state bound: one row per source, whatever the stream length
+    val nSources = arriving.map(_._3).distinct.length
+    emissions.foreach(e => assert(e.size <= nSources))
+    // counts only accumulate across batches
+    val tot = emissions.map(_.map(_._2).sum)
+    assert(tot === tot.sorted)
+  }
+
   test("streaming span re-price: replay at the d41 slicing equals the " +
       "batch contract; a cross-batch duplicate redacts fully") {
     implicit val sqlCtx = spark.sqlContext

@@ -151,6 +151,35 @@ class TextPipelineOpsSpec extends SparkSpec {
       && out(2).getAs[String]("scrubbed") == "no pii here at all")
   }
 
+  test("gopherRules: hand-checked per-rule fail counts and keep gate") {
+    // minTok=5/maxTok=10 so the length band bites at spec scale.
+    // Per doc (all integer comparisons recomputed by hand):
+    //  d1 all five rules pass (chars=16 in [15,50], stop {the,is});
+    //  d2 n=2 < 5 fails len; no 2 distinct markers fails stop;
+    //  d3 chars=5 < 3*5 fails wordlen; stop {a} fails stop;
+    //  d4 3 of 5 words alphabetic (15 < 20) fails alpha only;
+    //  d5 five '#' chars (50 > 5) fails symbol only.
+    val docs = Seq(
+      ("s1", 1L, "the cats sat is mats"),
+      ("s1", 2L, "xxx yyy"),
+      ("s1", 3L, "a b c d e"),
+      ("s1", 4L, "thee of is 1111 2222"),
+      ("s1", 5L, "the is aa# bb## cc##"),
+      ("s2", 6L, "the of cats sat mat"))
+      .toDF("source", "doc_id", "text")
+    val out = TextQuality.gopherRules(docs, "doc_id", "text", "source",
+        minTok = 5L, maxTok = 10L)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("fail_len"),
+        r.getAs[Long]("fail_wordlen"), r.getAs[Long]("fail_symbol"),
+        r.getAs[Long]("fail_alpha"), r.getAs[Long]("fail_stop"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("tokens_kept"),
+        r.getAs[Long]("kept_ppm"))).toSeq
+    assert(out === Seq(
+      ("s1", 5L, 1L, 1L, 1L, 1L, 2L, 1L, 5L, 200000L),
+      ("s2", 1L, 0L, 0L, 0L, 0L, 0L, 1L, 5L, 1000000L)))
+  }
+
   test("repetitionSignals flags repeated n-grams and top-token mass") {
     val docs = Seq(
       (1L, "spam spam spam spam"),           // 1 distinct token of 4
