@@ -4066,6 +4066,113 @@ object PipelineSuite extends Suite {
       ORDER BY a.q_id, a.rank"""
     })
 
+  val c103 = Q(
+    "c103_winnowing",
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003 —
+    // the MOSS scheme, Dedup.winnowingPairs): every w-window of
+    // kg-gram rolling hashes contributes its minimum, giving a
+    // candidate index with a proven guarantee (any shared run >=
+    // w+kg-1 tokens IS caught) at ~2/(w+1) the density of c30's
+    // every-window index — the subsampled fingerprint index a 100 TB
+    // corpus can afford to persist. Output: doc pairs sharing >= 2
+    // prints with the winnowed-Jaccard estimate as integer ppm.
+    // Shape: gram posexplode → <= w window fan-in → map-side-
+    // combinable min per (doc, window) → distinct prints → hash
+    // equi-join (a hash is its own bucket) + linear count-backs.
+    (s, d) => Dedup.winnowingPairs(Tables.documents(s, d),
+        "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b")),
+    Some(Dedup.winnowingPairsSql("doc_id", "text")))
+
+  val c104 = Q(
+    "c104_hybrid_rrf",
+    // Reciprocal-rank fusion (Cormack et al. SIGIR 2009,
+    // Retrieval.hybridRrf) of the two retrieval legs the engine
+    // already has — BM25 (c36, lexical) and dense mock-embedding
+    // cosine (c15's provider) — each top-20 per eval doc, fused as
+    // rrf_ppm = Σ 10^6 div (60 + rank): integer-exact, and rank-based
+    // so BM25's integer scores and cosine's [-1,1] never need
+    // calibration (why RRF is the standard hybrid baseline; the
+    // contamination-triage upgrade over either leg alone). Absent
+    // legs contribute 0 (rank 0 = absent). Fusion joins two tiny
+    // rank lists full-outer; each leg keeps its own bounded shape.
+    (s, d) => Retrieval.hybridRrf(Tables.documents(s, d), "doc_id",
+        "text", pmod(col("doc_id"), lit(101)) === 0, k = 5)
+      .orderBy(col("eval_id"), col("rank")),
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      s"""
+      WITH tt AS (
+        SELECT doc_id, (doc_id % 101 = 0) AS is_q,
+               unnest(${TextOps.tokensSql("text")}) AS tok
+        FROM documents),
+      tk AS (SELECT * FROM tt WHERE tok <> ''),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+             WHERE NOT is_q GROUP BY 1, 2),
+      lens AS (SELECT doc_id, COUNT(*) AS len FROM tk
+               WHERE NOT is_q GROUP BY 1),
+      totals AS (SELECT COUNT(*) AS n_train,
+                        CAST(SUM(len) AS BIGINT) AS tot_len FROM lens),
+      dft AS (
+        SELECT k.tok, k.df, t.n_train, t.tot_len,
+               ${Retrieval.bitLenSql("(t.n_train // k.df)")} AS idf
+        FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1) k
+          CROSS JOIN totals t
+        WHERE k.df * 1000000 <= 1000000 * t.n_train),
+      q AS (SELECT DISTINCT doc_id AS eval_id, tok FROM tk WHERE is_q),
+      bscored AS (
+        SELECT q.eval_id, f.doc_id,
+               CAST(SUM(d.idf * CAST(
+                 (CAST(22 AS HUGEINT) * f.tf * d.tot_len * 1000000) //
+                 (CAST(10 AS HUGEINT) * f.tf * d.tot_len
+                  + CAST(3 AS HUGEINT) * d.tot_len
+                  + CAST(9 AS HUGEINT) * l.len * d.n_train)
+                 AS BIGINT)) AS BIGINT) AS score
+        FROM tf f
+          JOIN dft d USING (tok)
+          JOIN q ON q.tok = f.tok
+          JOIN lens l ON l.doc_id = f.doc_id
+        GROUP BY 1, 2),
+      bm AS (
+        SELECT eval_id, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+            ORDER BY score DESC, doc_id) AS rank
+          FROM bscored) t
+        WHERE rank <= 20),
+      emb AS (
+        SELECT doc_id, (doc_id % 101 = 0) AS is_q,
+               list_transform(${VectorOps.mockEmbeddingSql("h", 16)},
+                 x -> CAST(x AS FLOAT)) AS embedding
+        FROM (SELECT doc_id, ${TextOps.polyHashSql("text")} AS h
+              FROM documents) t),
+      dn AS (
+        SELECT eval_id, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT a.doc_id AS eval_id, b.doc_id AS doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY a.doc_id
+                   ORDER BY ${cos("b.embedding", "a.embedding")} DESC,
+                            b.doc_id) AS rank
+          FROM emb a JOIN emb b ON NOT b.is_q
+          WHERE a.is_q) t
+        WHERE rank <= 20),
+      fused AS (
+        SELECT COALESCE(b.eval_id, d.eval_id) AS eval_id,
+               COALESCE(b.doc_id, d.doc_id) AS doc_id,
+               CAST(COALESCE(1000000 // (60 + b.rank), 0)
+                 + COALESCE(1000000 // (60 + d.rank), 0) AS BIGINT)
+                 AS rrf_ppm,
+               CAST(COALESCE(b.rank, 0) AS BIGINT) AS bm25_rank,
+               CAST(COALESCE(d.rank, 0) AS BIGINT) AS dense_rank
+        FROM bm b FULL OUTER JOIN dn d
+          ON b.eval_id = d.eval_id AND b.doc_id = d.doc_id)
+      SELECT eval_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_ppm,
+             bm25_rank, dense_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+              ORDER BY rrf_ppm DESC, doc_id) AS rank
+            FROM fused) t
+      WHERE rank <= 5
+      ORDER BY eval_id, rank"""
+    })
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -4074,5 +4181,5 @@ object PipelineSuite extends Suite {
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
-      c96, c97, c98, c99, c100, c101, c102)
+      c96, c97, c98, c99, c100, c101, c102, c103, c104)
 }

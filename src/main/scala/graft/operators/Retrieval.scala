@@ -112,6 +112,57 @@ object Retrieval {
         col("doc_id"), col("score"), col("n_terms"))
   }
 
+  // --- hybrid (sparse + dense) fusion --------------------------------
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of the engine's two retrieval legs: BM25 ([[bm25TopK]], the
+    * lexical leg) and dense cosine over the deterministic mock
+    * embeddings (c15's provider — the pluggable encoder seam), each
+    * producing a top-`legK` rank list per eval doc, fused as
+    *
+    *   rrf_ppm = Σ_legs 10^6 div (rrfK + rank)
+    *
+    * — integer-exact (the float 1/(k+r) scaled to ppm; rank-based
+    * fusion needs NO score calibration between legs, which is why RRF
+    * is the standard hybrid baseline: BM25's integer scores and
+    * cosine's [−1,1] never have to be commensurated). A doc absent
+    * from a leg contributes 0 from that leg (reported rank 0 =
+    * absent). Final top-`k` per eval by (rrf desc, doc_id).
+    *
+    * Shape at 100 TB: both legs are the engine's existing bounded
+    * shapes (BM25's impact join with the broadcast eval term set;
+    * dense brute-force with the broadcast eval vectors — the IVF
+    * probe replaces it at scale, same output contract); the fusion
+    * itself joins two legK·|eval|-row lists full-outer on
+    * (eval_id, doc_id) — negligible next to either leg. */
+  def hybridRrf(docs: DataFrame, id: String, text: String,
+                isQuery: Column, k: Int, legK: Int = 20,
+                rrfK: Long = 60L, dim: Int = 16): DataFrame = {
+    val bm = bm25TopK(docs, id, text, isQuery, legK)
+      .select(col("eval_id"), col("doc_id"),
+        col("rank").cast("long").as("bm25_rank"))
+    val emb = docs.select(col(id), isQuery.as("is_q"),
+        TextOps.polyHash(col(text)).as("h"))
+      .select(col(id), col("is_q"),
+        transform(graft.functions.VectorOps.mockEmbedding(col("h"), dim),
+          x => x.cast("float")).as("embedding"),
+        lit(0).as("label"))
+    val dense = Ann.bruteForceTopK(emb.where(!col("is_q")),
+        emb.where(col("is_q")), id, "embedding", legK)
+      .select(col("q_id").as("eval_id"), col("n_id").as("doc_id"),
+        col("rank").cast("long").as("dense_rank"))
+    val fused = bm.join(dense, Seq("eval_id", "doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr(s"1000000L div ($rrfK + bm25_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($rrfK + dense_rank)"), lit(0L)))
+      .withColumn("bm25_rank", coalesce(col("bm25_rank"), lit(0L)))
+      .withColumn("dense_rank", coalesce(col("dense_rank"), lit(0L)))
+    graft.plans.TopKPerKey(fused, Seq(col("eval_id")),
+        Seq(col("rrf_ppm").desc, col("doc_id")), k)
+      .select(col("eval_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("rrf_ppm"), col("bm25_rank"), col("dense_rank"))
+  }
+
   // --- dense chunk-granularity retrieval ----------------------------
 
   /** The chunk-level dense index: documents cut into `win`/`stride`

@@ -176,6 +176,49 @@ class DedupAnnSpec extends SparkSpec {
     assert(joined.where($"sim" =!= $"bf_sim").isEmpty)
   }
 
+  test("winnowing guarantee: a shared run of w+kg-1 tokens is always " +
+      "caught; disjoint-vocabulary docs never pair") {
+    // kg=4, w=4: doc 1 and 2 share an 8-token run (guarantee bound
+    // 4+4-1=7 < 8) inside otherwise disjoint text; doc 3 shares no
+    // token with either.
+    val run = "p q r s t u v w"
+    val docs = Seq(
+      (1L, s"a1 b1 c1 d1 $run e1 f1 g1"),
+      (2L, s"a2 b2 c2 d2 e2 $run f2 g2 h2"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
+        minShared = 1L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowingPrints parity with a brute-force Scala reference on " +
+      "the corpus (window minima over the same gram hashes)") {
+    val kg = 4; val w = 4
+    val d = docs.limit(60)
+    val got = Dedup.winnowingPrints(d, "doc_id", "text", kg, w)
+      .as[(Long, Long)].collect().toSet
+    // reference: same token/gram hash chain replayed sequentially
+    val P = 1000000007L
+    val ref = d.select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap { case (did, text) =>
+        def hash(s: String): Long =
+          s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % P)
+        val th = text.split(" ").map(hash)
+        val g = th.sliding(kg).filter(_.length == kg)
+          .map(_.reduce((a, b) => (a * 31 + b) % P)).toArray
+        if (g.isEmpty) Seq.empty
+        else {
+          val maxStart = math.max(g.length - w, 0)
+          (0 to maxStart).map(i => g.slice(i, i + w).min)
+            .distinct.map(h => (did, h))
+        }
+      }.toSet
+    assert(got === ref)
+  }
+
   test("binaryCodes: hand-checked mean-thresholded bit packing") {
     // corpus a=(1,0,0,0) b=(0,1,0,0) c=(1,1,1,1): per-dim fixed-point
     // sums s = (2,2,1,1)*2^30, n=3; bit = f*3 > s -> 1.0 components

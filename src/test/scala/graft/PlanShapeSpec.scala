@@ -157,7 +157,8 @@ class PlanShapeSpec extends SparkSpec {
       "c99_perplexity_buckets",  // broadcast 1-row tercile thresholds + LM totals (c50 class)
       "d45_stream_perplexity_router", // broadcast 1-row frozen thresholds + LM totals (c99 class)
       "c100_data_card",          // broadcast 1-row blend total (the c92 ks pass)
-      "c102_hamming_ann")        // broadcast 1-row thresholds + query codes (c24 class)
+      "c102_hamming_ann",        // broadcast 1-row thresholds + query codes (c24 class)
+      "c104_hybrid_rrf")         // broadcast eval vectors + 1-row BM25 totals (c6/c36 class)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

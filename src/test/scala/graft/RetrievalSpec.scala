@@ -13,6 +13,35 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Seq(1L, 2L, 2L, 3L, 3L, 4L, 10L, 11L, 40L))
   }
 
+  test("hybridRrf: fused score recomputes from the reported per-leg " +
+      "ranks; per-leg ranks agree with the legs; absent legs read 0") {
+    import graft.model.Tables
+    val docs = Tables.documents(spark, sf)
+    val isQ = pmod($"doc_id", lit(101)) === 0
+    val out = Retrieval.hybridRrf(docs, "doc_id", "text", isQ, k = 5)
+      .cache()
+    // rrf_ppm is exactly the sum of the two reported contributions
+    // (0-rank legs contribute nothing)
+    val bad = out.where($"rrf_ppm" =!=
+      (when($"bm25_rank" > 0, expr("1000000L div (60 + bm25_rank)"))
+        .otherwise(0L) +
+       when($"dense_rank" > 0, expr("1000000L div (60 + dense_rank)"))
+        .otherwise(0L)))
+    assert(bad.isEmpty)
+    // every fused row came from at least one leg
+    assert(out.where($"bm25_rank" === 0 && $"dense_rank" === 0).isEmpty)
+    // reported bm25 ranks agree with the BM25 leg run standalone
+    val bm = Retrieval.bm25TopK(docs, "doc_id", "text", isQ, 20)
+      .select($"eval_id", $"doc_id", $"rank".as("leg_rank"))
+    val mismatch = out.where($"bm25_rank" > 0)
+      .join(bm, Seq("eval_id", "doc_id"))
+      .where($"bm25_rank" =!= $"leg_rank")
+    assert(mismatch.isEmpty)
+    // k bound holds per eval doc
+    val counts = out.groupBy($"eval_id").count()
+    assert(counts.where($"count" > 5).isEmpty)
+  }
+
   test("bm25TopK: rare-term match outranks common-term match") {
     // q shares "zebra" (df=1) with d1 and "the" (df=3) with d2/d3;
     // the rarer term must dominate the ranking
