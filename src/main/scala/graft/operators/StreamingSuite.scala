@@ -2048,9 +2048,33 @@ object StreamingSuite extends Suite {
       "doc_id", "text", "source",
       from = "(SELECT * FROM documents WHERE doc_id % 10 >= 8)")))
 
+  val d47 = Q(
+    "d47_stream_priority_fold",
+    // c97's token-mass-weighted priority sample AT INGEST (live =
+    // Streams.priorityFoldStreaming): priorities are per-doc
+    // constants, so the bottom-(k+1)-by-priority state merges exactly
+    // like d43's bottom-k-by-hash — the TopKPerKey compaction IS the
+    // fold — and every applied batch re-emits the mass-proportional
+    // sample plus the live DLT estimate of arriving token mass
+    // (τ = P div p_(k+1), est = Σ max(w, τ)): the ingest-side "how
+    // much token mass is arriving per source" monitor. State ≤
+    // |strata| × (k+1) rows; drained stream equals this batch
+    // contract exactly (StreamsSpec pins it). Batch contract = c97
+    // minus the exact totals (deliberately NOT mergeable from a
+    // (k+1)-row state — c95/d43's discipline).
+    (s, d) => graft.operators.Sampling.prioritySample(
+        Tables.documents(s, d), "source", "doc_id", "text")
+      .drop("total_mass")
+      .orderBy(col("source"), col("rk")),
+    Some(s"""
+      SELECT source, rk, did, w, priority, est_mass
+      FROM (${graft.operators.Sampling.prioritySampleSql(
+        "source", "doc_id", "text")}) t
+      ORDER BY source, rk"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42, d43, d44, d45, d46)
+      d42, d43, d44, d45, d46, d47)
 }

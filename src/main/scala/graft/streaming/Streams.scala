@@ -1858,6 +1858,63 @@ object Streams {
       .start()
   }
 
+  /** Streaming fold of the c97 token-mass-weighted priority sample —
+    * d47: each arriving doc's priority (id-hash div token count) is a
+    * per-doc CONSTANT, so the bottom-(k+1)-by-priority state merges
+    * exactly like d43's bottom-k-by-hash (bottom-k of a union =
+    * bottom-k of the two bottom-k's) — the k+1th row rides along
+    * because the DLT threshold estimator needs it: τ = P div p_(k+1),
+    * est_mass = Σ_kept max(w, τ), re-emitted per applied batch as the
+    * live "how much token mass is arriving per source" monitor whose
+    * sample stays ∝ token mass under any arrival order. Batch
+    * contract = c97 minus the exact totals (deliberately NOT
+    * mergeable from a (k+1)-row state — c95/d43's discipline). State
+    * ≤ |strata| × (k+1) rows; gate-then-fold inside the batchId
+    * guard. */
+  def priorityFoldStreaming(docs: DataFrame, stratum: String,
+      id: String, text: String, k: Int = 8,
+      stateProbe: DataFrame => Unit = _ => ())
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextOps
+    import graft.util.Barriers.BarrierOps
+    var state: Option[DataFrame] = None
+    var lastApplied = -1L
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val p = batch.select(col(stratum),
+              col(id).cast("long").as("did"),
+              size(TextOps.tokens(col(text))).cast("long").as("w"),
+              TextOps.polyHashMixed(
+                concat(col(stratum), lit(":"), col(id).cast("string")))
+                .as("u"))
+            .withColumn("priority", expr("u div greatest(w, 1L)"))
+            .select(col(stratum), col("did"), col("w"), col("priority"))
+          val merged = state.map(_.unionByName(p)).getOrElse(p)
+          val topk1 = graft.plans.TopKPerKey(merged, Seq(col(stratum)),
+            Seq(col("priority"), col("did")), k + 1, rankName = "rk")
+            .barrier(true)
+          state = Some(topk1.drop("rk"))
+          lastApplied = bid
+          stateProbe(state.get)
+          val tau = topk1.groupBy(col(stratum))
+            .agg(max(when(col("rk") === k + 1,
+              expr(s"${TextOps.P} div greatest(priority, 1L)"))).as("tau"))
+          val kept = topk1.where(col("rk") <= k)
+          val est = kept.join(broadcast(tau), Seq(stratum))
+            .groupBy(col(stratum))
+            .agg(sum(greatest(col("w"), coalesce(col("tau"), lit(0L))))
+              .cast("long").as("est_mass"))
+          sink(kept
+            .join(broadcast(est), Seq(stratum))
+            .select(col(stratum), col("rk").cast("long").as("rk"),
+              col("did"), col("w"), col("priority"), col("est_mass"))
+            .orderBy(col(stratum), col("rk")))
+        }
+      }
+      .start()
+  }
+
   /** Streaming fold of c96's spectral health — d44: each arriving
     * batch's Gram sufficient statistics (n, per-dim sums m, the full
     * dims² Gram — all exact-integer sums under the FROZEN quant

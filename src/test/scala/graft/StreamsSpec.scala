@@ -1998,6 +1998,52 @@ class StreamsSpec extends SparkSpec {
     stateRows.foreach(c => assert(c <= nSources.toLong * 8L))
   }
 
+  test("streaming priority fold: drained emission equals the d47 batch " +
+      "contract under arbitrary slicing; state bounded by strata x (k+1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val arriving = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", $"text")
+      .as[(String, Long, String)].collect()
+    type R = (String, Long, Long, Long, Long, Long)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("rk"), r.getAs[Long]("did"), r.getAs[Long]("w"),
+        r.getAs[Long]("priority"), r.getAs[Long]("est_mass")))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[(String, Long, String)]
+    val q = Streams.priorityFoldStreaming(
+        ms.toDF().toDF("source", "doc_id", "text"),
+        "source", "doc_id", "text",
+        stateProbe = { st =>
+          val c = st.count(); this.synchronized { stateRows += c }
+        }) { df =>
+      val rows = toRows(df); this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 3).toSeq,
+      arriving.slice(n / 3, 2 * n / 3).toSeq,
+      arriving.slice(2 * n / 3, n).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = toRows(graft.SparkEntry.queries(
+      "d47_stream_priority_fold")(spark, sf))
+    assert(emissions.size === 3 && emissions.last === batch)
+    // state bounded: never more than |sources| x (k+1) rows
+    val nSources = arriving.map(_._1).distinct.length
+    assert(stateRows.size === 3)
+    stateRows.foreach(c => assert(c <= nSources.toLong * 9L))
+    // the kept sample is mass-biased: kept docs' mean token count
+    // exceeds the corpus mean (the point of priority sampling)
+    val keptW = emissions.last.map(_._4)
+    val corpusMeanTimesKept = Tables.documents(spark, sf)
+      .select(size(split($"text", " ")).cast("long").as("w"))
+      .agg(avg($"w")).as[Double].head() * keptW.size
+    assert(keptW.sum > corpusMeanTimesKept,
+      s"priority sample not mass-biased: ${keptW.sum} vs $corpusMeanTimesKept")
+  }
+
   test("streaming pca fold: drained emission equals c96 and the d44 " +
       "batch contract under arbitrary slicing; state stays dims^2") {
     implicit val sqlCtx = spark.sqlContext
