@@ -130,6 +130,126 @@ object Dedup {
       ORDER BY id_a, id_b"""
   }
 
+  /** Cross-source duplication overlap MATRIX over the winnowing print
+    * index (c103's artifact — this operator never re-reads text):
+    * for every unordered source pair, the count of distinct shared
+    * fingerprints (shared-run evidence at the winnowing guarantee
+    * threshold) next to each side's print total and the winnowed
+    * overlap as integer ppm. The "which sources copy from each
+    * other" audit — mirror sites, syndicated boilerplate, cross-
+    * posted content — that per-source scalars (c100's corpus-wide
+    * exposure) cannot localize to a pair.
+    *
+    * Shape: prints → distinct (source, h) (partial-aggregable; the
+    * only corpus-sized exchange), pair join on h (a hash is its own
+    * bucket; fan-out bounded by sources-per-hash ≤ |sources|), one
+    * groupBy to the ≤ |sources|²/2-row matrix, per-source totals
+    * broadcast back. At 100 TB the print index persists (c103), so
+    * this is artifact-only compute — the c92 argument on the dedup
+    * side. */
+  def sourceOverlap(docs: DataFrame, id: String, text: String,
+                    source: String, kg: Int = 4, w: Int = 4): DataFrame = {
+    val pr = winnowingPrints(docs, id, text, kg, w)
+      .join(docs.select(col(id).as("did"), col(source).as("src")), "did")
+      .select(col("src"), col("h")).distinct().barrier(true)
+    val totals = pr.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    pr.alias("a")
+      .join(pr.alias("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared_prints"))
+      .join(broadcast(totals.select(col("src").as("src_a"),
+        col("n").as("na"))), "src_a")
+      .join(broadcast(totals.select(col("src").as("src_b"),
+        col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_prints"),
+        col("na"), col("nb"),
+        expr("cast(cast(shared_prints as decimal(38,0)) * 1000000 div (na + nb - shared_prints) as bigint)")
+          .as("overlap_ppm"))
+  }
+
+  /** DuckDB mirror of [[sourceOverlap]]. */
+  def sourceOverlapSql(id: String, t: String, source: String,
+                       kg: Int = 4, w: Int = 4): String = {
+    val g = TextOps.ngramHashesSql("th", kg)
+    s"""
+      WITH wt AS (
+        SELECT $id AS did, $source AS src,
+               list_transform(${TextOps.tokensSql(t)},
+                 tok -> ${TextOps.polyHashSql("tok")}) AS th
+        FROM documents),
+      wg AS (
+        SELECT did, src, g FROM (SELECT did, src, $g AS g FROM wt) x
+        WHERE len(g) >= 1),
+      sel AS (
+        SELECT DISTINCT src, h FROM (
+          SELECT src,
+                 unnest(list_transform(
+                   range(1, greatest(len(g) - $w, 0) + 2),
+                   i -> list_min(list_slice(g, i, i + $w - 1)))) AS h
+          FROM wg) u),
+      np AS (SELECT src, COUNT(*) AS n FROM sel GROUP BY 1),
+      pairs AS (
+        SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS shared_prints
+        FROM sel a JOIN sel b ON a.h = b.h AND a.src < b.src
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, shared_prints, na.n AS na, nb.n AS nb,
+             CAST((CAST(shared_prints AS HUGEINT) * 1000000)
+               // (na.n + nb.n - shared_prints) AS BIGINT) AS overlap_ppm
+      FROM pairs
+        JOIN np na ON na.src = src_a
+        JOIN np nb ON nb.src = src_b
+      ORDER BY src_a, src_b"""
+  }
+
+  /** Edit-distance VERIFICATION of winnowing candidates — the MOSS
+    * funnel's second stage: [[winnowingPairs]] shortlists pairs from
+    * the subsampled print index, and ONLY those pairs pay the
+    * O(len_a·len_b) Levenshtein DP on the raw text, reported as
+    * sim_ppm = (maxlen − dist)·10^6 div maxlen with pairs below
+    * `tauPpm` dropped. Character-level edit similarity is the
+    * verifier shingle-Jaccard can't replace: it prices REORDERINGS
+    * and small in-token edits the set measures ignore, and both
+    * engines ship the identical classic DP natively (integer-exact,
+    * §4). Shape: the candidate list (bounded by the index's
+    * guarantee) joins text back on the two doc keys — linear — and
+    * the DP runs per candidate pair only: the funnel is what makes
+    * character-exact verification affordable at 100 TB. */
+  def editVerify(docs: DataFrame, id: String, text: String,
+                 kg: Int = 4, w: Int = 4, minShared: Long = 2L,
+                 tauPpm: Long = 500000L): DataFrame =
+    winnowingPairs(docs, id, text, kg, w, minShared)
+      .join(docs.select(col(id).as("id_a"), col(text).as("ta")), "id_a")
+      .join(docs.select(col(id).as("id_b"), col(text).as("tb")), "id_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("maxlen",
+        greatest(length(col("ta")), length(col("tb"))).cast("long"))
+      .withColumn("sim_ppm",
+        expr("cast(cast(maxlen - dist as decimal(38,0)) * 1000000 div maxlen as bigint)"))
+      .where(col("sim_ppm") >= tauPpm)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("dist"),
+        col("sim_ppm"))
+
+  /** DuckDB mirror of [[editVerify]]. */
+  def editVerifySql(id: String, t: String, kg: Int = 4, w: Int = 4,
+                    minShared: Long = 2L, tauPpm: Long = 500000L): String = s"""
+      WITH cand AS (${winnowingPairsSql(id, t, kg, w, minShared)}),
+      ev AS (
+        SELECT c.id_a, c.id_b, c.n_shared,
+               CAST(levenshtein(da.$t, db.$t) AS BIGINT) AS dist,
+               CAST(greatest(length(da.$t), length(db.$t)) AS BIGINT)
+                 AS maxlen
+        FROM cand c
+          JOIN documents da ON da.$id = c.id_a
+          JOIN documents db ON db.$id = c.id_b)
+      SELECT id_a, id_b, n_shared, dist,
+             CAST((CAST(maxlen - dist AS HUGEINT) * 1000000) // maxlen
+               AS BIGINT) AS sim_ppm
+      FROM ev
+      WHERE (CAST(maxlen - dist AS HUGEINT) * 1000000) // maxlen
+            >= $tauPpm
+      ORDER BY id_a, id_b"""
+
   /** Exact token-3-gram Jaccard >= tau pairs via shingle explode +
     * equi-join on shingle. AQE handles hot-shingle skew; at scale
     * run it per LSH bucket, not globally. */

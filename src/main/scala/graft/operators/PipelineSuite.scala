@@ -4173,6 +4173,37 @@ object PipelineSuite extends Suite {
       ORDER BY eval_id, rank"""
     })
 
+  val c105 = Q(
+    "c105_source_overlap",
+    // Cross-source duplication overlap matrix over the winnowing
+    // print index (Dedup.sourceOverlap — artifact-only compute, the
+    // c92 argument on the dedup side): per unordered source pair,
+    // distinct shared fingerprints + each side's print total +
+    // winnowed overlap ppm. The "which sources copy from each other"
+    // audit (mirrors, syndication, cross-posting) that c100's
+    // per-source exposure scalar can't localize to a pair. Shape:
+    // distinct (source, print) partial-agg, pair equi-join on the
+    // hash, ≤|sources|²/2-row matrix, broadcast totals back.
+    (s, d) => Dedup.sourceOverlap(Tables.documents(s, d),
+        "doc_id", "text", "source")
+      .orderBy(col("src_a"), col("src_b")),
+    Some(Dedup.sourceOverlapSql("doc_id", "text", "source")))
+
+  val c106 = Q(
+    "c106_edit_verify",
+    // Edit-distance verification of winnowing candidates
+    // (Dedup.editVerify — the MOSS funnel's second stage): c103's
+    // print index shortlists pairs, ONLY those pay the O(n·m)
+    // Levenshtein DP on raw text (both engines ship the identical
+    // classic DP natively — integer-exact, §4), reported as
+    // sim_ppm = (maxlen−dist)·10^6 div maxlen, kept at >= 0.5.
+    // Character-level similarity prices reorderings and in-token
+    // edits that set-based Jaccard ignores; the funnel (sketch →
+    // bounded verify) is what makes it affordable at 100 TB.
+    (s, d) => Dedup.editVerify(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b")),
+    Some(Dedup.editVerifySql("doc_id", "text")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -4181,5 +4212,5 @@ object PipelineSuite extends Suite {
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
-      c96, c97, c98, c99, c100, c101, c102, c103, c104)
+      c96, c97, c98, c99, c100, c101, c102, c103, c104, c105, c106)
 }

@@ -219,6 +219,42 @@ class DedupAnnSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("sourceOverlap: sharing sources pair with a consistent ppm, " +
+      "disjoint sources are absent") {
+    val run = "p q r s t u v w"
+    val docs = Seq(
+      (1L, "A", s"a1 b1 c1 d1 $run e1 f1 g1"),
+      (2L, "B", s"a2 b2 c2 d2 e2 $run f2 g2 h2"),
+      (3L, "C", "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getAs[String]("src_a"),
+        r.getAs[String]("src_b"), r.getAs[Long]("shared_prints"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"),
+        r.getAs[Long]("overlap_ppm"))).toSeq
+    assert(out.map(t => (t._1, t._2)) === Seq(("A", "B")))
+    val (_, _, sh, na, nb, ppm) = out.head
+    assert(sh >= 1L && ppm === sh * 1000000L / (na + nb - sh))
+  }
+
+  test("editVerify: hand-checked one-char edit kept at its exact " +
+      "sim_ppm; a junk-tailed candidate falls below tau") {
+    // d1/d2: 23 chars, one substitution -> dist 1, sim_ppm
+    // (23-1)*1e6 div 23 = 956521. d3 shares d1's 8-token run (so it
+    // IS a winnowing candidate at minShared=1) but its junk tail
+    // pushes edit similarity below 0.5 -> dropped.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k z"),
+      (3L, "a b c d e f g h junk1x junk2xy junk3xyz junk4wxyz " +
+        "junk5abcd junk6efgh junk7ijkl junk8mnop junk9qrst"))
+      .toDF("doc_id", "text")
+    val out = Dedup.editVerify(docs, "doc_id", "text", minShared = 1L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("dist"), r.getAs[Long]("sim_ppm"))).toSeq
+    assert(out === Seq((1L, 2L, 1L, 956521L)))
+  }
+
   test("binaryCodes: hand-checked mean-thresholded bit packing") {
     // corpus a=(1,0,0,0) b=(0,1,0,0) c=(1,1,1,1): per-dim fixed-point
     // sums s = (2,2,1,1)*2^30, n=3; bit = f*3 > s -> 1.0 components
