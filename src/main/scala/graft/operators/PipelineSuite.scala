@@ -4204,6 +4204,24 @@ object PipelineSuite extends Suite {
       .orderBy(col("id_a"), col("id_b")),
     Some(Dedup.editVerifySql("doc_id", "text")))
 
+  val c107 = Q(
+    "c107_kmv_set_ops",
+    // KMV set operations between sources (Beyer et al. SIGMOD 2007,
+    // Sampling.kmvSetOps — the multi-set extension of c95's
+    // estimator): per unordered source pair, union and intersection
+    // distinct counts estimated from the two bounded bottom-k states
+    // ALONE (merge → k smallest → est_union = (k−1)·P div h_k;
+    // shared-in-top-k s → est_inter = s·est_union div k), with BOTH
+    // exact counts alongside from one extra pair join (the synopsis
+    // audits itself, c95/c97's discipline; exact when the pair's
+    // union fits the state). The estimate a 1000-source corpus
+    // consults BEFORE deciding which pairs deserve c105's exact
+    // index pass — everything pairwise runs on |sources|·k rows.
+    (s, d) => Sampling.kmvSetOps(Tables.documents(s, d),
+        "source", "text")
+      .orderBy(col("src_a"), col("src_b")),
+    Some(Sampling.kmvSetOpsSql("source", "text")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -4212,5 +4230,6 @@ object PipelineSuite extends Suite {
       c57, c58, c59, c60, c61, c62, c63, c64, c65, c66, c67, c68, c69,
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
-      c96, c97, c98, c99, c100, c101, c102, c103, c104, c105, c106)
+      c96, c97, c98, c99, c100, c101, c102, c103, c104, c105, c106,
+      c107)
 }

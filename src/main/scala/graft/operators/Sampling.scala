@@ -120,6 +120,181 @@ object Sampling {
         JOIN kth ON kth.$stratum = kept.$stratum
       ORDER BY $stratum, rk"""
 
+  /** Per-source bottom-k KMV STATE alone (the c95 synopsis without
+    * the sample columns): the k smallest mixed content hashes per
+    * source over distinct content. The bounded artifact
+    * [[kmvSetOps]] reads — and the d48 streaming fold maintains
+    * (bottom-k of a union = bottom-k of the two bottom-k's). */
+  def kmvStates(docs: DataFrame, source: String, text: String,
+                k: Int): DataFrame = {
+    val ph = docs
+      .select(col(source).as("src"), TextOps.polyHashMixed(col(text)).as("h"))
+      .distinct()
+    graft.plans.TopKPerKey(ph, Seq(col("src")), Seq(col("h")), k,
+        rankName = "rk")
+      .select(col("src"), col("h"))
+  }
+
+  /** KMV set operations between sources (Beyer et al. SIGMOD 2007 —
+    * the multi-set extension of c95's Bar-Yossef estimator): for
+    * every unordered source pair, the UNION and INTERSECTION distinct
+    * counts estimated from the two bounded bottom-k states ALONE —
+    * merge the states, take the k smallest of the merge (the union's
+    * own KMV: est_union = (k−1)·P div h_k), and count how many of
+    * those k sit in BOTH states (s): est_inter = s·est_union div k.
+    * Exact when a pair's true union fits the state (≤ k distinct
+    * contents); both EXACT counts ride along from one extra pair
+    * join — the synopsis audits itself, c95/c97's discipline.
+    *
+    * Why it earns a row next to c105: the overlap matrix there reads
+    * the full print index; this one answers the same "how much do
+    * these sources share?" from |sources|·k rows — the estimate a
+    * 1000-source corpus consults BEFORE deciding which pairs are
+    * worth the exact pass. All-integer (§4: every ratio is
+    * multiply-then-div, widened through decimal(38,0)/HUGEINT).
+    *
+    * Shape: ONE corpus pass for the states (partial-aggregable
+    * distinct + the TopKPerKey heap) and one for the exact audit
+    * (distinct (src, h) self-join — a hash is its own bucket);
+    * everything pairwise runs on ≤ |sources|·k-row artifacts with
+    * broadcast joins. */
+  def kmvSetOps(docs: DataFrame, source: String, text: String,
+                k: Int = 64): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    val ph = docs
+      .select(col(source).as("src"), TextOps.polyHashMixed(col(text)).as("h"))
+      .distinct().barrier(true)
+    val states = kmvStates(docs, source, text, k).barrier(true)
+    setOpsFromStates(states, ph, k)
+  }
+
+  /** The pairwise ESTIMATE alone over prepared `states` (src, h —
+    * bottom-k per src): (src_a, src_b, shared_in_topk, est_union,
+    * est_inter). Everything runs on ≤ |sources|·k-row artifacts.
+    * Factored so the d48 streaming fold re-emits from its folded
+    * states — the estimate needs nothing the bounded state doesn't
+    * hold (exact counts deliberately excluded: not mergeable from a
+    * k-row state, c95/d43's discipline). */
+  def setOpsEstimate(states: DataFrame, k: Int): DataFrame = {
+    val srcs = states.select(col("src")).distinct()
+    val pairs = broadcast(srcs.alias("x")
+      .join(srcs.alias("y"), col("x.src") < col("y.src"))
+      .select(col("x.src").as("src_a"), col("y.src").as("src_b")))
+    // per (pair, h): which side(s) hold the hash in-state
+    val merged = pairs.join(states.withColumnRenamed("src", "src_a")
+        .withColumn("ia", lit(1L)), Seq("src_a"))
+      .unionByName(pairs.join(states.withColumnRenamed("src", "src_b")
+        .withColumn("ia", lit(0L)), Seq("src_b")))
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("ia")).as("in_a"), min(col("ia")).as("nb0"))
+      .withColumn("in_both", col("in_a") === 1L && col("nb0") === 0L)
+    val topk = graft.plans.TopKPerKey(merged,
+      Seq(col("src_a"), col("src_b")), Seq(col("h")), k, rankName = "rk")
+    topk.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_state"), max(col("h")).as("h_k"),
+        sum(when(col("in_both"), 1L).otherwise(0L)).as("shared_in_topk"))
+      .withColumn("est_union",
+        when(col("n_state") >= k,
+          expr(s"${(k - 1).toLong * TextOps.P} div h_k"))
+          .otherwise(col("n_state")))
+      .withColumn("est_inter",
+        when(col("n_state") >= k,
+          expr(s"cast(cast(shared_in_topk as decimal(38,0)) * est_union div $k as bigint)"))
+          .otherwise(col("shared_in_topk")))
+      .select(col("src_a"), col("src_b"), col("shared_in_topk"),
+        col("est_union"), col("est_inter"))
+  }
+
+  /** Estimate + exact audit composed (the c107 batch operator body):
+    * the estimate from the bounded states, the exact union/inter from
+    * the full distinct (src, h) relation. */
+  def setOpsFromStates(states: DataFrame, ph: DataFrame,
+                       k: Int): DataFrame = {
+    val est = setOpsEstimate(states, k)
+    val nd = ph.groupBy(col("src")).agg(count(lit(1)).as("nd"))
+    val exactInter = ph.alias("a")
+      .join(ph.alias("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est
+      .join(broadcast(nd.select(col("src").as("src_a"), col("nd").as("na"))),
+        Seq("src_a"))
+      .join(broadcast(nd.select(col("src").as("src_b"), col("nd").as("nb"))),
+        Seq("src_b"))
+      .join(exactInter, Seq("src_a", "src_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("shared_in_topk"),
+        col("est_union"), col("est_inter"),
+        (col("na") + col("nb") - col("exact_inter")).as("exact_union"),
+        col("exact_inter"))
+  }
+
+  /** DuckDB mirror of [[kmvSetOps]]. */
+  def kmvSetOpsSql(source: String, text: String, k: Int = 64): String = s"""
+      WITH ph AS (
+        SELECT DISTINCT $source AS src,
+               ${TextOps.polyHashMixedSql(text)} AS h
+        FROM documents),
+      states AS (
+        SELECT src, h FROM (
+          SELECT src, h, ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY h) AS rk
+          FROM ph) t
+        WHERE rk <= $k),
+      srcs AS (SELECT DISTINCT src FROM states),
+      prs AS (
+        SELECT x.src AS src_a, y.src AS src_b
+        FROM srcs x JOIN srcs y ON x.src < y.src),
+      merged AS (
+        SELECT src_a, src_b, h, MAX(ia) AS in_a, MIN(ia) AS nb0
+        FROM (
+          SELECT p.src_a, p.src_b, s.h, 1 AS ia
+          FROM prs p JOIN states s ON s.src = p.src_a
+          UNION ALL
+          SELECT p.src_a, p.src_b, s.h, 0 AS ia
+          FROM prs p JOIN states s ON s.src = p.src_b)
+        GROUP BY 1, 2, 3),
+      topk AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b
+            ORDER BY h) AS rk
+          FROM merged) t
+        WHERE rk <= $k),
+      est AS (
+        SELECT src_a, src_b, COUNT(*) AS n_state, MAX(h) AS h_k,
+               CAST(SUM(CASE WHEN in_a = 1 AND nb0 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS shared_in_topk
+        FROM topk GROUP BY 1, 2),
+      est2 AS (
+        SELECT src_a, src_b, shared_in_topk, n_state,
+               CASE WHEN n_state >= $k
+                 THEN ${(k - 1).toLong * TextOps.P} // h_k
+                 ELSE n_state END AS est_union
+        FROM est),
+      est3 AS (
+        SELECT src_a, src_b, shared_in_topk,
+               CAST(est_union AS BIGINT) AS est_union,
+               CAST(CASE WHEN n_state >= $k
+                 THEN (CAST(shared_in_topk AS HUGEINT) * est_union) // $k
+                 ELSE shared_in_topk END AS BIGINT) AS est_inter
+        FROM est2),
+      nd AS (SELECT src, COUNT(*) AS nd FROM ph GROUP BY 1),
+      ei AS (
+        SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS exact_inter
+        FROM ph a JOIN ph b ON a.h = b.h AND a.src < b.src
+        GROUP BY 1, 2)
+      SELECT e.src_a, e.src_b, e.shared_in_topk, e.est_union,
+             e.est_inter,
+             CAST(na.nd + nb.nd - COALESCE(ei.exact_inter, 0) AS BIGINT)
+               AS exact_union,
+             CAST(COALESCE(ei.exact_inter, 0) AS BIGINT) AS exact_inter
+      FROM est3 e
+        JOIN nd na ON na.src = e.src_a
+        JOIN nd nb ON nb.src = e.src_b
+        LEFT JOIN ei ON ei.src_a = e.src_a AND ei.src_b = e.src_b
+      ORDER BY e.src_a, e.src_b"""
+
   /** Deterministic PRIORITY SAMPLING (Duffield–Lund–Thorup, VLDB'04 /
     * JACM'07, integerized) per stratum, weighted by token mass: doc i
     * draws u_i = mixed-poly-hash(stratum:id) ∈ [0,P) and gets

@@ -2072,9 +2072,31 @@ object StreamingSuite extends Suite {
         "source", "doc_id", "text")}) t
       ORDER BY source, rk"""))
 
+  val d48 = Q(
+    "d48_stream_kmv_setops",
+    // c107's live half (Streams.kmvSetOpsStreaming): arriving
+    // batches' distinct content hashes fold into the bottom-k-per-
+    // source state (d43's merge), and every applied batch re-emits
+    // the full pairwise union/intersection estimate matrix from the
+    // folded states alone — the live "which sources are converging
+    // on the same content?" monitor (a mirror's est_inter climbs
+    // toward its est_union as the crawl progresses). State ≤
+    // |sources| × k rows; drained stream equals this batch contract
+    // exactly (StreamsSpec pins it). Batch contract = c107 minus the
+    // exact audit columns (not mergeable from a k-row state —
+    // c95/d43's discipline).
+    (s, d) => graft.operators.Sampling.setOpsEstimate(
+        graft.operators.Sampling.kmvStates(Tables.documents(s, d), "source", "text", 64),
+        64)
+      .orderBy(col("src_a"), col("src_b")),
+    Some(s"""
+      SELECT src_a, src_b, shared_in_topk, est_union, est_inter
+      FROM (${graft.operators.Sampling.kmvSetOpsSql("source", "text")}) t
+      ORDER BY src_a, src_b"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42, d43, d44, d45, d46, d47)
+      d42, d43, d44, d45, d46, d47, d48)
 }

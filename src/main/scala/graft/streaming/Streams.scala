@@ -1915,6 +1915,48 @@ object Streams {
       .start()
   }
 
+  /** Streaming fold of the c107 KMV set-operation estimates — d48:
+    * arriving batches' per-source distinct content hashes fold into
+    * the running bottom-k-per-source state (d43's merge, the same
+    * KMV synopsis), and every applied batch re-emits the FULL
+    * pairwise union/intersection estimate matrix from the folded
+    * states alone (Sampling.setOpsEstimate — ≤ |sources|·k rows in,
+    * ≤ |sources|²/2 rows out, no corpus re-read): the live "which
+    * sources are converging on the same content?" monitor — a mirror
+    * site's est_inter climbs toward its est_union as the crawl
+    * progresses. Batch contract = c107 minus the exact audit columns
+    * (not mergeable from a k-row state, c95/d43's discipline); state
+    * ≤ |sources| × k rows; gate-then-fold inside the batchId guard. */
+  def kmvSetOpsStreaming(docs: DataFrame, source: String, text: String,
+      k: Int = 64,
+      stateProbe: DataFrame => Unit = _ => ())
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextOps
+    import graft.operators.Sampling
+    import graft.util.Barriers.BarrierOps
+    var state: Option[DataFrame] = None
+    var lastApplied = -1L
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val p = batch
+            .select(col(source).as("src"),
+              TextOps.polyHashMixed(col(text)).as("h"))
+            .distinct()
+          val merged = state.map(_.unionByName(p)).getOrElse(p).distinct()
+          val topk = graft.plans.TopKPerKey(merged, Seq(col("src")),
+            Seq(col("h")), k, rankName = "rk")
+            .select(col("src"), col("h")).barrier(true)
+          state = Some(topk)
+          lastApplied = bid
+          stateProbe(state.get)
+          sink(Sampling.setOpsEstimate(state.get, k)
+            .orderBy(col("src_a"), col("src_b")))
+        }
+      }
+      .start()
+  }
+
   /** Streaming fold of c96's spectral health — d44: each arriving
     * batch's Gram sufficient statistics (n, per-dim sums m, the full
     * dims² Gram — all exact-integer sums under the FROZEN quant

@@ -2044,6 +2044,42 @@ class StreamsSpec extends SparkSpec {
       s"priority sample not mass-biased: ${keptW.sum} vs $corpusMeanTimesKept")
   }
 
+  test("streaming kmv set-ops fold: drained emission equals the d48 " +
+      "batch contract under arbitrary slicing; state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val arriving = Tables.documents(spark, sf)
+      .select($"source", $"text")
+      .as[(String, String)].collect()
+    type R = (String, String, Long, Long, Long)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[String]("src_a"),
+        r.getAs[String]("src_b"), r.getAs[Long]("shared_in_topk"),
+        r.getAs[Long]("est_union"), r.getAs[Long]("est_inter")))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[(String, String)]
+    val q = Streams.kmvSetOpsStreaming(
+        ms.toDF().toDF("source", "text"), "source", "text",
+        stateProbe = { st =>
+          val c = st.count(); this.synchronized { stateRows += c }
+        }) { df =>
+      val rows = toRows(df); this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 3).toSeq,
+      arriving.slice(n / 3, 2 * n / 3).toSeq,
+      arriving.slice(2 * n / 3, n).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = toRows(graft.SparkEntry.queries(
+      "d48_stream_kmv_setops")(spark, sf))
+    assert(emissions.size === 3 && emissions.last === batch)
+    val nSources = arriving.map(_._1).distinct.length
+    assert(stateRows.size === 3)
+    stateRows.foreach(c => assert(c <= nSources.toLong * 64L))
+  }
+
   test("streaming pca fold: drained emission equals c96 and the d44 " +
       "batch contract under arbitrary slicing; state stays dims^2") {
     implicit val sqlCtx = spark.sqlContext

@@ -180,6 +180,42 @@ class TextPipelineOpsSpec extends SparkSpec {
       ("s2", 1L, 0L, 0L, 0L, 0L, 0L, 1L, 5L, 1000000L)))
   }
 
+  test("kmvSetOps: exact in the small-union regime; estimator formula " +
+      "holds when the state saturates") {
+    // A={t1..t4}, B={t3..t6}, C={t7,t8}: all pair unions <= k=64, so
+    // every estimate must EQUAL its exact audit column.
+    val docs = Seq(
+      (1L, "A", "t1"), (2L, "A", "t2"), (3L, "A", "t3"), (4L, "A", "t4"),
+      (5L, "B", "t3"), (6L, "B", "t4"), (7L, "B", "t5"), (8L, "B", "t6"),
+      (9L, "C", "t7"), (10L, "C", "t8"),
+      (11L, "A", "t1")) // duplicate content: KMV is duplication-invariant
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.kmvSetOps(docs, "source", "text")
+      .orderBy($"src_a", $"src_b").collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("est_union"), r.getAs[Long]("exact_union"),
+        r.getAs[Long]("est_inter"), r.getAs[Long]("exact_inter"))).toSeq
+    assert(out.map(t => (t._1, t._2)) ===
+      Seq(("A", "B"), ("A", "C"), ("B", "C")))
+    out.foreach { case (a, b, eu, xu, ei, xi) =>
+      assert(eu === xu && ei === xi, s"($a,$b) estimate != exact")
+    }
+    assert(out.head === ("A", "B", 6L, 6L, 2L, 2L))
+    // saturated regime on the corpus with a tiny k: the published
+    // estimates must recompute from the published state quantities
+    import graft.model.Tables
+    val k = 4
+    val sat = Sampling.kmvSetOps(Tables.documents(spark, sf),
+        "source", "text", k = k).collect()
+    sat.foreach { r =>
+      val s = r.getAs[Long]("shared_in_topk")
+      val eu = r.getAs[Long]("est_union")
+      val ei = r.getAs[Long]("est_inter")
+      assert(ei === s * eu / k || eu < k,
+        s"est_inter $ei != $s*$eu/$k")
+    }
+  }
+
   test("repetitionSignals flags repeated n-grams and top-token mass") {
     val docs = Seq(
       (1L, "spam spam spam spam"),           // 1 distinct token of 4
