@@ -50,22 +50,35 @@ object Dedup {
     * fewer than w grams winnow their single clipped window. */
   def winnowingPrints(docs: DataFrame, id: String, text: String,
                       kg: Int = 4, w: Int = 4): DataFrame = {
-    val grams = docs
-      // positional token hashes (NOT TextOps.tokenHashes, which is
-      // distinct-set semantics — winnowing needs the sequence)
+    import org.apache.spark.sql.expressions.Window
+    // Shape note (the §8m lesson, hit live by this operator's first
+    // bench: 13.7 s → 1.5 s): the array-HOF phrasing re-embeds the
+    // per-token hash transform into every gram lambda element once
+    // CollapseProject merges the staged selects — O(tokens²)
+    // interpreted work per doc. This phrasing explodes tokens to one
+    // codegen'd row each (the hash runs ONCE per token), builds gram
+    // hashes from lead() chains and selects window minima with a
+    // min-over-frame — both inside ONE doc-keyed WindowExec whose
+    // per-group size is the doc length (§8l bounded class).
+    val byPos = Window.partitionBy(col("did")).orderBy(col("p"))
+    val toks = docs
       .select(col(id).as("did"),
-        transform(TextOps.tokens(col(text)),
-          t => TextOps.polyHash(t)).as("th"))
-      .select(col("did"), TextOps.ngramHashes(col("th"), kg).as("g"))
-      .where(size(col("g")) >= 1)
-      .select(col("did"), size(col("g")).as("len"),
-        posexplode(col("g")).as(Seq("p", "h")))
-    val wins = grams
-      .withColumn("maxStart", greatest(col("len") - w, lit(0)))
-      .select(col("did"), col("h"),
-        explode(sequence(greatest(col("p") - (w - 1), lit(0)),
-          least(col("p"), col("maxStart")))).as("i"))
-    wins.groupBy(col("did"), col("i")).agg(min(col("h")).as("h"))
+        posexplode(TextOps.tokens(col(text))).as(Seq("p", "tok")))
+      .select(col("did"), col("p"), TextOps.polyHash(col("tok")).as("th"))
+    val gram = (1 until kg).foldLeft(col("th")) { (acc, j) =>
+      (acc * 31L + lead(col("th"), j).over(byPos)) % lit(TextOps.P)
+    }
+    val grams = toks
+      .select(col("did"), col("p"), gram.as("g"),
+        (count(lit(1)).over(Window.partitionBy(col("did"))) -
+          (kg - 1)).as("glen"))
+      .where(col("g").isNotNull)
+    val winMin = min(col("g")).over(
+      Window.partitionBy(col("did")).orderBy(col("p"))
+        .rowsBetween(Window.currentRow, w - 1))
+    grams
+      .select(col("did"), col("p"), col("glen"), winMin.as("h"))
+      .where(col("p") <= greatest(col("glen") - w, lit(0L)))
       .select(col("did"), col("h")).distinct()
   }
 
