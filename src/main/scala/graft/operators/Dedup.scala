@@ -143,6 +143,123 @@ object Dedup {
       ORDER BY id_a, id_b"""
   }
 
+  /** Dedup THRESHOLD SWEEP (the pick-your-tau audit): pair counts and
+    * direct-evidence removable doc/token mass at every candidate
+    * Jaccard threshold, from ONE shingle-overlap pass — the curve
+    * family's member on the dedup knob (c59 sweeps nprobe, c63 BPE
+    * merges, c72 mixing temperature; this sweeps c16's tau). Per tau:
+    *   - n_pairs: verified pairs with j_ppm >= tau (j integer ppm,
+    *     §4 multiply-then-div — no float Jaccard anywhere);
+    *   - docs/tokens_removable: the DIRECT-evidence removable set —
+    *     docs with at least one SMALLER near-dup at tau (id_b of some
+    *     pair). Under c16's min-keeper CC this is a lower bound that
+    *     is exact whenever every component's members all pair with
+    *     the keeper directly (true for the planted clusters;
+    *     scaladoc'd as the bound it is).
+    * A too-loose tau shows up as the removable curve exploding
+    * between two adjacent thresholds — the audit a team reads BEFORE
+    * committing a corpus-wide c16 run.
+    *
+    * Shape: c2's exact pair machinery ONCE at the sweep's floor
+    * (shingle equi-join — the documented exact baseline; at 100 TB
+    * run per LSH bucket exactly like c2), then the sweep itself is a
+    * broadcast tau-grid crossJoin over the tiny verified-pair list +
+    * two partial-aggregable groupBys to |taus| rows. */
+  def thresholdSweep(docs: DataFrame, id: String, text: String,
+                     taus: Seq[Long] = Seq(300000L, 500000L, 700000L,
+                       900000L)): DataFrame = {
+    val sh = docs.select(col(id).as("did"),
+      explode(TextOps.shingleHashes(col(text))).as("s"))
+    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.s") === col("b.s") && col("a.did") < col("b.did"))
+      .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val pairsJ = inter
+      .join(sizes.select(col("did").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("did").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("j_ppm",
+        expr("cast(cast(c as decimal(38,0)) * 1000000 div (na + nb - c) as bigint)"))
+      .where(col("j_ppm") >= taus.min)
+      .select(col("id_a"), col("id_b"), col("j_ppm"))
+      .barrier(true)
+    val tauTab = broadcast {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      taus.toDF("tau_ppm")
+    }
+    val atTau = pairsJ.crossJoin(tauTab)
+      .where(col("j_ppm") >= col("tau_ppm"))
+    val nPairs = atTau.groupBy(col("tau_ppm"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val toks = docs.select(col(id).as("id_b"),
+      size(TextOps.tokens(col(text))).cast("long").as("tok"))
+    val removable = atTau.select(col("tau_ppm"), col("id_b")).distinct()
+      .join(toks, "id_b")
+      .groupBy(col("tau_ppm"))
+      .agg(count(lit(1)).as("docs_removable"),
+        sum(col("tok")).cast("long").as("tokens_removable"))
+    tauTab
+      .join(nPairs, Seq("tau_ppm"), "left")
+      .join(removable, Seq("tau_ppm"), "left")
+      .select(col("tau_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("docs_removable"), lit(0L)).as("docs_removable"),
+        coalesce(col("tokens_removable"), lit(0L)).as("tokens_removable"))
+  }
+
+  /** DuckDB mirror of [[thresholdSweep]]. */
+  def thresholdSweepSql(id: String, t: String,
+                        taus: Seq[Long] = Seq(300000L, 500000L, 700000L,
+                          900000L)): String = {
+    val tauList = taus.mkString(", ")
+    s"""
+      WITH sh AS (
+        SELECT $id AS did, unnest(${TextOps.shingleHashesSql(t)}) AS s
+        FROM documents),
+      sizes AS (SELECT did, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.did < b.did
+        GROUP BY 1, 2),
+      pairsj AS (
+        SELECT id_a, id_b,
+               CAST((CAST(c AS HUGEINT) * 1000000)
+                 // (na.n + nb.n - c) AS BIGINT) AS j_ppm
+        FROM inter
+          JOIN sizes na ON na.did = id_a
+          JOIN sizes nb ON nb.did = id_b
+        WHERE (CAST(c AS HUGEINT) * 1000000) // (na.n + nb.n - c)
+              >= ${taus.min}),
+      taut AS (SELECT unnest([$tauList]) AS tau_ppm),
+      attau AS (
+        SELECT t.tau_ppm, p.id_a, p.id_b
+        FROM pairsj p JOIN taut t ON p.j_ppm >= t.tau_ppm),
+      npairs AS (
+        SELECT tau_ppm, COUNT(*) AS n_pairs FROM attau GROUP BY 1),
+      toks AS (
+        SELECT $id AS id_b,
+               CAST(len(${TextOps.tokensSql(t)}) AS BIGINT) AS tok
+        FROM documents),
+      removable AS (
+        SELECT tau_ppm, COUNT(*) AS docs_removable,
+               CAST(SUM(tok) AS BIGINT) AS tokens_removable
+        FROM (SELECT DISTINCT tau_ppm, id_b FROM attau) r
+          JOIN toks USING (id_b)
+        GROUP BY 1)
+      SELECT t.tau_ppm,
+             CAST(COALESCE(n.n_pairs, 0) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(r.docs_removable, 0) AS BIGINT)
+               AS docs_removable,
+             CAST(COALESCE(r.tokens_removable, 0) AS BIGINT)
+               AS tokens_removable
+      FROM taut t
+        LEFT JOIN npairs n USING (tau_ppm)
+        LEFT JOIN removable r USING (tau_ppm)
+      ORDER BY tau_ppm"""
+  }
+
   /** Cross-source duplication overlap MATRIX over the winnowing print
     * index (c103's artifact — this operator never re-reads text):
     * for every unordered source pair, the count of distinct shared
@@ -262,6 +379,89 @@ object Dedup {
       WHERE (CAST(maxlen - dist AS HUGEINT) * 1000000) // maxlen
             >= $tauPpm
       ORDER BY id_a, id_b"""
+
+  /** Cross-corpus edit verification — [[editVerify]]'s two-relation
+    * form (arrivals vs an indexed corpus), the batch contract of the
+    * d49 live plagiarism gate: arrival docs winnow their own prints,
+    * candidates come from the print equi-join against the CORPUS
+    * print index (the persisted c103 artifact — the static seam a
+    * streaming gate broadcasts nothing for: a hash is its own
+    * bucket), and only candidates with >= minShared shared prints pay
+    * the Levenshtein DP against the matched corpus text. Stateless
+    * per arrival — the gate's work is bounded by the arrival's own
+    * candidates whatever the corpus size. */
+  def crossEditVerify(corpus: DataFrame, arrivals: DataFrame,
+                      id: String, text: String, kg: Int = 4, w: Int = 4,
+                      minShared: Long = 2L,
+                      tauPpm: Long = 500000L): DataFrame = {
+    val cp = winnowingPrints(corpus, id, text, kg, w)
+      .withColumnRenamed("did", "c_id")
+    val ap = winnowingPrints(arrivals, id, text, kg, w)
+      .withColumnRenamed("did", "a_id")
+    ap.join(cp, "h")
+      .groupBy(col("a_id"), col("c_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(arrivals.select(col(id).as("a_id"), col(text).as("ta")), "a_id")
+      .join(corpus.select(col(id).as("c_id"), col(text).as("tb")), "c_id")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("maxlen",
+        greatest(length(col("ta")), length(col("tb"))).cast("long"))
+      .withColumn("sim_ppm",
+        expr("cast(cast(maxlen - dist as decimal(38,0)) * 1000000 div maxlen as bigint)"))
+      .where(col("sim_ppm") >= tauPpm)
+      .select(col("a_id"), col("c_id"), col("n_shared"), col("dist"),
+        col("sim_ppm"))
+  }
+
+  /** DuckDB mirror of [[crossEditVerify]]; `corpusWhere`/
+    * `arrivalsWhere` filter the documents table into the two
+    * relations. */
+  def crossEditVerifySql(id: String, t: String, corpusWhere: String,
+                         arrivalsWhere: String, kg: Int = 4, w: Int = 4,
+                         minShared: Long = 2L,
+                         tauPpm: Long = 500000L): String = {
+    val g = TextOps.ngramHashesSql("th", kg)
+    def printsCte(nm: String, where: String) = s"""
+      ${nm}_wt AS (
+        SELECT $id AS did,
+               list_transform(${TextOps.tokensSql(t)},
+                 tok -> ${TextOps.polyHashSql("tok")}) AS th
+        FROM documents WHERE $where),
+      ${nm}_wg AS (
+        SELECT did, g FROM (SELECT did, $g AS g FROM ${nm}_wt) x
+        WHERE len(g) >= 1),
+      $nm AS (
+        SELECT DISTINCT did, h FROM (
+          SELECT did,
+                 unnest(list_transform(
+                   range(1, greatest(len(g) - $w, 0) + 2),
+                   i -> list_min(list_slice(g, i, i + $w - 1)))) AS h
+          FROM ${nm}_wg) u)"""
+    s"""
+      WITH ${printsCte("cp", corpusWhere)},
+      ${printsCte("ap", arrivalsWhere)},
+      cand AS (
+        SELECT a.did AS a_id, c.did AS c_id, COUNT(*) AS n_shared
+        FROM ap a JOIN cp c ON a.h = c.h
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= $minShared),
+      ev AS (
+        SELECT cand.a_id, cand.c_id, cand.n_shared,
+               CAST(levenshtein(da.$t, db.$t) AS BIGINT) AS dist,
+               CAST(greatest(length(da.$t), length(db.$t)) AS BIGINT)
+                 AS maxlen
+        FROM cand
+          JOIN documents da ON da.$id = cand.a_id
+          JOIN documents db ON db.$id = cand.c_id)
+      SELECT a_id, c_id, n_shared, dist,
+             CAST((CAST(maxlen - dist AS HUGEINT) * 1000000) // maxlen
+               AS BIGINT) AS sim_ppm
+      FROM ev
+      WHERE (CAST(maxlen - dist AS HUGEINT) * 1000000) // maxlen
+            >= $tauPpm
+      ORDER BY a_id, c_id"""
+  }
 
   /** Exact token-3-gram Jaccard >= tau pairs via shingle explode +
     * equi-join on shingle. AQE handles hot-shingle skew; at scale

@@ -4222,6 +4222,22 @@ object PipelineSuite extends Suite {
       .orderBy(col("src_a"), col("src_b")),
     Some(Sampling.kmvSetOpsSql("source", "text")))
 
+  val c108 = Q(
+    "c108_threshold_sweep",
+    // Dedup threshold sweep (Dedup.thresholdSweep — the curve family
+    // on c16's tau knob, next to c59/c63/c72): per candidate
+    // threshold, verified pair count + the direct-evidence removable
+    // doc/token mass (docs with a smaller near-dup at tau), all from
+    // ONE shingle-overlap pass at the sweep floor. A too-loose tau
+    // shows up as the removable curve exploding between adjacent
+    // thresholds — read BEFORE committing a corpus-wide dedup run.
+    // Integer-ppm Jaccard (§4); the sweep itself is a broadcast
+    // tau grid over the tiny verified-pair list.
+    (s, d) => Dedup.thresholdSweep(Tables.documents(s, d),
+        "doc_id", "text")
+      .orderBy(col("tau_ppm")),
+    Some(Dedup.thresholdSweepSql("doc_id", "text")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -4231,5 +4247,5 @@ object PipelineSuite extends Suite {
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
       c96, c97, c98, c99, c100, c101, c102, c103, c104, c105, c106,
-      c107)
+      c107, c108)
 }

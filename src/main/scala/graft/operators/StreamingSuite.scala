@@ -2094,9 +2094,33 @@ object StreamingSuite extends Suite {
       FROM (${graft.operators.Sampling.kmvSetOpsSql("source", "text")}) t
       ORDER BY src_a, src_b"""))
 
+  val d49 = Q(
+    "d49_stream_edit_verify",
+    // c106's live half against a FROZEN corpus (Streams.
+    // editVerifyStreaming): arrivals winnow their own prints,
+    // candidates come from the print equi-join against the persisted
+    // c103 index, and only >= minShared candidates pay the
+    // Levenshtein DP against the matched corpus text — the live
+    // "near-copy of something we already have?" gate, per-batch work
+    // bounded by the arrival's own candidates whatever the corpus
+    // size. Stateless across batches (frozen index), so drain parity
+    // with this batch contract is immediate (StreamsSpec pins it).
+    // Batch contract = crossEditVerify(%10<8 corpus, %10>=8
+    // arrivals).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Dedup.crossEditVerify(
+          docs.where(pmod(col("doc_id"), lit(10)) < 8),
+          docs.where(pmod(col("doc_id"), lit(10)) >= 8),
+          "doc_id", "text")
+        .orderBy(col("a_id"), col("c_id"))
+    },
+    Some(graft.operators.Dedup.crossEditVerifySql("doc_id", "text",
+      corpusWhere = "doc_id % 10 < 8", arrivalsWhere = "doc_id % 10 >= 8")))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42, d43, d44, d45, d46, d47, d48)
+      d42, d43, d44, d45, d46, d47, d48, d49)
 }

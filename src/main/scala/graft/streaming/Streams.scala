@@ -1915,6 +1915,58 @@ object Streams {
       .start()
   }
 
+  /** Streaming edit-verify gate — d49, c106's live half against a
+    * FROZEN corpus (the static-artifact seam): the corpus winnowing
+    * print index and its texts are built once (c103's persisted
+    * artifact in production); each arriving batch winnows its OWN
+    * prints, candidates come from the print equi-join against the
+    * index, and only candidates with >= minShared shared prints pay
+    * the Levenshtein DP against the matched corpus text — the live
+    * "is this arrival a near-copy of something we already have?"
+    * gate whose per-batch work is bounded by the arrival's own
+    * candidate count whatever the corpus size. STATELESS across
+    * batches (each arrival verifies against the frozen index), so
+    * drain parity with the c106-shaped batch contract is immediate;
+    * emission inside the batchId guard (no duplicate frames on
+    * at-least-once redelivery). */
+  def editVerifyStreaming(corpus: DataFrame, arrivals: DataFrame,
+      id: String, text: String, kg: Int = 4, w: Int = 4,
+      minShared: Long = 2L, tauPpm: Long = 500000L)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.util.Barriers.BarrierOps
+    val cp = Dedup.winnowingPrints(corpus, id, text, kg, w)
+      .withColumnRenamed("did", "c_id").barrier(true)
+    val ctext = corpus.select(col(id).as("c_id"), col(text).as("tb"))
+      .barrier(true)
+    var lastApplied = -1L
+    arrivals.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          lastApplied = bid
+          val ap = Dedup.winnowingPrints(batch, id, text, kg, w)
+            .withColumnRenamed("did", "a_id")
+          sink(ap.join(cp, "h")
+            .groupBy(col("a_id"), col("c_id"))
+            .agg(count(lit(1)).as("n_shared"))
+            .where(col("n_shared") >= minShared)
+            .join(batch.select(col(id).as("a_id"), col(text).as("ta")),
+              "a_id")
+            .join(ctext, "c_id")
+            .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+            .withColumn("maxlen",
+              greatest(length(col("ta")), length(col("tb"))).cast("long"))
+            .withColumn("sim_ppm",
+              expr("cast(cast(maxlen - dist as decimal(38,0)) * 1000000 div maxlen as bigint)"))
+            .where(col("sim_ppm") >= tauPpm)
+            .select(col("a_id"), col("c_id"), col("n_shared"),
+              col("dist"), col("sim_ppm"))
+            .orderBy(col("a_id"), col("c_id")))
+        }
+      }
+      .start()
+  }
+
   /** Streaming fold of the c107 KMV set-operation estimates — d48:
     * arriving batches' per-source distinct content hashes fold into
     * the running bottom-k-per-source state (d43's merge, the same

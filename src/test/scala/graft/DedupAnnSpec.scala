@@ -255,6 +255,43 @@ class DedupAnnSpec extends SparkSpec {
     assert(out === Seq((1L, 2L, 1L, 956521L)))
   }
 
+  test("thresholdSweep: hand-checked pair and removable counts at " +
+      "every tau; curves monotone non-increasing") {
+    // d1=d2 (j=1e6); d3 overlaps d1/d2 at 3 of 5 distinct shingles
+    // (j=600000); d5 unique. tau 300k/500k: 3 pairs, removable
+    // {2,3} = 12 tokens; tau 700k/900k: 1 pair, removable {2}.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "a b c d e z"), (5L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val out = Dedup.thresholdSweep(docs, "doc_id", "text")
+      .orderBy($"tau_ppm").collect()
+      .map(r => (r.getAs[Long]("tau_ppm"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("docs_removable"),
+        r.getAs[Long]("tokens_removable"))).toSeq
+    assert(out === Seq(
+      (300000L, 3L, 2L, 12L), (500000L, 3L, 2L, 12L),
+      (700000L, 1L, 1L, 6L), (900000L, 1L, 1L, 6L)))
+    val rows = out.map(_._2)
+    assert(rows === rows.sorted.reverse)
+  }
+
+  test("crossEditVerify: a planted near-copy of a corpus doc is " +
+      "flagged with its exact edit distance; unrelated arrivals pass") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today ok"),
+      (2L, "completely different corpus content with many words here"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today ok"),
+      (11L, "zz yy xx ww vv uu tt ss rr qq pp"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossEditVerify(corpus, arrivals, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("c_id"),
+        r.getAs[Long]("dist"), r.getAs[Long]("sim_ppm"))).toSeq
+    assert(out === Seq((10L, 1L, 0L, 1000000L)))
+  }
+
   test("binaryCodes: hand-checked mean-thresholded bit packing") {
     // corpus a=(1,0,0,0) b=(0,1,0,0) c=(1,1,1,1): per-dim fixed-point
     // sums s = (2,2,1,1)*2^30, n=3; bit = f*3 > s -> 1.0 components

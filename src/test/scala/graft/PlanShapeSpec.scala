@@ -160,7 +160,8 @@ class PlanShapeSpec extends SparkSpec {
       "c102_hamming_ann",        // broadcast 1-row thresholds + query codes (c24 class)
       "c104_hybrid_rrf",         // broadcast eval vectors + 1-row BM25 totals (c6/c36 class)
       "c107_kmv_set_ops",        // broadcast |sources| pair grid over k-row states
-      "d48_stream_kmv_setops")   // broadcast |sources| pair grid (c107 class)
+      "d48_stream_kmv_setops",   // broadcast |sources| pair grid (c107 class)
+      "c108_threshold_sweep")    // broadcast |taus|-row grid over verified pairs
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -2044,6 +2044,46 @@ class StreamsSpec extends SparkSpec {
       s"priority sample not mass-biased: ${keptW.sum} vs $corpusMeanTimesKept")
   }
 
+  test("streaming edit-verify gate: union of per-batch emissions " +
+      "equals the d49 batch contract; a planted near-copy is flagged " +
+      "in its own batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod($"doc_id", lit(10)) < 8)
+    val arriving = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // plant: an exact copy of a corpus doc arrives in the LAST batch
+    val copied = corpus.select($"text").as[String].head()
+    val planted = (990000L, copied)
+    type R = (Long, Long, Long, Long)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("c_id"),
+        r.getAs[Long]("dist"), r.getAs[Long]("sim_ppm"))).toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.editVerifyStreaming(corpus,
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text") { df =>
+      val rows = toRows(df); this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 2).toSeq,
+      (arriving.slice(n / 2, n) :+ planted).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    assert(emissions.size === 2)
+    // the planted exact copy is flagged in its own batch at sim 1e6
+    assert(emissions.last.exists(r => r._1 === 990000L && r._3 === 0L
+      && r._4 === 1000000L))
+    // stateless gate: union of emissions (minus the plant) equals the
+    // batch contract over the same arrivals
+    val got = emissions.flatten.filterNot(_._1 == 990000L)
+      .sortBy(t => (t._1, t._2))
+    val batch = toRows(graft.SparkEntry.queries(
+      "d49_stream_edit_verify")(spark, sf)).sortBy(t => (t._1, t._2))
+    assert(got === batch)
+  }
+
   test("streaming kmv set-ops fold: drained emission equals the d48 " +
       "batch contract under arbitrary slicing; state bounded") {
     implicit val sqlCtx = spark.sqlContext
