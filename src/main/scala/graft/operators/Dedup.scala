@@ -812,6 +812,22 @@ object Dedup {
     verifyJaccardPpm(cand, sh, sizes, tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** The banded verified near-dup PAIR SET alone — [[deduplicate]]'s
+    * intermediate exposed for consumers that need both the clusters
+    * and the pairs (c109's leak audit): one shingle pass, banded
+    * candidates, exact verify on candidates only. Pair recall at tau
+    * follows the banding analysis on [[deduplicate]]. */
+  def verifiedPairs(docs: DataFrame, id: String, text: String,
+                    tau: Double, k: Int = 48, bands: Int = 24): DataFrame = {
+    val sh = docs.select(col(id).as("did"),
+      explode(TextOps.shingleHashes(col(text))).as("sh")).barrier(true)
+    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
+    val cand = minHashCandidates(docs, id, text, k, bands)
+      .select(col("id_a"), col("id_b"))
+    verifyJaccard(cand, sh, sizes, tau)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Apply dedup: MinHash-LSH candidates → exact-Jaccard verify on the
     * candidates only → transitive clusters via distributed connected
     * components, keeping the minimum id per cluster. Returns

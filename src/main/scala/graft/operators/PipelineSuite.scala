@@ -4238,6 +4238,23 @@ object PipelineSuite extends Suite {
       .orderBy(col("tau_ppm")),
     Some(Dedup.thresholdSweepSql("doc_id", "text")))
 
+  val c109 = Q(
+    "c109_leakage_free_split",
+    // Leakage-FREE train/val/test split (Sampling.leakFreeSplit —
+    // the constructive complement of c73's leakage detector):
+    // assignment keyed on the near-dup CLUSTER (c16's CC keeper),
+    // not the doc id, so no near-dup pair can straddle splits BY
+    // CONSTRUCTION; split = stable keeper-hash bucket (80/10/10),
+    // reproducible across runs and layouts. The audit PROVES the
+    // property from the verified pair set itself: cross_split_pairs
+    // is recomputed, not asserted (0 everywhere; nonzero = the split
+    // was keyed wrong). One dedup pass + a keeper join + one audit
+    // groupBy; leak audit joins the bounded pair list linearly.
+    (s, d) => Sampling.leakFreeSplit(Tables.documents(s, d),
+        "doc_id", "text")
+      .orderBy(col("split")),
+    Some(Sampling.leakFreeSplitSql("doc_id", "text")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -4247,5 +4264,5 @@ object PipelineSuite extends Suite {
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
       c96, c97, c98, c99, c100, c101, c102, c103, c104, c105, c106,
-      c107, c108)
+      c107, c108, c109)
 }

@@ -120,6 +120,123 @@ object Sampling {
         JOIN kth ON kth.$stratum = kept.$stratum
       ORDER BY $stratum, rk"""
 
+  /** Leakage-FREE train/val/test split (the constructive complement
+    * of c73's leakage DETECTOR): assignment is keyed on the near-dup
+    * CLUSTER label (c16's CC keeper), not the doc id, so every member
+    * of a near-dup cluster lands in the same split BY CONSTRUCTION —
+    * the eval-set integrity rule train/test splits of crawled corpora
+    * break when they hash raw ids (a near-copy of a test doc in train
+    * is contamination measured as generalization). Split = stable
+    * hash bucket of the keeper (80/10/10 over 100 buckets, the
+    * [[stratifiedSample]] contract: reproducible across runs and
+    * layouts).
+    *
+    * The audit output proves the property instead of asserting it:
+    * per split, doc/token/cluster counts PLUS cross_split_pairs —
+    * verified near-dup pairs whose ends landed in different splits —
+    * recomputed from the pair set itself (0 by construction; a
+    * nonzero value would mean the split was keyed wrong). Shape:
+    * c16's LSH→verify→CC dedup once, a broadcast-friendly keeper
+    * join, one partial-aggregable audit groupBy; the leak audit joins
+    * the verified pair list (bounded by true near-dups) to the
+    * |docs|-row split map on the two id keys — linear. */
+  def leakFreeSplit(docs: DataFrame, id: String, text: String,
+                    tau: Double = 0.5): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    // one banded verify pass, reused by BOTH the CC clustering and
+    // the leak audit (running deduplicate + a second exact pair pass
+    // measured 9.3 s vs 5.8 s at sf0.1)
+    val pairs = Dedup.verifiedPairs(docs, id, text, tau).barrier(true)
+    val m = graft.graph.GraphAlgo
+      .connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .select(col("node").as(id), col("component").as("keeper"))
+    val withSplit = docs
+      .select(col(id), size(TextOps.tokens(col(text))).cast("long").as("tok"))
+      .join(m, Seq(id), "left")
+      .withColumn("keeper", coalesce(col("keeper"), col(id)))
+      .withColumn("bucket", pmod(TextOps.polyHashMixed(
+        concat(lit("sp:"), col("keeper").cast("string"))), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .barrier(true)
+    val leaks = pairs
+      .join(withSplit.select(col(id).as("id_a"), col("split").as("sa")),
+        "id_a")
+      .join(withSplit.select(col(id).as("id_b"), col("split").as("sb")),
+        "id_b")
+      .where(col("sa") =!= col("sb"))
+    val leaksPerSplit = leaks.select(col("sa").as("split"))
+      .unionAll(leaks.select(col("sb").as("split")))
+      .groupBy(col("split")).agg(count(lit(1)).as("cross_split_pairs"))
+    withSplit.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        countDistinct(col("keeper")).as("n_clusters"))
+      .join(leaksPerSplit, Seq("split"), "left")
+      .withColumn("cross_split_pairs",
+        coalesce(col("cross_split_pairs"), lit(0L)))
+  }
+
+  /** DuckDB mirror of [[leakFreeSplit]] (c16's exact recursive-CTE CC
+    * — banding pinned lossless at tau 0.5 by the c16 precedent). */
+  def leakFreeSplitSql(id: String, t: String): String = {
+    val sh = TextOps.shingleHashesSql(t)
+    s"""
+      WITH RECURSIVE sh AS (
+        SELECT $id AS did, unnest($sh) AS s FROM documents),
+      sizes AS (SELECT did, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.did < b.did
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.did
+          JOIN sizes sb ON id_b = sb.did
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+      mp AS (
+        SELECT n AS did, LEAST(n, MIN(m)) AS keeper
+        FROM reach GROUP BY n),
+      base AS (
+        SELECT d.$id AS did,
+               CAST(len(${TextOps.tokensSql(t)}) AS BIGINT) AS tok,
+               COALESCE(mp.keeper, d.$id) AS keeper
+        FROM documents d LEFT JOIN mp ON mp.did = d.$id),
+      assigned AS (
+        SELECT did, tok, keeper,
+               CASE WHEN bkt < 80 THEN 'train'
+                    WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT *, (${TextOps.polyHashMixedSql(
+          "('sp:' || CAST(keeper AS VARCHAR))")}) % 100 AS bkt
+          FROM base) b),
+      leaks AS (
+        SELECT sa.split AS s1, sb.split AS s2
+        FROM pairs p
+          JOIN assigned sa ON sa.did = p.id_a
+          JOIN assigned sb ON sb.did = p.id_b
+        WHERE sa.split <> sb.split),
+      lps AS (
+        SELECT split, COUNT(*) AS cross_split_pairs FROM (
+          SELECT s1 AS split FROM leaks
+          UNION ALL SELECT s2 FROM leaks)
+        GROUP BY 1)
+      SELECT a.split, COUNT(*) AS n_docs,
+             CAST(SUM(a.tok) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT a.keeper) AS BIGINT) AS n_clusters,
+             CAST(COALESCE(MAX(lps.cross_split_pairs), 0) AS BIGINT)
+               AS cross_split_pairs
+      FROM assigned a LEFT JOIN lps ON lps.split = a.split
+      GROUP BY a.split
+      ORDER BY a.split"""
+  }
+
   /** Per-source bottom-k KMV STATE alone (the c95 synopsis without
     * the sample columns): the k smallest mixed content hashes per
     * source over distinct content. The bounded artifact

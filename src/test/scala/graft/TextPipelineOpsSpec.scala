@@ -216,6 +216,35 @@ class TextPipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("leakFreeSplit: clusters never straddle splits, audit proves " +
+      "it, doc counts partition the corpus") {
+    import graft.model.Tables
+    // synthetic: a 3-member near-dup cluster must land together
+    val clusterText = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, clusterText), (2L, clusterText), (3L, clusterText),
+      (4L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (5L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"))
+      .toDF("doc_id", "text")
+    val out = Sampling.leakFreeSplit(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[String]("split"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("cross_split_pairs"))).toSeq
+    assert(out.map(_._2).sum === 5L)
+    assert(out.forall(_._4 === 0L))
+    // the 3-member cluster is intact: some split holds >= 3 docs but
+    // counts them as clusters - docs >= 2 fewer
+    assert(out.exists(r => r._2 - r._3 === 2L))
+    // corpus: splits partition, zero cross-split pairs
+    val corpus = Sampling.leakFreeSplit(Tables.documents(spark, sf),
+        "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("cross_split_pairs"))).toSeq
+    assert(corpus.map(_._1).sum ===
+      Tables.documents(spark, sf).count())
+    assert(corpus.forall(_._2 === 0L))
+  }
+
   test("repetitionSignals flags repeated n-grams and top-token mass") {
     val docs = Seq(
       (1L, "spam spam spam spam"),           // 1 distinct token of 4
