@@ -1334,6 +1334,110 @@ object Dedup {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
   }
 
+  /** Leakage-consistent SPLIT ROUTING for arrivals (c109's live
+    * half's batch contract): an arriving doc that verifies as a
+    * near-dup of corpus content inherits the corpus cluster's split
+    * (the c109 keeper-hash bucket — the SAME function, so ingest can
+    * never put a near-copy of a test doc into train); a novel
+    * arrival routes by its own CONTENT hash (exact-copy arrivals
+    * co-route by construction). Residual risk — two NOVEL arrivals
+    * that are near-dups of each other but of nothing indexed — is
+    * deliberately out of contract (the d33/d49 cross-arrival
+    * precedent): it is resolved at the next index refresh, exactly
+    * like production split routers. Shape: the arrival's banded
+    * probe (shuffle bounded by the arrival's bands + collisions,
+    * never the corpus) + two linear joins against the frozen keeper
+    * map. */
+  def splitRoute(corpusIdx: DedupIndex, corpusKeepers: DataFrame,
+                 batch: DataFrame, id: String, text: String,
+                 tau: Double, k: Int = 48, bands: Int = 24): DataFrame = {
+    val bIdx = buildIndex(batch, id, text, k, bands)
+    val dupOf = crossPairs(corpusIdx, bIdx, tau)
+      .groupBy(col("id_b").as(id)).agg(min(col("id_a")).as("dup_of"))
+    val routed = batch
+      .select(col(id), TextOps.polyHash(col(text)).as("ch"))
+      .join(dupOf, Seq(id), "left")
+      .join(corpusKeepers.select(col(id).as("dup_of"),
+        col("keeper").as("ck")), Seq("dup_of"), "left")
+      .withColumn("matched",
+        when(col("dup_of").isNotNull, 1L).otherwise(0L))
+      .withColumn("keeper",
+        coalesce(col("ck"), col("dup_of"), lit(-1L)))
+      .withColumn("bucket", pmod(TextOps.polyHashMixed(
+        when(col("matched") === 1L,
+          concat(lit("sp:"), col("keeper").cast("string")))
+          .otherwise(concat(lit("spc:"), col("ch").cast("string")))),
+        lit(100L)))
+    routed.select(col(id), col("matched"), col("keeper"),
+      when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+  }
+
+  /** DuckDB mirror of [[splitRoute]] (exact cross-pair verify — the
+    * banding-lossless-at-tau precedent; corpus keepers via the c16
+    * recursive-CTE CC restricted to the corpus side). */
+  def splitRouteSql(id: String, t: String, corpusWhere: String,
+                    arrivalsWhere: String, tau: Double = 0.5): String = {
+    val sh = TextOps.shingleHashesSql(t)
+    s"""
+      WITH RECURSIVE corpus AS (
+        SELECT * FROM documents WHERE $corpusWhere),
+      arrivals AS (
+        SELECT * FROM documents WHERE $arrivalsWhere),
+      csh AS (SELECT $id AS did, unnest($sh) AS s FROM corpus),
+      ash AS (SELECT $id AS did, unnest($sh) AS s FROM arrivals),
+      csz AS (SELECT did, COUNT(*) AS n FROM csh GROUP BY 1),
+      asz AS (SELECT did, COUNT(*) AS n FROM ash GROUP BY 1),
+      cinter AS (
+        SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS c
+        FROM csh a JOIN csh b ON a.s = b.s AND a.did < b.did
+        GROUP BY 1, 2),
+      cpairs AS (
+        SELECT id_a, id_b FROM cinter
+          JOIN csz sa ON id_a = sa.did
+          JOIN csz sb ON id_b = sb.did
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= $tau),
+      und AS (SELECT id_a AS a, id_b AS b FROM cpairs
+              UNION ALL SELECT id_b, id_a FROM cpairs),
+      reach(n, m) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+      mp AS (SELECT n AS did, LEAST(n, MIN(m)) AS keeper
+             FROM reach GROUP BY n),
+      xinter AS (
+        SELECT c.did AS id_a, a.did AS id_b, COUNT(*) AS c
+        FROM csh c JOIN ash a ON c.s = a.s
+        GROUP BY 1, 2),
+      xpairs AS (
+        SELECT id_a, id_b FROM xinter
+          JOIN csz sa ON id_a = sa.did
+          JOIN asz sb ON id_b = sb.did
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= $tau),
+      dupof AS (
+        SELECT id_b AS did, MIN(id_a) AS dup_of FROM xpairs GROUP BY 1),
+      routed AS (
+        SELECT a.$id AS did,
+               CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END
+                 AS matched,
+               COALESCE(mp.keeper, d.dup_of, -1) AS keeper,
+               ${TextOps.polyHashSql(s"a.$t")} AS ch
+        FROM arrivals a
+          LEFT JOIN dupof d ON d.did = a.$id
+          LEFT JOIN mp ON mp.did = d.dup_of)
+      SELECT did AS $id, CAST(matched AS BIGINT) AS matched,
+             CAST(keeper AS BIGINT) AS keeper,
+             CASE WHEN bkt < 80 THEN 'train'
+                  WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT *, (${TextOps.polyHashMixedSql(
+          """(CASE WHEN matched = 1
+              THEN 'sp:' || CAST(keeper AS VARCHAR)
+              ELSE 'spc:' || CAST(ch AS VARCHAR) END)""")}) % 100 AS bkt
+        FROM routed) r
+      ORDER BY $id"""
+  }
+
   /** Verified near-dup pairs BETWEEN a corpus index and a new
     * increment's index (never within either side): banded equi-join
     * candidates + exact-Jaccard verify on candidates only. Returns

@@ -2118,9 +2118,44 @@ object StreamingSuite extends Suite {
     Some(graft.operators.Dedup.crossEditVerifySql("doc_id", "text",
       corpusWhere = "doc_id % 10 < 8", arrivalsWhere = "doc_id % 10 >= 8")))
 
+  val d50 = Q(
+    "d50_stream_split_router",
+    // c109's live half (Streams.splitRouteStreaming; batch contract
+    // = Dedup.splitRoute): arrivals route to train/val/test against
+    // the FROZEN corpus index + cluster map — a verified near-dup of
+    // corpus content inherits the corpus cluster's split (the SAME
+    // c109 keeper-hash bucket: ingest can never put a near-copy of a
+    // test doc into train), a novel arrival routes by its own
+    // content hash (exact copies co-route). Stateless vs the frozen
+    // index (novel-vs-novel near-dups resolve at the next index
+    // refresh — the d33/d49 cross-arrival contract); StreamsSpec
+    // pins drain parity + a planted corpus near-copy inheriting its
+    // cluster's split.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val idx = graft.operators.Dedup.buildIndex(corpus, "doc_id",
+        "text", k = 48, bands = 24)
+      // the cluster map is the FROZEN artifact the router consults —
+      // persisted per corpus fingerprint (the c67 DiskCache seam),
+      // derived once, read by every routed batch
+      val keepers = graft.util.DiskCache.cached(s, "dedup-map-corpus8",
+        "v1", Seq(s"$d/documents.parquet"), "tau05-mod10lt8",
+        Seq("map")) { tmp =>
+        graft.operators.Dedup.deduplicate(corpus, "doc_id", "text", 0.5)
+          .write.mode("overwrite").parquet(s"$tmp/map")
+      } { base => s.read.parquet(s"$base/map") }
+      graft.operators.Dedup.splitRoute(idx, keepers,
+          docs.where(pmod(col("doc_id"), lit(10)) >= 8),
+          "doc_id", "text", 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some(graft.operators.Dedup.splitRouteSql("doc_id", "text",
+      corpusWhere = "doc_id % 10 < 8", arrivalsWhere = "doc_id % 10 >= 8")))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42, d43, d44, d45, d46, d47, d48, d49)
+      d42, d43, d44, d45, d46, d47, d48, d49, d50)
 }

@@ -1967,6 +1967,33 @@ object Streams {
       .start()
   }
 
+  /** Streaming split router — d50, c109's live half (batch contract =
+    * Dedup.splitRoute): arrivals route to train/val/test against the
+    * FROZEN corpus index + cluster map — a near-dup of corpus content
+    * inherits the corpus cluster's split (the same c109 keeper-hash
+    * bucket, so ingest can never put a near-copy of a test doc into
+    * train), a novel arrival routes by its own content hash
+    * (exact-copy arrivals co-route). Stateless across batches (the
+    * frozen-index seam; novel-vs-novel near-dups resolve at the next
+    * index refresh — the d33/d49 cross-arrival contract), so drain
+    * parity is immediate; emission inside the batchId guard. */
+  def splitRouteStreaming(corpusIdx: graft.operators.Dedup.DedupIndex,
+      corpusKeepers: DataFrame, arrivals: DataFrame, id: String,
+      text: String, tau: Double = 0.5)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    var lastApplied = -1L
+    arrivals.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          lastApplied = bid
+          sink(Dedup.splitRoute(corpusIdx, corpusKeepers, batch, id,
+            text, tau).orderBy(col(id)))
+        }
+      }
+      .start()
+  }
+
   /** Streaming fold of the c107 KMV set-operation estimates — d48:
     * arriving batches' per-source distinct content hashes fold into
     * the running bottom-k-per-source state (d43's merge, the same

@@ -2084,6 +2084,55 @@ class StreamsSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming split router: union of per-batch emissions equals " +
+      "the d50 batch contract; a planted corpus near-copy inherits " +
+      "its cluster's split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod($"doc_id", lit(10)) < 8)
+    val idx = Dedup.buildIndex(corpus, "doc_id", "text", 48, 24)
+    val keepers = Dedup.deduplicate(corpus, "doc_id", "text", 0.5)
+      .cache()
+    val arriving = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // plant an exact copy of a corpus doc as a new arrival
+    val (srcId, srcText) = corpus.select($"doc_id", $"text")
+      .as[(Long, String)].head()
+    val planted = (990000L, srcText)
+    type R = (Long, Long, Long, String)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("matched"), r.getAs[Long]("keeper"),
+        r.getAs[String]("split"))).toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.splitRouteStreaming(idx, keepers,
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text") { df =>
+      val rows = toRows(df); this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 2).toSeq,
+      (arriving.slice(n / 2, n) :+ planted).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    assert(emissions.size === 2)
+    // the plant matched and inherited the CORPUS doc's cluster split
+    val srcKeeper = keepers.where($"doc_id" === srcId)
+      .select($"keeper").as[Long].collect().headOption.getOrElse(srcId)
+    val plantRow = emissions.last.find(_._1 == 990000L).get
+    assert(plantRow._2 === 1L && plantRow._3 === srcKeeper)
+    // stateless: union of emissions (minus the plant) equals the
+    // batch contract
+    val got = emissions.flatten.filterNot(_._1 == 990000L)
+      .sortBy(_._1)
+    val batch = toRows(graft.SparkEntry.queries(
+      "d50_stream_split_router")(spark, sf)).sortBy(_._1)
+    assert(got === batch)
+    // every arrival got exactly one route
+    assert(got.map(_._1) === arriving.map(_._1).sorted.toSeq)
+  }
+
   test("streaming kmv set-ops fold: drained emission equals the d48 " +
       "batch contract under arbitrary slicing; state bounded") {
     implicit val sqlCtx = spark.sqlContext
