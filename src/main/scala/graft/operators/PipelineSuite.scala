@@ -4255,6 +4255,25 @@ object PipelineSuite extends Suite {
       .orderBy(col("split")),
     Some(Sampling.leakFreeSplitSql("doc_id", "text")))
 
+  val c110 = Q(
+    "c110_contamination_report",
+    // Per-eval-doc contamination REPORT (Retrieval.
+    // contaminationReport — the c100 composition move on eval
+    // integrity): all four evidence legs side by side per eval doc —
+    // verbatim content-hash twin (c1), max exact shingle-Jaccard +
+    // arg (c27's leg per-eval-max), BM25 top-1 (c36), dense cosine
+    // top-1 (c14's provider) — with the verdict folding only the
+    // EXACT legs (verbatim > near_dup at tau > clean; retrieval legs
+    // stay evidence because their scores have no calibrated
+    // threshold, c71's honest line). Eval sets are small by
+    // construction, so every leg broadcasts the eval side against
+    // one linear train pass.
+    (s, d) => Retrieval.contaminationReport(Tables.documents(s, d),
+        "doc_id", "text", pmod(col("doc_id"), lit(101)) === 0)
+      .orderBy(col("eval_id")),
+    Some(Retrieval.contaminationReportSql("doc_id", "text",
+      evalCond = "doc_id % 101 = 0")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -4264,5 +4283,5 @@ object PipelineSuite extends Suite {
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
       c96, c97, c98, c99, c100, c101, c102, c103, c104, c105, c106,
-      c107, c108, c109)
+      c107, c108, c109, c110)
 }

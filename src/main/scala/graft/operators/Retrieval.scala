@@ -163,6 +163,193 @@ object Retrieval {
         col("doc_id"), col("rrf_ppm"), col("bm25_rank"), col("dense_rank"))
   }
 
+  /** Per-eval-doc CONTAMINATION REPORT — the datasheet row an eval
+    * owner reads (the c100 composition move applied to eval
+    * integrity): all four evidence legs the engine has, side by side
+    * per eval doc:
+    *
+    *   - verbatim: an exact content-hash twin exists in train (the
+    *     c1 fingerprint);
+    *   - near-dup: max exact shingle-Jaccard vs train as integer ppm
+    *     + the arg doc (c27's overlap leg, made per-eval-max);
+    *   - lexical: BM25 top-1 train doc + integer score (c36);
+    *   - dense: cosine top-1 train doc + round-6 sim (c14's provider).
+    *
+    * verdict folds only the EXACT legs (verbatim > near_dup at tau >
+    * clean) — the retrieval legs are evidence columns, not verdict
+    * inputs, because their scores have no calibrated threshold (the
+    * honest line c71 draws). Missing legs read -1/0.
+    *
+    * Shape: eval sets are small by construction (the c27 argument),
+    * so every leg broadcasts the eval side against one linear train
+    * pass; the report join is |eval|-keyed. */
+  def contaminationReport(docs: DataFrame, id: String, text: String,
+                          isQuery: Column, tau: Double = 0.5,
+                          dim: Int = 16): DataFrame = {
+    val tagged = docs.select(col(id).as("did"), col(text).as("t"),
+      isQuery.as("is_q"))
+    val eval = tagged.where(col("is_q"))
+    val train = tagged.where(!col("is_q"))
+    // verbatim twin
+    val evalH = eval.select(col("did").as("eval_id"),
+      TextOps.polyHash(col("t")).as("h"))
+    val trainH = train.select(TextOps.polyHash(col("t")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("nh"))
+    val verb = evalH.join(trainH, Seq("h"), "left")
+      .select(col("eval_id"),
+        when(col("nh").isNotNull, 1L).otherwise(0L).as("verbatim"))
+    // near-dup: per-eval max exact Jaccard vs train
+    val esh = eval.select(col("did").as("eval_id"),
+      explode(TextOps.shingleHashes(col("t"))).as("s"))
+    val tsh = train.select(col("did").as("tid"),
+      explode(TextOps.shingleHashes(col("t"))).as("s"))
+    val esz = esh.groupBy(col("eval_id")).agg(count(lit(1)).as("na"))
+    val tsz = tsh.groupBy(col("tid")).agg(count(lit(1)).as("nb"))
+    val inter = broadcast(esh).join(tsh, "s")
+      .groupBy(col("eval_id"), col("tid")).agg(count(lit(1)).as("c"))
+    val jBest = inter
+      .join(broadcast(esz), "eval_id").join(tsz, "tid")
+      .withColumn("j_ppm",
+        expr("cast(cast(c as decimal(38,0)) * 1000000 div (na + nb - c) as bigint)"))
+      .groupBy(col("eval_id"))
+      .agg(max(struct(col("j_ppm"), (-col("tid")).as("nt"))).as("m"))
+      .select(col("eval_id"), col("m.j_ppm").as("j_max_ppm"),
+        (-col("m.nt")).as("j_arg"))
+    // lexical + dense top-1
+    val bm = bm25TopK(docs, id, text, isQuery, k = 1)
+      .select(col("eval_id"), col("doc_id").as("bm25_arg"),
+        col("score").as("bm25_score"))
+    val emb = docs.select(col(id), isQuery.as("is_q"),
+        TextOps.polyHash(col(text)).as("hh"))
+      .select(col(id), col("is_q"),
+        transform(graft.functions.VectorOps.mockEmbedding(col("hh"), dim),
+          x => x.cast("float")).as("embedding"),
+        lit(0).as("label"))
+    val dn = Ann.bruteForceTopK(emb.where(!col("is_q")),
+        emb.where(col("is_q")), id, "embedding", 1)
+      .select(col("q_id").as("eval_id"), col("n_id").as("dense_arg"),
+        col("sim").as("dense_sim"))
+    val tauPpm = math.round(tau * 1000000)
+    verb
+      .join(jBest, Seq("eval_id"), "left")
+      .join(bm, Seq("eval_id"), "left")
+      .join(dn, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("verbatim"),
+        coalesce(col("j_max_ppm"), lit(0L)).as("j_max_ppm"),
+        coalesce(col("j_arg"), lit(-1L)).as("j_arg"),
+        coalesce(col("bm25_score"), lit(0L)).as("bm25_score"),
+        coalesce(col("bm25_arg"), lit(-1L)).as("bm25_arg"),
+        coalesce(col("dense_sim"), lit(0.0)).as("dense_sim"),
+        coalesce(col("dense_arg"), lit(-1L)).as("dense_arg"))
+      .withColumn("verdict",
+        when(col("verbatim") === 1L, "verbatim")
+          .when(col("j_max_ppm") >= tauPpm, "near_dup")
+          .otherwise("clean"))
+  }
+
+  /** DuckDB mirror of [[contaminationReport]]. */
+  def contaminationReportSql(id: String, t: String, evalCond: String,
+                             tau: Double = 0.5, dim: Int = 16): String = {
+    val tauPpm = math.round(tau * 1000000)
+    val sh = TextOps.shingleHashesSql(t)
+    s"""
+      WITH ev AS (SELECT * FROM documents WHERE $evalCond),
+      tr AS (SELECT * FROM documents WHERE NOT ($evalCond)),
+      verb AS (
+        SELECT e.$id AS eval_id,
+               CASE WHEN th.h IS NOT NULL THEN 1 ELSE 0 END AS verbatim
+        FROM (SELECT $id, ${TextOps.polyHashSql(t)} AS h FROM ev) e
+          LEFT JOIN (SELECT DISTINCT ${TextOps.polyHashSql(t)} AS h
+                     FROM tr) th ON th.h = e.h),
+      esh AS (SELECT $id AS eval_id, unnest($sh) AS s FROM ev),
+      tsh AS (SELECT $id AS tid, unnest($sh) AS s FROM tr),
+      esz AS (SELECT eval_id, COUNT(*) AS na FROM esh GROUP BY 1),
+      tsz AS (SELECT tid, COUNT(*) AS nb FROM tsh GROUP BY 1),
+      inter AS (
+        SELECT eval_id, tid, COUNT(*) AS c
+        FROM esh JOIN tsh USING (s) GROUP BY 1, 2),
+      jbest AS (
+        SELECT eval_id, j_ppm AS j_max_ppm, tid AS j_arg FROM (
+          SELECT i.eval_id, i.tid,
+                 CAST((CAST(c AS HUGEINT) * 1000000)
+                   // (na + nb - c) AS BIGINT) AS j_ppm,
+                 ROW_NUMBER() OVER (PARTITION BY i.eval_id
+                   ORDER BY (CAST(c AS HUGEINT) * 1000000)
+                     // (na + nb - c) DESC, i.tid) AS rk
+          FROM inter i
+            JOIN esz USING (eval_id) JOIN tsz USING (tid)) x
+        WHERE rk = 1),
+      tt AS (
+        SELECT $id AS doc_id, ($evalCond) AS is_q,
+               unnest(${TextOps.tokensSql(t)}) AS tok
+        FROM documents),
+      tk AS (SELECT * FROM tt WHERE tok <> ''),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+             WHERE NOT is_q GROUP BY 1, 2),
+      lens AS (SELECT doc_id, COUNT(*) AS len FROM tk
+               WHERE NOT is_q GROUP BY 1),
+      totals AS (SELECT COUNT(*) AS n_train,
+                        CAST(SUM(len) AS BIGINT) AS tot_len FROM lens),
+      dft AS (
+        SELECT k.tok, k.df, tt2.n_train, tt2.tot_len,
+               ${bitLenSql("(tt2.n_train // k.df)")} AS idf
+        FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1) k
+          CROSS JOIN totals tt2),
+      q AS (SELECT DISTINCT doc_id AS eval_id, tok FROM tk WHERE is_q),
+      bscored AS (
+        SELECT q.eval_id, f.doc_id,
+               CAST(SUM(d.idf * CAST(
+                 (CAST(22 AS HUGEINT) * f.tf * d.tot_len * 1000000) //
+                 (CAST(10 AS HUGEINT) * f.tf * d.tot_len
+                  + CAST(3 AS HUGEINT) * d.tot_len
+                  + CAST(9 AS HUGEINT) * l.len * d.n_train)
+                 AS BIGINT)) AS BIGINT) AS score
+        FROM tf f
+          JOIN dft d USING (tok)
+          JOIN q ON q.tok = f.tok
+          JOIN lens l ON l.doc_id = f.doc_id
+        GROUP BY 1, 2),
+      bm AS (
+        SELECT eval_id, doc_id AS bm25_arg, score AS bm25_score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+            ORDER BY score DESC, doc_id) AS rk FROM bscored) x
+        WHERE rk = 1),
+      emb AS (
+        SELECT $id AS doc_id, ($evalCond) AS is_q,
+               list_transform(
+                 ${graft.functions.VectorOps.mockEmbeddingSql("hh", dim)},
+                 x -> CAST(x AS FLOAT)) AS embedding
+        FROM (SELECT $id, $t, ${TextOps.polyHashSql(t)} AS hh
+              FROM documents) z),
+      dn AS (
+        SELECT eval_id, doc_id AS dense_arg, sim AS dense_sim FROM (
+          SELECT a.doc_id AS eval_id, b.doc_id AS doc_id,
+                 ${graft.functions.VectorOps.cosine6Sql("b.embedding",
+                   "a.embedding")} AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY a.doc_id
+                   ORDER BY ${graft.functions.VectorOps.cosine6Sql(
+                     "b.embedding", "a.embedding")} DESC, b.doc_id) AS rk
+          FROM emb a JOIN emb b ON NOT b.is_q
+          WHERE a.is_q) x
+        WHERE rk = 1)
+      SELECT v.eval_id, CAST(v.verbatim AS BIGINT) AS verbatim,
+             CAST(COALESCE(j.j_max_ppm, 0) AS BIGINT) AS j_max_ppm,
+             CAST(COALESCE(j.j_arg, -1) AS BIGINT) AS j_arg,
+             CAST(COALESCE(bm.bm25_score, 0) AS BIGINT) AS bm25_score,
+             CAST(COALESCE(bm.bm25_arg, -1) AS BIGINT) AS bm25_arg,
+             COALESCE(dn.dense_sim, 0.0) AS dense_sim,
+             CAST(COALESCE(dn.dense_arg, -1) AS BIGINT) AS dense_arg,
+             CASE WHEN v.verbatim = 1 THEN 'verbatim'
+                  WHEN COALESCE(j.j_max_ppm, 0) >= $tauPpm
+                    THEN 'near_dup'
+                  ELSE 'clean' END AS verdict
+      FROM verb v
+        LEFT JOIN jbest j USING (eval_id)
+        LEFT JOIN bm USING (eval_id)
+        LEFT JOIN dn USING (eval_id)
+      ORDER BY v.eval_id"""
+  }
+
   // --- dense chunk-granularity retrieval ----------------------------
 
   /** The chunk-level dense index: documents cut into `win`/`stride`

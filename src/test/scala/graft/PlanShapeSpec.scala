@@ -161,7 +161,8 @@ class PlanShapeSpec extends SparkSpec {
       "c104_hybrid_rrf",         // broadcast eval vectors + 1-row BM25 totals (c6/c36 class)
       "c107_kmv_set_ops",        // broadcast |sources| pair grid over k-row states
       "d48_stream_kmv_setops",   // broadcast |sources| pair grid (c107 class)
-      "c108_threshold_sweep")    // broadcast |taus|-row grid over verified pairs
+      "c108_threshold_sweep",    // broadcast |taus|-row grid over verified pairs
+      "c110_contamination_report") // broadcast eval side, all four legs (c27/c36/c6 class)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

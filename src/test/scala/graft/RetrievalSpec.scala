@@ -42,6 +42,34 @@ class RetrievalSpec extends SparkSpec {
     assert(counts.where($"count" > 5).isEmpty)
   }
 
+  test("contaminationReport: verbatim twin, near-dup, and clean eval " +
+      "docs get the right verdicts with consistent evidence") {
+    val docs = Seq(
+      // eval (id < 3)
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six seven eight"),
+      (2L, "totally unrelated fresh content nothing shared"),
+      // train
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact twin of 0
+      (11L, "one two three four five six seven nine"), // near-dup of 1
+      (12L, "filler text with plain words here"),
+      (13L, "more filler about other things entirely"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.contaminationReport(docs, "doc_id", "text",
+        $"doc_id" < 3)
+      .orderBy($"eval_id").collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("verbatim"),
+        r.getAs[Long]("j_max_ppm"), r.getAs[Long]("j_arg"),
+        r.getAs[String]("verdict"))).toSeq
+    assert(out.map(t => (t._1, t._2, t._5)) === Seq(
+      (0L, 1L, "verbatim"), (1L, 0L, "near_dup"), (2L, 0L, "clean")))
+    // evidence: the near-dup arg is the planted neighbour, and its
+    // jaccard is 5 shared of 6+6-5 distinct 3-shingles = 714285 ppm
+    assert(out(1)._3 === 714285L && out(1)._4 === 11L)
+    // the verbatim twin also maxes jaccard at 1e6 against doc 10
+    assert(out(0)._3 === 1000000L && out(0)._4 === 10L)
+  }
+
   test("bm25TopK: rare-term match outranks common-term match") {
     // q shares "zebra" (df=1) with d1 and "the" (df=3) with d2/d3;
     // the rarer term must dominate the ranking
