@@ -2153,9 +2153,28 @@ object StreamingSuite extends Suite {
     Some(graft.operators.Dedup.splitRouteSql("doc_id", "text",
       corpusWhere = "doc_id % 10 < 8", arrivalsWhere = "doc_id % 10 >= 8")))
 
+  val d51 = Q(
+    "d51_stream_contamination_route",
+    // c110's live half (Streams.contaminationRouteStreaming): the
+    // four train-side evidence artifacts freeze once (content-hash
+    // set, shingle index, BM25 impact index, train embeddings — the
+    // Retrieval.contaminationIndex seam), and every arriving batch
+    // probes all four legs with only its OWN side computing — the
+    // online eval-protection gate, verdicts + evidence per arrival,
+    // cost tracking the batch never the corpus. Stateless vs the
+    // frozen artifacts; StreamsSpec pins drain parity + a planted
+    // verbatim arrival. Batch contract = c110 with the %10>=8 slice
+    // as the eval side.
+    (s, d) => graft.operators.Retrieval.contaminationReport(
+        Tables.documents(s, d), "doc_id", "text",
+        pmod(col("doc_id"), lit(10)) >= 8)
+      .orderBy(col("eval_id")),
+    Some(graft.operators.Retrieval.contaminationReportSql(
+      "doc_id", "text", evalCond = "doc_id % 10 >= 8")))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42, d43, d44, d45, d46, d47, d48, d49, d50)
+      d42, d43, d44, d45, d46, d47, d48, d49, d50, d51)
 }

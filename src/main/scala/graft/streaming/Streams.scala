@@ -1994,6 +1994,36 @@ object Streams {
       .start()
   }
 
+  /** Streaming contamination router — d51, c110's live half: the four
+    * train-side evidence artifacts (content-hash set, shingle index,
+    * BM25 impact index, train embeddings) are FROZEN once
+    * (Retrieval.contaminationIndex — each persists to parquet in
+    * production), and every arriving batch probes all four legs with
+    * only its OWN side computing (Retrieval.contaminationProbe):
+    * the online eval-protection gate — verbatim / near-dup verdicts
+    * + lexical/dense evidence per arrival, cost tracking the batch,
+    * never the corpus. Stateless across batches (frozen artifacts),
+    * so drain parity with the c110-shaped batch contract is
+    * immediate; emission inside the batchId guard. */
+  def contaminationRouteStreaming(idx: graft.operators.Retrieval.ContamIndex,
+      arrivals: DataFrame, id: String, text: String,
+      tau: Double = 0.5, dim: Int = 16)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Retrieval
+    var lastApplied = -1L
+    arrivals.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          lastApplied = bid
+          sink(Retrieval.contaminationProbe(idx,
+              batch.select(col(id).as("did"), col(text).as("t")),
+              tau, dim)
+            .orderBy(col("eval_id")))
+        }
+      }
+      .start()
+  }
+
   /** Streaming fold of the c107 KMV set-operation estimates — d48:
     * arriving batches' per-source distinct content hashes fold into
     * the running bottom-k-per-source state (d43's merge, the same

@@ -2133,6 +2133,44 @@ class StreamsSpec extends SparkSpec {
     assert(got.map(_._1) === arriving.map(_._1).sorted.toSeq)
   }
 
+  test("streaming contamination route: union of per-batch emissions " +
+      "equals the d51 batch contract; a planted verbatim arrival is " +
+      "flagged in its own batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf)
+    val train = docs.where(pmod($"doc_id", lit(10)) < 8)
+      .select($"doc_id".as("did"), $"text".as("t"))
+    val idx = Retrieval.contaminationIndex(train)
+    val arriving = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val copied = train.select($"t").as[String].head()
+    val planted = (990000L, copied)
+    type R = (Long, Long, Long, String)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[Long]("eval_id"),
+        r.getAs[Long]("verbatim"), r.getAs[Long]("j_max_ppm"),
+        r.getAs[String]("verdict"))).toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.contaminationRouteStreaming(idx,
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text") { df =>
+      val rows = toRows(df); this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 2).toSeq,
+      (arriving.slice(n / 2, n) :+ planted).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    assert(emissions.size === 2)
+    val plantRow = emissions.last.find(_._1 == 990000L).get
+    assert(plantRow._2 === 1L && plantRow._4 === "verbatim")
+    val got = emissions.flatten.filterNot(_._1 == 990000L).sortBy(_._1)
+    val batch = toRows(graft.SparkEntry.queries(
+      "d51_stream_contamination_route")(spark, sf)).sortBy(_._1)
+    assert(got === batch)
+  }
+
   test("streaming kmv set-ops fold: drained emission equals the d48 " +
       "batch contract under arbitrary slicing; state bounded") {
     implicit val sqlCtx = spark.sqlContext
