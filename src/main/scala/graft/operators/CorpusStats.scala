@@ -1097,6 +1097,76 @@ object CorpusStats {
     * are integerized per doc (floor(q·10^6 + 0.5) on the SAME
     * round(·,6) value both engines compute) BEFORE summing, so the
     * aggregate is order-free exact — never a float sum. */
+  /** Leave-one-source-out (jackknife) INFLUENCE of every source on
+    * the corpus's mean quality — the "which source is dragging my
+    * corpus down, and by how much" table (the delete-one influence
+    * statistic, Quenouille/Tukey, applied at source granularity where
+    * a corpus owner can actually act). Per source:
+    *
+    *   influence_ppm = mean(corpus \\ source) − mean(corpus)
+    *
+    * positive = removing the source RAISES corpus quality. Quality is
+    * c9's composite integerized per doc exactly as c100 does
+    * (floor(q·10^6 + 0.5) on the shared round(·,6) value — never a
+    * float sum, §4); both means are integer div of ppm sums, so the
+    * statistic is exact and the influence is a difference of two
+    * non-negative integer quotients — no negative division (§4
+    * truncate-vs-floor ban never triggers).
+    *
+    * Shape: ONE partial-aggregable per-source pass; everything after
+    * is |sources|-row arithmetic against the broadcast one-row total.
+    * The jackknife's whole point at 100 TB: influence needs no second
+    * corpus scan — leave-one-out sums are totals minus the group. */
+  def jackknifeInfluence(docs: DataFrame, id: String, text: String,
+                         source: String): DataFrame = {
+    import graft.operators.TextQuality
+    val perDoc = TextQuality.qualityFeatures(docs, id, text)
+      .join(docs.select(col(id), col(source)), Seq(id))
+      .select(col(source),
+        expr("cast(floor(quality * 1000000 + 0.5) as bigint)").as("q_ppm"))
+    val perSrc = perDoc.groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q_ppm")).cast("long").as("q_sum_ppm"))
+    val totals = perSrc.agg(sum(col("n_docs")).as("tn"),
+      sum(col("q_sum_ppm")).cast("long").as("tq"))
+    perSrc.crossJoin(broadcast(totals))
+      .withColumn("mean_q_ppm", expr("q_sum_ppm div n_docs"))
+      .withColumn("full_mean_ppm", expr("tq div tn"))
+      .withColumn("loo_mean_ppm",
+        expr("(tq - q_sum_ppm) div (tn - n_docs)"))
+      .withColumn("influence_ppm",
+        col("loo_mean_ppm") - col("full_mean_ppm"))
+      .select(col(source), col("n_docs"), col("mean_q_ppm"),
+        col("loo_mean_ppm"), col("full_mean_ppm"), col("influence_ppm"))
+  }
+
+  /** DuckDB mirror of [[jackknifeInfluence]]. */
+  def jackknifeInfluenceSql(id: String, text: String,
+                            source: String): String = {
+    import graft.operators.TextQuality
+    s"""
+      WITH qf AS (${TextQuality.qualityFeaturesSql(id, text)}),
+      perdoc AS (
+        SELECT d.$source,
+               CAST(floor(qf.quality * 1000000 + 0.5) AS BIGINT) AS q_ppm
+        FROM qf JOIN documents d ON d.$id = qf.$id),
+      persrc AS (
+        SELECT $source, COUNT(*) AS n_docs,
+               CAST(SUM(q_ppm) AS BIGINT) AS q_sum_ppm
+        FROM perdoc GROUP BY 1),
+      tot AS (SELECT SUM(n_docs) AS tn,
+                     CAST(SUM(q_sum_ppm) AS BIGINT) AS tq FROM persrc)
+      SELECT $source, n_docs,
+             CAST(q_sum_ppm // n_docs AS BIGINT) AS mean_q_ppm,
+             CAST((tq - q_sum_ppm) // (tn - n_docs) AS BIGINT)
+               AS loo_mean_ppm,
+             CAST(tq // tn AS BIGINT) AS full_mean_ppm,
+             CAST((tq - q_sum_ppm) // (tn - n_docs) - tq // tn AS BIGINT)
+               AS influence_ppm
+      FROM persrc CROSS JOIN tot
+      ORDER BY $source"""
+  }
+
   def dataCard(docs: DataFrame, id: String, text: String,
                source: String): DataFrame = {
     import graft.functions.TextOps

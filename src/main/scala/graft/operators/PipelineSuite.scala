@@ -4274,6 +4274,23 @@ object PipelineSuite extends Suite {
     Some(Retrieval.contaminationReportSql("doc_id", "text",
       evalCond = "doc_id % 101 = 0")))
 
+  val c111 = Q(
+    "c111_jackknife_influence",
+    // Leave-one-source-out quality influence (CorpusStats.
+    // jackknifeInfluence — the delete-one statistic at source
+    // granularity, where a corpus owner can act): influence_ppm =
+    // mean(corpus minus source) − mean(corpus), positive = removing
+    // the source RAISES corpus quality. Quality integerized per doc
+    // exactly as c100 (floor(q·1e6+0.5), never a float sum); both
+    // means are integer div of ppm sums — exact, no negative
+    // division. One per-source pass; the jackknife's point at 100 TB
+    // is that leave-one-out needs NO second scan (totals minus the
+    // group).
+    (s, d) => CorpusStats.jackknifeInfluence(Tables.documents(s, d),
+        "doc_id", "text", "source")
+      .orderBy(col("source")),
+    Some(CorpusStats.jackknifeInfluenceSql("doc_id", "text", "source")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -4283,5 +4300,5 @@ object PipelineSuite extends Suite {
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
       c96, c97, c98, c99, c100, c101, c102, c103, c104, c105, c106,
-      c107, c108, c109, c110)
+      c107, c108, c109, c110, c111)
 }

@@ -7,6 +7,44 @@ import graft.operators.CorpusStats
   * eval-set contamination, and unigram-LM surprisal.
   */
 class CorpusStatsSpec extends SparkSpec {
+
+  test("jackknifeInfluence: identities hold and a planted low-quality " +
+      "source carries positive influence") {
+    import graft.model.Tables
+    import graft.operators.CorpusStats
+    val out = CorpusStats.jackknifeInfluence(
+        Tables.documents(spark, sf), "doc_id", "text", "source")
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("mean_q_ppm"),
+        r.getAs[Long]("loo_mean_ppm"), r.getAs[Long]("full_mean_ppm"),
+        r.getAs[Long]("influence_ppm"))).toSeq
+    // identity: influence = loo - full, for every row
+    assert(out.forall(r => r._6 === r._4 - r._5))
+    // full_mean is the same constant on every row
+    assert(out.map(_._5).distinct.size === 1)
+    // sign law: a source whose own mean is BELOW the corpus mean must
+    // have non-negative influence (removing it can't lower the mean),
+    // modulo the 1-ppm integer-floor band
+    out.foreach { r =>
+      if (r._3 < r._5) assert(r._6 >= -1L,
+        s"${r._1}: below-mean source with influence ${r._6}")
+      if (r._3 > r._5) assert(r._6 <= 1L,
+        s"${r._1}: above-mean source with influence ${r._6}")
+    }
+    // planted: appending a junk source (quality ~0 docs) must yield a
+    // strictly positive influence for it
+    import spark.implicits._
+    val junk = (1 to 20).map(i =>
+      (100000L + i, "x x x x x x x x x x x x x x x x", "junksrc"))
+      .toDF("doc_id", "text", "source")
+    val docs2 = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source").unionByName(junk)
+    val j = CorpusStats.jackknifeInfluence(docs2, "doc_id", "text",
+        "source")
+      .where($"source" === "junksrc")
+      .select($"influence_ppm").as[Long].head()
+    assert(j > 0L, s"junk source influence $j not positive")
+  }
   import spark.implicits._
 
   test("domainMix: shares sum to ~1 and temperature flattens the mix") {

@@ -163,7 +163,8 @@ class PlanShapeSpec extends SparkSpec {
       "d48_stream_kmv_setops",   // broadcast |sources| pair grid (c107 class)
       "c108_threshold_sweep",    // broadcast |taus|-row grid over verified pairs
       "c110_contamination_report", // broadcast eval side, all four legs (c27/c36/c6 class)
-      "d51_stream_contamination_route") // broadcast arrival side, frozen train legs (c110 class)
+      "d51_stream_contamination_route", // broadcast arrival side, frozen train legs (c110 class)
+      "c111_jackknife_influence") // broadcast 1-row corpus totals (c26 class)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
