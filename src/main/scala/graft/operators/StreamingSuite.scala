@@ -2172,9 +2172,45 @@ object StreamingSuite extends Suite {
     Some(graft.operators.Retrieval.contaminationReportSql(
       "doc_id", "text", evalCond = "doc_id % 10 >= 8")))
 
+  val d52 = Q(
+    "d52_stream_rate_monitor",
+    // Live rate-spike monitor (Streams.rateMonitorStreaming):
+    // arriving events' per-(type, hour) counts fold by ADDITION into
+    // the running grid, and every batch re-emits the spike audit —
+    // an hour is a spike when its count exceeds 3× the trailing-24h
+    // hourly mean (cross-multiplied integers, RANGE frame so missing
+    // hours count as zero). Trailing sums and flags are pure
+    // functions of the counts grid, so drain parity is exact under
+    // any slicing and late events just re-evaluate their hour (the
+    // at-least-once-friendly monitor). State = the grid itself
+    // (types × hour horizon — the monitor's own output size);
+    // StreamsSpec pins parity + a planted burst hour.
+    (s, d) => Streams.rateSpikes(Streams.hourCounts(Tables.events(s, d)))
+      .orderBy(col("event_type"), col("hr")),
+    Some("""
+      WITH counts AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      aud AS (
+        SELECT event_type, hr, n,
+               CAST(COALESCE(SUM(n) OVER (PARTITION BY event_type
+                 ORDER BY hr RANGE BETWEEN 24 PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS trail_sum,
+               CAST(COALESCE(COUNT(n) OVER (PARTITION BY event_type
+                 ORDER BY hr RANGE BETWEEN 24 PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS trail_hours
+        FROM counts)
+      SELECT event_type, CAST(hr AS BIGINT) AS hr,
+             CAST(n AS BIGINT) AS n, trail_sum, trail_hours,
+             CAST(CASE WHEN trail_hours = 24 AND n * 24 > trail_sum * 3
+                  THEN 1 ELSE 0 END AS BIGINT) AS spike
+      FROM aud
+      ORDER BY event_type, hr"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42, d43, d44, d45, d46, d47, d48, d49, d50, d51)
+      d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52)
 }

@@ -1967,6 +1967,73 @@ object Streams {
       .start()
   }
 
+  /** Per-(event_type, hour) counts off the events table — the grid
+    * [[rateSpikes]] audits and the d52 fold maintains (counts add). */
+  def hourCounts(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Rate-spike audit over an (event_type, hr, n) grid: an hour is a
+    * spike when its count exceeds 3× the trailing-24h hourly mean
+    * (cross-multiplied integers — n·24 > 3·trail, §4), with a RANGE
+    * frame so missing hours count as zero (a ROWS frame would
+    * silently skip gaps and compare against the wrong day), and the
+    * WARM-UP rule: flag only when all 24 trailing hours were
+    * observed — a ramping or sparse type compares against a partial
+    * day and would false-alarm forever otherwise. The window
+    * partitions on event_type — per-group size = the hour horizon
+    * (§8l bounded class: the grid is the monitor's own output). */
+  def rateSpikes(counts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-24, -1)
+    counts
+      .withColumn("trail_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("trail_hours",
+        coalesce(count(col("n")).over(w), lit(0L)))
+      .withColumn("spike",
+        when(col("trail_hours") === 24L &&
+          col("n") * 24L > col("trail_sum") * 3L, 1L).otherwise(0L))
+      .select(col("event_type"), col("hr"), col("n"), col("trail_sum"),
+        col("trail_hours"), col("spike"))
+  }
+
+  /** Streaming rate-spike monitor — d52: arriving events' per-(type,
+    * hour) counts FOLD by addition into the running grid (compacted
+    * at fold time), and every applied batch re-emits the full spike
+    * audit recomputed from the grid alone — trailing sums and spike
+    * flags are pure functions of the counts, so drain parity with
+    * the batch contract is exact under any slicing (late events
+    * simply add to their hour and the audit re-evaluates — the
+    * at-least-once-friendly shape). State = the (type, hour) grid
+    * itself, bounded by types × the stream's hour horizon (the
+    * monitor's own output size); gate-then-fold inside the batchId
+    * guard. */
+  def rateMonitorStreaming(events: DataFrame,
+      stateProbe: DataFrame => Unit = _ => ())
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.util.Barriers.BarrierOps
+    var state: Option[DataFrame] = None
+    var lastApplied = -1L
+    events.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          val p = hourCounts(batch)
+          state = Some(state.map(_.unionByName(p)).getOrElse(p)
+            .groupBy(col("event_type"), col("hr"))
+            .agg(sum(col("n")).cast("long").as("n"))
+            .barrier(true))
+          lastApplied = bid
+          stateProbe(state.get)
+          sink(rateSpikes(state.get)
+            .orderBy(col("event_type"), col("hr")))
+        }
+      }
+      .start()
+  }
+
   /** Streaming split router — d50, c109's live half (batch contract =
     * Dedup.splitRoute): arrivals route to train/val/test against the
     * FROZEN corpus index + cluster map — a near-dup of corpus content

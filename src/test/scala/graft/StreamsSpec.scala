@@ -2171,6 +2171,59 @@ class StreamsSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming rate monitor: drained emission equals the d52 batch " +
+      "contract under arbitrary slicing; a planted burst hour is " +
+      "flagged; spikes are pure functions of the folded grid") {
+    implicit val sqlCtx = spark.sqlContext
+    val arriving = Tables.events(spark, sf)
+      .select($"event_type", unix_micros($"ts").as("us"))
+      .as[(String, Long)].collect()
+    type R = (String, Long, Long, Long, Long, Long)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("hr"), r.getAs[Long]("n"),
+        r.getAs[Long]("trail_sum"), r.getAs[Long]("trail_hours"),
+        r.getAs[Long]("spike")))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val ms = MemoryStream[(String, Long)]
+    val toEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"event_type", timestamp_micros($"us").as("ts"))
+    val q = Streams.rateMonitorStreaming(
+        toEvents(ms.toDF().toDF("event_type", "us"))) { df =>
+      val rows = toRows(df); this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 3).toSeq,
+      arriving.slice(n / 3, 2 * n / 3).toSeq,
+      arriving.slice(2 * n / 3, n).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = toRows(graft.SparkEntry.queries(
+      "d52_stream_rate_monitor")(spark, sf))
+    assert(emissions.size === 3 && emissions.last === batch)
+    // planted burst: a quiet baseline then a 10x hour must flag, and
+    // the identical stream sliced differently agrees (pure function)
+    val base = (0 until 24).flatMap(h =>
+      Seq.fill(4)(("burst", h * 3600000000L + 1L)))
+    val burst = Seq.fill(40)(("burst", 24 * 3600000000L + 1L))
+    val emissions2 = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val ms2 = MemoryStream[(String, Long)]
+    val q2 = Streams.rateMonitorStreaming(
+        toEvents(ms2.toDF().toDF("event_type", "us"))) { df =>
+      val rows = toRows(df); this.synchronized { emissions2 += rows }
+    }
+    try Seq(base, burst).foreach { p =>
+      ms2.addData(p); q2.processAllAvailable()
+    } finally q2.stop()
+    val burstRow = emissions2.last.find(r => r._1 == "burst" && r._2 == 24L).get
+    // trailing day holds 96 events over all 24 hours -> mean 4/hr;
+    // 40 > 12 -> spike
+    assert(burstRow === (("burst", 24L, 40L, 96L, 24L, 1L)))
+    // ramp-up hours (partial trailing day) are never flagged
+    assert(emissions2.last.filter(_._2 < 24L).forall(_._6 === 0L))
+  }
+
   test("streaming kmv set-ops fold: drained emission equals the d48 " +
       "batch contract under arbitrary slicing; state bounded") {
     implicit val sqlCtx = spark.sqlContext
