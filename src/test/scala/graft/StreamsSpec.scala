@@ -2139,10 +2139,10 @@ class StreamsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Retrieval
     val docs = Tables.documents(spark, sf)
-    val train = docs.where(pmod($"doc_id", lit(10)) < 8)
+    val train = docs.where(pmod($"doc_id", lit(97)) =!= 0)
       .select($"doc_id".as("did"), $"text".as("t"))
     val idx = Retrieval.contaminationIndex(train)
-    val arriving = docs.where(pmod($"doc_id", lit(10)) >= 8)
+    val arriving = docs.where(pmod($"doc_id", lit(97)) === 0)
       .select($"doc_id", $"text").as[(Long, String)].collect()
     val copied = train.select($"t").as[String].head()
     val planted = (990000L, copied)
