@@ -143,6 +143,72 @@ object Dedup {
       ORDER BY id_a, id_b"""
   }
 
+  /** Asymmetric CONTAINMENT pairs (Broder's second resemblance
+    * measure, "On the resemblance and containment of documents",
+    * SEQUENCES 1997): C(A→B) = |A∩B| / |A| over distinct shingle
+    * sets — the measure that catches a SMALL doc embedded inside a
+    * LARGE one (quote farms, concatenation junk, page-plus-boiler),
+    * which symmetric Jaccard structurally misses: a 50-token doc
+    * fully contained in a 5000-token doc has J ≈ 0.01 but
+    * C ≈ 1.0. Emits every ordered relation at or above `tauPpm` with
+    * BOTH directions' containments and the Jaccard alongside (so the
+    * Jaccard-blind region is visible in the output: high c_ab, low
+    * j). Integer ppm everywhere (§4).
+    *
+    * Shape: c2's one shingle-explode equi-join (a shingle is its own
+    * bucket; at 100 TB run per LSH bucket exactly as c2 documents) —
+    * containment adds no second pass, only the asymmetric division
+    * on the same (inter, na, nb) triple. */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+                       tauPpm: Long = 800000L): DataFrame = {
+    val sh = docs.select(col(id).as("did"),
+      explode(TextOps.shingleHashes(col(text))).as("s"))
+    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
+    sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.s") === col("b.s") && col("a.did") < col("b.did"))
+      .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("did").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("did").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("c_ab_ppm",
+        expr("cast(cast(c as decimal(38,0)) * 1000000 div na as bigint)"))
+      .withColumn("c_ba_ppm",
+        expr("cast(cast(c as decimal(38,0)) * 1000000 div nb as bigint)"))
+      .withColumn("j_ppm",
+        expr("cast(cast(c as decimal(38,0)) * 1000000 div (na + nb - c) as bigint)"))
+      .where(col("c_ab_ppm") >= tauPpm || col("c_ba_ppm") >= tauPpm)
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        col("c_ab_ppm"), col("c_ba_ppm"), col("j_ppm"))
+  }
+
+  /** DuckDB mirror of [[containmentPairs]]. */
+  def containmentPairsSql(id: String, t: String,
+                          tauPpm: Long = 800000L): String = s"""
+      WITH sh AS (
+        SELECT $id AS did, unnest(${TextOps.shingleHashesSql(t)}) AS s
+        FROM documents),
+      sizes AS (SELECT did, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.did < b.did
+        GROUP BY 1, 2),
+      m AS (
+        SELECT id_a, id_b, na.n AS na, nb.n AS nb,
+               CAST((CAST(c AS HUGEINT) * 1000000) // na.n AS BIGINT)
+                 AS c_ab_ppm,
+               CAST((CAST(c AS HUGEINT) * 1000000) // nb.n AS BIGINT)
+                 AS c_ba_ppm,
+               CAST((CAST(c AS HUGEINT) * 1000000)
+                 // (na.n + nb.n - c) AS BIGINT) AS j_ppm
+        FROM inter
+          JOIN sizes na ON na.did = id_a
+          JOIN sizes nb ON nb.did = id_b)
+      SELECT id_a, id_b, na, nb, c_ab_ppm, c_ba_ppm, j_ppm
+      FROM m
+      WHERE c_ab_ppm >= $tauPpm OR c_ba_ppm >= $tauPpm
+      ORDER BY id_a, id_b"""
+
   /** Dedup THRESHOLD SWEEP (the pick-your-tau audit): pair counts and
     * direct-evidence removable doc/token mass at every candidate
     * Jaccard threshold, from ONE shingle-overlap pass — the curve

@@ -4291,6 +4291,22 @@ object PipelineSuite extends Suite {
       .orderBy(col("source")),
     Some(CorpusStats.jackknifeInfluenceSql("doc_id", "text", "source")))
 
+  val c112 = Q(
+    "c112_containment_pairs",
+    // Asymmetric containment (Broder 1997, Dedup.containmentPairs):
+    // C(A→B) = |A∩B|/|A| over distinct shingles — catches a SMALL
+    // doc embedded in a LARGE one (quote farms, concatenation junk),
+    // which symmetric Jaccard structurally misses (J ≈ |A|/|B| → 0
+    // while C → 1). Both directions + the Jaccard alongside so the
+    // Jaccard-blind region is visible in the output; integer ppm
+    // (§4). Same one shingle equi-join as c2 (a shingle is its own
+    // bucket; per LSH bucket at 100 TB) — containment adds only the
+    // asymmetric division on the same (inter, na, nb) triple.
+    (s, d) => Dedup.containmentPairs(Tables.documents(s, d),
+        "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b")),
+    Some(Dedup.containmentPairsSql("doc_id", "text")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -4300,5 +4316,5 @@ object PipelineSuite extends Suite {
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
       c96, c97, c98, c99, c100, c101, c102, c103, c104, c105, c106,
-      c107, c108, c109, c110, c111)
+      c107, c108, c109, c110, c111, c112)
 }

@@ -292,6 +292,30 @@ class DedupAnnSpec extends SparkSpec {
     assert(out === Seq((10L, 1L, 0L, 1000000L)))
   }
 
+  test("containmentPairs: an embedded doc is caught at C~1 while " +
+      "Jaccard stays low; disjoint docs absent") {
+    // doc 1 (8 tokens) is fully contained in doc 2 (24 tokens):
+    // doc 1 has 6 distinct 3-shingles, ALL present in doc 2 (30
+    // shingles, 22 distinct) -> c_ab = 1e6, j = 6/(6+22-6) = 272727.
+    val inner = "a b c d e f g h"
+    val docs = Seq(
+      (1L, inner),
+      (2L, s"x1 x2 x3 x4 x5 x6 x7 x8 $inner y1 y2 y3 y4 y5 y6 y7 y8"),
+      (3L, "q r s t u v w z q2 r2 s2 t2"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"),
+        r.getAs[Long]("c_ab_ppm"), r.getAs[Long]("c_ba_ppm"),
+        r.getAs[Long]("j_ppm"))).toSeq
+    assert(out.map(t => (t._1, t._2)) === Seq((1L, 2L)))
+    val (_, _, na, nb, cab, cba, j) = out.head
+    assert(na === 6L && cab === 1000000L)
+    // Jaccard is deep in its blind region while containment maxes
+    assert(j === na * 1000000L / (na + nb - na) && j < 300000L)
+    assert(cba === na * 1000000L / nb)
+  }
+
   test("binaryCodes: hand-checked mean-thresholded bit packing") {
     // corpus a=(1,0,0,0) b=(0,1,0,0) c=(1,1,1,1): per-dim fixed-point
     // sums s = (2,2,1,1)*2^30, n=3; bit = f*3 > s -> 1.0 components
