@@ -209,6 +209,99 @@ object Dedup {
       WHERE c_ab_ppm >= $tauPpm OR c_ba_ppm >= $tauPpm
       ORDER BY id_a, id_b"""
 
+  /** Dedup CERTIFICATE — the post-run proof a corpus release ships
+    * with: run the c16 dedup (banded verify → CC → min-keeper), keep
+    * the survivors, then RE-RUN pair detection on the survivors and
+    * publish the residual count. Zero is guaranteed by construction
+    * (a verified pair between two keepers would have merged their
+    * clusters), and the certificate PROVES it from the data instead
+    * of asserting it (c109's discipline — a nonzero residual means
+    * the dedup and the release were built from different snapshots,
+    * exactly the failure a certificate exists to catch). One row:
+    * corpus/survivor doc counts, removed docs, kept token mass,
+    * residual_pairs. The re-verify is a second banded pass over
+    * survivors — the honest price of a certificate, and strictly
+    * cheaper than the first pass (fewer docs, no CC). */
+  def dedupCertificate(docs: DataFrame, id: String, text: String,
+                       tau: Double = 0.5): DataFrame = {
+    val pairs = verifiedPairs(docs, id, text, tau).barrier(true)
+    val m = graft.graph.GraphAlgo
+      .connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .select(col("node").as(id), col("component").as("keeper"))
+    val survivors = docs
+      .join(m, Seq(id), "left")
+      .where(col("keeper").isNull || col("keeper") === col(id))
+      .drop("keeper")
+      .barrier(true)
+    val residual = verifiedPairs(survivors, id, text, tau)
+      .agg(count(lit(1)).as("residual_pairs"))
+    val stats = docs.select(
+        size(TextOps.tokens(col(text))).cast("long").as("tok"))
+      .agg(count(lit(1)).as("n_docs"))
+    val sstats = survivors.select(
+        size(TextOps.tokens(col(text))).cast("long").as("tok"))
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("tok")).cast("long").as("tokens_kept"))
+    stats.crossJoin(broadcast(sstats)).crossJoin(broadcast(residual))
+      .select(col("n_docs"), col("n_survivors"),
+        (col("n_docs") - col("n_survivors")).as("docs_removed"),
+        col("tokens_kept"), col("residual_pairs"))
+  }
+
+  /** DuckDB mirror of [[dedupCertificate]] (exact pair relation both
+    * times — the banding-lossless-at-tau precedent). */
+  def dedupCertificateSql(id: String, t: String): String = {
+    val sh = TextOps.shingleHashesSql(t)
+    s"""
+      WITH RECURSIVE sh AS (
+        SELECT $id AS did, unnest($sh) AS s FROM documents),
+      sizes AS (SELECT did, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.did < b.did
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.did
+          JOIN sizes sb ON id_b = sb.did
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+      mp AS (SELECT n AS did, LEAST(n, MIN(m)) AS keeper
+             FROM reach GROUP BY n),
+      surv AS (
+        SELECT d.* FROM documents d LEFT JOIN mp ON mp.did = d.$id
+        WHERE mp.keeper IS NULL OR mp.keeper = d.$id),
+      ssh AS (SELECT $id AS did, unnest($sh) AS s FROM surv),
+      ssz AS (SELECT did, COUNT(*) AS n FROM ssh GROUP BY 1),
+      sinter AS (
+        SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS c
+        FROM ssh a JOIN ssh b ON a.s = b.s AND a.did < b.did
+        GROUP BY 1, 2),
+      resid AS (
+        SELECT COUNT(*) AS residual_pairs FROM sinter
+          JOIN ssz sa ON id_a = sa.did
+          JOIN ssz sb ON id_b = sb.did
+        WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+      tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+      stot AS (
+        SELECT COUNT(*) AS n_survivors,
+               CAST(SUM(len(${TextOps.tokensSql(t)})) AS BIGINT)
+                 AS tokens_kept
+        FROM surv)
+      SELECT CAST(tot.n_docs AS BIGINT) AS n_docs,
+             CAST(stot.n_survivors AS BIGINT) AS n_survivors,
+             CAST(tot.n_docs - stot.n_survivors AS BIGINT)
+               AS docs_removed,
+             stot.tokens_kept,
+             CAST(resid.residual_pairs AS BIGINT) AS residual_pairs
+      FROM tot CROSS JOIN stot CROSS JOIN resid"""
+  }
+
   /** Dedup THRESHOLD SWEEP (the pick-your-tau audit): pair counts and
     * direct-evidence removable doc/token mass at every candidate
     * Jaccard threshold, from ONE shingle-overlap pass — the curve

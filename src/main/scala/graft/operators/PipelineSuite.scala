@@ -4307,6 +4307,21 @@ object PipelineSuite extends Suite {
       .orderBy(col("id_a"), col("id_b")),
     Some(Dedup.containmentPairsSql("doc_id", "text")))
 
+  val c113 = Q(
+    "c113_dedup_certificate",
+    // The post-dedup certificate (Dedup.dedupCertificate): run c16's
+    // dedup, keep survivors, RE-RUN pair detection on them and
+    // publish the residual count — zero by CC construction, and
+    // PROVEN from the data rather than asserted (a nonzero residual
+    // means the dedup and the release came from different snapshots,
+    // exactly what a shipped certificate exists to catch). One row:
+    // docs, survivors, removed, kept token mass, residual_pairs.
+    // The re-verify is a second banded pass over survivors — the
+    // honest price, strictly cheaper than the first pass.
+    (s, d) => Dedup.dedupCertificate(Tables.documents(s, d),
+      "doc_id", "text"),
+    Some(Dedup.dedupCertificateSql("doc_id", "text")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -4316,5 +4331,5 @@ object PipelineSuite extends Suite {
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
       c96, c97, c98, c99, c100, c101, c102, c103, c104, c105, c106,
-      c107, c108, c109, c110, c111, c112)
+      c107, c108, c109, c110, c111, c112, c113)
 }

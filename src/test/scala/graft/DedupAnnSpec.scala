@@ -316,6 +316,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(cba === na * 1000000L / nb)
   }
 
+  test("dedupCertificate: planted-cluster arithmetic and the zero " +
+      "residual, on synthetic and corpus data") {
+    // 3-member identical cluster + 2 singletons: 5 docs -> 3
+    // survivors, 2 removed, residual 0
+    val t = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq((1L, t), (2L, t), (3L, t),
+      (4L, "a1 a2 a3 a4 a5 a6 a7 a8"), (5L, "b1 b2 b3 b4 b5 b6 b7 b8"))
+      .toDF("doc_id", "text")
+    val row = Dedup.dedupCertificate(docs, "doc_id", "text").collect().head
+    assert((row.getAs[Long]("n_docs"), row.getAs[Long]("n_survivors"),
+      row.getAs[Long]("docs_removed"), row.getAs[Long]("tokens_kept"),
+      row.getAs[Long]("residual_pairs")) === ((5L, 3L, 2L, 24L, 0L)))
+    // corpus: survivors + removed partition the corpus; residual 0
+    val c = Dedup.dedupCertificate(graft.model.Tables.documents(spark, sf),
+      "doc_id", "text").collect().head
+    assert(c.getAs[Long]("n_docs") ===
+      c.getAs[Long]("n_survivors") + c.getAs[Long]("docs_removed"))
+    assert(c.getAs[Long]("residual_pairs") === 0L)
+  }
+
   test("binaryCodes: hand-checked mean-thresholded bit packing") {
     // corpus a=(1,0,0,0) b=(0,1,0,0) c=(1,1,1,1): per-dim fixed-point
     // sums s = (2,2,1,1)*2^30, n=3; bit = f*3 > s -> 1.0 components
