@@ -209,6 +209,65 @@ object Dedup {
       WHERE c_ab_ppm >= $tauPpm OR c_ba_ppm >= $tauPpm
       ORDER BY id_a, id_b"""
 
+  /** Cross-corpus CONTAINMENT gate — [[containmentPairs]]'s
+    * two-relation form (arrivals vs a frozen corpus shingle index),
+    * the d53 batch contract: an arrival whose shingle set is mostly
+    * CONTAINED in existing content (c_arrival >= tau) is flagged with
+    * its best-evidence corpus doc — the quote-farm / re-post /
+    * page-plus-boiler arrival that Jaccard gates (d29's corpus
+    * filter) let through because the arrival is small against a big
+    * match. Flags every relation at tau; per-batch work bounded by
+    * the arrival's shingles + collisions, never the corpus. */
+  def crossContainment(corpus: DataFrame, arrivals: DataFrame,
+                       id: String, text: String,
+                       tauPpm: Long = 800000L): DataFrame = {
+    val csh = corpus.select(col(id).as("c_id"),
+      explode(TextOps.shingleHashes(col(text))).as("s"))
+    val csz = csh.groupBy(col("c_id")).agg(count(lit(1)).as("nb"))
+    val ash = arrivals.select(col(id).as("a_id"),
+      explode(TextOps.shingleHashes(col(text))).as("s"))
+    val asz = ash.groupBy(col("a_id")).agg(count(lit(1)).as("na"))
+    ash.join(csh, "s")
+      .groupBy(col("a_id"), col("c_id")).agg(count(lit(1)).as("c"))
+      .join(asz, "a_id").join(csz, "c_id")
+      .withColumn("c_arr_ppm",
+        expr("cast(cast(c as decimal(38,0)) * 1000000 div na as bigint)"))
+      .withColumn("j_ppm",
+        expr("cast(cast(c as decimal(38,0)) * 1000000 div (na + nb - c) as bigint)"))
+      .where(col("c_arr_ppm") >= tauPpm)
+      .select(col("a_id"), col("c_id"), col("na"), col("nb"),
+        col("c_arr_ppm"), col("j_ppm"))
+  }
+
+  /** DuckDB mirror of [[crossContainment]]. */
+  def crossContainmentSql(id: String, t: String, corpusWhere: String,
+                          arrivalsWhere: String,
+                          tauPpm: Long = 800000L): String = {
+    val sh = TextOps.shingleHashesSql(t)
+    s"""
+      WITH csh AS (
+        SELECT $id AS c_id, unnest($sh) AS s
+        FROM documents WHERE $corpusWhere),
+      csz AS (SELECT c_id, COUNT(*) AS nb FROM csh GROUP BY 1),
+      ash AS (
+        SELECT $id AS a_id, unnest($sh) AS s
+        FROM documents WHERE $arrivalsWhere),
+      asz AS (SELECT a_id, COUNT(*) AS na FROM ash GROUP BY 1),
+      m AS (
+        SELECT a_id, c_id, asz.na, csz.nb,
+               CAST((CAST(c AS HUGEINT) * 1000000) // asz.na AS BIGINT)
+                 AS c_arr_ppm,
+               CAST((CAST(c AS HUGEINT) * 1000000)
+                 // (asz.na + csz.nb - c) AS BIGINT) AS j_ppm
+        FROM (SELECT a_id, c_id, COUNT(*) AS c
+              FROM ash JOIN csh USING (s) GROUP BY 1, 2) i
+          JOIN asz USING (a_id) JOIN csz USING (c_id))
+      SELECT a_id, c_id, na, nb, c_arr_ppm, j_ppm
+      FROM m
+      WHERE c_arr_ppm >= $tauPpm
+      ORDER BY a_id, c_id"""
+  }
+
   /** Dedup CERTIFICATE — the post-run proof a corpus release ships
     * with: run the c16 dedup (banded verify → CC → min-keeper), keep
     * the survivors, then RE-RUN pair detection on the survivors and

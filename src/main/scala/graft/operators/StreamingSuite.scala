@@ -2211,9 +2211,32 @@ object StreamingSuite extends Suite {
       FROM aud
       ORDER BY event_type, hr"""))
 
+  val d53 = Q(
+    "d53_stream_containment_gate",
+    // c112's live half against the FROZEN corpus shingle index
+    // (Streams.containmentGateStreaming): an arrival whose shingle
+    // set is mostly CONTAINED in existing content is flagged with
+    // its evidence — the quote-farm / re-post arrival a symmetric-
+    // Jaccard ingest gate (d29) misses because the arrival is small
+    // against a big match. Stateless vs the frozen index; per-batch
+    // work bounded by the arrival's shingles + collisions. Batch
+    // contract = crossContainment over the ~1% %97 arrival slice
+    // (the d51 regime lesson applied at birth); StreamsSpec pins
+    // parity + a planted quote arrival.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Dedup.crossContainment(
+          docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text")
+        .orderBy(col("a_id"), col("c_id"))
+    },
+    Some(graft.operators.Dedup.crossContainmentSql("doc_id", "text",
+      corpusWhere = "doc_id % 97 <> 0", arrivalsWhere = "doc_id % 97 = 0")))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52)
+      d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53)
 }

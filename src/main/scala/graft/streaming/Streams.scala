@@ -2034,6 +2034,50 @@ object Streams {
       .start()
   }
 
+  /** Streaming containment gate — d53, c112's live half against a
+    * FROZEN corpus shingle index (the d49/d51 stateless-probe seam):
+    * an arriving doc whose shingle set is mostly contained in
+    * existing content is flagged with its evidence — the quote-farm
+    * / re-post arrival a symmetric-Jaccard gate misses because the
+    * arrival is small against a big match. Stateless per batch
+    * (frozen index), drain parity immediate, emission inside the
+    * batchId guard. */
+  def containmentGateStreaming(corpus: DataFrame, arrivals: DataFrame,
+      id: String, text: String, tauPpm: Long = 800000L)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.util.Barriers.BarrierOps
+    val csh = corpus.select(col(id).as("c_id"),
+        explode(graft.functions.TextOps.shingleHashes(col(text))).as("s"))
+      .barrier(true)
+    val csz = csh.groupBy(col("c_id")).agg(count(lit(1)).as("nb"))
+      .barrier(true)
+    var lastApplied = -1L
+    arrivals.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          lastApplied = bid
+          val ash = batch.select(col(id).as("a_id"),
+            explode(graft.functions.TextOps.shingleHashes(col(text)))
+              .as("s"))
+          val asz = ash.groupBy(col("a_id")).agg(count(lit(1)).as("na"))
+          sink(ash.join(csh, "s")
+            .groupBy(col("a_id"), col("c_id"))
+            .agg(count(lit(1)).as("c"))
+            .join(asz, "a_id").join(csz, "c_id")
+            .withColumn("c_arr_ppm",
+              expr("cast(cast(c as decimal(38,0)) * 1000000 div na as bigint)"))
+            .withColumn("j_ppm",
+              expr("cast(cast(c as decimal(38,0)) * 1000000 div (na + nb - c) as bigint)"))
+            .where(col("c_arr_ppm") >= tauPpm)
+            .select(col("a_id"), col("c_id"), col("na"), col("nb"),
+              col("c_arr_ppm"), col("j_ppm"))
+            .orderBy(col("a_id"), col("c_id")))
+        }
+      }
+      .start()
+  }
+
   /** Streaming split router — d50, c109's live half (batch contract =
     * Dedup.splitRoute): arrivals route to train/val/test against the
     * FROZEN corpus index + cluster map — a near-dup of corpus content

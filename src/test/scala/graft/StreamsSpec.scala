@@ -2224,6 +2224,48 @@ class StreamsSpec extends SparkSpec {
     assert(emissions2.last.filter(_._2 < 24L).forall(_._6 === 0L))
   }
 
+  test("streaming containment gate: union of per-batch emissions " +
+      "equals the d53 batch contract; a planted quote arrival flags " +
+      "at full containment with low jaccard") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod($"doc_id", lit(97)) =!= 0)
+    val arriving = docs.where(pmod($"doc_id", lit(97)) === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // plant: the first 8 tokens of a long corpus doc as a new arrival
+    val (srcId, srcText) = corpus
+      .where(size(split($"text", " ")) >= 40)
+      .select($"doc_id", $"text").as[(Long, String)].head()
+    val planted = (990000L, srcText.split(" ").take(8).mkString(" "))
+    type R = (Long, Long, Long, Long)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("c_id"),
+        r.getAs[Long]("c_arr_ppm"), r.getAs[Long]("j_ppm"))).toSeq
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.containmentGateStreaming(corpus,
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text") { df =>
+      val rows = toRows(df); this.synchronized { emissions += rows }
+    }
+    val n = arriving.length
+    val parts = Seq(arriving.slice(0, n / 2).toSeq,
+      (arriving.slice(n / 2, n) :+ planted).toSeq)
+    try parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    assert(emissions.size === 2)
+    // the planted quote is fully contained in its source doc while
+    // jaccard sits deep in its blind region
+    val plantRow = emissions.last
+      .find(r => r._1 == 990000L && r._2 == srcId).get
+    assert(plantRow._3 === 1000000L && plantRow._4 < 300000L)
+    val got = emissions.flatten.filterNot(_._1 == 990000L)
+      .sortBy(t => (t._1, t._2))
+    val batch = toRows(graft.SparkEntry.queries(
+      "d53_stream_containment_gate")(spark, sf)).sortBy(t => (t._1, t._2))
+    assert(got === batch)
+  }
+
   test("streaming kmv set-ops fold: drained emission equals the d48 " +
       "batch contract under arbitrary slicing; state bounded") {
     implicit val sqlCtx = spark.sqlContext
