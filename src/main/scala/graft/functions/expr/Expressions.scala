@@ -170,3 +170,204 @@ case class ShingleHashes3(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes3 =
     copy(child = newChild)
 }
+
+/** Per-token poly hashes in one pass: split on single spaces (byte
+  * 0x20 — never part of a UTF-8 multibyte sequence, so byte-level
+  * split == Spark's split(text, " ") with trailing empties kept) and
+  * hash each token's bytes with the [[PolyHash]] fold. Identical
+  * values to transform(split(text, " "), t -> poly_hash(t)) with zero
+  * per-token UTF8String materialization — and, being a native expr,
+  * immune to the §8m lambda re-embedding class by construction.
+  * Interpreted eval (CodegenFallback) — the loop itself is primitive.
+  */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+
+  private val P = 1000000007L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bs = input.asInstanceOf[UTF8String].getBytes
+    var n = 1
+    var i = 0
+    while (i < bs.length) { if (bs(i) == 0x20) n += 1; i += 1 }
+    val out = new Array[Long](n)
+    var h = 0L
+    var o = 0
+    i = 0
+    while (i < bs.length) {
+      val b = bs(i)
+      if (b == 0x20) { out(o) = h; o += 1; h = 0L }
+      else h = (h * 31L + (b & 0xffL)) % P
+      i += 1
+    }
+    out(o) = h
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+/** Rolling w-token window hashes over a token-hash array — identical
+  * values to [[graft.functions.TextOps.ngramHashesHof]]'s per-window
+  * fold (acc*31 + next) % p, computed with the O(n) rolling update
+  * g' = ((g − t_first·31^(w−1))·31 + t_new) mod p instead of the
+  * interpreted O(n·w) HOF tree (w element_at calls per window).
+  * Arrays shorter than w yield the empty array, matching the HOF's
+  * guard. Interpreted eval (CodegenFallback) — primitive loop. */
+case class NgramHashes(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 1, "ngram width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  private val P = 1000000007L
+  // 31^(w-1) mod p, for popping the leading term
+  private val pw: Long = {
+    var r = 1L; var k = 1
+    while (k < w) { r = (r * 31L) % P; k += 1 }
+    r
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData]
+    val n = th.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - w + 1)
+    // first window: the HOF's fold — acc = t0 (already < p), then
+    // (acc*31 + t_k) % p
+    var g = th.getLong(0) % P
+    var i = 1
+    while (i < w) { g = (g * 31L + th.getLong(i)) % P; i += 1 }
+    out(0) = g
+    // rolling update for the rest
+    var s = 0
+    while (s + w < n) {
+      val drop = (th.getLong(s) % P) * pw % P
+      g = ((g - drop + P) % P * 31L + th.getLong(s + w)) % P
+      s += 1
+      out(s) = g
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+/** Non-overlapping p-token block hashes over a token-hash array
+  * (trailing partial block included) — identical values to
+  * transform(sequence(0, nb−1), b -> aggregate(slice(th, b*p+1, p),
+  * 0L, (acc, x) -> (acc*31 + x) % P)) with one primitive pass and no
+  * per-block slice allocation; nb = ceil(n/p), so an empty array
+  * yields the empty array. Interpreted eval (CodegenFallback). */
+case class BlockHashes(child: Expression, p: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(p >= 1, "block width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "block_hashes"
+
+  private val P = 1000000007L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData]
+    val n = th.numElements()
+    val nb = (n + p - 1) / p
+    val out = new Array[Long](nb)
+    var b = 0
+    while (b < nb) {
+      var acc = 0L
+      var i = b * p
+      val end = math.min(i + p, n)
+      while (i < end) { acc = (acc * 31L + th.getLong(i)) % P; i += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlockHashes =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003)
+  * over a token-hash array, in one native pass: kg-gram rolling
+  * hashes ([[NgramHashes]] algebra), then the DISTINCT minima of
+  * every w-window of consecutive grams via a monotonic deque —
+  * O(n) total, map-side, no WindowExec and no distinct shuffle.
+  * Identical print sets to the lead-chain + min-over-ROWS-frame
+  * window plan it replaces (DedupAnnSpec brute-force parity): for
+  * gcount >= w the selected windows start at p = 0..gcount−w; docs
+  * with fewer than w grams winnow their single clipped window; docs
+  * shorter than kg tokens have no grams and yield the empty array.
+  * Ties inside a window pick the same MIN VALUE either way — the
+  * fingerprint is the hash value, not the position, so tie order is
+  * immaterial. Interpreted eval (CodegenFallback). */
+case class WinnowPrints(child: Expression, kg: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(kg >= 1 && w >= 1, "winnow widths must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_prints"
+
+  private val P = 1000000007L
+  private val pw: Long = {
+    var r = 1L; var k = 1
+    while (k < kg) { r = (r * 31L) % P; k += 1 }
+    r
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData]
+    val n = th.numElements()
+    if (n < kg) return new GenericArrayData(Array.empty[Long])
+    val gc = n - kg + 1
+    val g = new Array[Long](gc)
+    var acc = th.getLong(0) % P
+    var i = 1
+    while (i < kg) { acc = (acc * 31L + th.getLong(i)) % P; i += 1 }
+    g(0) = acc
+    var s = 0
+    while (s + kg < n) {
+      val drop = (th.getLong(s) % P) * pw % P
+      acc = ((acc - drop + P) % P * 31L + th.getLong(s + kg)) % P
+      s += 1
+      g(s) = acc
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (gc < w) {
+      // single clipped window: the min over all grams
+      var m = g(0); i = 1
+      while (i < gc) { if (g(i) < m) m = g(i); i += 1 }
+      seen.add(m)
+    } else {
+      // monotonic deque of gram indices, increasing g values
+      val dq = new Array[Int](gc)
+      var head = 0; var tail = 0 // [head, tail)
+      i = 0
+      while (i < gc) {
+        while (tail > head && g(dq(tail - 1)) >= g(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) seen.add(g(dq(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowPrints =
+    copy(child = newChild)
+}

@@ -1599,4 +1599,108 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("bucket"), col("sim"))
   }
+
+  /** The ANN family SELECTION TABLE as data (c115): one audit row per
+    * index member — exact / LSH / IVF / int8 / PQ / IVFPQ / binary
+    * Hamming, at each member's §2-registered parameters — with the
+    * three numbers an operator trades when picking an index at
+    * 100 TB:
+    *
+    *   - n_candidates: first-stage score evaluations over the query
+    *     set (the COMPRESSED/bucketed scan — nq·|corpus| for the
+    *     scan-everything members, the data-dependent bucket/probe
+    *     join size for LSH/IVF/IVFPQ);
+    *   - n_rescored: exact float-cosine evaluations the funnel buys
+    *     back (0 where the first stage already ranks exact);
+    *   - bytes_per_vector: the at-rest scan representation (floats
+    *     256 B at dim=64; int8 64 B; PQ 8 codes + norm 16 B; IVFPQ
+    *     + list id 24 B; Hamming two longs 16 B) — n_candidates ×
+    *     bytes is the scan cost the table exists to compare;
+    *   - recall_ppm: recall@5 against the exact baseline over the
+    *     same queries, exact integer ppm (§4).
+    *
+    * Every member reuses its §2 operator's own machinery
+    * (lshTopK/ivfTopK/quantizedTopK/pqTopK/ivfpqTopK/hammingTopK),
+    * so the row IS that operator's funnel summarized; IVFPQ's probe
+    * count equals IVF's by construction (same deterministic
+    * kmeansFit coarse, same nprobe). Output is 7 rows — the
+    * driver-facing map of the family the VERDICT asked to exist as
+    * data rather than prose. */
+  def paretoTable(corpus: DataFrame, queries: DataFrame,
+                  id: String, vec: String, dim: Int = 64): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    val k = 5
+    val exact = bruteForceTopK(corpus, queries, id, vec, k).barrier(true)
+    val sizes = corpus.agg(count(lit(1)).as("nc"))
+      .crossJoin(queries.agg(count(lit(1)).as("nq"))).barrier(true)
+    val fullScan = sizes
+      .select((col("nc") * col("nq")).as("n_candidates"))
+
+    def row(ord: Long, method: String, top: DataFrame, cand: DataFrame,
+            rescPerQ: Long, bytes: Long): DataFrame = {
+      val hits = exact
+        .join(top.select(col("q_id"), col("n_id")),
+          Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val tot = exact.agg(count(lit(1)).as("tot"))
+      hits.crossJoin(tot).crossJoin(cand).crossJoin(sizes)
+        .select(lit(ord).as("ord"), lit(method).as("method"),
+          col("n_candidates").cast("long").as("n_candidates"),
+          (least(lit(rescPerQ), col("nc")) * col("nq")).cast("long")
+            .as("n_rescored"),
+          lit(bytes).as("bytes_per_vector"),
+          CorpusStats.ppmExpr("hits", "tot").cast("long")
+            .as("recall_ppm"))
+    }
+
+    // lsh (c7, bits=8): exact cosine inside the query's own bucket
+    val bits = 8
+    val lshCand = corpus
+      .select(lshBucket(col(vec), bits).as("b"))
+      .join(broadcast(queries.select(lshBucket(col(vec), bits).as("b"))),
+        Seq("b"))
+      .agg(count(lit(1)).as("n_candidates"))
+
+    // ivf (c13/c17/c59 family: k=8 Lloyd centroids, iters=2,
+    // nprobe=2): probed inverted-list sizes
+    val cent = kmeansFit(corpus, id, vec, k = 8, iters = 2)
+    val centT = centTable(cent, id, vec).barrier(true)
+    val ivfCand = assignToCentroids(
+        corpus.select(col(id).as("n_id"), col(vec).as("n_vec"),
+          VectorOps.norm(col(vec)).as("n_nrm")), centT, "n", 1)
+      .join(broadcast(assignToCentroids(
+        broadcast(queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+          VectorOps.norm(col(vec)).as("q_nrm"))), centT, "q", 2)
+        .select(col("q_id"), col("c_id"))), Seq("c_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+      .barrier(true)
+
+    val pqCent = pqFit(corpus, id, vec, m = 8, subDim = 8, k = 16,
+      iters = 2)
+
+    Seq(
+      row(1L, "exact", exact, fullScan, 0L, 4L * dim),
+      row(2L, "lsh8",
+        lshTopK(corpus, queries, id, vec, bits, k),
+        lshCand, 0L, 4L * dim + 8L),
+      row(3L, "ivf_np2",
+        ivfTopK(corpus, queries, cent, id, vec, nprobe = 2, k = k),
+        ivfCand, 0L, 4L * dim + 8L),
+      row(4L, "int8",
+        quantizedTopK(corpus, queries, id, vec, k),
+        fullScan, 3L * k, dim.toLong),
+      row(5L, "pq8x16",
+        pqTopK(corpus, queries, pqCent, id, vec, m = 8, subDim = 8,
+          k = k),
+        fullScan, 50L, 16L),
+      row(6L, "ivfpq",
+        ivfpqTopK(corpus, queries, id, vec, kCoarse = 8, m = 8,
+          subDim = 8, kSub = 16, iters = 2, nprobe = 2, k = k),
+        ivfCand, 50L, 24L),
+      row(7L, "hamming64",
+        hammingTopK(corpus, queries, id, vec, k),
+        fullScan, 10L * k, 16L))
+      .reduce(_ unionAll _)
+      .orderBy(col("ord"))
+  }
 }

@@ -296,8 +296,7 @@ object CorpusStats {
     // and the top-k head both read it, so the corpus token stream is
     // exploded once, not twice
     val vocab = docs.select(
-        explode(transform(TextOps.tokens(col(text)),
-          t => TextOps.polyHash(t))).as("th"))
+        explode(TextOps.tokenHashesSeq(col(text))).as("th"))
       .groupBy(col("th")).agg(count(lit(1)).as("cnt"))
       .barrier(true)
     val totals = vocab.agg(
@@ -919,8 +918,7 @@ object CorpusStats {
     * sums. */
   def unigramSurprisal(docs: DataFrame, id: String, text: String): DataFrame = {
     val dt = docs.select(col(id),
-        explode(transform(TextOps.tokens(col(text)),
-          t => TextOps.polyHash(t))).as("th"))
+        explode(TextOps.tokenHashesSeq(col(text))).as("th"))
       .groupBy(col(id), col("th")).agg(count(lit(1)).as("c_dt"))
     val vocab = dt.groupBy(col("th")).agg(sum(col("c_dt")).as("cnt"))
     val totals = vocab.agg(sum(col("cnt")).as("n_total"))
@@ -1002,8 +1000,7 @@ object CorpusStats {
 
   private def hashedToks(df: DataFrame, text: String,
                          extra: Column*): DataFrame =
-    df.select(extra :+ transform(TextOps.tokens(col(text)),
-      t => TextOps.polyHash(t)).as("ths"): _*)
+    df.select(extra :+ TextOps.tokenHashesSeq(col(text)).as("ths"): _*)
 
   // sentinel context for a doc's first token: polyHash is
   // nonnegative, so -1 can never collide with a real token hash
@@ -1132,8 +1129,13 @@ object CorpusStats {
     perSrc.crossJoin(broadcast(totals))
       .withColumn("mean_q_ppm", expr("q_sum_ppm div n_docs"))
       .withColumn("full_mean_ppm", expr("tq div tn"))
+      // Single-source corpus: leave-one-out removes everything, so
+      // (tn - n_docs) = 0 — define loo_mean = full_mean (influence 0)
+      // on both engines rather than NULL here / a div-by-zero error
+      // in the DuckDB mirror.
       .withColumn("loo_mean_ppm",
-        expr("(tq - q_sum_ppm) div (tn - n_docs)"))
+        when(col("tn") === col("n_docs"), col("full_mean_ppm"))
+          .otherwise(expr("(tq - q_sum_ppm) div (tn - n_docs)")))
       .withColumn("influence_ppm",
         col("loo_mean_ppm") - col("full_mean_ppm"))
       .select(col(source), col("n_docs"), col("mean_q_ppm"),
@@ -1158,11 +1160,13 @@ object CorpusStats {
                      CAST(SUM(q_sum_ppm) AS BIGINT) AS tq FROM persrc)
       SELECT $source, n_docs,
              CAST(q_sum_ppm // n_docs AS BIGINT) AS mean_q_ppm,
-             CAST((tq - q_sum_ppm) // (tn - n_docs) AS BIGINT)
+             CAST(CASE WHEN tn = n_docs THEN tq // tn
+                  ELSE (tq - q_sum_ppm) // (tn - n_docs) END AS BIGINT)
                AS loo_mean_ppm,
              CAST(tq // tn AS BIGINT) AS full_mean_ppm,
-             CAST((tq - q_sum_ppm) // (tn - n_docs) - tq // tn AS BIGINT)
-               AS influence_ppm
+             CAST(CASE WHEN tn = n_docs THEN 0
+                  ELSE (tq - q_sum_ppm) // (tn - n_docs) - tq // tn END
+               AS BIGINT) AS influence_ppm
       FROM persrc CROSS JOIN tot
       ORDER BY $source"""
   }
@@ -2135,8 +2139,11 @@ object CorpusStats {
     * stream; the only shuffles are the ≤`buckets`-row count agg and
     * the per-doc partial-aggregable sum. */
   private def tokenBuckets(text: String, buckets: Int): Column =
-    explode(transform(TextOps.tokens(col(text)),
-      t => pmod(TextOps.polyHashMixed(t), lit(buckets.toLong))))
+    // native tokenHashes + the affine mix applied per element (the
+    // lambda reads only its own element, so no §8m re-embedding)
+    explode(transform(TextOps.tokenHashesSeq(col(text)),
+      h => pmod((h * TextOps.MixMul + TextOps.MixAdd) % TextOps.P,
+        lit(buckets.toLong))))
 
   /** The trained artifact: a DENSE `buckets`-row (bk, w) table —
     * every bucket gets a weight (unseen buckets carry the pure

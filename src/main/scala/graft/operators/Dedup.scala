@@ -41,45 +41,25 @@ object Dedup {
     *     is ~(w+1)/2 times smaller than c30's, bought with the
     *     guarantee threshold instead of recall loss.
     *
-    * Shape (the §8m lesson: explode + hash-agg, never a per-row
-    * interpreted fold): gram posexplode → each position fans into the
-    * <= w windows containing it → map-side-combinable min per
-    * (doc, window) → distinct (doc, hash). Shuffle bounded by window
-    * count, collapsed by partial aggregation before the wire. Docs
-    * shorter than kg tokens have no grams and are absent; docs with
-    * fewer than w grams winnow their single clipped window. */
+    * Shape: ONE native map-side pass per doc
+    * ([[graft.functions.expr.WinnowPrints]] — rolling kg-gram hashes
+    * + a monotonic-deque sliding min + per-doc distinct, O(tokens))
+    * → explode to (doc, hash) rows. ZERO shuffles: this replaced the
+    * r12 lead-chain + min-over-ROWS-frame WindowExec plan (which
+    * itself replaced the O(tokens²) interpreted array-HOF phrasing,
+    * §8m 15.6×) — the WindowExec paid a full (did, p) shuffle+sort
+    * of the token stream plus a distinct shuffle for what is a
+    * per-doc-independent computation; the native pass pays neither
+    * (§8o A/B; DedupAnnSpec brute-force parity pins value equality).
+    * Docs shorter than kg tokens have no grams and are absent; docs
+    * with fewer than w grams winnow their single clipped window. */
   def winnowingPrints(docs: DataFrame, id: String, text: String,
                       kg: Int = 4, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Shape note (the §8m lesson, hit live by this operator's first
-    // bench: 13.7 s → 1.5 s): the array-HOF phrasing re-embeds the
-    // per-token hash transform into every gram lambda element once
-    // CollapseProject merges the staged selects — O(tokens²)
-    // interpreted work per doc. This phrasing explodes tokens to one
-    // codegen'd row each (the hash runs ONCE per token), builds gram
-    // hashes from lead() chains and selects window minima with a
-    // min-over-frame — both inside ONE doc-keyed WindowExec whose
-    // per-group size is the doc length (§8l bounded class).
-    val byPos = Window.partitionBy(col("did")).orderBy(col("p"))
-    val toks = docs
-      .select(col(id).as("did"),
-        posexplode(TextOps.tokens(col(text))).as(Seq("p", "tok")))
-      .select(col("did"), col("p"), TextOps.polyHash(col("tok")).as("th"))
-    val gram = (1 until kg).foldLeft(col("th")) { (acc, j) =>
-      (acc * 31L + lead(col("th"), j).over(byPos)) % lit(TextOps.P)
-    }
-    val grams = toks
-      .select(col("did"), col("p"), gram.as("g"),
-        (count(lit(1)).over(Window.partitionBy(col("did"))) -
-          (kg - 1)).as("glen"))
-      .where(col("g").isNotNull)
-    val winMin = min(col("g")).over(
-      Window.partitionBy(col("did")).orderBy(col("p"))
-        .rowsBetween(Window.currentRow, w - 1))
-    grams
-      .select(col("did"), col("p"), col("glen"), winMin.as("h"))
-      .where(col("p") <= greatest(col("glen") - w, lit(0L)))
-      .select(col("did"), col("h")).distinct()
+    import org.apache.spark.sql.graft.ColumnBridge
+    val prints = ColumnBridge.column(graft.functions.expr.WinnowPrints(
+      ColumnBridge.expression(TextOps.tokenHashesSeq(col(text))), kg, w))
+    docs
+      .select(col(id).as("did"), explode(prints).as("h"))
   }
 
   /** Cross-doc winnowing overlap: pairs sharing >= `minShared`
@@ -141,6 +121,90 @@ object Dedup {
         JOIN np nb ON nb.did = id_b
       WHERE n_shared >= $minShared
       ORDER BY id_a, id_b"""
+  }
+
+  // --- persisted winnowing PRINT index (c103's artifact) ------------
+  /** The winnowing print index as a persisted artifact: (did, h)
+    * rows — every doc's distinct selected fingerprints — partitioned
+    * by bk = h mod [[IndexBuckets]] so the pair join's probe reads
+    * only matching buckets. Per-doc INDEPENDENCE is the maintenance
+    * theorem (and what its c79/c89/c91 siblings don't have): a doc's
+    * prints are a pure function of its own text, so
+    *
+    *   - append == rebuild of corpus ∪ arrivals (set equality, by
+    *     construction: union of per-doc print sets),
+    *   - delete == rebuild of the survivors (drop the deleted dids'
+    *     rows; the surviving corpus is never rescanned — a takedown
+    *     request carries its documents, whose prints locate the
+    *     touched buckets).
+    *
+    * Both are spec-pinned in DedupAnnSpec with untouched-bucket
+    * byte-identity; c114 audits the append per bucket. */
+  def buildPrintIndex(corpus: DataFrame, id: String, text: String,
+                      kg: Int = 4, w: Int = 4): DataFrame =
+    winnowingPrints(corpus, id, text, kg, w)
+
+  def writePrintIndex(corpus: DataFrame, id: String, text: String,
+                      kg: Int, w: Int, base: String): Unit =
+    buildPrintIndex(corpus, id, text, kg, w)
+      .withColumn("bk", pmod(col("h"), lit(IndexBuckets)))
+      .write.mode("overwrite").partitionBy("bk")
+      .parquet(s"$base/prints")
+
+  def readPrintIndex(s: org.apache.spark.sql.SparkSession,
+                     base: String): DataFrame =
+    s.read.parquet(s"$base/prints").select(col("did"), col("h"))
+
+  /** PHYSICAL print-index append: the arrivals' prints are INSERTED
+    * (parquet append into their hash buckets — rows are per-doc
+    * independent, so there is nothing to merge and untouched buckets
+    * are never opened, let alone rewritten). Equals
+    * [[buildPrintIndex]] of corpus ∪ arrivals (spec-pinned). */
+  def appendToPrintIndexDir(s: org.apache.spark.sql.SparkSession,
+                            base: String, newDocs: DataFrame,
+                            id: String, text: String,
+                            kg: Int, w: Int): Unit =
+    buildPrintIndex(newDocs, id, text, kg, w)
+      .withColumn("bk", pmod(col("h"), lit(IndexBuckets)))
+      .write.mode("append").partitionBy("bk")
+      .parquet(s"$base/prints")
+
+  /** PHYSICAL print-index takedown: recomputes the deleted docs'
+    * prints from the takedown request's own text to locate the
+    * touched buckets, then rewrites ONLY those buckets with the
+    * deleted dids anti-joined away (dynamic partition overwrite — the
+    * c81 seam; full-rewrite fallback when a touched bucket drains,
+    * since dynamic overwrite cannot delete a whole partition). Equals
+    * [[buildPrintIndex]] of the surviving corpus (spec-pinned). */
+  def deleteFromPrintIndexDir(s: org.apache.spark.sql.SparkSession,
+                              base: String, deletedDocs: DataFrame,
+                              id: String, text: String,
+                              kg: Int, w: Int): Unit = {
+    import graft.util.Barriers.BarrierOps
+    val dp = buildPrintIndex(deletedDocs, id, text, kg, w)
+      .withColumn("bk", pmod(col("h"), lit(IndexBuckets)))
+      .barrier(true)
+    val dids = dp.select(col("did")).distinct().barrier(true)
+    val t = s.read.parquet(s"$base/prints")
+    val touched = dp.select(col("bk")).distinct().barrier(true)
+    val merged = t.join(touched, Seq("bk"), "left_semi")
+      .join(dids, Seq("did"), "left_anti")
+      .select(col("did"), col("h"), col("bk"))
+      .barrier(true)
+    val drained = touched
+      .join(merged.select(col("bk")).distinct(), Seq("bk"), "left_anti")
+    if (drained.isEmpty) {
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bk").parquet(s"$base/prints")
+    } else {
+      val untouched = t.join(touched, Seq("bk"), "left_anti")
+        .select(col("did"), col("h"), col("bk"))
+        .barrier(true)
+      merged.unionByName(untouched)
+        .write.mode("overwrite").partitionBy("bk")
+        .parquet(s"$base/prints")
+    }
   }
 
   /** Asymmetric CONTAINMENT pairs (Broder's second resemblance
@@ -386,6 +450,7 @@ object Dedup {
   def thresholdSweep(docs: DataFrame, id: String, text: String,
                      taus: Seq[Long] = Seq(300000L, 500000L, 700000L,
                        900000L)): DataFrame = {
+    require(taus.nonEmpty, "thresholdSweep needs at least one tau")
     val sh = docs.select(col(id).as("did"),
       explode(TextOps.shingleHashes(col(text))).as("s"))
     val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
@@ -431,6 +496,7 @@ object Dedup {
   def thresholdSweepSql(id: String, t: String,
                         taus: Seq[Long] = Seq(300000L, 500000L, 700000L,
                           900000L)): String = {
+    require(taus.nonEmpty, "thresholdSweep needs at least one tau")
     val tauList = taus.mkString(", ")
     s"""
       WITH sh AS (
@@ -856,8 +922,7 @@ object Dedup {
     // (the dupWindowRate lesson: an inline subtree re-evaluates the
     // tokenize+hash once per element)
     val th = docs.select(col(id).as("did"), isEval.as("is_eval"),
-      transform(TextOps.tokens(col(text)),
-        t => TextOps.polyHash(t)).as("th"))
+      TextOps.tokenHashesSeq(col(text)).as("th"))
     val base = th.select(col("did"), col("is_eval"),
       array_distinct(TextOps.ngramHashes(col("th"), 2)).as("shh"))
       .barrier(true)
@@ -905,8 +970,7 @@ object Dedup {
   def fuzzyEvalIndex(evalDocs: DataFrame, id: String, text: String,
                      k: Int = 48, bands: Int = 24): FuzzyEvalIndex = {
     val th = evalDocs.select(col(id).as("did"),
-      transform(TextOps.tokens(col(text)),
-        t => TextOps.polyHash(t)).as("th"))
+      TextOps.tokenHashesSeq(col(text)).as("th"))
     val base = th.select(col("did"),
       array_distinct(TextOps.ngramHashes(col("th"), 2)).as("shh"))
       .barrier(true)
@@ -932,8 +996,7 @@ object Dedup {
                 text: String, minPpm: Long, k: Int = 48,
                 bands: Int = 24): DataFrame = {
     val th = batch.select(col(id).as("did"),
-      transform(TextOps.tokens(col(text)),
-        t => TextOps.polyHash(t)).as("th"))
+      TextOps.tokenHashesSeq(col(text)).as("th"))
     val bbase = th.select(col("did"),
       array_distinct(TextOps.ngramHashes(col("th"), 2)).as("shh"))
       .barrier(true)
@@ -1833,8 +1896,7 @@ object Dedup {
   def substringPairs(docs: DataFrame, id: String, text: String,
                      w: Int, maxBucket: Int): DataFrame = {
     val th = docs.select(col(id).as("did"),
-      transform(TextOps.tokens(col(text)),
-        t => TextOps.polyHash(t)).as("th"))
+      TextOps.tokenHashesSeq(col(text)).as("th"))
     val wh = th.select(col("did"),
       explode(array_distinct(TextOps.ngramHashes(col("th"), w))).as("h"))
     val ok = wh.join(
@@ -1878,8 +1940,7 @@ object Dedup {
     // partitions) — the second tokenize scan this costs is the right
     // 100 TB trade (HotHashAB measures it; SURVEY §8).
     val th = docs.select(col(id).as("did"),
-      transform(TextOps.tokens(col(text)),
-        t => TextOps.polyHash(t)).as("th"))
+      TextOps.tokenHashesSeq(col(text)).as("th"))
     val wh = th.select(col("did"),
       explode(array_distinct(TextOps.ngramHashes(col("th"), w))).as("h"))
     // wh is distinct per doc, so count(*) per h = distinct docs; only
@@ -1933,8 +1994,7 @@ object Dedup {
     // dupWindowRate).
     val th = docs.select(col(id).as("did"),
       TextOps.tokens(col(text)).as("toks"),
-      transform(TextOps.tokens(col(text)),
-        t => TextOps.polyHash(t)).as("th"))
+      TextOps.tokenHashesSeq(col(text)).as("th"))
     // every window OCCURRENCE with its 0-based start position —
     // within-doc repeats are distinct occurrences and count toward
     // the ≥2 duplication bar, exactly like cross-doc ones
@@ -2075,8 +2135,7 @@ object Dedup {
   def buildWindowIndex(corpus: DataFrame, id: String, text: String,
                        w: Int): DataFrame = {
     val th = corpus.select(col(id).as("did"),
-      transform(TextOps.tokens(col(text)),
-        t => TextOps.polyHash(t)).as("th"))
+      TextOps.tokenHashesSeq(col(text)).as("th"))
     th.select(explode(TextOps.ngramHashes(col("th"), w)).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).cast("long").as("nd"))
   }
@@ -2223,8 +2282,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val th = batch.select(col(id).as("did"),
       TextOps.tokens(col(text)).as("toks"),
-      transform(TextOps.tokens(col(text)),
-        t => TextOps.polyHash(t)).as("th"))
+      TextOps.tokenHashesSeq(col(text)).as("th"))
     val occ = th.select(col("did"),
       posexplode(TextOps.ngramHashes(col("th"), w)).as(Seq("pos", "h")))
     val starts = occ
@@ -2325,18 +2383,15 @@ object Dedup {
     * deterministic under any partitioning or cluster size. */
   def paragraphDedup(docs: DataFrame, id: String, text: String,
                      p: Int): DataFrame = {
-    // toks/th projected FIRST so the block-hash lambdas bind
-    // attributes (embedded subtrees re-evaluate once per element —
-    // see dupWindowRate).
+    // native tokenHashesSeq + blockHashes: one primitive pass each,
+    // no per-block slice allocation and no lambda-binding hazard
+    // (GramHashAB A/Bs this against the HOF composition it replaced).
     val th = docs.select(col(id).as("did"),
         TextOps.tokens(col(text)).as("toks"),
-        transform(TextOps.tokens(col(text)),
-          t => TextOps.polyHash(t)).as("th"))
+        TextOps.tokenHashesSeq(col(text)).as("th"))
       .withColumn("n", size(col("toks")))
       .withColumn("nb", floor((col("n") + lit(p - 1)) / lit(p)).cast("int"))
-      .withColumn("bh", transform(sequence(lit(0), col("nb") - 1),
-        b => aggregate(slice(col("th"), b * p + 1, lit(p)), lit(0L),
-          (acc, x) => (acc * 31L + x) % lit(TextOps.P))))
+      .withColumn("bh", TextOps.blockHashes(col("th"), p))
     val blk = th.select(col("did"), posexplode(col("bh")).as(Seq("b", "h")))
     // only DUPLICATED block hashes (nd >= 2) carry a keeper into the
     // join-back — unique blocks are never removed, so the join's build

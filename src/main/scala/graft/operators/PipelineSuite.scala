@@ -1284,8 +1284,7 @@ object PipelineSuite extends Suite {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d).select(
-        explode(transform(TextOps.tokens(col("text")),
-          t => TextOps.polyHash(t))).as("th"))
+        explode(TextOps.tokenHashesSeq(col("text"))).as("th"))
       val sketch = toks.select(Sketches.cmPairs(col("th")).as("ib"))
         .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
         .agg(count(lit(1)).as("c"))
@@ -4076,9 +4075,10 @@ object PipelineSuite extends Suite {
     // every-window index — the subsampled fingerprint index a 100 TB
     // corpus can afford to persist. Output: doc pairs sharing >= 2
     // prints with the winnowed-Jaccard estimate as integer ppm.
-    // Shape: gram posexplode → <= w window fan-in → map-side-
-    // combinable min per (doc, window) → distinct prints → hash
-    // equi-join (a hash is its own bucket) + linear count-backs.
+    // Shape: one native map-side pass per doc (expr.WinnowPrints —
+    // rolling gram hashes + monotonic-deque sliding min + per-doc
+    // distinct, O(tokens), zero shuffles) → hash equi-join (a hash
+    // is its own bucket) + linear count-backs.
     (s, d) => Dedup.winnowingPairs(Tables.documents(s, d),
         "doc_id", "text")
       .orderBy(col("id_a"), col("id_b")),
@@ -4322,6 +4322,122 @@ object PipelineSuite extends Suite {
       "doc_id", "text"),
     Some(Dedup.dedupCertificateSql("doc_id", "text")))
 
+  val c114 = Q(
+    "c114_print_index_audit",
+    // Incremental maintenance of c103's winnowing PRINT index
+    // (Dedup.buildPrintIndex / appendToPrintIndexDir /
+    // deleteFromPrintIndexDir) — the c91 discipline applied to the
+    // last persisted dedup artifact that lacked it. The structural
+    // difference from c91 IS the audit's story: prints are per-doc
+    // independent (a pure function of each doc's own text), so
+    // append is a pure INSERT (n_after = n_before + n_added, no
+    // merge, untouched buckets never opened) and delete is a pure
+    // did anti-join on touched buckets — both equal the rebuild by
+    // construction (DedupAnnSpec pins set equality + untouched-
+    // bucket byte-identity). Per hash bucket: corpus prints
+    // (n_before), arrival print rows inserted (n_added), arriving
+    // docs landing in the bucket (n_docs_new), arrival prints whose
+    // hash already exists in the index (n_hash_hits — the candidate
+    // mass a live containment/plagiarism gate would probe), and the
+    // post-append size. Bounded output (IndexBuckets rows).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val arrivals = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val cidx = graft.util.DiskCache.cached(s, "print-index", "v1",
+        Seq(s"$d/documents.parquet"), "mod10lt8-kg4w4", Seq("prints")) {
+        tmp => Dedup.writePrintIndex(corpus, "doc_id", "text", 4, 4, tmp)
+      } { b => Dedup.readPrintIndex(s, b) }
+      val ap = Dedup.buildPrintIndex(arrivals, "doc_id", "text", 4, 4)
+      val ch = cidx.select(col("h")).distinct()
+        .withColumn("inidx", lit(1L))
+      val aug = ap.join(ch, Seq("h"), "left")
+        .select(pmod(col("h"), lit(Dedup.IndexBuckets.toLong)).as("bk"),
+          col("did"), coalesce(col("inidx"), lit(0L)).as("hit"))
+      val before = cidx
+        .groupBy(pmod(col("h"), lit(Dedup.IndexBuckets.toLong)).as("bk"))
+        .agg(count(lit(1)).as("n_before"))
+      val added = aug.groupBy(col("bk"))
+        .agg(count(lit(1)).as("n_added"),
+          countDistinct(col("did")).as("n_docs_new"),
+          sum(col("hit")).cast("long").as("n_hash_hits"))
+      before.join(added, Seq("bk"), "full")
+        .select(col("bk"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"),
+          coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"),
+          coalesce(col("n_hash_hits"), lit(0L)).as("n_hash_hits"))
+        .withColumn("n_after",
+          (col("n_before") + col("n_added")).cast("long"))
+        .orderBy(col("bk"))
+    },
+    Some {
+      val th = s"""list_transform(${TextOps.tokensSql("text")},
+        tok -> ${TextOps.polyHashSql("tok")})"""
+      val g = TextOps.ngramHashesSql("th", 4)
+      def sel(alias: String, pred: String) = s"""
+        $alias AS (
+          SELECT DISTINCT did, h FROM (
+            SELECT did,
+                   unnest(list_transform(
+                     range(1, greatest(len(g) - 4, 0) + 2),
+                     i -> list_min(list_slice(g, i, i + 3)))) AS h
+            FROM (SELECT did, g FROM (
+                    SELECT did, $g AS g
+                    FROM (SELECT doc_id AS did, $th AS th
+                          FROM documents WHERE $pred) tw) x
+                  WHERE len(g) >= 1) wg) u)"""
+      s"""
+      WITH ${sel("csel", "doc_id % 10 < 8")},
+      ${sel("asel", "doc_id % 10 >= 8")},
+      chash AS (SELECT DISTINCT h FROM csel),
+      bef AS (SELECT h % ${Dedup.IndexBuckets} AS bk,
+                     CAST(COUNT(*) AS BIGINT) AS n_before
+              FROM csel GROUP BY 1),
+      addd AS (SELECT a.h % ${Dedup.IndexBuckets} AS bk,
+                      CAST(COUNT(*) AS BIGINT) AS n_added,
+                      CAST(COUNT(DISTINCT a.did) AS BIGINT) AS n_docs_new,
+                      CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hash_hits
+               FROM asel a LEFT JOIN chash c ON a.h = c.h
+               GROUP BY 1)
+      SELECT CAST(coalesce(b.bk, a.bk) AS BIGINT) AS bk,
+             CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+             CAST(coalesce(n_added, 0) AS BIGINT) AS n_added,
+             CAST(coalesce(n_docs_new, 0) AS BIGINT) AS n_docs_new,
+             CAST(coalesce(n_hash_hits, 0) AS BIGINT) AS n_hash_hits,
+             CAST(coalesce(n_before, 0) + coalesce(n_added, 0) AS BIGINT)
+               AS n_after
+      FROM bef b FULL JOIN addd a ON b.bk = a.bk
+      ORDER BY bk"""
+    })
+
+  val c115 = Q(
+    "c115_ann_pareto",
+    // The ANN family selection table AS DATA (Ann.paretoTable — the
+    // r12-verdict #2 item): one row per index member at its own
+    // §2-registered parameters — exact / LSH(8 bits) / IVF(nprobe 2)
+    // / int8(3k rescore) / PQ(8×16, 50 rescore) / IVFPQ / Hamming
+    // (two longs, 50 rescore) — with first-stage candidates scanned,
+    // exact-cosine rescores, bytes-per-vector at rest, and recall@5
+    // vs the exact baseline as integer ppm. Every member reuses its
+    // own operator's machinery, so each row summarizes that
+    // operator's funnel; candidates × bytes is the scan cost the
+    // table exists to compare. 7 rows, all-scalar. Non-SQL-
+    // expressible within the one-page oracle cap (it composes SEVEN
+    // members' mirrors — c59+c24+c61+c62+c102's SQL concatenated
+    // exceeds it several times over): driver records the rows-only
+    // check; per-member recall values ARE oracle-checked in their
+    // own entries, and DedupAnnSpec pins the table's cross-member
+    // invariants (exact row = 1e6 recall / full scan / 0 rescores;
+    // funnel members' candidate counts; recall ordering sanity).
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.paretoTable(e.where(col("vec_id") >= 5),
+        e.where(col("vec_id") < 5), "vec_id", "embedding")
+    },
+    None)
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -4331,5 +4447,5 @@ object PipelineSuite extends Suite {
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
       c96, c97, c98, c99, c100, c101, c102, c103, c104, c105, c106,
-      c107, c108, c109, c110, c111, c112, c113)
+      c107, c108, c109, c110, c111, c112, c113, c114, c115)
 }

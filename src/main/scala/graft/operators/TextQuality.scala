@@ -155,8 +155,7 @@ object TextQuality {
   def repetitionSignals(docs: DataFrame, id: String, text: String): DataFrame = {
     val withTh = docs
       .select(col(id),
-        transform(TextOps.tokens(col(text)),
-          t => TextOps.polyHash(t)).as("th"))
+        TextOps.tokenHashesSeq(col(text)).as("th"))
     val withSorted = withTh.select(col(id), col("th"),
       array_sort(col("th")).as("srt"),
       ngramHashes(col("th"), 2).as("g2"),
@@ -219,7 +218,11 @@ object TextQuality {
         .cast("long").as("n_sym"))
     val n = size(col("tk")).cast("long")
     val chars = col("raw_len") - (n - lit(1L))
-    val nAlpha = size(filter(col("tk"), t => t.rlike("[a-z]"))).cast("long")
+    // (?i): the Gopher rule is "word contains AN alphabetic char" —
+    // case-insensitive, so acronyms/capitalized words count (mirrored
+    // in the DuckDB SQL; both engines share RE2-style inline flags).
+    val nAlpha =
+      size(filter(col("tk"), t => t.rlike("(?i)[a-z]"))).cast("long")
     val nStop = size(array_intersect(array_distinct(col("tk")),
       array(enMarkers.map(lit): _*))).cast("long")
     staged.select(
@@ -293,7 +296,7 @@ object TextQuality {
                    + CAST(len(regexp_extract_all($t, '\\.\\.\\.')) AS BIGINT)
                    AS n_sym,
                  CAST(len(list_filter($tk,
-                     x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                     x -> regexp_matches(x, '(?i)[a-z]'))) AS BIGINT) AS n_alpha,
                  CAST(len(list_intersect(list_distinct($tk), [$lst]))
                    AS BIGINT) AS n_stop
           FROM $from) b),

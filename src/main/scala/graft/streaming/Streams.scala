@@ -1970,8 +1970,13 @@ object Streams {
   /** Per-(event_type, hour) counts off the events table — the grid
     * [[rateSpikes]] audits and the d52 fold maintains (counts add). */
   def hourCounts(events: DataFrame): DataFrame =
+    // FLOOR division (a - pmod(a,b)) div b, not `div` (truncate toward
+    // zero): the DuckDB mirror uses `//` (floor), and for pre-epoch
+    // timestamps the two differ by one hour — floor keeps the bucket
+    // grid consistent across engines for any ts.
     events.select(col("event_type"),
-        expr("unix_micros(ts) div 3600000000").as("hr"))
+        expr("""(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))
+                div 3600000000""").as("hr"))
       .groupBy(col("event_type"), col("hr"))
       .agg(count(lit(1)).as("n"))
 

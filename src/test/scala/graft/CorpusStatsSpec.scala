@@ -47,6 +47,20 @@ class CorpusStatsSpec extends SparkSpec {
   }
   import spark.implicits._
 
+  test("jackknifeInfluence: single-source corpus is defined (loo = " +
+      "full mean, influence 0), never NULL/div-by-zero") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee", "only"),
+      (2L, "ff gg hh ii jj", "only")).toDF("doc_id", "text", "source")
+    val r = CorpusStats.jackknifeInfluence(docs, "doc_id", "text",
+      "source").collect()
+    assert(r.length === 1)
+    assert(!r(0).isNullAt(r(0).fieldIndex("loo_mean_ppm")))
+    assert(r(0).getAs[Long]("loo_mean_ppm") ===
+      r(0).getAs[Long]("full_mean_ppm"))
+    assert(r(0).getAs[Long]("influence_ppm") === 0L)
+  }
+
   test("domainMix: shares sum to ~1 and temperature flattens the mix") {
     val docs = Seq(
       (1L, "a b c d e f g h", "web"),

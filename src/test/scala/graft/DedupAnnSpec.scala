@@ -274,6 +274,16 @@ class DedupAnnSpec extends SparkSpec {
       (700000L, 1L, 1L, 6L), (900000L, 1L, 1L, 6L)))
     val rows = out.map(_._2)
     assert(rows === rows.sorted.reverse)
+    // empty tau grid: rejected at call time with a clear message,
+    // not an opaque UnsupportedOperationException from taus.min
+    // (and never an invalid empty-list literal in the SQL mirror)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.thresholdSweep(docs, "doc_id", "text", taus = Seq.empty)
+    }
+    assert(e.getMessage.contains("at least one tau"))
+    intercept[IllegalArgumentException] {
+      Dedup.thresholdSweepSql("doc_id", "text", taus = Seq.empty)
+    }
   }
 
   test("crossEditVerify: a planted near-copy of a corpus doc is " +
@@ -1369,5 +1379,109 @@ class DedupAnnSpec extends SparkSpec {
     assert(m(Dedup.clustersFromIndex(idx, 0.5)) ===
       m(Dedup.deduplicate(docs, "doc_id", "text", 0.5)
         .select($"doc_id".as("did"), $"keeper")))
+  }
+
+  test("ann pareto table: 7 members, exact row is the recall-1 full " +
+      "scan, funnels and probes priced consistently") {
+    val corpus = emb.where($"vec_id" >= 5)
+    val queries = emb.where($"vec_id" < 5)
+    val out = Ann.paretoTable(corpus, queries, "vec_id", "embedding")
+      .collect().map(r => (r.getAs[String]("method"),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_rescored"),
+        r.getAs[Long]("bytes_per_vector"), r.getAs[Long]("recall_ppm")))
+      .toSeq
+    assert(out.map(_._1) === Seq("exact", "lsh8", "ivf_np2", "int8",
+      "pq8x16", "ivfpq", "hamming64"))
+    val nc = corpus.count(); val nq = queries.count()
+    val byM = out.map(t => t._1 -> t).toMap
+    // exact: full scan, no rescore, perfect recall, raw floats
+    assert(byM("exact") === ("exact", nc * nq, 0L, 256L, 1000000L))
+    // scan-everything members price the full compressed scan
+    Seq("int8", "pq8x16", "hamming64").foreach { m =>
+      assert(byM(m)._2 === nc * nq, s"$m candidates") }
+    // bucketed members scan strictly less than the full corpus scan
+    Seq("lsh8", "ivf_np2", "ivfpq").foreach { m =>
+      assert(byM(m)._2 > 0L && byM(m)._2 < nc * nq, s"$m candidates") }
+    // ivfpq probes the same coarse lists as ivf (same kmeansFit)
+    assert(byM("ivfpq")._2 === byM("ivf_np2")._2)
+    // rescore funnels at the registered widths
+    assert(byM("int8")._3 === 15L * nq && byM("pq8x16")._3 === 50L * nq
+      && byM("hamming64")._3 === 50L * nq && byM("ivfpq")._3 === 50L * nq)
+    // compressed reps are smaller than floats; recalls in range
+    out.foreach { case (m, _, _, b, rec) =>
+      assert(b <= 264L && b >= 8L, s"$m bytes")
+      assert(rec >= 0L && rec <= 1000000L, s"$m recall") }
+    // the funnel members must beat chance on this corpus
+    Seq("int8", "pq8x16", "hamming64").foreach { m =>
+      assert(byM(m)._5 > 0L, s"$m recall zero") }
+  }
+
+  test("print index: append equals rebuild of corpus ∪ arrivals with " +
+      "pre-existing files untouched; delete equals rebuild of the " +
+      "survivors with untouched buckets byte-identical") {
+    val all = docs.select($"doc_id", $"text")
+    val corpus = all.where(pmod($"doc_id", lit(10)) < 8)
+    val arrivals = all.where(pmod($"doc_id", lit(10)) >= 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prints").toString
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"did".cast("long"), $"h".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    def files(bk: Long) = {
+      val p = java.nio.file.Paths.get(dir, "prints", s"bk=$bk")
+      if (!java.nio.file.Files.exists(p)) Set.empty[String]
+      else {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(p)
+        try l.iterator().asScala.map(f =>
+          s"${f.getFileName}:${java.nio.file.Files
+            .getLastModifiedTime(f).toMillis}").toSet
+        finally l.close()
+      }
+    }
+    try {
+      Dedup.writePrintIndex(corpus, "doc_id", "text", 4, 4, dir)
+      // --- append: pure insert — EVERY pre-existing file survives
+      val allBefore = (0L until Dedup.IndexBuckets.toLong)
+        .map(b => b -> files(b)).toMap
+      Dedup.appendToPrintIndexDir(spark, dir, arrivals,
+        "doc_id", "text", 4, 4)
+      assert(pset(Dedup.readPrintIndex(spark, dir)) ===
+        pset(Dedup.buildPrintIndex(all, "doc_id", "text", 4, 4)),
+        "append != rebuild of corpus ∪ arrivals")
+      (0L until Dedup.IndexBuckets.toLong).foreach { b =>
+        assert(allBefore(b).subsetOf(files(b)),
+          s"append rewrote pre-existing files in bucket $b")
+      }
+      // --- delete: a cross-cutting takedown subset
+      val deleted = all.where(pmod($"doc_id", lit(7)) === 3L)
+      val survivors = all.join(deleted.select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+      val delBks = Dedup.buildPrintIndex(deleted, "doc_id", "text", 4, 4)
+        .select(pmod($"h", lit(Dedup.IndexBuckets.toLong)))
+        .distinct().as[Long].collect().toSet
+      val untouched = (0L until Dedup.IndexBuckets.toLong)
+        .filterNot(delBks)
+      val beforeDel = untouched.map(b => b -> files(b)).toMap
+      Dedup.deleteFromPrintIndexDir(spark, dir, deleted,
+        "doc_id", "text", 4, 4)
+      val surv = pset(Dedup.buildPrintIndex(survivors,
+        "doc_id", "text", 4, 4))
+      assert(pset(Dedup.readPrintIndex(spark, dir)) === surv,
+        "delete != rebuild of survivors")
+      // byte-identity holds unless a touched bucket drained (the
+      // documented full-rewrite fallback)
+      val drained = delBks.filter(b =>
+        !surv.exists { case (_, h) =>
+          Math.floorMod(h, Dedup.IndexBuckets.toLong) == b })
+      if (drained.isEmpty)
+        untouched.foreach { b =>
+          assert(files(b) === beforeDel(b),
+            s"untouched bucket $b was rewritten")
+        }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
   }
 }

@@ -165,7 +165,8 @@ class PlanShapeSpec extends SparkSpec {
       "c110_contamination_report", // broadcast eval side, all four legs (c27/c36/c6 class)
       "d51_stream_contamination_route", // broadcast arrival side, frozen train legs (c110 class)
       "c111_jackknife_influence", // broadcast 1-row corpus totals (c26 class)
-      "c113_dedup_certificate")  // broadcast 1-row survivor/residual totals
+      "c113_dedup_certificate",  // broadcast 1-row survivor/residual totals
+      "c115_ann_pareto")         // broadcast 1-row audit totals per member + the c6-class exact baseline + query-side probes (c17/c24/c61/c62/c102 classes composed)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

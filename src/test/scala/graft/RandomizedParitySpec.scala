@@ -57,6 +57,45 @@ class RandomizedParitySpec extends SparkSpec {
     assert(diff.isEmpty, diff.limit(5).collect().mkString("\n"))
   }
 
+  test("tokenHashesSeq native equals transform(tokens, polyHash) on " +
+      "random docs incl. empty/trailing/consecutive spaces") {
+    val rnd = new scala.util.Random(19)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789#."
+    def token() = (0 to rnd.nextInt(10))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = ((1 to 250).map { i =>
+      (i, (0 to rnd.nextInt(30)).map(_ => token()).mkString(" "))
+    } ++ Seq((900, ""), (901, " "), (902, "a "), (903, " a"),
+      (904, "a  b"), (905, "  "))).toDF("id", "t")
+    val diff = docs.select($"id",
+        TextOps.tokenHashesSeq($"t").as("fast"),
+        transform(TextOps.tokens($"t"),
+          tok => TextOps.polyHash(tok)).as("ref"))
+      .where(not($"fast" === $"ref"))
+    assert(diff.isEmpty, diff.limit(5).collect().mkString("\n"))
+  }
+
+  test("blockHashes native equals the transform+aggregate+slice " +
+      "composition for every block width") {
+    val rnd = new scala.util.Random(31)
+    val docs = (1 to 200).map { i =>
+      val n = rnd.nextInt(40) // includes < p docs (single partial block)
+      (i, (1 to n).map(_ => s"t${rnd.nextInt(9)}").mkString(" "))
+    }.toDF("id", "t")
+    for (p <- Seq(1, 3, 16)) {
+      val th = docs.select($"id", TextOps.tokenHashesSeq($"t").as("th"))
+        .withColumn("nb",
+          floor((size($"th") + lit(p - 1)) / lit(p)).cast("int"))
+      val diff = th.select($"id",
+          TextOps.blockHashes($"th", p).as("fast"),
+          transform(sequence(lit(0), $"nb" - 1),
+            b => aggregate(slice($"th", b * p + 1, lit(p)), lit(0L),
+              (acc, x) => (acc * 31L + x) % lit(TextOps.P))).as("ref"))
+        .where(not($"fast" === $"ref"))
+      assert(diff.isEmpty, s"p=$p: " + diff.limit(3).collect().mkString("\n"))
+    }
+  }
+
   test("ngramHashes equals a direct per-window fold on random docs") {
     val P = TextOps.P
     val rnd = new scala.util.Random(11)
@@ -66,7 +105,7 @@ class RandomizedParitySpec extends SparkSpec {
       val n = rnd.nextInt(24) // includes < w docs (guard path)
       (i.toLong, (1 to n).map(_ => s"t${rnd.nextInt(9)}").mkString(" "))
     }
-    for (w <- Seq(2, 3, 8)) {
+    for (w <- Seq(2, 3, 8, 16)) {
       val expected = docs.map { case (id, t) =>
         val th = (if (t.isEmpty) Seq("") else t.split(" ", -1).toSeq)
           .map(refHash)

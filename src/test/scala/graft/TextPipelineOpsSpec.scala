@@ -180,6 +180,19 @@ class TextPipelineOpsSpec extends SparkSpec {
       ("s2", 1L, 0L, 0L, 0L, 0L, 0L, 1L, 5L, 1000000L)))
   }
 
+  test("gopherRules: alpha rule is case-insensitive — acronyms and " +
+      "capitalized words count as alphabetic") {
+    // All five words carry an alphabetic char (NASA, The, ...), so
+    // pass_alpha holds (fail_alpha = 0) despite zero lowercase in
+    // 'NASA' / 'IBM'; with a lowercase-only class 3 of 5 words would
+    // fail the 80% bar.
+    val docs = Seq(("s1", 1L, "NASA The IBM Cats Run"))
+      .toDF("source", "doc_id", "text")
+    val r = TextQuality.gopherRules(docs, "doc_id", "text", "source",
+      minTok = 3L, maxTok = 10L).collect()(0)
+    assert(r.getAs[Long]("fail_alpha") === 0L)
+  }
+
   test("kmvSetOps: exact in the small-union regime; estimator formula " +
       "holds when the state saturates") {
     // A={t1..t4}, B={t3..t6}, C={t7,t8}: all pair unions <= k=64, so
