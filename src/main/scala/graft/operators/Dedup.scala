@@ -207,6 +207,74 @@ object Dedup {
     }
   }
 
+  /** The winnow print-selection CTE shared by the c114/d54 mirrors:
+    * per-doc DISTINCT winnowing prints of `documents` rows matching
+    * `pred`, as `alias(did, h)`. */
+  private[graft] def winnowSelSqlCte(alias: String, id: String,
+      t: String, kg: Int, w: Int, pred: String): String = {
+    val th = s"""list_transform(${TextOps.tokensSql(t)},
+      tok -> ${TextOps.polyHashSql("tok")})"""
+    val g = TextOps.ngramHashesSql("th", kg)
+    s"""
+      $alias AS (
+        SELECT DISTINCT did, h FROM (
+          SELECT did,
+                 unnest(list_transform(
+                   range(1, greatest(len(g) - $w, 0) + 2),
+                   i -> list_min(list_slice(g, i, i + ${w - 1})))) AS h
+          FROM (SELECT did, g FROM (
+                  SELECT did, $g AS g
+                  FROM (SELECT $id AS did, $th AS th
+                        FROM documents WHERE $pred) tw) x
+                WHERE len(g) >= 1) wg) u)"""
+  }
+
+  /** Print-membership GATE (d54's per-batch probe, c114's read
+    * side): each arriving doc's winnowing prints probed against an
+    * index's print-HASH set — per doc, how many of its prints
+    * already exist anywhere in the index (n_hits: the
+    * boilerplate/plagiarism mass a live gate acts on) and how many
+    * are new (n_new: exactly the rows an append inserts — the audit
+    * meaning that makes gate-then-fold self-consistent). Docs
+    * shorter than kg tokens have no prints and are absent (c103's
+    * contract). Shape: the batch's map-side WinnowPrints pass + one
+    * equi-join on the hash against the index's distinct-hash
+    * projection (a hash is its own bucket; per-batch work bounded by
+    * the batch's prints + collisions, never the corpus) + one
+    * per-doc partial-aggregable groupBy. */
+  def printGate(idxPrints: DataFrame, batch: DataFrame, id: String,
+                text: String, kg: Int = 4, w: Int = 4): DataFrame =
+    printGateFromPrints(idxPrints,
+      winnowingPrints(batch, id, text, kg, w), id)
+
+  private[graft] def printGateFromPrints(idxPrints: DataFrame,
+      ap: DataFrame, id: String): DataFrame = {
+    val ih = idxPrints.select(col("h")).distinct()
+      .withColumn("hit", lit(1L))
+    ap.join(ih, Seq("h"), "left")
+      .groupBy(col("did"))
+      .agg(count(lit(1)).cast("long").as("n_prints"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .select(col("did").as(id), col("n_prints"), col("n_hits"),
+        (col("n_prints") - col("n_hits")).cast("long").as("n_new"))
+  }
+
+  /** DuckDB mirror of [[printGate]] over the documents view. */
+  def printGateSql(id: String, t: String, kg: Int, w: Int,
+                   corpusWhere: String, arrivalWhere: String): String =
+    s"""
+      WITH ${winnowSelSqlCte("pg_csel", id, t, kg, w, corpusWhere)},
+      pg_ch AS (SELECT DISTINCT h FROM pg_csel),
+      ${winnowSelSqlCte("pg_asel", id, t, kg, w, arrivalWhere)}
+      SELECT a.did AS $id,
+             CAST(COUNT(*) AS BIGINT) AS n_prints,
+             CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits,
+             CAST(COUNT(*) - SUM(CASE WHEN c.h IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM pg_asel a LEFT JOIN pg_ch c ON a.h = c.h
+      GROUP BY 1"""
+
   /** Asymmetric CONTAINMENT pairs (Broder's second resemblance
     * measure, "On the resemblance and containment of documents",
     * SEQUENCES 1997): C(A→B) = |A∩B| / |A| over distinct shingle

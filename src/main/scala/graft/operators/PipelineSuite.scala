@@ -4372,21 +4372,8 @@ object PipelineSuite extends Suite {
         .orderBy(col("bk"))
     },
     Some {
-      val th = s"""list_transform(${TextOps.tokensSql("text")},
-        tok -> ${TextOps.polyHashSql("tok")})"""
-      val g = TextOps.ngramHashesSql("th", 4)
-      def sel(alias: String, pred: String) = s"""
-        $alias AS (
-          SELECT DISTINCT did, h FROM (
-            SELECT did,
-                   unnest(list_transform(
-                     range(1, greatest(len(g) - 4, 0) + 2),
-                     i -> list_min(list_slice(g, i, i + 3)))) AS h
-            FROM (SELECT did, g FROM (
-                    SELECT did, $g AS g
-                    FROM (SELECT doc_id AS did, $th AS th
-                          FROM documents WHERE $pred) tw) x
-                  WHERE len(g) >= 1) wg) u)"""
+      def sel(alias: String, pred: String) =
+        Dedup.winnowSelSqlCte(alias, "doc_id", "text", 4, 4, pred)
       s"""
       WITH ${sel("csel", "doc_id % 10 < 8")},
       ${sel("asel", "doc_id % 10 >= 8")},

@@ -2234,9 +2234,56 @@ object StreamingSuite extends Suite {
     Some(graft.operators.Dedup.crossContainmentSql("doc_id", "text",
       corpusWhere = "doc_id % 97 <> 0", arrivalsWhere = "doc_id % 97 = 0")))
 
+  val d54 = Q(
+    "d54_stream_print_append",
+    // The winnowing print index's live APPEND loop — c114's
+    // streaming half (live = Streams.printAppendStreaming; the d41
+    // discipline applied to the print index): batch b (the d39/d41
+    // slicing, (doc_id div 10) mod 4, replayed in batch order) is
+    // probed against the corpus print index ∪ every EARLIER batch's
+    // prints (Dedup.printGate — prefix semantics: a doc pasted twice
+    // across arrivals hits the second time), then its own prints
+    // fold into the state as a pure per-doc-row insert (prints are
+    // per-doc independent — the c114 append theorem, so fold ==
+    // appendToPrintIndexDir and n_new IS the row count the fold
+    // inserts: gate-then-fold self-audits). One output row per
+    // arriving doc with prints (n_prints / n_hits / n_new);
+    // StreamsSpec pins live-replay parity at this slicing + the
+    // cross-batch re-paste hit d33-class static gates would miss.
+    (s, d) => {
+      import graft.operators.Dedup
+      import graft.util.Barriers.BarrierOps
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val arrivals = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val idx0 = graft.util.DiskCache.cached(s, "print-index", "v1",
+        Seq(s"$d/documents.parquet"), "mod10lt8-kg4w4", Seq("prints")) {
+        tmp => Dedup.writePrintIndex(corpus, "doc_id", "text", 4, 4, tmp)
+      } { b => Dedup.readPrintIndex(s, b) }
+      def slice(b: Long) = arrivals.where(
+        pmod(expr("doc_id div 10").cast("long"), lit(4L)) === b)
+      (0L to 3L).map { b =>
+        val idxB =
+          if (b == 0L) idx0
+          else idx0.unionByName(Dedup.buildPrintIndex(
+            arrivals.where(pmod(expr("doc_id div 10").cast("long"),
+              lit(4L)) < b), "doc_id", "text", 4, 4)).barrier(true)
+        Dedup.printGate(idxB, slice(b), "doc_id", "text", 4, 4)
+      }.reduce(_ unionAll _).orderBy(col("doc_id"))
+    },
+    Some {
+      def gate(b: Int) = graft.operators.Dedup.printGateSql(
+        "doc_id", "text", 4, 4,
+        corpusWhere = s"doc_id % 10 < 8 OR (doc_id % 10 >= 8" +
+          s" AND (doc_id // 10) % 4 < $b)",
+        arrivalWhere = s"doc_id % 10 >= 8 AND (doc_id // 10) % 4 = $b")
+      (0 to 3).map(b => s"SELECT * FROM (${gate(b)})")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY doc_id")
+    })
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53)
+      d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54)
 }

@@ -2302,6 +2302,42 @@ object Streams {
       .start()
   }
 
+  /** Streaming print-index APPEND loop — d54, c114's live half (the
+    * d41 discipline applied to the winnowing print index): batch b
+    * is probed against the corpus print index ∪ every EARLIER
+    * batch's prints (prefix semantics — a doc pasted twice across
+    * arrivals hits the second time) via [[graft.operators.Dedup
+    * .printGate]], then its own prints fold into the state — a pure
+    * per-doc-row UNION, the in-memory flavor of c114's
+    * appendToPrintIndexDir (prints are per-doc independent, so the
+    * fold is an insert with nothing to merge). Emission = one row
+    * per arriving doc (n_prints / n_hits / n_new); n_new is exactly
+    * the rows the fold inserts, which is what makes gate-then-fold
+    * self-auditing. Cross-batch state = the (did, h) print rows —
+    * the index artifact itself; production checkpoints it with
+    * appendToPrintIndexDir at the same cadence. Gate-then-fold
+    * inside the batchId guard. */
+  def printAppendStreaming(idx0: DataFrame, arrivals: DataFrame,
+      id: String, text: String, kg: Int = 4, w: Int = 4)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.util.Barriers.BarrierOps
+    var state: Option[DataFrame] = None
+    var lastApplied = -1L
+    arrivals.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          lastApplied = bid
+          val cur = state.getOrElse(idx0)
+          val bp = Dedup.winnowingPrints(batch, id, text, kg, w)
+            .barrier(true)
+          sink(Dedup.printGateFromPrints(cur, bp, id).orderBy(col(id)))
+          state = Some(cur.unionByName(bp).barrier(true))
+        }
+      }
+      .start()
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

@@ -69,7 +69,7 @@ class StreamGuardAuditSpec extends AnyFunSuite {
   test("classification counts pinned — a new flavor must be placed " +
       "in a redelivery-safe class explicitly") {
     val (st, sl) = defs.partition { case (_, b) => stateful(b) }
-    assert(st.size === 20,
+    assert(st.size === 21,
       s"stateful flavors changed: ${st.map(_._1).sorted}")
     assert(sl.size === 26,
       s"stateless flavors changed: ${sl.map(_._1).sorted}")

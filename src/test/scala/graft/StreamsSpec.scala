@@ -2472,6 +2472,59 @@ class StreamsSpec extends SparkSpec {
       "the cross-batch copy must redact fully")
   }
 
+  test("streaming print append: replay at the d41 slicing equals the " +
+      "batch contract; a cross-batch re-paste hits on its own prints") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod($"doc_id", lit(10)) < 8)
+    val arrivals = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text")
+    val idx0 = Dedup.buildPrintIndex(corpus, "doc_id", "text", 4, 4)
+    type R = (Long, Long, Long, Long)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_prints"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("n_new"))).toSeq
+    val got = scala.collection.mutable.ArrayBuffer.empty[R]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.printAppendStreaming(idx0,
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 4, 4) { df =>
+      val rows = toRows(df); this.synchronized { got ++= rows }
+    }
+    val slices = (0L to 3L).map(b => arrivals
+      .where(pmod(expr("doc_id div 10").cast("long"), lit(4L)) === b)
+      .as[(Long, String)].collect().toSeq)
+    try slices.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = toRows(
+      graft.SparkEntry.queries("d54_stream_print_append")(spark, sf))
+    assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1))
+    // the self-audit identity: n_new + n_hits = n_prints, every row
+    got.foreach(r => assert(r._2 === r._3 + r._4, s"row $r"))
+    // the semantic win over a frozen-index gate: a novel doc in batch
+    // 0 has zero hits; its verbatim re-paste in batch 1 hits on EVERY
+    // print (the prints folded into the state between batches)
+    val novel = (0 until 12).map(i => s"zq$i").mkString(" ")
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[R]
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = Streams.printAppendStreaming(idx0,
+        ms2.toDF().toDF("doc_id", "text"), "doc_id", "text", 4, 4) { df =>
+      val rows = toRows(df); this.synchronized { got2 ++= rows }
+    }
+    try {
+      ms2.addData(Seq((200001L, novel))); q2.processAllAvailable()
+      ms2.addData(Seq((200002L, novel))); q2.processAllAvailable()
+    } finally q2.stop()
+    val byId = got2.map(r => r._1 -> r).toMap
+    assert(byId(200001L)._3 === 0L &&
+      byId(200001L)._4 === byId(200001L)._2 && byId(200001L)._2 > 0L,
+      "first arrival of a novel doc must be all-new prints")
+    assert(byId(200002L)._3 === byId(200002L)._2 &&
+      byId(200002L)._4 === 0L,
+      "the cross-batch re-paste must hit on every print")
+  }
+
   test("streaming delete feed: replayed batches equal the one-shot " +
       "union delete (dir state) and audits match the d39 batch contract") {
     implicit val sqlCtx = spark.sqlContext
