@@ -165,7 +165,16 @@ object TextOps {
   // --- MinHash ------------------------------------------------------
   /** K-element MinHash signature over the shingle-hash set:
     * sig_k = min_h ((2k+1)*h + 12345 + 7k) mod p, k = 1..K. */
-  def minHashSignature(hashes: Column, k: Int): Column =
+  def minHashSignature(hashes: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.MinHashSig(
+      ColumnBridge.expression(hashes), k))
+  }
+
+  /** Builtin-composition variant of [[minHashSignature]] (same
+    * values — RandomizedParitySpec pins equality incl. the k-nulls
+    * empty case; kept for the A/B + executable documentation). */
+  def minHashSignatureHof(hashes: Column, k: Int): Column =
     transform(sequence(lit(1), lit(k)), kk =>
       array_min(transform(hashes,
         h => ((kk.cast("long") * 2L + 1L) * h
@@ -180,7 +189,16 @@ object TextOps {
   /** 30-bit SimHash over the distinct token-hash set: bit j is set iff
     * sum over tokens of ±1 (by bit j of the token hash) is >= 0.
     * 30 bits because the poly hash lives below 2^30. */
-  def simHash30(tokenHashes: Column): Column =
+  def simHash30(tokenHashes: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.SimHash30(
+      ColumnBridge.expression(tokenHashes)))
+  }
+
+  /** Builtin-composition variant of [[simHash30]] (same values —
+    * RandomizedParitySpec pins equality incl. the all-bits empty
+    * case; kept for the A/B + executable documentation). */
+  def simHash30Hof(tokenHashes: Column): Column =
     VectorOpsInternal.foldSumLong(
       transform(sequence(lit(0), lit(29)), j => {
         val p2 = pow(lit(2.0), j).cast("long")

@@ -297,6 +297,93 @@ case class BlockHashes(child: Expression, p: Int)
     copy(child = newChild)
 }
 
+/** K-element MinHash signature over a hash array in ONE pass —
+  * identical values to
+  * transform(sequence(1, k), kk -> array_min(transform(hashes,
+  * h -> ((2kk+1)·h + 12345 + 7kk) mod p))), i.e. the
+  * [[graft.functions.TextOps.minHashSignatureHof]] composition and
+  * its DuckDB mirror, INCLUDING the empty-input case (array_min of
+  * an empty list is null, so an empty hash set yields k nulls). The
+  * HOF tree costs k interpreted array scans per row; this is one
+  * primitive loop with k accumulators. All intermediates < 97·2^30
+  * < 2^37 for k ≤ 48 — exact in 64-bit on both engines.
+  * Interpreted eval (CodegenFallback). */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "signature length must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  private val P = 1000000007L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0)
+      return new GenericArrayData(Array.fill[Any](k)(null))
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var kk = 1
+      while (kk <= k) {
+        val v = ((2L * kk + 1L) * h + 12345L + 7L * kk) % P
+        if (v < mins(kk - 1)) mins(kk - 1) = v
+        kk += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 30-bit SimHash over a token-hash array in ONE pass — identical
+  * values to the [[graft.functions.TextOps.simHash30Hof]]
+  * composition and its DuckDB mirror: bit j set iff the ±1 majority
+  * vote over bit j of the hashes is >= 0 (ties set the bit, and the
+  * EMPTY set therefore hashes to 2^30−1 — both exactly as the HOF's
+  * empty-aggregate 0 >= 0 behaves). The HOF costs 30 interpreted
+  * array scans per row; this is one loop with 30 popcount
+  * accumulators (vote_j = 2·count_j − n >= 0 ⇔ 2·count_j >= n).
+  * Interpreted eval (CodegenFallback). */
+case class SimHash30(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash30"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val cnt = new Array[Long](30)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 30) {
+        cnt(j) += (h >>> j) & 1L
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 30) {
+      if (2L * cnt(j) >= n) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash30 =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003)
   * over a token-hash array, in one native pass: kg-gram rolling
   * hashes ([[NgramHashes]] algebra), then the DISTINCT minima of

@@ -120,6 +120,27 @@ object GramHashAB {
       graft.operators.Dedup.dupWindowRate(docs, "doc_id", "text", w)
         .agg(count(lit(1)).as("n"), sum(col("n_dup_windows")).as("chk"))
 
+    // --- minhash signature (the c16/c19/c60/c109/c113 family) -------
+    def shhT(d: DataFrame): DataFrame =
+      d.select(col("doc_id").as("did"),
+        TextOps.shingleHashes(col("text")).as("shh"))
+    def mhHof(): DataFrame =
+      sink(shhT(docs).select(
+        explode(TextOps.minHashSignatureHof(col("shh"), 48)).as("h")))
+    def mhNative(): DataFrame =
+      sink(shhT(docs).select(
+        explode(TextOps.minHashSignature(col("shh"), 48)).as("h")))
+
+    // --- simhash (c4/c58's signature stage) --------------------------
+    def tokSetT(d: DataFrame): DataFrame =
+      d.select(col("doc_id").as("did"),
+        TextOps.tokenHashes(col("text")).as("shh"))
+    def shHof(): DataFrame =
+      sink(tokSetT(docs).select(
+        TextOps.simHash30Hof(col("shh")).as("h")))
+    def shNative(): DataFrame =
+      sink(tokSetT(docs).select(TextOps.simHash30(col("shh")).as("h")))
+
     // --- winnowing prints: r12 lead-chain WindowExec vs native ------
     def winnowLeadChain(): DataFrame = {
       import org.apache.spark.sql.expressions.Window
@@ -165,6 +186,8 @@ object GramHashAB {
     assert(row(c57Hof()) == row(c57Native()), "c57 checksum mismatch")
     assert(row(winnowLeadChain()) == row(winnowNative()),
       "winnow checksum mismatch")
+    assert(row(mhHof()) == row(mhNative()), "minhash checksum mismatch")
+    assert(row(shHof()) == row(shNative()), "simhash checksum mismatch")
     println("CHECKSUMS OK (hof == native == leadchain)")
 
     val arms: Seq[(String, () => DataFrame)] = Seq(
@@ -178,7 +201,11 @@ object GramHashAB {
       "c57/hof        " -> (() => c57Hof()),
       "c57/native     " -> (() => c57Native()),
       "winnow/leadwin " -> (() => winnowLeadChain()),
-      "winnow/native  " -> (() => winnowNative()))
+      "winnow/native  " -> (() => winnowNative()),
+      "minhash/hof    " -> (() => mhHof()),
+      "minhash/native " -> (() => mhNative()),
+      "simhash/hof    " -> (() => shHof()),
+      "simhash/native " -> (() => shNative()))
     def run(fn: () => DataFrame): Double = {
       val t0 = System.nanoTime()
       fn().write.format("noop").mode("overwrite").save()

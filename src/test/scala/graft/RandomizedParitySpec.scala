@@ -96,6 +96,55 @@ class RandomizedParitySpec extends SparkSpec {
     }
   }
 
+  test("minHashSignature native equals the HOF composition, " +
+      "including the k-nulls empty-set case") {
+    val rnd = new scala.util.Random(47)
+    val docs = ((1 to 150).map { i =>
+      val n = rnd.nextInt(30) // includes <3-token docs (EMPTY shingles)
+      (i, (1 to n).map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+    } :+ (900, "a b")).toDF("id", "t") // guaranteed-empty shingle set
+    for (k <- Seq(1, 8, 48)) {
+      val sh = docs.select($"id", TextOps.shingleHashes($"t").as("shh"))
+      val diff = sh.select($"id",
+          TextOps.minHashSignature($"shh", k).as("fast"),
+          TextOps.minHashSignatureHof($"shh", k).as("ref"))
+        .where(not($"fast" <=> $"ref"))
+      assert(diff.isEmpty, s"k=$k: " + diff.limit(3).collect().mkString("\n"))
+      val empt = sh.where(size($"shh") === 0)
+        .select(TextOps.minHashSignature($"shh", k).as("s")).collect()
+      assert(empt.nonEmpty)
+      empt.foreach { r =>
+        val s = r.getSeq[Any](0)
+        assert(s.size == k && s.forall(_ == null),
+          s"k=$k empty set must give $k nulls")
+      }
+    }
+  }
+
+  test("simHash30 native equals the HOF composition, including the " +
+      "all-bits-set empty case and majority ties") {
+    val rnd = new scala.util.Random(53)
+    val docs = ((1 to 200).map { i =>
+      val n = rnd.nextInt(20) // includes empty docs
+      (i, (1 to n).map(_ => s"v${rnd.nextInt(7)}").mkString(" "))
+    } :+ (900, "")).toDF("id", "t")
+    val sh = docs.select($"id", TextOps.tokenHashes($"t").as("shh"))
+    val diff = sh.select($"id",
+        TextOps.simHash30($"shh").as("fast"),
+        TextOps.simHash30Hof($"shh").as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(diff.isEmpty, diff.limit(5).collect().mkString("\n"))
+    // empty token-hash set: every ±1 vote is the empty sum 0 >= 0,
+    // so all 30 bits set (tokenHashes of "" is [hash("")] = [0], so
+    // build a genuinely empty array directly)
+    val empty = docs.sparkSession.sql(
+      "SELECT CAST(array() AS ARRAY<BIGINT>) AS shh")
+    val ev = empty.select(TextOps.simHash30($"shh").as("fast"),
+      TextOps.simHash30Hof($"shh").as("ref")).collect()(0)
+    assert(ev.getAs[Long]("fast") === (1L << 30) - 1L)
+    assert(ev.getAs[Long]("fast") === ev.getAs[Long]("ref"))
+  }
+
   test("ngramHashes equals a direct per-window fold on random docs") {
     val P = TextOps.P
     val rnd = new scala.util.Random(11)
