@@ -178,10 +178,10 @@ case class ShingleHashes3(child: Expression)
   * values to transform(split(text, " "), t -> poly_hash(t)) with zero
   * per-token UTF8String materialization — and, being a native expr,
   * immune to the §8m lambda re-embedding class by construction.
-  * Interpreted eval (CodegenFallback) — the loop itself is primitive.
+  * Full doGenCode — the loop runs inside whole-stage codegen.
   */
 case class TokenHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_hashes"
@@ -207,6 +207,32 @@ case class TokenHashes(child: Expression)
     new GenericArrayData(out)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bs = ctx.freshName("bs")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val h = ctx.freshName("h")
+      val o = ctx.freshName("o")
+      val i = ctx.freshName("i")
+      s"""
+        byte[] $bs = $s.getBytes();
+        int $n = 1;
+        for (int $i = 0; $i < $bs.length; $i++)
+          if ($bs[$i] == 0x20) $n++;
+        long[] $out = new long[$n];
+        long $h = 0L; int $o = 0;
+        for (int $i = 0; $i < $bs.length; $i++) {
+          byte b$i = $bs[$i];
+          if (b$i == 0x20) { $out[$o++] = $h; $h = 0L; }
+          else $h = ($h * 31L + (b$i & 0xffL)) % ${P}L;
+        }
+        $out[$o] = $h;
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
   override protected def withNewChildInternal(newChild: Expression): TokenHashes =
     copy(child = newChild)
 }
@@ -217,9 +243,10 @@ case class TokenHashes(child: Expression)
   * g' = ((g − t_first·31^(w−1))·31 + t_new) mod p instead of the
   * interpreted O(n·w) HOF tree (w element_at calls per window).
   * Arrays shorter than w yield the empty array, matching the HOF's
-  * guard. Interpreted eval (CodegenFallback) — primitive loop. */
+  * guard. Full doGenCode — the rolling loop runs inside
+  * whole-stage codegen. */
 case class NgramHashes(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(w >= 1, "ngram width must be >= 1")
 
@@ -256,6 +283,39 @@ case class NgramHashes(child: Expression, w: Int)
     new GenericArrayData(out)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val g = ctx.freshName("g")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val drop = ctx.freshName("drop")
+      s"""
+        int $n = $a.numElements();
+        long[] $out;
+        if ($n < $w) {
+          $out = new long[0];
+        } else {
+          $out = new long[$n - $w + 1];
+          long $g = $a.getLong(0) % ${P}L;
+          for (int $i = 1; $i < $w; $i++)
+            $g = ($g * 31L + $a.getLong($i)) % ${P}L;
+          $out[0] = $g;
+          int $s = 0;
+          while ($s + $w < $n) {
+            long $drop = ($a.getLong($s) % ${P}L) * ${pw}L % ${P}L;
+            $g = (($g - $drop + ${P}L) % ${P}L * 31L
+              + $a.getLong($s + $w)) % ${P}L;
+            $s++;
+            $out[$s] = $g;
+          }
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
     copy(child = newChild)
 }
@@ -265,9 +325,9 @@ case class NgramHashes(child: Expression, w: Int)
   * transform(sequence(0, nb−1), b -> aggregate(slice(th, b*p+1, p),
   * 0L, (acc, x) -> (acc*31 + x) % P)) with one primitive pass and no
   * per-block slice allocation; nb = ceil(n/p), so an empty array
-  * yields the empty array. Interpreted eval (CodegenFallback). */
+  * yields the empty array. Full doGenCode. */
 case class BlockHashes(child: Expression, p: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(p >= 1, "block width must be >= 1")
 
@@ -293,6 +353,31 @@ case class BlockHashes(child: Expression, p: Int)
     new GenericArrayData(out)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val nb = ctx.freshName("nb")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val end = ctx.freshName("end")
+      s"""
+        int $n = $a.numElements();
+        int $nb = ($n + ${p - 1}) / $p;
+        long[] $out = new long[$nb];
+        for (int $b = 0; $b < $nb; $b++) {
+          long $acc = 0L;
+          int $end = java.lang.Math.min($b * $p + $p, $n);
+          for (int $i = $b * $p; $i < $end; $i++)
+            $acc = ($acc * 31L + $a.getLong($i)) % ${P}L;
+          $out[$b] = $acc;
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
   override protected def withNewChildInternal(newChild: Expression): BlockHashes =
     copy(child = newChild)
 }
@@ -307,9 +392,9 @@ case class BlockHashes(child: Expression, p: Int)
   * HOF tree costs k interpreted array scans per row; this is one
   * primitive loop with k accumulators. All intermediates < 97·2^30
   * < 2^37 for k ≤ 48 — exact in 64-bit on both engines.
-  * Interpreted eval (CodegenFallback). */
+  * Full doGenCode. */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, "signature length must be >= 1")
 
@@ -338,6 +423,35 @@ case class MinHashSig(child: Expression, k: Int)
     new GenericArrayData(mins)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val kk = ctx.freshName("kk")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+        int $n = $a.numElements();
+        if ($n == 0) {
+          ${ev.value} = new org.apache.spark.sql.catalyst.util
+            .GenericArrayData(new Object[$k]);
+        } else {
+          long[] $mins = new long[$k];
+          java.util.Arrays.fill($mins, java.lang.Long.MAX_VALUE);
+          for (int $i = 0; $i < $n; $i++) {
+            long $h = $a.getLong($i);
+            for (int $kk = 1; $kk <= $k; $kk++) {
+              long $v = ((2L * $kk + 1L) * $h + 12345L + 7L * $kk) % ${P}L;
+              if ($v < $mins[$kk - 1]) $mins[$kk - 1] = $v;
+            }
+          }
+          ${ev.value} =
+            new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+        }
+      """
+    })
+
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
@@ -350,9 +464,9 @@ case class MinHashSig(child: Expression, k: Int)
   * empty-aggregate 0 >= 0 behaves). The HOF costs 30 interpreted
   * array scans per row; this is one loop with 30 popcount
   * accumulators (vote_j = 2·count_j − n >= 0 ⇔ 2·count_j >= n).
-  * Interpreted eval (CodegenFallback). */
+  * Full doGenCode. */
 case class SimHash30(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash30"
@@ -380,6 +494,29 @@ case class SimHash30(child: Expression)
     out
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val res = ctx.freshName("res")
+      s"""
+        int $n = $a.numElements();
+        long[] $cnt = new long[30];
+        for (int $i = 0; $i < $n; $i++) {
+          long $h = $a.getLong($i);
+          for (int $j = 0; $j < 30; $j++)
+            $cnt[$j] += ($h >>> $j) & 1L;
+        }
+        long $res = 0L;
+        for (int $j = 0; $j < 30; $j++)
+          if (2L * $cnt[$j] >= $n) $res |= 1L << $j;
+        ${ev.value} = $res;
+      """
+    })
+
   override protected def withNewChildInternal(newChild: Expression): SimHash30 =
     copy(child = newChild)
 }
@@ -396,9 +533,10 @@ case class SimHash30(child: Expression)
   * shorter than kg tokens have no grams and yield the empty array.
   * Ties inside a window pick the same MIN VALUE either way — the
   * fingerprint is the hash value, not the position, so tie order is
-  * immaterial. Interpreted eval (CodegenFallback). */
+  * immaterial. Full doGenCode (raw JDK collections — Janino compiles
+  * no generics). */
 case class WinnowPrints(child: Expression, kg: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(kg >= 1 && w >= 1, "winnow widths must be >= 1")
 
@@ -454,6 +592,71 @@ case class WinnowPrints(child: Expression, kg: Int, w: Int)
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val gc = ctx.freshName("gc")
+      val g = ctx.freshName("g")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val drop = ctx.freshName("drop")
+      val seen = ctx.freshName("seen")
+      val m = ctx.freshName("m")
+      val dq = ctx.freshName("dq")
+      val head = ctx.freshName("head")
+      val tail = ctx.freshName("tail")
+      val out = ctx.freshName("out")
+      val o = ctx.freshName("o")
+      val it = ctx.freshName("it")
+      s"""
+        int $n = $a.numElements();
+        if ($n < $kg) {
+          ${ev.value} = new org.apache.spark.sql.catalyst.util
+            .GenericArrayData(new long[0]);
+        } else {
+          int $gc = $n - ${kg - 1};
+          long[] $g = new long[$gc];
+          long $acc = $a.getLong(0) % ${P}L;
+          for (int $i = 1; $i < $kg; $i++)
+            $acc = ($acc * 31L + $a.getLong($i)) % ${P}L;
+          $g[0] = $acc;
+          int $s = 0;
+          while ($s + $kg < $n) {
+            long $drop = ($a.getLong($s) % ${P}L) * ${pw}L % ${P}L;
+            $acc = (($acc - $drop + ${P}L) % ${P}L * 31L
+              + $a.getLong($s + $kg)) % ${P}L;
+            $s++;
+            $g[$s] = $acc;
+          }
+          java.util.LinkedHashSet $seen = new java.util.LinkedHashSet();
+          if ($gc < $w) {
+            long $m = $g[0];
+            for (int $i = 1; $i < $gc; $i++)
+              if ($g[$i] < $m) $m = $g[$i];
+            $seen.add(java.lang.Long.valueOf($m));
+          } else {
+            int[] $dq = new int[$gc];
+            int $head = 0; int $tail = 0;
+            for (int $i = 0; $i < $gc; $i++) {
+              while ($tail > $head && $g[$dq[$tail - 1]] >= $g[$i])
+                $tail--;
+              $dq[$tail++] = $i;
+              if ($dq[$head] <= $i - $w) $head++;
+              if ($i >= ${w - 1})
+                $seen.add(java.lang.Long.valueOf($g[$dq[$head]]));
+            }
+          }
+          long[] $out = new long[$seen.size()];
+          int $o = 0;
+          for (java.util.Iterator $it = $seen.iterator(); $it.hasNext();)
+            $out[$o++] = ((java.lang.Long) $it.next()).longValue();
+          ${ev.value} =
+            new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        }
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): WinnowPrints =
     copy(child = newChild)
