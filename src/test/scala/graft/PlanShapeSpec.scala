@@ -177,6 +177,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("winnowing prints head is map-side: no WindowExec and no " +
+      "exchange before the fingerprint rows exist") {
+    // Third-generation c103 (round 13): prints are a pure per-doc
+    // function computed by the native WinnowPrints expression, so
+    // the plan between the parquet scan and the print rows must be
+    // projection + generate ONLY — the r12 lead-chain plan's
+    // doc-keyed WindowExec (a full token-stream shuffle+sort) and
+    // the follow-up distinct exchange must never come back.
+    val plan = graft.operators.Dedup.winnowingPrints(
+        graft.model.Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["),
+      s"winnowingPrints must not plan a WindowExec:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"winnowingPrints must be map-side end-to-end:\n$plan")
+    assert(plan.contains("winnow_prints"),
+      s"the native expression must be in the plan:\n$plan")
+  }
+
   test("window-hash count trio plans partial aggregation on h — no WindowExec") {
     // c57/c78/c85 count/rank occurrences of a corpus-scale window/block
     // hash. A per-hash WindowExec has NO partial aggregation — a viral
