@@ -1050,6 +1050,30 @@ object Ann {
         col("e.n_id").isNotNull.as("in_exact"))
   }
 
+  /** The IVFPQ residual table — (vec_id, c_id, vn, embedding): one
+    * row per corpus vector with its coarse list id, stored norm and
+    * float32 residual v − c_coarse (the double-subtract-then-round
+    * composition both engines evaluate identically). Exposed so the
+    * residual PQ codebooks can train ONCE per corpus and persist
+    * (the DiskCache seam feeding [[ivfpqTopK]]'s `cbPre`). `coarse`
+    * must carry (id, vec)-named columns ([[kmeansFit]]'s shape). */
+  def ivfpqResiduals(corpus: DataFrame, id: String, vec: String,
+                     coarse: DataFrame,
+                     centTPre: Option[DataFrame] = None): DataFrame = {
+    val centT = centTPre.getOrElse(centTable(coarse, id, vec))
+    val coarseVec = coarse
+      .select(col(id).as("c_id"), col(vec).as("c_vec"))
+    assignToCentroids(
+        corpus.select(col(id).as("n_id"), col(vec).as("n_vec"),
+          VectorOps.norm(col(vec)).as("n_nrm")), centT, "n", 1)
+      .join(broadcast(coarseVec), "c_id")
+      .select(col("n_id").as("vec_id"), col("c_id"),
+        col("n_nrm").as("vn"),
+        zip_with(col("n_vec"), col("c_vec"),
+          (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+          .as("embedding"))
+  }
+
   /** IVF + residual PQ — the two compressions COMPOSED into the
     * layout a 100 TB vector index actually ships (the FAISS IVFPQ
     * shape): a coarse k-means partitions the corpus into inverted
@@ -1065,30 +1089,31 @@ object Ann {
     * floats for an exact rescore, final top-k by exact score. Only
     * probed lists are ever scored — the candidate set is bounded by
     * construction (the c29 DPP argument composed with c61's
-    * compressed scan). */
+    * compressed scan).
+    *
+    * `coarsePre` / `cbPre` accept a PRECOMPUTED coarse-centroid table
+    * ((id, vec)-named, [[kmeansFit]]'s output shape) and residual
+    * codebook table ([[pqFit]]'s (m, cid, cv, cn) shape): at 100 TB
+    * the fits are train-once/persist artifacts, not per-query work —
+    * callers route them through the DiskCache corpus-fingerprint
+    * seam (c62/c115) instead of retraining on every probe. Both
+    * trainers are deterministic, so a supplied table is
+    * bit-identical to the refit it replaces. */
   def ivfpqTopK(corpus: DataFrame, queries: DataFrame, id: String,
                 vec: String, kCoarse: Int, m: Int, subDim: Int,
                 kSub: Int, iters: Int, nprobe: Int, k: Int,
-                rescore: Int = 50): DataFrame = {
-    val coarse = kmeansFit(corpus, id, vec, kCoarse, iters)
+                rescore: Int = 50,
+                coarsePre: Option[DataFrame] = None,
+                cbPre: Option[DataFrame] = None): DataFrame = {
+    val coarse = coarsePre
+      .getOrElse(kmeansFit(corpus, id, vec, kCoarse, iters))
     val centT = centTable(coarse, id, vec).barrier(true)
+    val resid = ivfpqResiduals(corpus, id, vec, coarse, Some(centT))
+      .barrier(true)
     val coarseVec = coarse
       .select(col(id).as("c_id"), col(vec).as("c_vec"))
-    // residual table: one row per vector with its list id, residual
-    // (float32, the double-subtract-then-round composition both
-    // engines evaluate identically) and stored norm
-    val resid = assignToCentroids(
-        corpus.select(col(id).as("n_id"), col(vec).as("n_vec"),
-          VectorOps.norm(col(vec)).as("n_nrm")), centT, "n", 1)
-      .join(broadcast(coarseVec), "c_id")
-      .select(col("n_id").as("vec_id"), col("c_id"),
-        col("n_nrm").as("vn"),
-        zip_with(col("n_vec"), col("c_vec"),
-          (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
-          .as("embedding"))
-      .barrier(true)
-    val cb = pqFit(resid, "vec_id", "embedding", m, subDim, kSub,
-      iters)
+    val cb = cbPre.getOrElse(
+      pqFit(resid, "vec_id", "embedding", m, subDim, kSub, iters))
     val codes = pqCodes(resid, "vec_id", "embedding", cb, m, subDim)
       .join(resid.select(col("vec_id").as("vid"), col("c_id"),
         col("vn")), "vid")
@@ -1625,9 +1650,23 @@ object Ann {
     * count equals IVF's by construction (same deterministic
     * kmeansFit coarse, same nprobe). Output is 7 rows — the
     * driver-facing map of the family the VERDICT asked to exist as
-    * data rather than prose. */
+    * data rather than prose.
+    *
+    * The three trainable artifacts — coarse centroids (shared by IVF
+    * and IVFPQ), raw-vector PQ codebooks (c61's member) and residual
+    * PQ codebooks (c62's member) — accept precomputed tables: all
+    * three trainers are deterministic (§4), so a persisted fit is
+    * bit-identical to the refit it replaces, and at 100 TB they are
+    * train-once index artifacts served from the DiskCache
+    * corpus-fingerprint seam, not per-audit work. With nothing
+    * supplied the table still fits each artifact exactly ONCE (the
+    * coarse table feeds both the IVF member and ivfpqTopK's
+    * `coarsePre` — the r13-verdict duplicate-fit fix). */
   def paretoTable(corpus: DataFrame, queries: DataFrame,
-                  id: String, vec: String, dim: Int = 64): DataFrame = {
+                  id: String, vec: String, dim: Int = 64,
+                  coarsePre: Option[DataFrame] = None,
+                  pqRawPre: Option[DataFrame] = None,
+                  pqResidPre: Option[DataFrame] = None): DataFrame = {
     import graft.util.Barriers.BarrierOps
     val k = 5
     val exact = bruteForceTopK(corpus, queries, id, vec, k).barrier(true)
@@ -1663,7 +1702,8 @@ object Ann {
 
     // ivf (c13/c17/c59 family: k=8 Lloyd centroids, iters=2,
     // nprobe=2): probed inverted-list sizes
-    val cent = kmeansFit(corpus, id, vec, k = 8, iters = 2)
+    val cent = coarsePre
+      .getOrElse(kmeansFit(corpus, id, vec, k = 8, iters = 2))
     val centT = centTable(cent, id, vec).barrier(true)
     val ivfCand = assignToCentroids(
         corpus.select(col(id).as("n_id"), col(vec).as("n_vec"),
@@ -1675,8 +1715,8 @@ object Ann {
       .agg(count(lit(1)).as("n_candidates"))
       .barrier(true)
 
-    val pqCent = pqFit(corpus, id, vec, m = 8, subDim = 8, k = 16,
-      iters = 2)
+    val pqCent = pqRawPre.getOrElse(
+      pqFit(corpus, id, vec, m = 8, subDim = 8, k = 16, iters = 2))
 
     Seq(
       row(1L, "exact", exact, fullScan, 0L, 4L * dim),
@@ -1695,7 +1735,8 @@ object Ann {
         fullScan, 50L, 16L),
       row(6L, "ivfpq",
         ivfpqTopK(corpus, queries, id, vec, kCoarse = 8, m = 8,
-          subDim = 8, kSub = 16, iters = 2, nprobe = 2, k = k),
+          subDim = 8, kSub = 16, iters = 2, nprobe = 2, k = k,
+          coarsePre = Some(cent), cbPre = pqResidPre),
         ivfCand, 50L, 24L),
       row(7L, "hamming64",
         hammingTopK(corpus, queries, id, vec, k),

@@ -16,6 +16,39 @@ object PipelineSuite extends Suite {
   private val SH = TextOps.shingleHashesSql("text")
   private val COS = VectorOps.cosine6Sql("a.embedding", "b.embedding")
 
+  /** Train-once ANN fit artifacts for the embeddings corpus
+    * (vec_id >= 5, the c6/c61/c62/c115 family split): coarse k-means
+    * centroids (k=8, iters=2 — the IVF/IVFPQ coarse), raw-vector PQ
+    * codebooks (8×8×16 — c61's member) and residual PQ codebooks
+    * (c62's member), persisted via the DiskCache corpus-fingerprint
+    * seam (c17/c29 precedent, r13-verdict #1): at 100 TB these are
+    * index artifacts trained once per corpus version, not per-query
+    * work. All three trainers are deterministic (§4), so the
+    * persisted tables are bit-identical to a refit — the residual
+    * fit trains against the PERSISTED coarse floats so the parity
+    * chain never forks. */
+  private def annFits(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) =
+    graft.util.DiskCache.cached(s, "ann-fits", "v1",
+      Seq(s"$d/embeddings.parquet"), "ge5-k8i2-pq8x8x16",
+      Seq("coarse", "pqraw", "pqresid")) { tmp =>
+      val corpus = Tables.embeddings(s, d).where(col("vec_id") >= 5)
+      Ann.kmeansFit(corpus, "vec_id", "embedding", k = 8, iters = 2)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/coarse")
+      Ann.pqFit(corpus, "vec_id", "embedding", m = 8, subDim = 8,
+          k = 16, iters = 2)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/pqraw")
+      Ann.pqFit(
+          Ann.ivfpqResiduals(corpus, "vec_id", "embedding",
+            s.read.parquet(s"$tmp/coarse")),
+          "vec_id", "embedding", m = 8, subDim = 8, k = 16, iters = 2)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/pqresid")
+    } { base =>
+      (s.read.parquet(s"$base/coarse"), s.read.parquet(s"$base/pqraw"),
+        s.read.parquet(s"$base/pqresid"))
+    }
+
   val c1 = Q(
     "c1_dedup_exact",
     (s, d) => Dedup.exactClusters(Tables.documents(s, d), "doc_id", "text")
@@ -610,53 +643,58 @@ object PipelineSuite extends Suite {
       ORDER BY stage"""))
 
   /** PQ CTE chain (sub-vector split, per-subspace L2 Lloyd, codes) —
-    * assumes `corpus`/`queries` CTEs; mirrors Ann.pqFit/pqCodes. */
+    * assumes `corpus`/`queries` CTEs; mirrors Ann.pqFit/pqCodes.
+    * `prefix` renames every generated CTE (subn → {p}subn, …) so two
+    * instances — raw-vector and residual codebooks — can coexist in
+    * ONE query (the c115 pareto mirror composes both). */
   private[operators] def pqCtes(mSub: Int, subDim: Int, k: Int,
-                     iters: Int, from: String = "corpus"): String = {
+                     iters: Int, from: String = "corpus",
+                     prefix: String = ""): String = {
     def dotS(a: String, b: String) = VectorOps.dotSql(a, b)
+    val p = prefix
     val iterCtes = (1 to iters).map { i =>
-      s"""ppick$i AS (
+      s"""${p}ppick$i AS (
         SELECT vid, m, cid, vm FROM (
           SELECT s.vec_id AS vid, s.m, c.cid, s.vm,
                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                    ORDER BY round((s.nv + c.cn) -
                      2.0 * ${dotS("s.vm", "c.cv")}, 6) ASC, c.cid) AS rk
-          FROM subn s JOIN pcent${i - 1} c ON s.m = c.m) t
+          FROM ${p}subn s JOIN ${p}pcent${i - 1} c ON s.m = c.m) t
         WHERE rk = 1),
-      pupd$i AS (
+      ${p}pupd$i AS (
         SELECT p.m, p.cid, t.i,
                CAST(SUM(CAST(FLOOR(CAST(p.vm[t.i] AS DOUBLE)
                      * 1073741824.0) AS HUGEINT)) AS DOUBLE)
                  / (COUNT(*) * 1073741824.0) AS mu
-        FROM ppick$i p CROSS JOIN range(1, ${subDim + 1}) t(i)
+        FROM ${p}ppick$i p CROSS JOIN range(1, ${subDim + 1}) t(i)
         GROUP BY p.m, p.cid, t.i),
-      pcent$i AS (
+      ${p}pcent$i AS (
         SELECT m, cid, cv, ${dotS("cv", "cv")} AS cn FROM (
           SELECT m, cid, list_transform(list(mu ORDER BY i),
                    x -> CAST(x AS FLOAT)) AS cv
-          FROM pupd$i GROUP BY m, cid))"""
+          FROM ${p}pupd$i GROUP BY m, cid))"""
     }.mkString(",\n      ")
-    s"""subn AS (
+    s"""${p}subn AS (
         SELECT vec_id, m,
                embedding[m * $subDim + 1 : (m + 1) * $subDim] AS vm,
                ${dotS(s"embedding[m * $subDim + 1 : (m + 1) * $subDim]",
                  s"embedding[m * $subDim + 1 : (m + 1) * $subDim]")}
                  AS nv
         FROM (SELECT *, unnest(range(0, $mSub)) AS m FROM $from)),
-      seeds AS (
+      ${p}seeds AS (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
         FROM (SELECT vec_id FROM $from ORDER BY vec_id LIMIT $k)),
-      pcent0 AS (
+      ${p}pcent0 AS (
         SELECT s.m, d.cid, s.vm AS cv, s.nv AS cn
-        FROM subn s JOIN seeds d USING (vec_id)),
+        FROM ${p}subn s JOIN ${p}seeds d USING (vec_id)),
       $iterCtes,
-      codes AS (
+      ${p}codes AS (
         SELECT vid, m, cid AS code FROM (
           SELECT s.vec_id AS vid, s.m, c.cid,
                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                    ORDER BY round((s.nv + c.cn) -
                      2.0 * ${dotS("s.vm", "c.cv")}, 6) ASC, c.cid) AS rk
-          FROM subn s JOIN pcent$iters c ON s.m = c.m) t
+          FROM ${p}subn s JOIN ${p}pcent$iters c ON s.m = c.m) t
         WHERE rk = 1)"""
   }
 
@@ -685,9 +723,10 @@ object PipelineSuite extends Suite {
       val e = Tables.embeddings(s, d)
       val corpus = e.where(col("vec_id") >= 5)
       val queries = e.where(col("vec_id") < 5)
-      val cent = Ann.pqFit(corpus, "vec_id", "embedding",
-        m = 8, subDim = 8, k = 16, iters = 2)
-      Ann.pqTopK(corpus, queries, cent, "vec_id", "embedding",
+      // codebooks served from the train-once DiskCache seam
+      // (annFits — deterministic, bit-identical to an inline refit)
+      val (_, pqRaw, _) = annFits(s, d)
+      Ann.pqTopK(corpus, queries, pqRaw, "vec_id", "embedding",
           m = 8, subDim = 8, k = 5)
         .orderBy(col("q_id"), col("rank"))
     },
@@ -775,10 +814,15 @@ object PipelineSuite extends Suite {
     // scan).
     (s, d) => {
       val e = Tables.embeddings(s, d)
+      // coarse centroids + residual codebooks from the train-once
+      // DiskCache seam (annFits) — the 100 TB index-artifact shape;
+      // both trainers deterministic, so results are bit-identical
+      val (coarse, _, pqResid) = annFits(s, d)
       Ann.ivfpqTopK(e.where(col("vec_id") >= 5),
           e.where(col("vec_id") < 5), "vec_id", "embedding",
           kCoarse = 8, m = 8, subDim = 8, kSub = 16, iters = 2,
-          nprobe = 2, k = 5)
+          nprobe = 2, k = 5,
+          coarsePre = Some(coarse), cbPre = Some(pqResid))
         .orderBy(col("q_id"), col("rank"))
     },
     Some {
@@ -4410,20 +4454,322 @@ object PipelineSuite extends Suite {
     // vs the exact baseline as integer ppm. Every member reuses its
     // own operator's machinery, so each row summarizes that
     // operator's funnel; candidates × bytes is the scan cost the
-    // table exists to compare. 7 rows, all-scalar. Non-SQL-
-    // expressible within the one-page oracle cap (it composes SEVEN
-    // members' mirrors — c59+c24+c61+c62+c102's SQL concatenated
-    // exceeds it several times over): driver records the rows-only
-    // check; per-member recall values ARE oracle-checked in their
-    // own entries, and DedupAnnSpec pins the table's cross-member
-    // invariants (exact row = 1e6 recall / full scan / 0 rescores;
-    // funnel members' candidate counts; recall ordering sanity).
+    // table exists to compare. 7 rows, all-scalar. FULL DuckDB
+    // mirror (closes the r13 allowlist — the last rows-only entry):
+    // the seven members' CTE chains composed into ONE query, the
+    // coarse-kmeans CTEs shared by IVF and IVFPQ exactly as the
+    // Spark side shares the coarse table, the two PQ codebook
+    // instances (raw-vector c61 / residual c62) disambiguated by
+    // pqCtes' prefix parameter, and DedupAnnSpec still pins the
+    // cross-member invariants.
     (s, d) => {
       val e = Tables.embeddings(s, d)
+      // all three trainable artifacts from the train-once DiskCache
+      // seam (annFits — r13-verdict #1: the audit op no longer
+      // retrains kmeans/PQ per run, and ivfpqTopK reuses the same
+      // coarse table instead of refitting it internally)
+      val (coarse, pqRaw, pqResid) = annFits(s, d)
       Ann.paretoTable(e.where(col("vec_id") >= 5),
-        e.where(col("vec_id") < 5), "vec_id", "embedding")
+        e.where(col("vec_id") < 5), "vec_id", "embedding",
+        coarsePre = Some(coarse), pqRawPre = Some(pqRaw),
+        pqResidPre = Some(pqResid))
     },
-    None)
+    Some {
+      def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
+      def dotS(a: String, b: String) = VectorOps.dotSql(a, b)
+      // one pareto row: ord/method/bytes literal, candidate-count
+      // expression, LEAST(rescore, nc)*nq, and recall@5 ppm = exact
+      // pairs surviving a semi-join against the member's top-5
+      def row(ord: Int, method: String, cand: String, resc: Long,
+              bytes: Long, top: String) = {
+        val hits = s"""(SELECT COUNT(*) FROM exact e
+             WHERE EXISTS (SELECT 1 FROM $top t2
+                           WHERE t2.q_id = e.q_id AND t2.n_id = e.n_id))"""
+        s"""SELECT CAST($ord AS BIGINT) AS ord, '$method' AS method,
+           $cand AS n_candidates,
+           CAST(LEAST($resc, z.nc) * z.nq AS BIGINT) AS n_rescored,
+           CAST($bytes AS BIGINT) AS bytes_per_vector,
+           ${CorpusStats.ppmSql(hits, "t.tot")} AS recall_ppm
+         FROM sizes z, tot t"""
+      }
+      val fullScan = "CAST(z.nc * z.nq AS BIGINT)"
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      queries AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      sizes AS (SELECT (SELECT COUNT(*) FROM corpus) AS nc,
+                       (SELECT COUNT(*) FROM queries) AS nq),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            v.vec_id) AS rk
+          FROM queries q CROSS JOIN corpus v) t
+        WHERE rk <= 5),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM exact),
+      lshtop AS (
+        SELECT q_id, n_id FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY ${cos("b.embedding", "a.embedding")} DESC,
+                            b.vec_id) AS rank
+          FROM queries a JOIN corpus b
+            ON ${Ann.lshBucketSql("b.embedding", 8)}
+             = ${Ann.lshBucketSql("a.embedding", 8)}) t
+        WHERE rank <= 5),
+      lshcand AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM (SELECT ${Ann.lshBucketSql("embedding", 8)} AS b
+              FROM corpus) c
+          JOIN (SELECT ${Ann.lshBucketSql("embedding", 8)} AS b
+                FROM queries) q USING (b)),
+      ${kmeansCtes(k = 8, iters = 2)},
+      qprobe AS (
+        SELECT q_id, cid FROM (
+          SELECT q.vec_id AS q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid)
+                   AS rk
+          FROM queries q CROSS JOIN cent2 c) t
+        WHERE rk <= 2),
+      ivfcand AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM pick3 a JOIN qprobe p ON a.cid = p.cid),
+      ivftop AS (
+        SELECT q_id, n_id FROM (
+          SELECT p.q_id, a.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY p.q_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            a.vec_id) AS rk
+          FROM qprobe p
+            JOIN pick3 a ON a.cid = p.cid
+            JOIN corpus v ON v.vec_id = a.vec_id
+            JOIN queries q ON q.vec_id = p.q_id) t
+        WHERE rk <= 5),
+      i8corpusn AS (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) / ${VectorOps.normSql("embedding")})
+                 AS nv
+        FROM corpus),
+      i8queriesn AS (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) / ${VectorOps.normSql("embedding")})
+                 AS nv
+        FROM queries),
+      i8mm AS (
+        SELECT MAX(abs(x)) / CAST(127 AS DOUBLE) AS scale
+        FROM (SELECT unnest(nv) AS x FROM i8corpusn)),
+      i8cq AS (
+        SELECT vec_id,
+               list_transform(nv, x -> least(greatest(
+                 CAST(floor(x / m.scale) AS BIGINT), -127), 127)) AS qv
+        FROM i8corpusn CROSS JOIN i8mm m),
+      i8qq AS (
+        SELECT vec_id,
+               list_transform(nv, x -> least(greatest(
+                 CAST(floor(x / m.scale) AS BIGINT), -127), 127)) AS qv
+        FROM i8queriesn CROSS JOIN i8mm m),
+      i8cand AS (
+        SELECT q_id, n_id FROM (
+          SELECT b.vec_id AS q_id, a.vec_id AS n_id,
+            ROW_NUMBER() OVER (PARTITION BY b.vec_id
+              ORDER BY list_reduce(list_transform(range(1, 65),
+                         j -> a.qv[j] * b.qv[j]), (x, y) -> x + y) DESC,
+                       a.vec_id) AS rk
+          FROM i8cq a CROSS JOIN i8qq b) t
+        WHERE rk <= 15),
+      i8top AS (
+        SELECT q_id, n_id FROM (
+          SELECT i8cand.q_id, i8cand.n_id,
+            ROW_NUMBER() OVER (PARTITION BY i8cand.q_id
+              ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                       i8cand.n_id) AS rank
+          FROM i8cand
+            JOIN corpus v ON v.vec_id = i8cand.n_id
+            JOIN queries q ON q.vec_id = i8cand.q_id) t
+        WHERE rank <= 5),
+      ${pqCtes(mSub = 8, subDim = 8, k = 16, iters = 2, prefix = "r")},
+      rqsub AS (
+        SELECT vec_id, m,
+               embedding[m * 8 + 1 : (m + 1) * 8] AS vm
+        FROM (SELECT *, unnest(range(0, 8)) AS m FROM queries)),
+      rqtab AS (
+        SELECT q.vec_id AS q_id, q.m, c.cid,
+               ${dotS("q.vm", "c.cv")} AS dt
+        FROM rqsub q JOIN rpcent2 c ON q.m = c.m),
+      rnorms AS (
+        SELECT vec_id AS vid,
+               sqrt(${dotS("embedding", "embedding")}) AS vn
+        FROM corpus),
+      rqnorms AS (
+        SELECT vec_id AS q_id,
+               sqrt(${dotS("embedding", "embedding")}) AS qn
+        FROM queries),
+      rscores AS (
+        SELECT s.q_id, s.vid,
+               round(s.adc_ip / (n.vn * qq2.qn), 6) AS adc6
+        FROM (
+          SELECT t.q_id, rcodes.vid,
+                 CAST(SUM(CAST(FLOOR(dt * 1073741824.0) AS HUGEINT))
+                   AS DOUBLE) / 1073741824.0 AS adc_ip
+          FROM rcodes JOIN rqtab t ON rcodes.m = t.m AND rcodes.code = t.cid
+          GROUP BY 1, 2) s
+          JOIN rnorms n ON n.vid = s.vid
+          JOIN rqnorms qq2 ON qq2.q_id = s.q_id),
+      rranked AS (
+        SELECT * FROM (
+          SELECT q_id, vid, adc6,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc6 DESC, vid) AS rank
+          FROM rscores) t
+        WHERE rank <= 50),
+      rtop AS (
+        SELECT q_id, n_id FROM (
+          SELECT r.q_id, r.vid AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY r.q_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            r.vid) AS frank
+          FROM rranked r
+            JOIN corpus v ON v.vec_id = r.vid
+            JOIN queries q ON q.vec_id = r.q_id) t
+        WHERE frank <= 5),
+      resid AS (
+        SELECT p.vec_id, p.cid AS c_id,
+               sqrt(${dotS("v.embedding", "v.embedding")}) AS vn,
+               list_transform(range(1, 65),
+                 i -> CAST(CAST(v.embedding[i] AS DOUBLE)
+                        - CAST(c.cv[i] AS DOUBLE) AS FLOAT))
+                 AS embedding
+        FROM pick3 p
+          JOIN corpus v USING (vec_id)
+          JOIN cent2 c ON p.cid = c.cid),
+      ${pqCtes(mSub = 8, subDim = 8, k = 16, iters = 2,
+        from = "resid", prefix = "s")},
+      scodes2 AS (
+        SELECT c.vid, c.m, c.code, r.c_id, r.vn
+        FROM scodes c JOIN resid r ON r.vec_id = c.vid),
+      vqpre AS (
+        SELECT p.q_id, p.cid AS c_id,
+               sqrt(${dotS("q.embedding", "q.embedding")}) AS qn,
+               ${dotS("q.embedding", "c.cv")} AS qc,
+               list_transform(range(1, 65),
+                 i -> CAST(CAST(q.embedding[i] AS DOUBLE)
+                        - CAST(c.cv[i] AS DOUBLE) AS FLOAT))
+                 AS embedding
+        FROM qprobe p
+          JOIN queries q ON q.vec_id = p.q_id
+          JOIN cent2 c ON c.cid = p.cid),
+      vqtab AS (
+        SELECT s2.q_id, s2.c_id, s2.m, c.cid,
+               ${dotS("s2.vm", "c.cv")} AS dt
+        FROM (SELECT q_id, c_id, m,
+                     embedding[m * 8 + 1 : (m + 1) * 8] AS vm
+              FROM (SELECT *, unnest(range(0, 8)) AS m FROM vqpre)) s2
+          JOIN spcent2 c ON s2.m = c.m),
+      vscores AS (
+        SELECT s3.q_id, s3.vid,
+               round((qp.qc + s3.adc_r) / (s3.vn * qp.qn), 6) AS adc6
+        FROM (
+          SELECT t.q_id, c.vid, c.c_id, c.vn,
+                 CAST(SUM(CAST(FLOOR(dt * 1073741824.0) AS HUGEINT))
+                   AS DOUBLE) / 1073741824.0 AS adc_r
+          FROM scodes2 c JOIN vqtab t
+            ON c.m = t.m AND c.code = t.cid AND c.c_id = t.c_id
+          GROUP BY 1, 2, 3, 4) s3
+          JOIN vqpre qp ON qp.q_id = s3.q_id AND qp.c_id = s3.c_id),
+      vranked AS (
+        SELECT * FROM (
+          SELECT q_id, vid, adc6,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc6 DESC, vid) AS rank
+          FROM vscores) t
+        WHERE rank <= 50),
+      vtop AS (
+        SELECT q_id, n_id FROM (
+          SELECT r.q_id, r.vid AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY r.q_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            r.vid) AS frank
+          FROM vranked r
+            JOIN corpus v ON v.vec_id = r.vid
+            JOIN queries q ON q.vec_id = r.q_id) t
+        WHERE frank <= 5),
+      hmthr AS (
+        SELECT t.i AS dim,
+               SUM(CAST(FLOOR(CAST(c.embedding[t.i] AS DOUBLE)
+                 * 1073741824.0) AS HUGEINT)) AS s,
+               CAST(COUNT(*) AS HUGEINT) AS n
+        FROM corpus c CROSS JOIN range(1, 65) t(i)
+        GROUP BY t.i),
+      hmcbits AS (
+        SELECT c.vec_id, t.dim,
+               CASE WHEN CAST(FLOOR(CAST(c.embedding[t.dim] AS DOUBLE)
+                 * 1073741824.0) AS HUGEINT) * t.n > t.s
+                 THEN 1 ELSE 0 END AS bit
+        FROM corpus c CROSS JOIN hmthr t),
+      hmqbits AS (
+        SELECT q.vec_id, t.dim,
+               CASE WHEN CAST(FLOOR(CAST(q.embedding[t.dim] AS DOUBLE)
+                 * 1073741824.0) AS HUGEINT) * t.n > t.s
+                 THEN 1 ELSE 0 END AS bit
+        FROM queries q CROSS JOIN hmthr t),
+      hmccode AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dim <= 32 THEN bit
+                 * CAST(pow(2, dim - 1) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS c_lo,
+               CAST(SUM(CASE WHEN dim > 32 THEN bit
+                 * CAST(pow(2, dim - 33) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS c_hi
+        FROM hmcbits GROUP BY vec_id),
+      hmqcode AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dim <= 32 THEN bit
+                 * CAST(pow(2, dim - 1) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS q_lo,
+               CAST(SUM(CASE WHEN dim > 32 THEN bit
+                 * CAST(pow(2, dim - 33) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS q_hi
+        FROM hmqbits GROUP BY vec_id),
+      hmcand AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(c.c_lo, q.q_lo))
+                     + bit_count(xor(c.c_hi, q.q_hi)), c.vec_id) AS hrank
+          FROM hmccode c CROSS JOIN hmqcode q) t
+        WHERE hrank <= 50),
+      hmtop AS (
+        SELECT q_id, n_id FROM (
+          SELECT hmcand.q_id, hmcand.n_id,
+                 ROW_NUMBER() OVER (PARTITION BY hmcand.q_id
+                   ORDER BY ${cos("v.embedding", "q.embedding")} DESC,
+                            hmcand.n_id) AS rank
+          FROM hmcand
+            JOIN corpus v ON v.vec_id = hmcand.n_id
+            JOIN queries q ON q.vec_id = hmcand.q_id) t
+        WHERE rank <= 5)
+      SELECT * FROM (
+        ${row(1, "exact", fullScan, 0L, 256L, "exact")}
+        UNION ALL
+        ${row(2, "lsh8", "(SELECT n_candidates FROM lshcand)", 0L,
+          264L, "lshtop")}
+        UNION ALL
+        ${row(3, "ivf_np2", "(SELECT n_candidates FROM ivfcand)", 0L,
+          264L, "ivftop")}
+        UNION ALL
+        ${row(4, "int8", fullScan, 15L, 64L, "i8top")}
+        UNION ALL
+        ${row(5, "pq8x16", fullScan, 50L, 16L, "rtop")}
+        UNION ALL
+        ${row(6, "ivfpq", "(SELECT n_candidates FROM ivfcand)", 50L,
+          24L, "vtop")}
+        UNION ALL
+        ${row(7, "hamming64", fullScan, 50L, 16L, "hmtop")})
+      ORDER BY ord"""
+    })
 
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,

@@ -17,12 +17,12 @@ class EntryContractSpec extends SparkSpec {
   test("oracle keys are a subset of query keys") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    // rows-only entries are an EXPLICIT allowlist, not a loophole:
-    // c115 composes SEVEN members' mirrors (c59+c24+c61+c62+c102's
-    // SQL concatenated — far past the one-page oracle cap); each
-    // member's recall is oracle-checked in its own entry and the
-    // cross-member invariants are pinned in DedupAnnSpec.
-    val rowsOnly = Set("c115_ann_pareto")
+    // rows-only entries are an EXPLICIT allowlist, not a loophole.
+    // EMPTY since round 14: c115 — the last holdout — now carries a
+    // full seven-member composed mirror (the coarse-kmeans CTEs
+    // shared by IVF/IVFPQ, the two PQ codebook instances split by
+    // pqCtes' prefix), so every §2 entry is oracle-checked.
+    val rowsOnly = Set.empty[String]
     assert(q.diff(o) === rowsOnly,
       s"unexpected oracle-less queries: ${q.diff(o).diff(rowsOnly)}; " +
         s"stale allowlist: ${rowsOnly.diff(q.diff(o))}")
