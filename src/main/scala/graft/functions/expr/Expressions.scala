@@ -215,6 +215,7 @@ case class TokenHashes(child: Expression)
       val h = ctx.freshName("h")
       val o = ctx.freshName("o")
       val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
       s"""
         byte[] $bs = $s.getBytes();
         int $n = 1;
@@ -223,9 +224,9 @@ case class TokenHashes(child: Expression)
         long[] $out = new long[$n];
         long $h = 0L; int $o = 0;
         for (int $i = 0; $i < $bs.length; $i++) {
-          byte b$i = $bs[$i];
-          if (b$i == 0x20) { $out[$o++] = $h; $h = 0L; }
-          else $h = ($h * 31L + (b$i & 0xffL)) % ${P}L;
+          byte $b = $bs[$i];
+          if ($b == 0x20) { $out[$o++] = $h; $h = 0L; }
+          else $h = ($h * 31L + ($b & 0xffL)) % ${P}L;
         }
         $out[$o] = $h;
         ${ev.value} =

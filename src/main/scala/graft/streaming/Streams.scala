@@ -121,6 +121,7 @@ object Streams {
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     windowUserAgg(events)
       .writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(topKPerWindow(batch, k))
       }
@@ -488,6 +489,7 @@ object Streams {
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     windowHllAgg(events)
       .writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.Sketches.hllEstimateFromRegs(batch,
           Seq("hour_bucket", "event_type")))
@@ -565,6 +567,7 @@ object Streams {
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     windowCmAgg(events)
       .writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) sink(cmProbe(batch, users))
       }
@@ -634,6 +637,7 @@ object Streams {
       id: String, text: String, dim: Int, k: Int)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val queries = batch
           .select(col(id).as("q_id"),
@@ -664,6 +668,7 @@ object Streams {
       nprobe: Int, k: Int)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val queries = batch
           .select(col(id).as("q_id"),
@@ -696,6 +701,7 @@ object Streams {
     graft.operators.CorpusStats
       .sourceDriftCounters(docs, group, text, buckets)
       .writeStream.outputMode(OutputMode.Complete)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.CorpusStats
           .sourceDriftFromCounters(batch, group))
@@ -721,6 +727,7 @@ object Streams {
     graft.operators.CorpusStats
       .occCoverageCounters(vocab, docs, group, text)
       .writeStream.outputMode(OutputMode.Complete)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.CorpusStats
           .occCoverageFromCounters(batch, group))
@@ -744,6 +751,7 @@ object Streams {
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     graft.operators.Packing.shardCounts(docs, id, text, shards)
       .writeStream.outputMode(OutputMode.Complete)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
       .start()
 
@@ -796,6 +804,7 @@ object Streams {
       }
       .toDF("user_id", "stage", "entry_us")
       .writeStream.outputMode(OutputMode.Update)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
       .start()
   }
@@ -850,6 +859,7 @@ object Streams {
       }
       .toDF("user_id", "stage", "entry_us")
       .writeStream.outputMode(OutputMode.Update)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
       .start()
   }
@@ -905,6 +915,7 @@ object Streams {
       .toDF("shard", "n_docs", "n_tokens", "n_seqs", "n_straddle",
         "tail_fill_ppm")
       .writeStream.outputMode(OutputMode.Update)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
       .start()
   }
@@ -980,6 +991,7 @@ object Streams {
       .toDF("shard", "n_docs", "n_tokens", "n_seqs", "n_straddle",
         "tail_fill_ppm")
       .writeStream.outputMode(OutputMode.Update)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
       .start()
   }
@@ -999,6 +1011,7 @@ object Streams {
       text: String, k: Int)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.CorpusStats.bpeApply(merges, batch, id,
           text, k))
@@ -1019,6 +1032,7 @@ object Streams {
       docs: DataFrame, id: String, text: String)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.CorpusStats.bigramScore(lm, batch, id, text))
       }
@@ -1047,6 +1061,7 @@ object Streams {
     var partials: Option[DataFrame] = None
     var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         // fold AND compact inside the guard: the materialized state
         // really is the ≤252-row merged sketch whatever the stream
@@ -1090,6 +1105,7 @@ object Streams {
     var state = widx.hashes.barrier(true)
     var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           val cur = Dedup.WindowIndex(state)
@@ -1121,6 +1137,7 @@ object Streams {
     var partials: Option[DataFrame] = None
     var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         // fold AND compact inside the guard (the d40 shape): state
         // stays ≤252 rows per source however many batches arrive,
@@ -1152,6 +1169,7 @@ object Streams {
       docs: DataFrame, id: String, text: String)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.CorpusStats
           .mooreLewisScore(lmIn, lmGen, batch, id, text))
@@ -1171,6 +1189,7 @@ object Streams {
       id: String, text: String, tau: Int)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.Multimodal
           .blobNearDupAgainst(index, batch, id, text, tau))
@@ -1190,6 +1209,7 @@ object Streams {
       id: String, vec: String, m: Int, subDim: Int)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.Ann
           .pqCodes(batch, id, vec, cent, m, subDim))
@@ -1215,6 +1235,7 @@ object Streams {
       docs: DataFrame, id: String, text: String, tau: Double)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.Dedup.corpusFilter(index, batch, id, text, tau))
       }
@@ -1239,6 +1260,7 @@ object Streams {
       id: String, text: String, buckets: Int, nRaw: Long, sumRaw: Long)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.CorpusStats
           .importanceScore(weights, batch, id, text, buckets)
@@ -1257,6 +1279,7 @@ object Streams {
       id: String, text: String)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(batch
           .select(col(id),
@@ -1319,6 +1342,7 @@ object Streams {
       }
       .toDF("cohort_week", "week_offset")
       .writeStream.outputMode(OutputMode.Update)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
       .start()
   }
@@ -1383,6 +1407,7 @@ object Streams {
       }
       .toDF("cohort_week", "week_offset")
       .writeStream.outputMode(OutputMode.Update)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
       .start()
   }
@@ -1400,6 +1425,7 @@ object Streams {
       docs: DataFrame, id: String, text: String, minPpm: Long)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val tr = batch.select(col(id),
           explode(array_distinct(
@@ -1459,6 +1485,7 @@ object Streams {
     var newP: Option[DataFrame] = None
     var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           val inc = Dedup.buildIndex(batch, id, text, k, bands)
@@ -1500,6 +1527,7 @@ object Streams {
       k: Int = 48, bands: Int = 24)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.Dedup.fuzzyGate(idx, batch, id, text,
           minPpm, k, bands))
@@ -1521,6 +1549,7 @@ object Streams {
       docs: DataFrame, id: String, text: String, w: Int)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.Dedup.spanRedactGate(widx, batch, id,
           text, w))
@@ -1541,6 +1570,7 @@ object Streams {
       nprobe: Int, k: Int)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateless
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.Ann.indexedFilteredTopK(idx, batch, id,
           vec, labelCol, nprobe, k))
@@ -1573,6 +1603,7 @@ object Streams {
     var challengers: Option[DataFrame] = None
     var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         // at-least-once guard (see dedupChurnStreaming): a retried
         // batch id must not re-union its challengers; it just
@@ -1620,6 +1651,7 @@ object Streams {
     var partials: Option[DataFrame] = None
     var lastApplied = -1L
     arrivals.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           val p = Ann.arrivalAssign(idx, batch, id, vec)
@@ -1661,6 +1693,7 @@ object Streams {
     var acc: Option[DataFrame] = None
     var lastApplied = -1L
     deletes.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val s = batch.sparkSession
         if (bid > lastApplied) {
@@ -1732,6 +1765,7 @@ object Streams {
               .as("arrived_sim_ppm"))),
         maxGrowthPpm, maxDriftDownPpm)
     arrivals.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           val p = Ann.arrivalAssign(idx, batch, id, vec)
@@ -1791,6 +1825,7 @@ object Streams {
     var acc: Option[DataFrame] = None
     var lastApplied = -1L
     arrivals.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           sink(Ann.freshProbe(idx, acc, batch, id, vec, nprobe, k)
@@ -1826,6 +1861,7 @@ object Streams {
     var state: Option[DataFrame] = None
     var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           val p = batch
@@ -1880,6 +1916,7 @@ object Streams {
     var state: Option[DataFrame] = None
     var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           val p = batch.select(col(stratum),
@@ -1941,6 +1978,7 @@ object Streams {
       .barrier(true)
     var lastApplied = -1L
     arrivals.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           lastApplied = bid
@@ -2023,6 +2061,7 @@ object Streams {
     var state: Option[DataFrame] = None
     var lastApplied = -1L
     events.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           val p = hourCounts(batch)
@@ -2059,6 +2098,7 @@ object Streams {
       .barrier(true)
     var lastApplied = -1L
     arrivals.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           lastApplied = bid
@@ -2100,6 +2140,7 @@ object Streams {
     import graft.operators.Dedup
     var lastApplied = -1L
     arrivals.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           lastApplied = bid
@@ -2128,6 +2169,7 @@ object Streams {
     import graft.operators.Retrieval
     var lastApplied = -1L
     arrivals.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           lastApplied = bid
@@ -2162,6 +2204,7 @@ object Streams {
     var state: Option[DataFrame] = None
     var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           val p = batch
@@ -2205,6 +2248,7 @@ object Streams {
     var state: Option[DataFrame] = None
     var lastApplied = -1L
     vecs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           val p = Ann.gramStats(batch, id, vec, scale)
@@ -2243,6 +2287,7 @@ object Streams {
     var state: Option[DataFrame] = None
     var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           val p = CorpusStats.perplexityRoute(lm, th, batch, id, text,
@@ -2279,6 +2324,7 @@ object Streams {
     var state: Option[DataFrame] = None
     var lastApplied = -1L
     docs.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           val p = TextQuality.gopherAuditRaw(
@@ -2316,15 +2362,33 @@ object Streams {
     * self-auditing. Cross-batch state = the (did, h) print rows —
     * the index artifact itself; production checkpoints it with
     * appendToPrintIndexDir at the same cadence. Gate-then-fold
-    * inside the batchId guard. */
+    * inside the batchId guard.
+    *
+    * State storage is INCREMENTAL (r13 ADVICE fix): prints are
+    * per-doc independent, so each batch barriers only its OWN print
+    * rows and the cumulative state stays a lazy union of those
+    * bounded generations — the full corpus print set is never
+    * re-materialized per batch. Every `compactEvery` batches the
+    * union is compacted into one barrier and the superseded
+    * generations' executor blocks are freed explicitly
+    * ([[graft.util.Barriers.free]] — only frames THIS loop
+    * barriered; the caller's idx0 is never touched), bounding both
+    * the union's plan depth and the dead-block lag that previously
+    * waited on ContextCleaner GC. */
   def printAppendStreaming(idx0: DataFrame, arrivals: DataFrame,
-      id: String, text: String, kg: Int = 4, w: Int = 4)
+      id: String, text: String, kg: Int = 4, w: Int = 4,
+      compactEvery: Int = 32)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
+    import graft.util.Barriers
     import graft.util.Barriers.BarrierOps
     var state: Option[DataFrame] = None
+    // barrier generations owned by this loop (safe to free on compact)
+    var gens: List[DataFrame] = Nil
+    var sinceCompact = 0
     var lastApplied = -1L
     arrivals.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (bid > lastApplied) {
           lastApplied = bid
@@ -2332,7 +2396,18 @@ object Streams {
           val bp = Dedup.winnowingPrints(batch, id, text, kg, w)
             .barrier(true)
           sink(Dedup.printGateFromPrints(cur, bp, id).orderBy(col(id)))
-          state = Some(cur.unionByName(bp).barrier(true))
+          val grown = cur.unionByName(bp)
+          sinceCompact += 1
+          if (sinceCompact >= compactEvery) {
+            val compacted = grown.barrier(true)
+            (bp :: gens).foreach(Barriers.free)
+            gens = List(compacted)
+            sinceCompact = 0
+            state = Some(compacted)
+          } else {
+            gens ::= bp
+            state = Some(grown)
+          }
         }
       }
       .start()

@@ -41,6 +41,23 @@ object Barriers {
     }
   }
 
+  /** Free the executor blocks behind a barriered frame, for callers
+    * that hold LONG-LIVED barrier generations (the streaming
+    * cumulative-state folds): once a new generation has materialized
+    * eagerly, the previous generation's blocks are dead weight that
+    * ContextCleaner only reclaims at GC pressure — on a long stream
+    * that lag grows with corpus size. Best-effort and narrow: only
+    * LogicalRDD leaves (what [[barrier]] produces) are unpersisted;
+    * any other frame is left untouched. The freed frame must never
+    * be scanned again — its lineage was truncated by the barrier, so
+    * there is nothing to recompute from. */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Suffix form: `df.barrier(true)` reads like the localCheckpoint
     * call it replaces. */
   implicit class BarrierOps(private val df: DataFrame) extends AnyVal {

@@ -1,6 +1,6 @@
 package graft.util
 
-import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -46,19 +46,24 @@ object EngineStats {
     }
   }
 
+  // WEAK keys (r13 ADVICE fix): the map must not pin sessions — a
+  // long-lived process creating many sessions would otherwise keep
+  // every stopped session (and its Counters) reachable forever. The
+  // session itself holds the registered listener, so a live session
+  // keeps its Counters; once the session is unreachable the entry is
+  // collectable (Counters never references the session back).
   private val installed =
-    new AtomicReference[Map[SparkSession, Counters]](Map.empty)
+    new java.util.WeakHashMap[SparkSession, Counters]()
 
   /** Idempotent per-session install; returns the session's counters. */
-  def install(s: SparkSession): Counters = {
-    val cur = installed.get()
-    cur.get(s) match {
-      case Some(c) => c
-      case None =>
-        val c = new Counters
-        if (installed.compareAndSet(cur, cur + (s -> c))) {
-          s.listenerManager.register(c); c
-        } else install(s)
+  def install(s: SparkSession): Counters = installed.synchronized {
+    val cur = installed.get(s)
+    if (cur != null) cur
+    else {
+      val c = new Counters
+      installed.put(s, c)
+      s.listenerManager.register(c)
+      c
     }
   }
 

@@ -1453,6 +1453,17 @@ class DedupAnnSpec extends SparkSpec {
         assert(allBefore(b).subsetOf(files(b)),
           s"append rewrote pre-existing files in bucket $b")
       }
+      // --- double append: IDEMPOTENT (r13-verdict low) — re-running
+      // the same batch append must not double-insert prints (the
+      // did anti-join against the touched buckets)
+      Dedup.appendToPrintIndexDir(spark, dir, arrivals,
+        "doc_id", "text", 4, 4)
+      val afterTwice = Dedup.readPrintIndex(spark, dir)
+      assert(afterTwice.count() === afterTwice.select($"did", $"h")
+        .distinct().count(), "double append duplicated print rows")
+      assert(pset(afterTwice) ===
+        pset(Dedup.buildPrintIndex(all, "doc_id", "text", 4, 4)),
+        "double append != single append")
       // --- delete: a cross-cutting takedown subset
       val deleted = all.where(pmod($"doc_id", lit(7)) === 3L)
       val survivors = all.join(deleted.select($"doc_id"),

@@ -17,10 +17,15 @@ import org.scalatest.funsuite.AnyFunSuite
   *     the same frame is the documented at-least-once sink contract.
   *     Such a flavor must NOT write artifacts from inside the lambda.
   *
-  * This is a source-scan over graft/streaming/Streams.scala — the
-  * audit fails when someone adds a foreachBatch that captures state
-  * without the guard (the r12 sketchFold/ksDrift bug, as a class),
-  * and the pinned counts flag any new flavor for classification.
+  * The audit is anchored on an EXPLICIT per-flavor annotation
+  * (r13 ADVICE fix): every foreachBatch flavor must carry an
+  * `// emission-class: stateful|stateless` marker line, which is the
+  * declared class the guard checks key off. The older structural
+  * heuristic (var capture / artifact writes) is kept as a tripwire
+  * and CROSS-CHECKED against the annotation — a missing annotation,
+  * a double annotation, or a disagreement between declaration and
+  * structure all fail loudly naming the flavor, instead of a benign
+  * refactor silently flipping a classification.
   */
 class StreamGuardAuditSpec extends AnyFunSuite {
 
@@ -39,14 +44,37 @@ class StreamGuardAuditSpec extends AnyFunSuite {
           .map(m => m.group(1) -> chunk)
       }
 
-  private def stateful(body: String): Boolean =
+  /** The DECLARED class: the explicit annotation the flavor carries. */
+  private def declared(name: String, body: String): String = {
+    val anns = "// emission-class: (stateful|stateless)".r
+      .findAllMatchIn(body).map(_.group(1)).toList
+    assert(anns.size === 1,
+      s"$name: expected exactly one '// emission-class:' annotation, " +
+        s"found ${anns.size} — every foreachBatch flavor must declare " +
+        "its redelivery class explicitly")
+    anns.head
+  }
+
+  /** The STRUCTURAL heuristic, kept as a cross-check tripwire. */
+  private def looksStateful(body: String): Boolean =
     body.contains("\n    var ") || body.contains(".write.") ||
       body.contains("Dir(")
+
+  test("declared emission class matches the structural heuristic — " +
+      "a disagreement is a classification decision, not a refactor") {
+    val disagreements = defs.flatMap { case (name, body) =>
+      val d = declared(name, body)
+      val h = if (looksStateful(body)) "stateful" else "stateless"
+      if (d == h) None
+      else Some(s"$name: annotated $d but structure looks $h")
+    }
+    assert(disagreements.isEmpty, disagreements.mkString("\n"))
+  }
 
   test("every stateful foreachBatch flavor binds bid and guards on " +
       "bid > lastApplied; stateless flavors never mutate artifacts") {
     val violations = defs.flatMap { case (name, body) =>
-      if (stateful(body)) {
+      if (declared(name, body) == "stateful") {
         val bindsBid = "foreachBatch \\{ \\(\\w+: DataFrame, bid: Long\\)"
           .r.findFirstIn(body).isDefined
         val hasGuard = body.contains("bid > lastApplied") ||
@@ -68,7 +96,8 @@ class StreamGuardAuditSpec extends AnyFunSuite {
 
   test("classification counts pinned — a new flavor must be placed " +
       "in a redelivery-safe class explicitly") {
-    val (st, sl) = defs.partition { case (_, b) => stateful(b) }
+    val (st, sl) = defs.partition { case (n, b) =>
+      declared(n, b) == "stateful" }
     assert(st.size === 21,
       s"stateful flavors changed: ${st.map(_._1).sorted}")
     assert(sl.size === 26,
