@@ -207,13 +207,17 @@ object GraphAlgo {
     var rank = nodes.select(col("node").as("id"), lit(Scale).as("r"))
     for (i <- 1 to iters) {
       rank = pageRankStep(weighted, nodes, rank, dPct, base)
-      // The chain stays LAZY: fixed-point arithmetic is partition- and
-      // order-independent, so nothing forces a materialization barrier
-      // (round 2 checkpointed every iteration to pin fold order), and
-      // the static weighted/nodes exchanges are shared across
-      // iterations via ReusedExchange. Periodic checkpoints only as
-      // lineage relief on long runs.
-      if (i % 8 == 0 && i < iters) rank = rank.barrier(true)
+      // EAGER barrier per iteration (r14 GraphIterAB, interleaved
+      // 4-rep A/B at sf0.1: eager-each 3.83 s median / 3.34 min vs
+      // the previous lazy chain 4.32 / 4.03, every rep faster,
+      // bit-identical ranks): with AQE off the lazy chain compiles
+      // one deep many-stage job whose scheduling overhead exceeds the
+      // per-iteration checkpoint cost, and the eager shape also
+      // bounds lineage at any iteration count. Correctness never
+      // needed the barrier — fixed-point arithmetic is partition- and
+      // order-independent (round 2 checkpointed to pin fold order;
+      // r7-r13 ran lazy with cadence-8 lineage relief).
+      if (i < iters) rank = rank.barrier(true)
     }
     // eager: the full chain materializes here, inside the AQE-off
     // scope; the consumer reads the checkpointed per-node ranks
@@ -563,13 +567,16 @@ object GraphAlgo {
     //    don't fill default-width tasks, and fixed per-task cost
     //    multiplied under the driver's co-tenant window: 30 s vs 8 s
     //    quiet in r6);
-    // 3. AQE is disabled for the loop's scope: an iterative plan of
-    //    tiny stages pays AQE's per-stage re-planning without ever
-    //    benefiting from a re-plan (measured +2-3 s over the whole
-    //    loop), so every round is materialized EAGERLY inside the
-    //    scope and the conf restored — the consumer reads only the
-    //    final checkpointed blocks. (Queries on this session run
-    //    sequentially; the toggle is scoped try/finally.)
+    // 3. AQE is disabled while the loop's PLANS are built and the
+    //    adjacency materializes (the eager barrier below runs inside
+    //    the scope); since r14 the round barriers are LAZY — the
+    //    consumer's single action materializes the cascaded rounds
+    //    under the session's own AQE setting, which the GraphIterAB
+    //    A/B measured FASTER than eager AQE-off per-round jobs
+    //    (5.86 s median vs 7.47: the per-round job boundaries, not
+    //    AQE, were the loop's overhead). Lineage still truncates at
+    //    every round. (Queries on this session run sequentially; the
+    //    toggle is scoped try/finally.)
     val labelParts = math.max(8,
       spark.sessionState.conf.numShufflePartitions / 2)
     withAqeOff(spark) {
@@ -588,7 +595,14 @@ object GraphAlgo {
         // one exchange per round: hashpartitioning(node) satisfies
         // the (node, label) vote count's clustered distribution
         // (subset key) AND the per-node min_by's, so both aggregates
-        // run exchange-free on the repartitioned join output
+        // run exchange-free on the repartitioned join output.
+        // LAZY round barriers (r14 GraphIterAB, interleaved 4-rep A/B
+        // at sf0.1: lazy 5.86 s median, tight [5.40-6.09], vs eager
+        // 7.47 median with 4.95-8.26 spread, bit-identical labels):
+        // the consumer's single action materializes each round's
+        // blocks in one cascaded job — per-round job boundaries only
+        // added scheduling overhead. Lineage still truncates at every
+        // round, so the plan never deepens past one round.
         lab = adj
           .join(lab.select(col("node").as("nbr"), col("label")), "nbr")
           .repartition(labelParts, col("node"))
@@ -596,7 +610,7 @@ object GraphAlgo {
           .groupBy(col("node"))
           .agg(min_by(col("label"),
             struct((-col("cnt")).as("nc"), col("label"))).as("label"))
-          .barrier(true)
+          .barrier(false)
       }
       lab
     }

@@ -27,7 +27,7 @@ object PipelineSuite extends Suite {
     * persisted tables are bit-identical to a refit — the residual
     * fit trains against the PERSISTED coarse floats so the parity
     * chain never forks. */
-  private def annFits(s: org.apache.spark.sql.SparkSession, d: String)
+  private[graft] def annFits(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) =
     graft.util.DiskCache.cached(s, "ann-fits", "v1",

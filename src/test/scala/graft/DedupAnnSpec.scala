@@ -1416,6 +1416,31 @@ class DedupAnnSpec extends SparkSpec {
       assert(byM(m)._5 > 0L, s"$m recall zero") }
   }
 
+  test("annFits DiskCache artifacts equal inline refits bit-for-bit " +
+      "(train-once seam is a pure cache, never a semantic fork)") {
+    val e = Tables.embeddings(spark, sf)
+    val corpus = e.where($"vec_id" >= 5)
+    val (coarse, pqRaw, pqResid) =
+      graft.operators.PipelineSuite.annFits(spark, sf)
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$what: cached != inline refit")
+    }
+    val coarseInline =
+      Ann.kmeansFit(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    same(coarse, coarseInline, "coarse centroids")
+    same(pqRaw,
+      Ann.pqFit(corpus, "vec_id", "embedding", m = 8, subDim = 8,
+        k = 16, iters = 2),
+      "raw PQ codebooks")
+    same(pqResid,
+      Ann.pqFit(
+        Ann.ivfpqResiduals(corpus, "vec_id", "embedding", coarseInline),
+        "vec_id", "embedding", m = 8, subDim = 8, k = 16, iters = 2),
+      "residual PQ codebooks")
+  }
+
   test("print index: append equals rebuild of corpus ∪ arrivals with " +
       "pre-existing files untouched; delete equals rebuild of the " +
       "survivors with untouched buckets byte-identical") {
