@@ -16,6 +16,22 @@ import graft.util.Barriers.BarrierOps
   */
 object Ann {
 
+  /** Precomputed ANN index artifacts — the train-once seams a
+    * deployed 100 TB index persists instead of recomputing per
+    * query: coarse k-means centroids ([[kmeansFit]] shape), raw and
+    * residual PQ codebooks ([[pqFit]] shape), and the corresponding
+    * CODE TABLES AT REST (`rawCodes` = (vid, m, code);
+    * `residCodes` = (vid, m, code, c_id, vn) — the IVFPQ at-rest
+    * layout). Every producer is deterministic (§4), so a persisted
+    * artifact is bit-identical to the inline recompute it replaces;
+    * any member left None is fit/encoded inline exactly once. */
+  final case class Fits(
+      coarse: Option[DataFrame] = None,
+      pqRaw: Option[DataFrame] = None,
+      pqResid: Option[DataFrame] = None,
+      rawCodes: Option[DataFrame] = None,
+      residCodes: Option[DataFrame] = None)
+
   /** Exact top-k: for every query row, the k nearest corpus rows by
     * cosine. Query side must be small (it is broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
@@ -992,9 +1008,14 @@ object Ann {
     * evidence, computed for k candidates only). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, cent: DataFrame,
              id: String, vec: String, m: Int, subDim: Int,
-             k: Int, rescore: Int = 50): DataFrame = {
+             k: Int, rescore: Int = 50,
+             codesPre: Option[DataFrame] = None): DataFrame = {
     import graft.util.Barriers.BarrierOps
-    val codes = pqCodes(corpus, id, vec, cent, m, subDim)
+    // `codesPre`: the (vid, m, code) table AT REST — in a deployed PQ
+    // index the codes replace the floats on disk; encoding is
+    // deterministic, so a persisted table is bit-identical to the
+    // inline encode it skips (the annFits seam).
+    val codes = codesPre.getOrElse(pqCodes(corpus, id, vec, cent, m, subDim))
     val qtab = pqSub(queries, id, vec, m, subDim)
       .join(broadcast(cent), Seq("m"))
       .select(col("vid").as("q_id"), col("m"), col("cid"),
@@ -1104,19 +1125,25 @@ object Ann {
                 kSub: Int, iters: Int, nprobe: Int, k: Int,
                 rescore: Int = 50,
                 coarsePre: Option[DataFrame] = None,
-                cbPre: Option[DataFrame] = None): DataFrame = {
+                cbPre: Option[DataFrame] = None,
+                codesPre: Option[DataFrame] = None): DataFrame = {
     val coarse = coarsePre
       .getOrElse(kmeansFit(corpus, id, vec, kCoarse, iters))
     val centT = centTable(coarse, id, vec).barrier(true)
-    val resid = ivfpqResiduals(corpus, id, vec, coarse, Some(centT))
+    // residual table built LAZILY: with both the codebooks (`cbPre`)
+    // and the code table (`codesPre` — (vid, m, code, c_id, vn), the
+    // IVFPQ at-rest layout) supplied from the annFits seam, the
+    // residuals are never needed and never materialize
+    lazy val resid = ivfpqResiduals(corpus, id, vec, coarse, Some(centT))
       .barrier(true)
     val coarseVec = coarse
       .select(col(id).as("c_id"), col(vec).as("c_vec"))
     val cb = cbPre.getOrElse(
       pqFit(resid, "vec_id", "embedding", m, subDim, kSub, iters))
-    val codes = pqCodes(resid, "vec_id", "embedding", cb, m, subDim)
-      .join(resid.select(col("vec_id").as("vid"), col("c_id"),
-        col("vn")), "vid")
+    val codes = codesPre.getOrElse(
+      pqCodes(resid, "vec_id", "embedding", cb, m, subDim)
+        .join(resid.select(col("vec_id").as("vid"), col("c_id"),
+          col("vn")), "vid"))
     // query probes: nprobe coarse lists each, with the exact
     // query-to-centroid dot and the query residual per probed list
     val qprobes = assignToCentroids(
@@ -1664,9 +1691,10 @@ object Ann {
     * `coarsePre` — the r13-verdict duplicate-fit fix). */
   def paretoTable(corpus: DataFrame, queries: DataFrame,
                   id: String, vec: String, dim: Int = 64,
-                  coarsePre: Option[DataFrame] = None,
-                  pqRawPre: Option[DataFrame] = None,
-                  pqResidPre: Option[DataFrame] = None): DataFrame = {
+                  fits: Fits = Fits()): DataFrame = {
+    val coarsePre = fits.coarse
+    val pqRawPre = fits.pqRaw
+    val pqResidPre = fits.pqResid
     import graft.util.Barriers.BarrierOps
     val k = 5
     val exact = bruteForceTopK(corpus, queries, id, vec, k).barrier(true)
@@ -1731,12 +1759,13 @@ object Ann {
         fullScan, 3L * k, dim.toLong),
       row(5L, "pq8x16",
         pqTopK(corpus, queries, pqCent, id, vec, m = 8, subDim = 8,
-          k = k),
+          k = k, codesPre = fits.rawCodes),
         fullScan, 50L, 16L),
       row(6L, "ivfpq",
         ivfpqTopK(corpus, queries, id, vec, kCoarse = 8, m = 8,
           subDim = 8, kSub = 16, iters = 2, nprobe = 2, k = k,
-          coarsePre = Some(cent), cbPre = pqResidPre),
+          coarsePre = Some(cent), cbPre = pqResidPre,
+          codesPre = fits.residCodes),
         ivfCand, 50L, 24L),
       row(7L, "hamming64",
         hammingTopK(corpus, queries, id, vec, k),

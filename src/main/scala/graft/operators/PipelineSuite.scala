@@ -16,37 +16,52 @@ object PipelineSuite extends Suite {
   private val SH = TextOps.shingleHashesSql("text")
   private val COS = VectorOps.cosine6Sql("a.embedding", "b.embedding")
 
-  /** Train-once ANN fit artifacts for the embeddings corpus
+  /** Train-once ANN index artifacts for the embeddings corpus
     * (vec_id >= 5, the c6/c61/c62/c115 family split): coarse k-means
     * centroids (k=8, iters=2 — the IVF/IVFPQ coarse), raw-vector PQ
-    * codebooks (8×8×16 — c61's member) and residual PQ codebooks
-    * (c62's member), persisted via the DiskCache corpus-fingerprint
-    * seam (c17/c29 precedent, r13-verdict #1): at 100 TB these are
-    * index artifacts trained once per corpus version, not per-query
-    * work. All three trainers are deterministic (§4), so the
-    * persisted tables are bit-identical to a refit — the residual
-    * fit trains against the PERSISTED coarse floats so the parity
-    * chain never forks. */
-  private[graft] def annFits(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-         org.apache.spark.sql.DataFrame) =
-    graft.util.DiskCache.cached(s, "ann-fits", "v1",
+    * codebooks (8×8×16 — c61's member), residual PQ codebooks
+    * (c62's member), and — since v2 — the CODE TABLES AT REST for
+    * both (the compressed representation a deployed PQ/IVFPQ index
+    * actually scans; encoding per query run was the family's last
+    * recomputed artifact). Persisted via the DiskCache
+    * corpus-fingerprint seam (c17/c29 precedent, r13-verdict #1): at
+    * 100 TB these are index artifacts built once per corpus version,
+    * not per-query work. Every producer is deterministic (§4), so
+    * the persisted tables are bit-identical to a recompute — the
+    * residual chain trains/encodes against the PERSISTED coarse and
+    * codebook floats so the parity chain never forks. */
+  private[graft] def annFits(s: org.apache.spark.sql.SparkSession,
+                             d: String): Ann.Fits =
+    graft.util.DiskCache.cached(s, "ann-fits", "v2",
       Seq(s"$d/embeddings.parquet"), "ge5-k8i2-pq8x8x16",
-      Seq("coarse", "pqraw", "pqresid")) { tmp =>
+      Seq("coarse", "pqraw", "pqresid", "codes_raw", "codes_resid")) {
+      tmp =>
       val corpus = Tables.embeddings(s, d).where(col("vec_id") >= 5)
       Ann.kmeansFit(corpus, "vec_id", "embedding", k = 8, iters = 2)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/coarse")
       Ann.pqFit(corpus, "vec_id", "embedding", m = 8, subDim = 8,
           k = 16, iters = 2)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/pqraw")
-      Ann.pqFit(
-          Ann.ivfpqResiduals(corpus, "vec_id", "embedding",
-            s.read.parquet(s"$tmp/coarse")),
-          "vec_id", "embedding", m = 8, subDim = 8, k = 16, iters = 2)
+      Ann.pqCodes(corpus, "vec_id", "embedding",
+          s.read.parquet(s"$tmp/pqraw"), m = 8, subDim = 8)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codes_raw")
+      val resid = Ann.ivfpqResiduals(corpus, "vec_id", "embedding",
+        s.read.parquet(s"$tmp/coarse"))
+      Ann.pqFit(resid, "vec_id", "embedding", m = 8, subDim = 8,
+          k = 16, iters = 2)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/pqresid")
+      Ann.pqCodes(resid, "vec_id", "embedding",
+          s.read.parquet(s"$tmp/pqresid"), m = 8, subDim = 8)
+        .join(resid.select(col("vec_id").as("vid"), col("c_id"),
+          col("vn")), "vid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codes_resid")
     } { base =>
-      (s.read.parquet(s"$base/coarse"), s.read.parquet(s"$base/pqraw"),
-        s.read.parquet(s"$base/pqresid"))
+      Ann.Fits(
+        coarse = Some(s.read.parquet(s"$base/coarse")),
+        pqRaw = Some(s.read.parquet(s"$base/pqraw")),
+        pqResid = Some(s.read.parquet(s"$base/pqresid")),
+        rawCodes = Some(s.read.parquet(s"$base/codes_raw")),
+        residCodes = Some(s.read.parquet(s"$base/codes_resid")))
     }
 
   val c1 = Q(
@@ -723,11 +738,12 @@ object PipelineSuite extends Suite {
       val e = Tables.embeddings(s, d)
       val corpus = e.where(col("vec_id") >= 5)
       val queries = e.where(col("vec_id") < 5)
-      // codebooks served from the train-once DiskCache seam
-      // (annFits — deterministic, bit-identical to an inline refit)
-      val (_, pqRaw, _) = annFits(s, d)
-      Ann.pqTopK(corpus, queries, pqRaw, "vec_id", "embedding",
-          m = 8, subDim = 8, k = 5)
+      // codebooks AND the code table at rest served from the
+      // train-once DiskCache seam (annFits — deterministic,
+      // bit-identical to an inline refit/re-encode)
+      val fits = annFits(s, d)
+      Ann.pqTopK(corpus, queries, fits.pqRaw.get, "vec_id", "embedding",
+          m = 8, subDim = 8, k = 5, codesPre = fits.rawCodes)
         .orderBy(col("q_id"), col("rank"))
     },
     Some {
@@ -814,15 +830,17 @@ object PipelineSuite extends Suite {
     // scan).
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      // coarse centroids + residual codebooks from the train-once
-      // DiskCache seam (annFits) — the 100 TB index-artifact shape;
-      // both trainers deterministic, so results are bit-identical
-      val (coarse, _, pqResid) = annFits(s, d)
+      // coarse centroids, residual codebooks and the at-rest code
+      // table from the train-once DiskCache seam (annFits) — the
+      // 100 TB index-artifact shape; every producer deterministic,
+      // so results are bit-identical to the inline compute
+      val fits = annFits(s, d)
       Ann.ivfpqTopK(e.where(col("vec_id") >= 5),
           e.where(col("vec_id") < 5), "vec_id", "embedding",
           kCoarse = 8, m = 8, subDim = 8, kSub = 16, iters = 2,
           nprobe = 2, k = 5,
-          coarsePre = Some(coarse), cbPre = Some(pqResid))
+          coarsePre = fits.coarse, cbPre = fits.pqResid,
+          codesPre = fits.residCodes)
         .orderBy(col("q_id"), col("rank"))
     },
     Some {
@@ -4464,15 +4482,13 @@ object PipelineSuite extends Suite {
     // cross-member invariants.
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      // all three trainable artifacts from the train-once DiskCache
-      // seam (annFits — r13-verdict #1: the audit op no longer
-      // retrains kmeans/PQ per run, and ivfpqTopK reuses the same
-      // coarse table instead of refitting it internally)
-      val (coarse, pqRaw, pqResid) = annFits(s, d)
+      // every trainable/encodable artifact from the train-once
+      // DiskCache seam (annFits — r13-verdict #1 + the r14
+      // codes-at-rest extension: the audit op neither retrains
+      // kmeans/PQ nor re-encodes the corpus per run)
       Ann.paretoTable(e.where(col("vec_id") >= 5),
         e.where(col("vec_id") < 5), "vec_id", "embedding",
-        coarsePre = Some(coarse), pqRawPre = Some(pqRaw),
-        pqResidPre = Some(pqResid))
+        fits = annFits(s, d))
     },
     Some {
       def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)

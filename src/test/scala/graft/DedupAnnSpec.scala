@@ -1420,25 +1420,34 @@ class DedupAnnSpec extends SparkSpec {
       "(train-once seam is a pure cache, never a semantic fork)") {
     val e = Tables.embeddings(spark, sf)
     val corpus = e.where($"vec_id" >= 5)
-    val (coarse, pqRaw, pqResid) =
-      graft.operators.PipelineSuite.annFits(spark, sf)
+    val fits = graft.operators.PipelineSuite.annFits(spark, sf)
     def same(a: org.apache.spark.sql.DataFrame,
              b: org.apache.spark.sql.DataFrame, what: String): Unit = {
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
-        s"$what: cached != inline refit")
+        s"$what: cached != inline recompute")
     }
     val coarseInline =
       Ann.kmeansFit(corpus, "vec_id", "embedding", k = 8, iters = 2)
-    same(coarse, coarseInline, "coarse centroids")
-    same(pqRaw,
-      Ann.pqFit(corpus, "vec_id", "embedding", m = 8, subDim = 8,
-        k = 16, iters = 2),
-      "raw PQ codebooks")
-    same(pqResid,
-      Ann.pqFit(
-        Ann.ivfpqResiduals(corpus, "vec_id", "embedding", coarseInline),
-        "vec_id", "embedding", m = 8, subDim = 8, k = 16, iters = 2),
-      "residual PQ codebooks")
+    same(fits.coarse.get, coarseInline, "coarse centroids")
+    val pqRawInline = Ann.pqFit(corpus, "vec_id", "embedding",
+      m = 8, subDim = 8, k = 16, iters = 2)
+    same(fits.pqRaw.get, pqRawInline, "raw PQ codebooks")
+    same(fits.rawCodes.get,
+      Ann.pqCodes(corpus, "vec_id", "embedding", pqRawInline,
+        m = 8, subDim = 8),
+      "raw code table at rest")
+    val residInline =
+      Ann.ivfpqResiduals(corpus, "vec_id", "embedding", coarseInline)
+        .cache()
+    val pqResidInline = Ann.pqFit(residInline, "vec_id", "embedding",
+      m = 8, subDim = 8, k = 16, iters = 2)
+    same(fits.pqResid.get, pqResidInline, "residual PQ codebooks")
+    same(fits.residCodes.get,
+      Ann.pqCodes(residInline, "vec_id", "embedding", pqResidInline,
+          m = 8, subDim = 8)
+        .join(residInline.select($"vec_id".as("vid"), $"c_id", $"vn"),
+          "vid"),
+      "residual code table at rest")
   }
 
   test("print index: append equals rebuild of corpus ∪ arrivals with " +
