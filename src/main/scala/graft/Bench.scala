@@ -37,8 +37,21 @@ object Bench {
     // (local iteration aid; the driver runs the full inventory).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    val alpha = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_ORDER=spread interleaves the alphabetical inventory
+    // across 8 strata (indices 0,8,16,…, then 1,9,…) — the r14
+    // experiment for the in-suite-vs-isolated gap. MEASURED WORSE
+    // (260.9 vs 236.5 s median-sum, graph tier 53.5 vs 48.7, §8p):
+    // tier adjacency is page-cache/block LOCALITY (consecutive graph
+    // queries share the persisted graph blocks), not contention —
+    // the default stays alphabetical; the knob stays as the recorded
+    // negative result. Per-query medians are honest either way.
+    val selected =
+      if (sys.env.get("SPARK_GRAFT_ORDER").contains("spread"))
+        (0 until 8).flatMap(r => alpha.indices.collect {
+          case i if i % 8 == r => alpha(i) })
+      else alpha
     // Per-query warm runs, ROUND-ROBIN: the full suite executes `runs`
     // times (default 3) as interleaved passes — pass 1 runs every query
     // once in order, then pass 2, then pass 3 — and the per-query MEDIAN
