@@ -4340,21 +4340,9 @@ object PipelineSuite extends Suite {
       val tagged = Tables.documents(s, d)
         .select(col("doc_id").as("did"), col("text").as("t"),
           (pmod(col("doc_id"), lit(101)) === 0).as("is_q"))
-      val idx = graft.util.DiskCache.cached(s, "contam-index", "v1",
-        Seq(s"$d/documents.parquet"), "mod101ne0-dim16",
-        Seq("trainh", "tsh", "tsz", "impacts", "temb")) { tmp =>
-        val i = Retrieval.contaminationIndex(tagged.where(!col("is_q")))
-        i.trainH.write.mode("overwrite").parquet(s"$tmp/trainh")
-        i.tsh.write.mode("overwrite").parquet(s"$tmp/tsh")
-        i.tsz.write.mode("overwrite").parquet(s"$tmp/tsz")
-        i.impacts.write.mode("overwrite").parquet(s"$tmp/impacts")
-        i.temb.write.mode("overwrite").parquet(s"$tmp/temb")
-      } { base =>
-        Retrieval.ContamIndex(
-          s.read.parquet(s"$base/trainh"), s.read.parquet(s"$base/tsh"),
-          s.read.parquet(s"$base/tsz"), s.read.parquet(s"$base/impacts"),
-          s.read.parquet(s"$base/temb"))
-      }
+      val idx = Retrieval.contaminationIndexCached(s,
+        s"$d/documents.parquet", "mod101ne0-dim16",
+        tagged.where(!col("is_q")))
       Retrieval.contaminationProbe(idx, tagged.where(col("is_q")))
         .orderBy(col("eval_id"))
     },

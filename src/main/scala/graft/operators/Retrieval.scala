@@ -235,6 +235,34 @@ object Retrieval {
     ContamIndex(trainH, tsh, tsz, impacts, temb)
   }
 
+  /** [[contaminationIndex]] served from the DiskCache
+    * corpus-fingerprint seam (the annFits move): the four train-side
+    * artifacts are deterministic per (corpus, split), so they build
+    * once per corpus version under
+    * target/contam-index/<version>/<tag>-<fp> and every later run —
+    * batch report (c110) or streaming route's batch contract (d51) —
+    * pays only the eval-side probe. `srcPath` is the fingerprinted
+    * source; `tag` must encode the train split and dim. */
+  def contaminationIndexCached(s: org.apache.spark.sql.SparkSession,
+                               srcPath: String, tag: String,
+                               train: DataFrame,
+                               dim: Int = 16): ContamIndex =
+    graft.util.DiskCache.cached(s, "contam-index", "v1",
+      Seq(srcPath), tag,
+      Seq("trainh", "tsh", "tsz", "impacts", "temb")) { tmp =>
+      val i = contaminationIndex(train, dim)
+      i.trainH.write.mode("overwrite").parquet(s"$tmp/trainh")
+      i.tsh.write.mode("overwrite").parquet(s"$tmp/tsh")
+      i.tsz.write.mode("overwrite").parquet(s"$tmp/tsz")
+      i.impacts.write.mode("overwrite").parquet(s"$tmp/impacts")
+      i.temb.write.mode("overwrite").parquet(s"$tmp/temb")
+    } { base =>
+      ContamIndex(
+        s.read.parquet(s"$base/trainh"), s.read.parquet(s"$base/tsh"),
+        s.read.parquet(s"$base/tsz"), s.read.parquet(s"$base/impacts"),
+        s.read.parquet(s"$base/temb"))
+    }
+
   /** The per-eval report against a prepared [[ContamIndex]]; `eval`
     * must carry (did, t). Only the eval side computes here — the
     * probe's cost tracks the eval set, never the corpus. */

