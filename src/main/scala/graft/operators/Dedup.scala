@@ -169,7 +169,20 @@ object Dedup {
     * buckets only, so untouched buckets stay unopened and the
     * pure-INSERT scale shape survives. `did` is the identity: a doc
     * whose text changed must go through
-    * [[deleteFromPrintIndexDir]] + append, not a bare re-append. */
+    * [[deleteFromPrintIndexDir]] + append, not a bare re-append.
+    *
+    * Bootstraps: an append into a missing/empty index path skips the
+    * probe (nothing can be a duplicate of an empty index) and the
+    * plain insert CREATES the index, so first-append == build.
+    *
+    * SINGLE WRITER assumed (r14-advice low): the probe is barriered
+    * EAGERLY, so the read of `$base/prints` completes before the
+    * append opens the path for writing — the probe can never list a
+    * file its own append is mid-committing. Two CONCURRENT appenders
+    * of the same arrivals could still both probe before either
+    * commits; every caller here (the batch op, the streaming
+    * checkpoint cadence) is single-writer per index, and that is the
+    * contract. */
   def appendToPrintIndexDir(s: org.apache.spark.sql.SparkSession,
                             base: String, newDocs: DataFrame,
                             id: String, text: String,
@@ -179,10 +192,15 @@ object Dedup {
       .withColumn("bk", pmod(col("h"), lit(IndexBuckets)))
       .barrier(true)
     val touched = ap.select(col("bk")).distinct()
-    val existing = s.read.parquet(s"$base/prints")
-      .join(touched, Seq("bk"), "left_semi")
-      .select(col("did")).distinct()
-    ap.join(existing, Seq("did"), "left_anti")
+    val existing =
+      try Some(s.read.parquet(s"$base/prints")
+        .join(touched, Seq("bk"), "left_semi")
+        .select(col("did")).distinct()
+        .barrier(true)) // eager: probe read finishes before the append
+      catch { // no index at this path yet → bootstrap via plain insert
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    existing.fold(ap)(e => ap.join(e, Seq("did"), "left_anti"))
       .write.mode("append").partitionBy("bk")
       .parquet(s"$base/prints")
   }

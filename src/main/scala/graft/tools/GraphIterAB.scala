@@ -139,32 +139,59 @@ object GraphIterAB {
     undDegrees(und)
   }
 
-  // --- lpa: lazy / bucketed-adjacency alternatives -------------------
+  // --- lpa: lazy / bucketed-adjacency / fused-vote alternatives ------
+  // vote shapes: "twoAgg" = shipped-r14 (count per (node,label), then
+  // min_by per node — both exchange-free after an explicit |E|-row
+  // repartition on node); "fused" = same repartition, ONE
+  // VoteTop1 pass; "fusedPre" = NO repartition — the vote tally
+  // partial-aggregates map-side on the join output and the exchange
+  // carries one combined tally row per (partition, node)
   def lpaVariant(und: DataFrame, rounds: Int, eager: Boolean,
-                 bucketedTable: Option[String]): DataFrame = {
+                 bucketedTable: Option[String],
+                 vote: String = "twoAgg"): DataFrame = {
+    import graft.functions.expr.GraphAggs.voteTop1
     val spark = und.sparkSession
     val labelParts = math.max(8,
       spark.sessionState.conf.numShufflePartitions / 2)
     withAqeOff(spark) {
-      val adj = bucketedTable.map(spark.table).getOrElse {
-        und.select(col("a").as("node"), col("b").as("nbr"))
-          .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
-          .repartition(labelParts, col("nbr"))
-          .barrier(true)
-      }
-      var lab = adj.select(col("node")).distinct()
-        .withColumn("label", col("node"))
-      for (_ <- 1 to rounds) {
-        lab = adj
-          .join(lab.select(col("node").as("nbr"), col("label")), "nbr")
-          .repartition(labelParts, col("node"))
-          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("node"))
-          .agg(min_by(col("label"),
-            struct((-col("cnt")).as("nc"), col("label"))).as("label"))
-          .barrier(eager)
-      }
-      lab
+      val savedFb = spark.conf.get(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+      if (vote != "twoAgg") spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (4 << 20).toString)
+      try {
+        val adj = bucketedTable.map(spark.table).getOrElse {
+          und.select(col("a").as("node"), col("b").as("nbr"))
+            .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+            .repartition(labelParts, col("nbr"))
+            .barrier(true)
+        }
+        var lab = adj.select(col("node")).distinct()
+          .withColumn("label", col("node"))
+        for (_ <- 1 to rounds) {
+          val votes = adj
+            .join(lab.select(col("node").as("nbr"), col("label")), "nbr")
+          lab = (vote match {
+            case "twoAgg" => votes
+              .repartition(labelParts, col("node"))
+              .groupBy(col("node"), col("label"))
+              .agg(count(lit(1)).as("cnt"))
+              .groupBy(col("node"))
+              .agg(min_by(col("label"),
+                struct((-col("cnt")).as("nc"), col("label"))).as("label"))
+            case "fused" => votes
+              .repartition(labelParts, col("node"))
+              .groupBy(col("node"))
+              .agg(voteTop1(col("label")).as("label"))
+            case "fusedPre" => votes
+              .groupBy(col("node"))
+              .agg(voteTop1(col("label")).as("label"))
+          }).barrier(eager)
+        }
+        lab
+      } finally spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        savedFb)
     }
   }
 
@@ -219,9 +246,13 @@ object GraphIterAB {
       "kcore/shipped-eager" ->
         (() => graft.graph.GraphAlgo.kCoreUnd(und, k = 3, rounds = 4)),
       "kcore/lazy" -> (() => kcoreLazy(und, k = 3, rounds = 4)),
-      "lpa/shipped-eager" ->
+      "lpa/shipped" ->
         (() => graft.graph.GraphAlgo.labelPropagationUnd(und, rounds = 3)),
-      "lpa/lazy" -> (() => lpaVariant(und, 3, eager = false, None)),
+      "lpa/twoagg-lazy" -> (() => lpaVariant(und, 3, eager = false, None)),
+      "lpa/fused-lazy" -> (() => lpaVariant(und, 3, eager = false, None,
+        vote = "fused")),
+      "lpa/fusedpre-lazy" -> (() => lpaVariant(und, 3, eager = false,
+        None, vote = "fusedPre")),
       "lpa/bucketed" -> (() => lpaVariant(und, 3, eager = true,
         Some("graft_ab_adj")))
     ).filter { case (n, _) => fams(n.takeWhile(_ != '/')) }

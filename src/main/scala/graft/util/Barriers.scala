@@ -24,36 +24,58 @@ import org.apache.spark.sql.DataFrame
   */
 object Barriers {
 
+  /** RDD ids produced by [[barrier]] and not yet freed. [[free]]
+    * only ever unpersists ids registered here, so a frame that did
+    * not come straight out of [[barrier]] can never lose blocks to a
+    * misdirected free. Ids are removed on free (double-free is a
+    * no-op); the set holds bare ints, so a long session's residue is
+    * bytes, not blocks. */
+  private val owned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   /** Materialize `df` and truncate its lineage, to local executor
     * blocks (default) or to the reliable checkpoint dir (see above). */
   def barrier(df: DataFrame, eager: Boolean = true): DataFrame = {
     val s = df.sparkSession
     val reliable = s.conf
       .getOption("spark.graft.checkpoint.reliable").contains("true")
-    if (!reliable) df.localCheckpoint(eager)
-    else {
-      if (s.sparkContext.getCheckpointDir.isEmpty) {
-        val dir = s.conf.getOption("spark.graft.checkpoint.dir")
-          .getOrElse(sys.props("java.io.tmpdir") + "/graft-checkpoints")
-        s.sparkContext.setCheckpointDir(dir)
+    val out =
+      if (!reliable) df.localCheckpoint(eager)
+      else {
+        if (s.sparkContext.getCheckpointDir.isEmpty) {
+          val dir = s.conf.getOption("spark.graft.checkpoint.dir")
+            .getOrElse(sys.props("java.io.tmpdir") + "/graft-checkpoints")
+          s.sparkContext.setCheckpointDir(dir)
+        }
+        df.checkpoint(eager)
       }
-      df.checkpoint(eager)
+    out.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        owned.add(lr.rdd.id)
+      case _ => () // defensive: checkpoint always yields a LogicalRDD
     }
+    out
   }
 
-  /** Free the executor blocks behind a barriered frame, for callers
-    * that hold LONG-LIVED barrier generations (the streaming
-    * cumulative-state folds): once a new generation has materialized
-    * eagerly, the previous generation's blocks are dead weight that
-    * ContextCleaner only reclaims at GC pressure — on a long stream
-    * that lag grows with corpus size. Best-effort and narrow: only
-    * LogicalRDD leaves (what [[barrier]] produces) are unpersisted;
-    * any other frame is left untouched. The freed frame must never
-    * be scanned again — its lineage was truncated by the barrier, so
-    * there is nothing to recompute from. */
+  /** Free the executor blocks behind a frame [[barrier]] produced,
+    * for callers that hold LONG-LIVED barrier generations (the
+    * streaming cumulative-state folds): once a new generation has
+    * materialized eagerly, the previous generation's blocks are dead
+    * weight that ContextCleaner only reclaims at GC pressure — on a
+    * long stream that lag grows with corpus size.
+    *
+    * Strictly guarded (r14-advice low): the frame's WHOLE analyzed
+    * plan must be the single LogicalRDD node a [[barrier]] call
+    * returned, and that RDD's id must still be in the ownership
+    * registry. A derived frame (a union over generations, a filter
+    * on top of a barrier) is left untouched — freeing through it
+    * would kill blocks still backing other live DataFrames, with no
+    * lineage to recompute them from. Double-free is a no-op. The
+    * freed frame must never be scanned again. */
   def free(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if owned.remove(lr.rdd.id) =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }

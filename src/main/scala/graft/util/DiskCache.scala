@@ -87,8 +87,17 @@ object DiskCache {
         build(tmp)
         try Files.move(Paths.get(tmp), basePath,
           StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
+        catch { case e: java.nio.file.FileSystemException =>
           deleteRecursively(Paths.get(tmp))
+          // The move losing to a concurrent winner is fine — but ONLY
+          // if the winner's complete copy is actually there. Any other
+          // move failure (cross-device tmp, permissions, a stale
+          // half-built target) must fail HERE at the seam, not later
+          // as an opaque parquet path error from read(base).
+          if (!ready) throw new IllegalStateException(
+            s"DiskCache: failed to install built artifact at $base " +
+              "and no complete winner is present (target exists but " +
+              s"lacks ${subs.map(_ + "/_SUCCESS").mkString(", ")})", e)
         }
       }
       read(base)

@@ -45,6 +45,63 @@ class BarrierSpec extends SparkSpec {
     assert(local === reliable)
   }
 
+  test("Barriers.free unpersists only frames barrier() itself " +
+    "produced — derived unions and foreign checkpoints are untouched") {
+    import graft.util.Barriers
+    import graft.util.Barriers.BarrierOps
+    def blocksOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        case other => fail(s"expected LogicalRDD, got $other")
+      }
+    val a = spark.range(100).toDF("n").barrier(true)
+    val b = spark.range(100, 200).toDF("n").barrier(true)
+    // a derived frame over live generations must NOT lose its blocks
+    val union = a.unionByName(b)
+    Barriers.free(union)
+    assert(blocksOf(a).getStorageLevel.useMemory ||
+      blocksOf(a).getStorageLevel.useDisk,
+      "free(union) must not unpersist a generation backing the union")
+    assert(union.count() === 200)
+    // a frame NOT produced by barrier (raw localCheckpoint) is foreign
+    val foreign = spark.range(10).toDF("n").localCheckpoint(true)
+    Barriers.free(foreign)
+    assert(blocksOf(foreign).getStorageLevel.useMemory ||
+      blocksOf(foreign).getStorageLevel.useDisk,
+      "free must not unpersist a checkpoint it does not own")
+    // the owned generations themselves DO free, exactly once
+    Barriers.free(a)
+    Barriers.free(b)
+    assert(blocksOf(a).getStorageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE)
+    assert(blocksOf(b).getStorageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE)
+    Barriers.free(a) // double-free: no-op, no throw
+  }
+
+  test("DiskCache fails loudly when the artifact rename loses with " +
+    "no complete winner present") {
+    import java.nio.file.{Files, Paths}
+    val kind = "testcache-" + System.nanoTime()
+    val src = Files.createTempDirectory("graft-dc-src")
+    Files.writeString(src.resolve("x.txt"), "hello")
+    val fp = graft.util.DiskCache.fingerprint(Seq(src.toString))
+    // pre-create a NON-empty target without _SUCCESS: the atomic move
+    // must fail (DirectoryNotEmptyException) and ready stays false →
+    // the seam must throw, not fall through to an opaque read error.
+    val basePath = Paths.get(sys.props("user.dir"), "target", kind,
+      "v1", "t-" + fp)
+    Files.createDirectories(basePath.resolve("junk"))
+    Files.writeString(basePath.resolve("junk/partial"), "stale")
+    val e = intercept[IllegalStateException] {
+      graft.util.DiskCache.cached(spark, kind, "v1",
+        Seq(src.toString), "t", Seq("sub")) { tmp =>
+        spark.range(3).toDF("n").write.parquet(tmp + "/sub")
+      } { base => spark.read.parquet(base + "/sub").count() }
+    }
+    assert(e.getMessage.contains("no complete winner"))
+  }
+
   test("reliable barriers leave deduplicate and kmeans bit-identical") {
     val docs = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)

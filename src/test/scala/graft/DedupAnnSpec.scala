@@ -1450,6 +1450,28 @@ class DedupAnnSpec extends SparkSpec {
       "residual code table at rest")
   }
 
+  test("print index: a first append into a missing path bootstraps " +
+      "the index (append == build)") {
+    val all = docs.select($"doc_id", $"text")
+      .where(pmod($"doc_id", lit(5)) === 0L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prints-boot").toString + "/fresh"
+    Dedup.appendToPrintIndexDir(spark, dir, all, "doc_id", "text", 4, 4)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"did".cast("long"), $"h".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    assert(pset(Dedup.readPrintIndex(spark, dir)) ===
+      pset(Dedup.buildPrintIndex(all, "doc_id", "text", 4, 4)),
+      "bootstrap append != build")
+    // and the bootstrapped index behaves: the idempotency probe now
+    // sees the created path, so re-appending is still a no-op
+    Dedup.appendToPrintIndexDir(spark, dir, all, "doc_id", "text", 4, 4)
+    val twice = Dedup.readPrintIndex(spark, dir)
+    assert(twice.count() ===
+      twice.select($"did", $"h").distinct().count(),
+      "re-append after bootstrap duplicated print rows")
+  }
+
   test("print index: append equals rebuild of corpus ∪ arrivals with " +
       "pre-existing files untouched; delete equals rebuild of the " +
       "survivors with untouched buckets byte-identical") {
