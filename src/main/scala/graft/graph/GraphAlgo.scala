@@ -552,9 +552,39 @@ object GraphAlgo {
     * one top-1-per-node (the row_number≤1 the optimizer rewrites to
     * the TopKPerKey bounded heap) — all linear in |E|, barriered so
     * round k+1's lineage starts at round k's output. Isolated nodes
-    * never appear (no neighbours ⇒ no votes ⇒ not in the view). */
+    * never appear (no neighbours ⇒ no votes ⇒ not in the view).
+    *
+    * Two conf-gated scale shapes (both parity-pinned in GraphSpec,
+    * both measured in tools/GraphIterAB — local loss / at-scale win,
+    * the `spark.graft.cc.aggstars` convention):
+    *
+    *   - `spark.graft.graph.bucketedAdj=true` — the round-invariant
+    *     adjacency is written ONCE to a table bucketed on the
+    *     vote-join key and read per round, instead of living in
+    *     executor block storage across the query. Locally this loses
+    *     ~1.4 s (parquet re-reads vs warm single-JVM blocks,
+    *     GraphIterAB r14/r15) but it is the shape a 100 TB graph
+    *     forces: 2|E| adjacency rows cannot be pinned in cluster
+    *     block storage per query, while a bucketed table keeps every
+    *     round's join exchange-free for the big side and survives
+    *     executor loss.
+    *   - `spark.graft.lpa.fusedvote=true` — the round's two
+    *     aggregates fuse into ONE [[graft.functions.expr.VoteTop1]]
+    *     pass whose (label → count) tally partial-aggregates
+    *     MAP-SIDE, so the per-round exchange carries one combined
+    *     tally per (task, node) instead of |E| raw vote rows. Locally
+    *     this measured a wash-to-loss (r15 GraphIterAB: fused 5.95 s
+    *     vs shipped 5.82 median — round-1 labels are all-distinct, so
+    *     nothing combines and the object-hash pass pays
+    *     serialization); at scale the shuffle-volume math flips it:
+    *     labels coalesce after round 1 and a hub's million votes
+    *     combine into one map entry per task. */
   def labelPropagationUnd(und: DataFrame, rounds: Int): DataFrame = {
     val spark = und.sparkSession
+    val bucketedAdj = spark.conf
+      .getOption("spark.graft.graph.bucketedAdj").contains("true")
+    val fusedVote = spark.conf
+      .getOption("spark.graft.lpa.fusedvote").contains("true")
     // r7 shape (the r6-verdict lever, settled by the interleaved A/B
     // in tools/LpaAB: scoped-minby-p16 5.6 s median vs the previous
     // window-rank shape 8.9 s in the same windows, sf0.1/local[32]):
@@ -580,15 +610,41 @@ object GraphAlgo {
     val labelParts = math.max(8,
       spark.sessionState.conf.numShufflePartitions / 2)
     withAqeOff(spark) {
-      // pre-partition the (big, round-invariant) adjacency by the
-      // join key BEFORE the barrier: localCheckpoint preserves the
-      // output partitioning through LogicalRDD, so every round's vote
-      // join exchanges only the small label frame — the adjacency
-      // never re-shuffles
-      val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      val savedFb = spark.conf.get(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "128")
+      if (fusedVote) spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (4 << 20).toString) // the tally maps are small; keep hashing
+      try {
+      val rawAdj = und.select(col("a").as("node"), col("b").as("nbr"))
         .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
-        .repartition(labelParts, col("nbr"))
-        .barrier(true)
+      val adj =
+        if (bucketedAdj) {
+          // 100 TB shape: the round-invariant adjacency goes ONCE to
+          // a table bucketed on the vote-join key; every round reads
+          // it exchange-free from (distributed) storage instead of
+          // pinning 2|E| rows in executor blocks for the query's
+          // lifetime. Managed-table overwrite, with the orphaned-
+          // location guard (a leftover warehouse dir without a
+          // catalog entry fails saveAsTable otherwise).
+          val tbl = "graft_lpa_adj"
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), tbl)
+          val fs = loc.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+          rawAdj.write.mode("overwrite").bucketBy(labelParts, "nbr")
+            .saveAsTable(tbl)
+          spark.table(tbl)
+        } else
+          // block-storage shape: pre-partition the (big,
+          // round-invariant) adjacency by the join key BEFORE the
+          // barrier — localCheckpoint preserves the output
+          // partitioning through LogicalRDD, so every round's vote
+          // join exchanges only the small label frame
+          rawAdj.repartition(labelParts, col("nbr")).barrier(true)
       var lab = adj.select(col("node")).distinct()
         .withColumn("label", col("node"))
       for (_ <- 1 to rounds) {
@@ -602,17 +658,31 @@ object GraphAlgo {
         // the consumer's single action materializes each round's
         // blocks in one cascaded job — per-round job boundaries only
         // added scheduling overhead. Lineage still truncates at every
-        // round, so the plan never deepens past one round.
-        lab = adj
+        // round, so the plan never deepens past one round. In
+        // bucketedAdj mode the rounds are EAGER instead, so the
+        // returned frame never references the overwritable table.
+        val votes = adj
           .join(lab.select(col("node").as("nbr"), col("label")), "nbr")
+        lab = (if (fusedVote)
+          // map-side-combinable tally: partial VoteTop1 runs BEFORE
+          // the exchange, which then carries combined tallies
+          votes.groupBy(col("node"))
+            .agg(graft.functions.expr.GraphAggs
+              .voteTop1(col("label")).as("label"))
+        else votes
           .repartition(labelParts, col("node"))
           .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("node"))
           .agg(min_by(col("label"),
-            struct((-col("cnt")).as("nc"), col("label"))).as("label"))
-          .barrier(false)
+            struct((-col("cnt")).as("nc"), col("label"))).as("label")))
+          .barrier(bucketedAdj)
       }
+      // in bucketedAdj mode the last round's EAGER barrier already
+      // materialized lab — the result is table-independent either way
       lab
+      } finally spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        savedFb)
     }
   }
 }

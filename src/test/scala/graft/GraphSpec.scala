@@ -249,4 +249,30 @@ class GraphSpec extends SparkSpec {
         r.getAs[String]("label")).toMap
     assert(again === out)
   }
+
+  test("labelPropagation: the bucketedAdj and fusedvote scale shapes " +
+      "equal the shipped shape (sf events graph)") {
+    import graft.graph.GraphAlgo
+    def withFlags[T](flags: (String, String)*)(f: => T): T = {
+      flags.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally flags.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    val und = GraphAlgo.undirectedSimple(
+      Tables.events(spark, sf).select(
+        concat(lit("u"), $"user_id").as("src"),
+        concat(lit("e"), $"event_id" % 500).as("dst")))
+      .localCheckpoint(true)
+    def lpa() = GraphAlgo.labelPropagationUnd(und, rounds = 3)
+      .as[(String, String)].collect().toSet
+    val shipped = lpa()
+    assert(shipped.nonEmpty)
+    val bucketed =
+      withFlags("spark.graft.graph.bucketedAdj" -> "true")(lpa())
+    assert(bucketed === shipped, "bucketedAdj shape diverged")
+    val fused = withFlags("spark.graft.lpa.fusedvote" -> "true")(lpa())
+    assert(fused === shipped, "fusedvote shape diverged")
+    val both = withFlags("spark.graft.graph.bucketedAdj" -> "true",
+      "spark.graft.lpa.fusedvote" -> "true")(lpa())
+    assert(both === shipped, "composed scale shapes diverged")
+  }
 }

@@ -10,6 +10,35 @@ import graft.functions.TextOps
 class RandomizedParitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("vote_top1 equals the count+min_by composition on random votes " +
+      "(string and long labels, skew, ties, single-voter groups)") {
+    import graft.functions.expr.GraphAggs.voteTop1
+    val rnd = new scala.util.Random(1234)
+    // skewed label draws so ties and runaway winners both occur; a few
+    // groups get exactly one vote, one label set is shared by all
+    val votes = (1 to 20000).map { _ =>
+      val g = rnd.nextInt(300)
+      val l = if (rnd.nextBoolean()) rnd.nextInt(5) // heavy ties
+              else rnd.nextInt(50)
+      (g.toLong, s"label_$l", l.toLong)
+    }.toDF("g", "slabel", "llabel")
+      .localCheckpoint(true) // pin the sample
+    def composed(c: String) = votes
+      .groupBy($"g", col(c)).agg(count(lit(1)).as("cnt"))
+      .groupBy($"g")
+      .agg(min_by(col(c), struct((-$"cnt").as("nc"), col(c))).as("top"))
+    def fused(c: String) = votes.groupBy($"g")
+      .agg(voteTop1(col(c)).as("top"))
+    for (c <- Seq("slabel", "llabel")) {
+      val diff = composed(c).as("a")
+        .join(fused(c).as("b"), $"a.g" === $"b.g", "full")
+        .where($"a.top".isNull || $"b.top".isNull ||
+          $"a.top" =!= $"b.top")
+      assert(diff.isEmpty,
+        s"$c: " + diff.limit(5).collect().mkString("\n"))
+    }
+  }
+
   test("ShingleHashes3 equals per-shingle string hashing on 300 random docs") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
