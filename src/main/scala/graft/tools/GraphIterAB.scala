@@ -276,8 +276,16 @@ object GraphIterAB {
     }
     val times = scala.collection.mutable.Map[String, List[Double]]()
     val byFam = arms.groupBy(_._1.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-    for (rep <- 1 to 4; (_, fam) <- byFam;
-         (name, f) <- if (rep % 2 == 1) fam else fam.reverse) {
+    // arg 3: rep count (default 4); arg 4 "shuffle": RANDOMIZED arm
+    // order per rep (seeded — reproducible) instead of alternating.
+    // The r14 kcore arms tied with PURE order effects (the second arm
+    // always won); randomized order breaks that coupling.
+    val reps = args.lift(2).map(_.toInt).getOrElse(4)
+    val shuffle = args.lift(3).contains("shuffle")
+    val rnd = new scala.util.Random(20260816L)
+    for (rep <- 1 to reps; (_, fam) <- byFam;
+         (name, f) <- if (shuffle) rnd.shuffle(fam)
+                      else if (rep % 2 == 1) fam else fam.reverse) {
       val dt = run(f)
       times(name) = dt :: times.getOrElse(name, Nil)
       println(f"AB rep=$rep $name%-28s $dt%6.2f s")
