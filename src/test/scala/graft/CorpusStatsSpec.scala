@@ -8,6 +8,46 @@ import graft.operators.CorpusStats
   */
 class CorpusStatsSpec extends SparkSpec {
 
+  test("at-rest LM/tokenizer artifacts equal inline refits bit-for-bit " +
+      "(bigram, trigram, BPE merges, perplexity thresholds)") {
+    import graft.model.Tables
+    val docs = Tables.documents(spark, sf)
+    val train = docs.where(pmod(col("doc_id"), lit(101)) =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.map(col).toSeq
+      df.select(cols: _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    }
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(rows(a) === rows(b), s"$what: artifact != inline refit")
+    // bigram LM (the tag every c/d consumer of this split shares)
+    val blm = CorpusStats.bigramLmCached(spark, sf, "mod101ne0",
+      train, "text")
+    val blmI = CorpusStats.bigramLm(train, "text")
+    same(blm.uni, blmI.uni, "bigram uni")
+    same(blm.big, blmI.big, "bigram big")
+    same(blm.ctx, blmI.ctx, "bigram ctx")
+    // trigram LM
+    val tlm = CorpusStats.trigramLmCached(spark, sf, "mod101ne0",
+      train, "text")
+    val tlmI = CorpusStats.trigramLm(train, "text")
+    same(tlm.tri, tlmI.tri, "trigram tri")
+    same(tlm.ctx3, tlmI.ctx3, "trigram ctx3")
+    // BPE merge table
+    same(CorpusStats.bpeMergesCached(spark, sf, "mod101ne0-k3",
+        train, "doc_id", "text", 3),
+      CorpusStats.bpeMerges(train, "doc_id", "text", 3), "bpe merges")
+    // perplexity thresholds (lm + tercile bins)
+    val ref = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+    val (plm, pth) = CorpusStats.perplexityThresholdsCached(spark, sf,
+      "mod10lt8", ref, "doc_id", "text")
+    val (plmI, pthI) = CorpusStats.perplexityThresholds(ref,
+      "doc_id", "text")
+    same(plm.uni, plmI.uni, "perp lm uni")
+    same(pth, pthI, "perp thresholds")
+  }
+
   test("jackknifeInfluence: identities hold and a planted low-quality " +
       "source carries positive influence") {
     import graft.model.Tables
