@@ -562,6 +562,52 @@ object CorpusStats {
       .orderBy(col("step"))
   }
 
+  /** [[bpeCurve]] from an ALREADY-TRAINED merge table (the at-rest
+    * artifact path): applies the merge prefix sequentially (broadcast
+    * one-row replaces, barriered per step) and sizes the corpus after
+    * each prefix — k+1 map-side size aggregations, ZERO pair counting.
+    * Bit-identical to [[bpeCurve]] because the training loop's
+    * round-i corpus IS the first i merges applied left-to-right
+    * (the [[bpeApply]] equivalence), and the (pair, cnt) columns come
+    * from the artifact itself. */
+  def bpeCurveFromMerges(merges: DataFrame, docs: DataFrame, id: String,
+                         text: String, k: Int): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    val open = "\u0002"; val close = "\u0003"
+    val tk = TextOps.tokens(col(text))
+    var cur = docs.select(
+      concat(lit(open), concat_ws(close + open, tk), lit(close)).as("s"))
+    def sized(c: DataFrame, i: Int) = c
+      .select(size(split(trim(col("s"), open + close), close + open))
+        .cast("long").as("n"))
+      .agg(sum(col("n")).as("n_tokens"))
+      .select(lit(i.toLong).as("step"), col("n_tokens"))
+    val sizes = Seq.newBuilder[DataFrame]
+    sizes += sized(cur, 0)
+    for (step <- 1 to k) {
+      val m = merges.where(col("step") === step)
+        .select(col("a"), col("b"))
+      cur = cur.crossJoin(broadcast(m))
+        .select(replace(col("s"),
+          concat(lit(open), col("a"), lit(close),
+            lit(open), col("b"), lit(close)),
+          concat(lit(open), col("a"), lit(" "), col("b"),
+            lit(close))).as("s"))
+        .barrier(true) // each prefix materializes once; the next
+                       // replace and its own size scan read blocks
+      sizes += sized(cur, step)
+    }
+    val all = sizes.result().reduce(_ unionAll _)
+    val n0 = all.where(col("step") === 0)
+      .select(col("n_tokens").as("n_raw"))
+    all.crossJoin(broadcast(n0))
+      .join(merges.select(col("step"), col("pair"), col("cnt")),
+        Seq("step"), "left")
+      .select(col("step"), col("pair"), col("cnt"), col("n_tokens"),
+        ppmExpr("n_raw - n_tokens", "n_raw").cast("long").as("saved_ppm"))
+      .orderBy(col("step"))
+  }
+
   /** DuckDB mirror of [[bpeCurve]]: the same unrolled merge stages;
     * per-stage totals over d0..dk, the step-i merge row joined on, and
     * the ppm saving against the d0 total. */

@@ -2041,9 +2041,19 @@ object PipelineSuite extends Suite {
     // merge list. Same loop = same broadcast-argmax rounds; the only
     // extra work is the final per-doc size projection (map-only, no
     // join — n_raw rides along from the pre-merge tokenization).
-    (s, d) => CorpusStats.bpeEncode(Tables.documents(s, d), "doc_id",
-        "text", k = 3)
-      .orderBy(col("doc_id")),
+    // Since r15 the merges come from the at-rest artifact ("all-k3",
+    // the whole-corpus flavor of c49/d18's tag) and the encode is the
+    // stateless bpeApply replay — bit-identical to running the loop
+    // (the round-i corpus IS the merge prefix applied; the unchanged
+    // oracle hash-gates that equivalence at 3 SFs).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusStats.bpeApply(
+          CorpusStats.bpeMergesCached(s, d, "all-k3", docs,
+            "doc_id", "text", 3),
+          docs, "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    },
     Some(CorpusStats.bpeEncodeSql("text", k = 3, maxLen = 256)))
 
   val c48 = Q(
@@ -2400,7 +2410,17 @@ object PipelineSuite extends Suite {
     // pair's count can't substitute for the scan (it counts
     // overlapping occurrences the greedy non-overlapping apply
     // skips).
-    (s, d) => CorpusStats.bpeCurve(Tables.documents(s, d), "doc_id", "text", k = 4),
+    // Since r15 the curve replays the at-rest k=4 merge artifact
+    // (bpeCurveFromMerges): k+1 map-side size scans over the applied
+    // prefixes, zero pair counting — the unchanged oracle hash-gates
+    // the loop-vs-replay equivalence at 3 SFs.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusStats.bpeCurveFromMerges(
+        CorpusStats.bpeMergesCached(s, d, "all-k4", docs,
+          "doc_id", "text", 4),
+        docs, "doc_id", "text", k = 4)
+    },
     Some(CorpusStats.bpeCurveSql("text", k = 4, maxLen = 256)))
 
   val c64 = Q(
