@@ -206,7 +206,24 @@ object GraphAlgo {
       .distinct().barrier(true)
     var rank = nodes.select(col("node").as("id"), lit(Scale).as("r"))
     for (i <- 1 to iters) {
-      rank = pageRankStep(weighted, nodes, rank, dPct, base)
+      // ITERATION-1 CLOSED FORM: rank is the uniform constant Scale,
+      // so the edge⋈rank join is the identity — contributions are
+      // `Scale div od` straight off the weighted edge frame (same
+      // truncating integer division, bit-identical), skipping one
+      // |E|-row join evaluation (r15 same-session isolated 5-pass
+      // A/B at sf0.1: 2.42→2.24 s median, 3-SF oracle re-gate green).
+      rank =
+        if (i == 1) {
+          val contrib = weighted
+            .select(col("dst"), expr(s"$Scale div od").as("c"))
+          val sums = contrib.groupBy(col("dst"))
+            .agg(sum(col("c").cast("decimal(38,0)")).as("s"))
+          nodes.join(sums.hint("shuffle_hash"),
+              col("node") === col("dst"), "left")
+            .select(col("node").as("id"),
+              (lit(base) + coalesce(expr(s"(s * $dPct) div 100"),
+                lit(0L))).as("r"))
+        } else pageRankStep(weighted, nodes, rank, dPct, base)
       // EAGER barrier per iteration (r14 GraphIterAB, interleaved
       // 4-rep A/B at sf0.1: eager-each 3.83 s median / 3.34 min vs
       // the previous lazy chain 4.32 / 4.03, every rep faster,
