@@ -117,6 +117,8 @@ class PlanShapeSpec extends SparkSpec {
       "c46_chunk_index_recall", // broadcast query set + centroids
       "d15_stream_retrieval",  // broadcast centroids (query probe)
       "c49_bpe_apply",         // broadcast 1-row merge per step (k=3)
+      "c47_bpe_encode",        // broadcast 1-row merge per step (k=3,
+                               // the r15 at-rest-merges apply replay)
       "d18_stream_bpe_encode", // broadcast 1-row merge per step (k=3)
       "c50_bigram_surprisal",  // broadcast 1-row total-token count
       "d19_stream_surprisal",  // broadcast 1-row total-token count
