@@ -1540,9 +1540,19 @@ object PipelineSuite extends Suite {
     // the bitlen idf does the damping (df≈N ⇒ idf 1; df=N/20 ⇒ 5).
     // The lexical leg of contamination triage next to the ANN
     // family's dense leg.
-    (s, d) => Retrieval.bm25TopK(Tables.documents(s, d), "doc_id",
-        "text", pmod(col("doc_id"), lit(101)) === 0, k = 5)
-      .orderBy(col("eval_id"), col("rank")),
+    // Since r15 the impact index comes AT REST (shared with c104 —
+    // same train split, same df cap); the query pays tokenize-the-
+    // evals + the posting probe only.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+          pmod(col("doc_id"), lit(101)) === 0, k = 5,
+          contribPre = Some(Retrieval.bm25ImpactsCached(s, d,
+            "mod101ne0-df1m",
+            docs.where(pmod(col("doc_id"), lit(101)) =!= 0),
+            "doc_id", "text")))
+        .orderBy(col("eval_id"), col("rank"))
+    },
     Some(s"""
       WITH tt AS (
         SELECT doc_id, (doc_id % 101 = 0) AS is_q,
@@ -4194,9 +4204,18 @@ object PipelineSuite extends Suite {
     // contamination-triage upgrade over either leg alone). Absent
     // legs contribute 0 (rank 0 = absent). Fusion joins two tiny
     // rank lists full-outer; each leg keeps its own bounded shape.
-    (s, d) => Retrieval.hybridRrf(Tables.documents(s, d), "doc_id",
-        "text", pmod(col("doc_id"), lit(101)) === 0, k = 5)
-      .orderBy(col("eval_id"), col("rank")),
+    // Since r15 the BM25 leg probes the shared at-rest impact index
+    // (c36's artifact — same split, same df cap).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.hybridRrf(docs, "doc_id", "text",
+          pmod(col("doc_id"), lit(101)) === 0, k = 5,
+          contribPre = Some(Retrieval.bm25ImpactsCached(s, d,
+            "mod101ne0-df1m",
+            docs.where(pmod(col("doc_id"), lit(101)) =!= 0),
+            "doc_id", "text")))
+        .orderBy(col("eval_id"), col("rank"))
+    },
     Some {
       def cos(a: String, b: String) = VectorOps.cosine6Sql(a, b)
       s"""

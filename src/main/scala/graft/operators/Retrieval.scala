@@ -63,16 +63,39 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, id: String, text: String,
                isQuery: Column, k: Int,
-               maxDfPpm: Long = 1000000L): DataFrame = {
+               maxDfPpm: Long = 1000000L,
+               contribPre: Option[DataFrame] = None): DataFrame = {
+    // `contribPre`: the (tok, doc_id, contrib) impact index AT REST
+    // (see [[bm25ImpactsCached]]) — in a deployed retrieval system
+    // the inverted index IS the persisted artifact; supplying it
+    // skips the train-side tokenize + impact build and the probe
+    // touches only matching postings.
     val toks = docs.select(col(id).as("doc_id"), isQuery.as("is_q"),
         explode(TextOps.tokens(col(text))).as("tok"))
       .where(col("tok") =!= "")
-    val contrib = bm25Impacts(toks.where(!col("is_q"))
-      .select(col("doc_id"), col("tok")), maxDfPpm)
+    val contrib = contribPre.getOrElse(bm25Impacts(toks
+      .where(!col("is_q")).select(col("doc_id"), col("tok")), maxDfPpm))
     val qTerms = toks.where(col("is_q"))
       .select(col("doc_id").as("eval_id"), col("tok")).distinct()
     bm25Probe(contrib, qTerms, k)
   }
+
+  /** [[bm25Impacts]] served from the artifact store (the at-rest
+    * inverted index): deterministic per (corpus, split, dfPpm cap),
+    * so the persisted postings equal an inline rebuild bit-for-bit
+    * (spec-pinned in RetrievalSpec). */
+  def bm25ImpactsCached(s: org.apache.spark.sql.SparkSession,
+                        dir: String, tag: String, train: => DataFrame,
+                        id: String, text: String,
+                        maxDfPpm: Long = 1000000L): DataFrame =
+    graft.util.DiskCache.cached(s, "bm25-impacts", "v1",
+      Seq(s"$dir/documents.parquet"), tag, Seq("impacts")) { tmp =>
+        bm25Impacts(train
+            .select(col(id).as("doc_id"),
+              explode(TextOps.tokens(col(text))).as("tok"))
+            .where(col("tok") =!= ""), maxDfPpm)
+          .write.mode("overwrite").parquet(s"$tmp/impacts")
+    } { b => s.read.parquet(s"$b/impacts") }
 
   /** The materialized per-(doc, token) impact index over a train-side
     * (doc_id, tok) token relation — the precomputed-impact shape
@@ -149,8 +172,10 @@ object Retrieval {
     * (eval_id, doc_id) — negligible next to either leg. */
   def hybridRrf(docs: DataFrame, id: String, text: String,
                 isQuery: Column, k: Int, legK: Int = 20,
-                rrfK: Long = 60L, dim: Int = 16): DataFrame = {
-    val bm = bm25TopK(docs, id, text, isQuery, legK)
+                rrfK: Long = 60L, dim: Int = 16,
+                contribPre: Option[DataFrame] = None): DataFrame = {
+    val bm = bm25TopK(docs, id, text, isQuery, legK,
+      contribPre = contribPre)
       .select(col("eval_id"), col("doc_id"),
         col("rank").cast("long").as("bm25_rank"))
     val emb = docs.select(col(id), isQuery.as("is_q"),

@@ -70,6 +70,29 @@ class RetrievalSpec extends SparkSpec {
     assert(out(0)._3 === 1000000L && out(0)._4 === 10L)
   }
 
+  test("bm25 impact index at rest equals an inline rebuild bit-for-bit " +
+      "and bm25TopK over it equals the inline-path top-k") {
+    import graft.model.Tables
+    val docs = Tables.documents(spark, sf)
+    val train = docs.where(pmod($"doc_id", lit(101)) =!= 0)
+    val atRest = Retrieval.bm25ImpactsCached(spark, sf, "mod101ne0-df1m",
+      train, "doc_id", "text")
+    val inline = Retrieval.bm25Impacts(
+      train.select($"doc_id",
+          explode(graft.functions.TextOps.tokens($"text")).as("tok"))
+        .where($"tok" =!= ""))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"tok", $"doc_id", $"contrib").collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(rows(atRest) === rows(inline), "impacts: artifact != rebuild")
+    def topk(pre: Option[org.apache.spark.sql.DataFrame]) =
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+          pmod($"doc_id", lit(101)) === 0, k = 5, contribPre = pre)
+        .orderBy($"eval_id", $"rank").collect().toSeq
+    assert(topk(Some(atRest)) === topk(None),
+      "bm25TopK over the artifact != inline path")
+  }
+
   test("bm25TopK: rare-term match outranks common-term match") {
     // q shares "zebra" (df=1) with d1 and "the" (df=3) with d2/d3;
     // the rarer term must dominate the ranking
