@@ -727,11 +727,13 @@ object CorpusStats {
     * O(langs) and partial-aggregable; the lang join is by id on the
     * same rows the apply already carries. */
   def bpeFertility(docs: DataFrame, id: String, text: String,
-                   lang: String, trainFilter: Column,
-                   k: Int): DataFrame = {
+                   lang: String, trainFilter: Column, k: Int,
+                   mergesPre: Option[DataFrame] = None): DataFrame = {
     import graft.util.Barriers.BarrierOps
-    val merges = bpeMerges(docs.where(trainFilter), id, text, k)
-      .barrier(true)
+    // `mergesPre`: the merge table AT REST (bpeMergesCached) — c56
+    // shares c49/d18's artifact and pays only the apply + audit side
+    val merges = mergesPre.getOrElse(
+      bpeMerges(docs.where(trainFilter), id, text, k).barrier(true))
     bpeApply(merges, docs, id, text, k)
       .join(docs.select(col(id), col(lang)), Seq(id))
       .groupBy(col(lang))

@@ -2238,10 +2238,16 @@ object PipelineSuite extends Suite {
     // more tokens per word, and its saved_ppm sits near 0: the
     // multilingual-pretraining cost audit. O(langs) final groupBy,
     // lang joined by id onto rows the apply already carries.
-    (s, d) => CorpusStats.bpeFertility(Tables.documents(s, d),
-        "doc_id", "text", "lang",
-        trainFilter = pmod(col("doc_id"), lit(101)) =!= 0, k = 3)
-      .orderBy(col("lang")),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusStats.bpeFertility(docs, "doc_id", "text", "lang",
+          trainFilter = pmod(col("doc_id"), lit(101)) =!= 0, k = 3,
+          mergesPre = Some(CorpusStats.bpeMergesCached(s, d,
+            "mod101ne0-k3",
+            docs.where(pmod(col("doc_id"), lit(101)) =!= 0),
+            "doc_id", "text", 3)))
+        .orderBy(col("lang"))
+    },
     Some(CorpusStats.bpeFertilitySql("text", k = 3, maxLen = 256,
       trainWhere = "doc_id % 101 <> 0", lang = "lang")))
 
