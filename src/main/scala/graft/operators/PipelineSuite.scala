@@ -1828,8 +1828,10 @@ object PipelineSuite extends Suite {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val isQ = pmod(col("doc_id"), lit(101)) === 0
-      val chunks = Retrieval.chunkEmbed(docs.where(!isQ), "doc_id",
-        "text", win = 32L, stride = 24L, dim = 16)
+      // embedded chunk table AT REST (shared with c46's baseline)
+      val chunks = Retrieval.chunkEmbedCached(s, d,
+        "mod101ne0-w32s24d16", docs.where(!isQ), "doc_id", "text",
+        win = 32L, stride = 24L, dim = 16)
       val queries = docs.where(isQ)
         .select(col("doc_id").as("q_id"),
           TextOps.polyHash(col("text")).as("h"))
@@ -1937,8 +1939,10 @@ object PipelineSuite extends Suite {
             x => x.cast("float")).as("q_emb"))
       val ivf = Retrieval.indexedChunkTopK(idx, queries, "doc_id",
         nprobe = 2, k = 3)
+      // exact baseline over the at-rest chunk table (c44's artifact)
       val exact = Retrieval.chunkTopK(
-        Retrieval.chunkEmbed(docs.where(!isQ), "doc_id", "text",
+        Retrieval.chunkEmbedCached(s, d, "mod101ne0-w32s24d16",
+          docs.where(!isQ), "doc_id", "text",
           win = 32L, stride = 24L, dim = 16),
         queries, "doc_id", k = 3)
       exact.alias("e")

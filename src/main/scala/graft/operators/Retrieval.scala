@@ -501,6 +501,21 @@ object Retrieval {
         col("sim"))
   }
 
+  /** [[chunkEmbed]] served from the artifact store — the embedded
+    * chunk table a deployed RAG corpus keeps next to its IVF index
+    * (c44's exact scan and c46's recall baseline share it; float32
+    * parquet round-trips exactly, so downstream cosine is
+    * bit-identical to the recomputed path — oracle hash-gated). */
+  def chunkEmbedCached(s: org.apache.spark.sql.SparkSession,
+                       dir: String, tag: String, docs: => DataFrame,
+                       id: String, text: String, win: Long,
+                       stride: Long, dim: Int): DataFrame =
+    graft.util.DiskCache.cached(s, "chunk-embed", "v1",
+      Seq(s"$dir/documents.parquet"), tag, Seq("chunks")) { tmp =>
+        chunkEmbed(docs, id, text, win, stride, dim)
+          .write.mode("overwrite").parquet(s"$tmp/chunks")
+    } { b => s.read.parquet(s"$b/chunks") }
+
   /** Corpus for a PERSISTED chunk IVF index ([[Ann.writeIndex]]):
     * c41 chunks embedded ([[chunkEmbed]]) and keyed by the composite
     * `ckey = doc_id * maxChunks + chunk_id`, with the parent doc id
