@@ -1921,13 +1921,18 @@ object StreamingSuite extends Suite {
       } { b => Dedup.readWindowIndex(s, b) }
       def slice(b: Long) = arrivals.where(
         pmod(expr("doc_id div 10").cast("long"), lit(4L)) === b)
+      // CUMULATIVE index fold (r15): incrementWindowIndex is a
+      // counts-add union+sum, so inc(inc(w0,A),B) == inc(w0,A∪B) —
+      // each batch's windows are computed and folded ONCE instead of
+      // re-deriving every earlier batch per prefix (O(B) window
+      // passes, was O(B²/2)). Exactly the live loop's state shape
+      // (Streams.spanRepriceStreaming folds the same way).
+      var widx = widx0
       (0L to 3L).map { b =>
-        val widxB =
-          if (b == 0L) widx0
-          else Dedup.WindowIndex(Dedup.incrementWindowIndex(widx0,
-            arrivals.where(pmod(expr("doc_id div 10").cast("long"),
-              lit(4L)) < b), "doc_id", "text", 16).barrier(true))
-        Dedup.spanRedactGate(widxB, slice(b), "doc_id", "text", 16)
+        if (b > 0L) widx = Dedup.WindowIndex(
+          Dedup.incrementWindowIndex(widx, slice(b - 1),
+            "doc_id", "text", 16).barrier(true))
+        Dedup.spanRedactGate(widx, slice(b), "doc_id", "text", 16)
       }.reduce(_.unionAll(_)).orderBy(col("doc_id"))
     },
     Some {
