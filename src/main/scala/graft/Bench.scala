@@ -79,7 +79,14 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap(
       selected.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
     val failedQ = scala.collection.mutable.Set.empty[String]
+    // SPARK_GRAFT_GC_BETWEEN=1: untimed System.gc() between queries —
+    // JMH-style isolation probe for whether a query's sample carries
+    // its NEIGHBOR's dead checkpoint blocks / GC debt (the in-suite
+    // vs isolated gap on the graph tier). Measurement knob, off by
+    // default; the A/B verdict lives in SURVEY §8q.
+    val gcBetween = sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("1")
     for (pass <- 1 to runs; (name, fn) <- selected if !failedQ(name)) {
+      if (gcBetween) System.gc()
       val t = once(name, fn)
       if (t < 0) failedQ += name else samples(name) += t
     }
