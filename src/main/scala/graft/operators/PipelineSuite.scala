@@ -4865,6 +4865,40 @@ object PipelineSuite extends Suite {
       ORDER BY ord"""
     })
 
+  val c116 = Q(
+    "c116_bm25_postings_append",
+    // Incremental maintenance of the BM25 index's POSTINGS layer
+    // (Retrieval.writePostingsIndex / appendToPostingsIndexDir — the
+    // c114 print-index discipline on the retrieval side). Impacts
+    // (c36's at-rest artifact) bake in GLOBAL df/length stats, so an
+    // append invalidates every impact value — but the raw
+    // (doc, tok, tf) postings are per-doc independent: append is a
+    // pure INSERT into the arrivals' token-hash buckets (append ==
+    // rebuild by construction, untouched buckets never opened —
+    // RetrievalSpec pins set equality, byte-identity and double-
+    // append idempotence), and an impact refresh derives from the
+    // postings without re-tokenizing the corpus. The audit prices an
+    // arrival batch per hash bucket: postings before / inserted /
+    // arriving docs landing there / tokens NEW to the index (the
+    // df-0→>0 rows whose idf the refresh must create) / after.
+    // Bounded output (PostingsBuckets rows), all partial-aggregable
+    // counts + one bucketed left-anti equi-join. d55 is the live
+    // gate-then-fold half.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val arrivals = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val pidx = graft.util.DiskCache.cached(s, "postings-index", "v1",
+        Seq(s"$d/documents.parquet"), "mod10lt8", Seq("postings")) {
+        tmp => Retrieval.writePostingsIndex(corpus, "doc_id", "text",
+          tmp)
+      } { b => s.read.parquet(s"$b/postings") }
+      Retrieval.postingsAppendAudit(pidx, arrivals, "doc_id", "text")
+    },
+    Some(Retrieval.postingsAppendAuditSql("doc_id", "text",
+      corpusWhere = "doc_id % 10 < 8",
+      arrivalWhere = "doc_id % 10 >= 8")))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -4874,5 +4908,5 @@ object PipelineSuite extends Suite {
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
       c96, c97, c98, c99, c100, c101, c102, c103, c104, c105, c106,
-      c107, c108, c109, c110, c111, c112, c113, c114, c115)
+      c107, c108, c109, c110, c111, c112, c113, c114, c115, c116)
 }

@@ -130,6 +130,153 @@ object Retrieval {
         (col("idf") * col("w_ppm")).as("contrib")))
   }
 
+  // --- the MAINTAINABLE postings layer under the impact index -------
+  /** Raw (doc_id, tok, tf) term-frequency postings — the layer a
+    * deployed engine MAINTAINS (Lucene's segment postings): impacts
+    * ([[bm25Impacts]]) bake in global df/length stats, so an append
+    * invalidates every impact, but the raw postings are PER-DOC
+    * independent — an arriving doc's postings are a pure function of
+    * its own text, so append == rebuild by construction (the c114
+    * print-index theorem on the retrieval side) and impacts refresh
+    * FROM the postings without re-tokenizing the corpus. */
+  def postings(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"),
+        explode(TextOps.tokens(col(text))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+
+  /** Hash buckets for the postings layout (polyHash is portable to
+    * the DuckDB oracle, unlike xxhash64). */
+  val PostingsBuckets = 16
+
+  private def withBk(p: DataFrame): DataFrame =
+    p.withColumn("bk", pmod(TextOps.polyHash(col("tok")),
+      lit(PostingsBuckets.toLong)))
+
+  /** The per-bucket APPEND AUDIT for the postings layer (the c114
+    * discipline on the retrieval index): what an arrival batch does
+    * to each hash bucket — postings before / inserted / arriving
+    * docs landing there / tokens NEW to the index (df 0→>0, the rows
+    * whose idf must exist after the refresh) / postings after. The
+    * insert theorem makes n_after = n_before + n_added exact: the
+    * (doc, tok) key spaces are disjoint across corpus and arrivals.
+    * All partial-aggregable counts + one bucketed left-anti equi-join
+    * for the new-token set; output = PostingsBuckets rows. */
+  def postingsAppendAudit(corpusPostings: DataFrame, arrivals: DataFrame,
+                          id: String, text: String): DataFrame = {
+    import graft.util.Barriers.BarrierOps
+    // corpusPostings = the AT-REST layout (doc_id, tok, tf, bk) —
+    // what readPostingsIndex-with-partition-column returns (bk is an
+    // inferred partition col: normalize its type)
+    val cp = corpusPostings.select(col("doc_id"), col("tok"),
+      col("tf"), col("bk").cast("long").as("bk"))
+    val ap = withBk(postings(arrivals, id, text)).barrier(true)
+    val before = cp.groupBy(col("bk"))
+      .agg(count(lit(1)).as("n_before"),
+        countDistinct(col("tok")).as("n_tokens_before"))
+    val newToks = ap.select(col("bk"), col("tok")).distinct()
+      .join(cp.select(col("bk"), col("tok")).distinct(),
+        Seq("bk", "tok"), "left_anti")
+      .groupBy(col("bk")).agg(count(lit(1)).as("n_new_tokens"))
+    val added = ap.groupBy(col("bk"))
+      .agg(count(lit(1)).as("n_added"),
+        countDistinct(col("doc_id")).as("n_docs_new"))
+    before.join(added, Seq("bk"), "full")
+      .join(newToks, Seq("bk"), "full")
+      .select(col("bk"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_tokens_before"), lit(0L)).as("n_tokens_before"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"),
+        coalesce(col("n_new_tokens"), lit(0L)).as("n_new_tokens"))
+      .withColumn("n_after", col("n_before") + col("n_added"))
+      .orderBy(col("bk"))
+  }
+
+  /** DuckDB mirror of [[postingsAppendAudit]]. */
+  def postingsAppendAuditSql(id: String, text: String,
+                             corpusWhere: String,
+                             arrivalWhere: String): String = {
+    def p(where: String, alias: String) =
+      s"""$alias AS (
+        SELECT doc_id, tok, COUNT(*) AS tf,
+               ${TextOps.polyHashSql("tok")} % ${PostingsBuckets} AS bk
+        FROM (SELECT $id AS doc_id,
+                     unnest(${TextOps.tokensSql(text)}) AS tok
+              FROM documents WHERE $where)
+        WHERE tok <> ''
+        GROUP BY 1, 2)"""
+    s"""
+      WITH ${p(corpusWhere, "cp")},
+      ${p(arrivalWhere, "ap")},
+      before AS (
+        SELECT bk, COUNT(*) AS n_before,
+               COUNT(DISTINCT tok) AS n_tokens_before
+        FROM cp GROUP BY 1),
+      newt AS (
+        SELECT bk, COUNT(*) AS n_new_tokens FROM (
+          SELECT DISTINCT a.bk, a.tok FROM ap a
+          WHERE NOT EXISTS (SELECT 1 FROM cp c
+                            WHERE c.bk = a.bk AND c.tok = a.tok))
+        GROUP BY 1),
+      added AS (
+        SELECT bk, COUNT(*) AS n_added,
+               COUNT(DISTINCT doc_id) AS n_docs_new
+        FROM ap GROUP BY 1)
+      SELECT bk,
+             COALESCE(n_before, 0) AS n_before,
+             COALESCE(n_tokens_before, 0) AS n_tokens_before,
+             COALESCE(n_added, 0) AS n_added,
+             COALESCE(n_docs_new, 0) AS n_docs_new,
+             COALESCE(n_new_tokens, 0) AS n_new_tokens,
+             COALESCE(n_before, 0) + COALESCE(n_added, 0) AS n_after
+      FROM before
+        FULL JOIN added USING (bk)
+        FULL JOIN newt USING (bk)
+      ORDER BY bk"""
+  }
+
+  /** PHYSICAL postings layout: (doc_id, tok, tf) partitioned by the
+    * token hash bucket, so an impact refresh or a df probe reads
+    * only matching buckets. */
+  def writePostingsIndex(corpus: DataFrame, id: String, text: String,
+                         base: String): Unit =
+    withBk(postings(corpus, id, text))
+      .write.mode("overwrite").partitionBy("bk")
+      .parquet(s"$base/postings")
+
+  def readPostingsIndex(s: org.apache.spark.sql.SparkSession,
+                        base: String): DataFrame =
+    s.read.parquet(s"$base/postings")
+      .select(col("doc_id"), col("tok"), col("tf"))
+
+  /** PHYSICAL postings append — pure INSERT into the arrivals' hash
+    * buckets (per-doc independence: append == rebuild of
+    * corpus ∪ arrivals, spec-pinned in RetrievalSpec with
+    * untouched-bucket byte-identity). IDEMPOTENT at doc granularity
+    * and bootstrapping on a missing path, exactly the
+    * [[graft.operators.Dedup.appendToPrintIndexDir]] contract
+    * (single writer; eager probe before the insert). */
+  def appendToPostingsIndexDir(s: org.apache.spark.sql.SparkSession,
+                               base: String, newDocs: DataFrame,
+                               id: String, text: String): Unit = {
+    import graft.util.Barriers.BarrierOps
+    val ap = withBk(postings(newDocs, id, text)).barrier(true)
+    val touched = ap.select(col("bk")).distinct()
+    val existing =
+      try Some(s.read.parquet(s"$base/postings")
+        .join(touched, Seq("bk"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .barrier(true))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    existing.fold(ap)(e => ap.join(e, Seq("doc_id"), "left_anti"))
+      .write.mode("append").partitionBy("bk")
+      .parquet(s"$base/postings")
+  }
+
   /** Probe the impact index with a (eval_id, tok) distinct term set:
     * broadcast term join + partial-agg sum + the TopK rewrite. */
   def bm25Probe(contrib: DataFrame, qTerms: DataFrame,

@@ -2305,9 +2305,90 @@ object StreamingSuite extends Suite {
         .mkString("", "\nUNION ALL\n", "\nORDER BY doc_id")
     })
 
+  val d55 = Q(
+    "d55_stream_postings_ingest",
+    // c116's live half (Streams.postingsIngestStreaming — the d54
+    // gate-then-fold discipline on the retrieval index): batch b
+    // (the d39/d41/d54 slicing, (doc_id div 10) mod 4, replayed in
+    // batch order) probes its docs' DISTINCT token sets against the
+    // known-token state — corpus postings ∪ every EARLIER batch's
+    // tokens (prefix semantics: a token coined by batch 1 is a HIT
+    // for batch 2, the cross-arrival reuse a static gate can't see)
+    // — emits one row per doc (n_toks / n_hits / n_new; n_new is
+    // exactly the df-0→>0 token rows the fold inserts), then folds
+    // its tokens in as a pure insert. Batch replay = ONE pass, no
+    // per-prefix recompute: a token's FIRST arrival batch (min-batch
+    // per token, map-side-combinable) decides hit/new for every
+    // later batch — the O(B) closed form of the prefix union.
+    // StreamsSpec pins live-replay parity at the slicing + the
+    // cross-batch coined-token hit.
+    (s, d) => {
+      import graft.functions.TextOps
+      import graft.util.Barriers.BarrierOps
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val arrivals = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      // the known-token projection of c116's at-rest postings layer
+      val corpusToks = graft.util.DiskCache.cached(s, "postings-index",
+        "v1", Seq(s"$d/documents.parquet"), "mod10lt8",
+        Seq("postings")) { tmp =>
+        graft.operators.Retrieval.writePostingsIndex(corpus, "doc_id",
+          "text", tmp)
+      } { b => s.read.parquet(s"$b/postings") }
+        .select(col("tok")).distinct()
+      val atoks = arrivals.select(col("doc_id"),
+          pmod(expr("doc_id div 10").cast("long"), lit(4L)).as("batch"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= "")
+        .select(col("doc_id"), col("batch"), col("tok")).distinct()
+        .barrier(true)
+      val fb = atoks.groupBy(col("tok"))
+        .agg(min(col("batch")).as("fb"))
+      atoks
+        .join(fb, Seq("tok"))
+        .join(corpusToks.withColumn("ck", lit(1)), Seq("tok"), "left")
+        .select(col("doc_id"),
+          when(col("ck").isNotNull || col("fb") < col("batch"), 1L)
+            .otherwise(0L).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("h")).cast("long").as("n_hits"))
+        .withColumn("n_new", col("n_toks") - col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ct AS (
+        SELECT DISTINCT tok FROM (
+          SELECT unnest(${graft.functions.TextOps.tokensSql("text")})
+            AS tok
+          FROM documents WHERE doc_id % 10 < 8)
+        WHERE tok <> ''),
+      at AS (
+        SELECT DISTINCT doc_id, (doc_id // 10) % 4 AS batch, tok FROM (
+          SELECT doc_id,
+                 unnest(${graft.functions.TextOps.tokensSql("text")})
+                   AS tok
+          FROM documents WHERE doc_id % 10 >= 8)
+        WHERE tok <> ''),
+      fb AS (SELECT tok, MIN(batch) AS fb FROM at GROUP BY 1),
+      hits AS (
+        SELECT a.doc_id,
+               CASE WHEN c.tok IS NOT NULL OR f.fb < a.batch
+                    THEN 1 ELSE 0 END AS h
+        FROM at a
+          JOIN fb f USING (tok)
+          LEFT JOIN ct c ON c.tok = a.tok)
+      SELECT doc_id, COUNT(*) AS n_toks,
+             CAST(SUM(h) AS BIGINT) AS n_hits,
+             COUNT(*) - CAST(SUM(h) AS BIGINT) AS n_new
+      FROM hits
+      GROUP BY 1
+      ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
       d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
-      d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54)
+      d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54,
+      d55)
 }

@@ -2413,6 +2413,69 @@ object Streams {
       .start()
   }
 
+  /** Live BM25 POSTINGS ingest — c116's streaming half (the d54
+    * gate-then-fold discipline on the retrieval index): each arriving
+    * doc's DISTINCT token set probes the known-token state (corpus
+    * tokens ∪ every EARLIER batch's tokens — prefix semantics, so a
+    * token coined by batch 1 is a HIT for batch 2) and emits one row
+    * per doc (n_toks / n_hits / n_new — n_new is exactly the tokens
+    * the fold inserts, i.e. the df-0→>0 rows whose idf an impact
+    * refresh must create); then the batch's tokens fold into the
+    * state as a pure insert (postings are per-doc independent — the
+    * [[graft.operators.Retrieval.appendToPostingsIndexDir]] theorem
+    * live). State storage is INCREMENTAL with periodic compaction +
+    * explicit block frees, the printAppendStreaming shape exactly. */
+  def postingsIngestStreaming(corpusToks0: DataFrame,
+      arrivals: DataFrame, id: String, text: String,
+      compactEvery: Int = 32)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextOps
+    import graft.util.Barriers
+    import graft.util.Barriers.BarrierOps
+    var state: Option[DataFrame] = None
+    var gens: List[DataFrame] = Nil
+    var sinceCompact = 0
+    var lastApplied = -1L
+    arrivals.writeStream.outputMode(OutputMode.Append)
+      // emission-class: stateful
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastApplied) {
+          lastApplied = bid
+          val known = state.getOrElse(corpusToks0)
+          val dt = batch.select(col(id),
+              explode(TextOps.tokens(col(text))).as("tok"))
+            .where(col("tok") =!= "")
+            .select(col(id), col("tok")).distinct()
+            .barrier(true)
+          val hits = dt
+            .join(known.select(col("tok")), Seq("tok"), "left_semi")
+            .groupBy(col(id)).agg(count(lit(1)).as("n_hits"))
+          sink(dt.groupBy(col(id)).agg(count(lit(1)).as("n_toks"))
+            .join(hits, Seq(id), "left")
+            .select(col(id), col("n_toks"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+            .withColumn("n_new", col("n_toks") - col("n_hits"))
+            .orderBy(col(id)))
+          // fold: lazy union of this batch's token rows (duplicates
+          // vs known are harmless — the probe is a semi-join)
+          val grown = known.select(col("tok"))
+            .unionByName(dt.select(col("tok")))
+          sinceCompact += 1
+          if (sinceCompact >= compactEvery) {
+            val compacted = grown.distinct().barrier(true)
+            (dt :: gens).foreach(Barriers.free)
+            gens = List(compacted)
+            sinceCompact = 0
+            state = Some(compacted)
+          } else {
+            gens ::= dt
+            state = Some(grown)
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming dedup: keep the first arrival per key within the
     * watermark (state = one entry per distinct key). */
   def dedupStreaming(events: DataFrame): DataFrame =

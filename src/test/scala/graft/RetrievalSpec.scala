@@ -93,6 +93,59 @@ class RetrievalSpec extends SparkSpec {
       "bm25TopK over the artifact != inline path")
   }
 
+  test("postings index: append equals rebuild of corpus ∪ arrivals " +
+      "with untouched buckets byte-identical; double-append is " +
+      "idempotent; a first append bootstraps a missing path") {
+    import graft.model.Tables
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val corpus = docs.where(pmod($"doc_id", lit(10)) < 8)
+    val arrivals = docs.where(pmod($"doc_id", lit(10)) >= 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-postings").toString
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"tok", $"tf")
+        .as[(Long, String, Long)].collect().toSet
+    def files(bk: Long) = {
+      val p = java.nio.file.Paths.get(dir, "postings", s"bk=$bk")
+      if (!java.nio.file.Files.exists(p)) Set.empty[String]
+      else {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(p)
+        try l.iterator().asScala.map(f =>
+          s"${f.getFileName}:${java.nio.file.Files
+            .getLastModifiedTime(f).toMillis}").toSet
+        finally l.close()
+      }
+    }
+    val B = Retrieval.PostingsBuckets.toLong
+    Retrieval.writePostingsIndex(corpus, "doc_id", "text", dir)
+    val before = (0L until B).map(b => b -> files(b)).toMap
+    Retrieval.appendToPostingsIndexDir(spark, dir, arrivals,
+      "doc_id", "text")
+    assert(pset(Retrieval.readPostingsIndex(spark, dir)) ===
+      pset(Retrieval.postings(docs, "doc_id", "text")),
+      "append != rebuild of corpus ∪ arrivals")
+    (0L until B).foreach { b =>
+      assert(before(b).subsetOf(files(b)),
+        s"append rewrote pre-existing files in bucket $b")
+    }
+    // double append: the doc-granular idempotency probe
+    Retrieval.appendToPostingsIndexDir(spark, dir, arrivals,
+      "doc_id", "text")
+    val twice = Retrieval.readPostingsIndex(spark, dir)
+    assert(twice.count() ===
+      twice.select($"doc_id", $"tok").distinct().count(),
+      "double append duplicated postings")
+    // bootstrap: a first append into a missing path creates the index
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-postings-boot").toString + "/new"
+    Retrieval.appendToPostingsIndexDir(spark, fresh, corpus,
+      "doc_id", "text")
+    assert(pset(Retrieval.readPostingsIndex(spark, fresh)) ===
+      pset(Retrieval.postings(corpus, "doc_id", "text")),
+      "bootstrap append != build")
+  }
+
   test("bm25TopK: rare-term match outranks common-term match") {
     // q shares "zebra" (df=1) with d1 and "the" (df=3) with d2/d3;
     // the rarer term must dominate the ranking

@@ -2525,6 +2525,58 @@ class StreamsSpec extends SparkSpec {
       "the cross-batch re-paste must hit on every print")
   }
 
+  test("streaming postings ingest: replay at the d55 slicing equals " +
+      "the batch contract; a cross-batch coined token hits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod($"doc_id", lit(10)) < 8)
+    val arrivals = docs.where(pmod($"doc_id", lit(10)) >= 8)
+      .select($"doc_id", $"text")
+    val toks0 = Retrieval.postings(corpus, "doc_id", "text")
+      .select($"tok").distinct().localCheckpoint(true)
+    type R = (Long, Long, Long, Long)
+    def toRows(df: org.apache.spark.sql.DataFrame): Seq[R] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_toks"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("n_new"))).toSeq
+    val got = scala.collection.mutable.ArrayBuffer.empty[R]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.postingsIngestStreaming(toks0,
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text") { df =>
+      val rows = toRows(df); this.synchronized { got ++= rows }
+    }
+    val slices = (0L to 3L).map(b => arrivals
+      .where(pmod(expr("doc_id div 10").cast("long"), lit(4L)) === b)
+      .as[(Long, String)].collect().toSeq)
+    try slices.foreach { p => ms.addData(p); q.processAllAvailable() }
+    finally q.stop()
+    val batch = toRows(
+      graft.SparkEntry.queries("d55_stream_postings_ingest")(spark, sf))
+    assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1))
+    // self-audit identity: n_hits + n_new = n_toks on every row
+    got.foreach(r => assert(r._2 === r._3 + r._4, s"row $r"))
+    // cross-batch semantics: a coined token is all-new in batch 0 and
+    // a pure hit when re-used in batch 1 (the fold between batches)
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[R]
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = Streams.postingsIngestStreaming(toks0,
+        ms2.toDF().toDF("doc_id", "text"), "doc_id", "text") { df =>
+      val rows = toRows(df); this.synchronized { got2 ++= rows }
+    }
+    try {
+      ms2.addData(Seq((300001L, "zzcoined1 zzcoined2")))
+      q2.processAllAvailable()
+      ms2.addData(Seq((300002L, "zzcoined1 zzcoined2")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val byId = got2.map(r => r._1 -> r).toMap
+    assert(byId(300001L) === ((300001L, 2L, 0L, 2L)),
+      s"coined tokens must be all-new on first arrival: ${byId(300001L)}")
+    assert(byId(300002L) === ((300002L, 2L, 2L, 0L)),
+      s"the cross-batch re-use must hit on every token: ${byId(300002L)}")
+  }
+
   test("streaming delete feed: replayed batches equal the one-shot " +
       "union delete (dir state) and audits match the d39 batch contract") {
     implicit val sqlCtx = spark.sqlContext
