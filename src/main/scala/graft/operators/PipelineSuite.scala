@@ -4899,6 +4899,77 @@ object PipelineSuite extends Suite {
       corpusWhere = "doc_id % 10 < 8",
       arrivalWhere = "doc_id % 10 >= 8")))
 
+  val c117 = Q(
+    "c117_bm25_impact_refresh",
+    // The refresh half of c116's maintenance story: the impact table
+    // (c36's query-optimized artifact) REBUILDS from the at-rest
+    // postings layer — doc lengths are Σtf per doc and df is the
+    // posting count per token, so the refresh never re-tokenizes a
+    // byte of corpus text (Retrieval.bm25ImpactsFromPostings; at
+    // 100 TB this is the difference between an index refresh that
+    // reads the compact postings artifact and one that re-scans the
+    // corpus). The op refreshes over corpus-postings-at-rest ∪ the
+    // arrival batch's postings and emits the per-bucket impact
+    // summary (rows / distinct tokens / exact Σcontrib — integers,
+    // so the oracle's FROM-SCRATCH build over corpus ∪ arrivals
+    // proves refresh-from-postings == retokenize-everything).
+    (s, d) => {
+      import graft.functions.TextOps
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val arrivals = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val pidx = graft.util.DiskCache.cached(s, "postings-index", "v1",
+        Seq(s"$d/documents.parquet"), "mod10lt8", Seq("postings")) {
+        tmp => Retrieval.writePostingsIndex(corpus, "doc_id", "text",
+          tmp)
+      } { b => s.read.parquet(s"$b/postings") }
+      val merged = pidx.select(col("doc_id"), col("tok"), col("tf"))
+        .unionByName(Retrieval.postings(arrivals, "doc_id", "text"))
+      Retrieval.bm25ImpactsFromPostings(merged)
+        .withColumn("bk", pmod(TextOps.polyHash(col("tok")),
+          lit(Retrieval.PostingsBuckets.toLong)))
+        .groupBy(col("bk"))
+        .agg(count(lit(1)).as("n_impacts"),
+          countDistinct(col("tok")).as("n_tokens"),
+          sum(col("contrib")).cast("long").as("sum_contrib"))
+        .orderBy(col("bk"))
+    },
+    Some(s"""
+      WITH tk AS (
+        SELECT doc_id, tok FROM (
+          SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok
+          FROM documents)
+        WHERE tok <> ''),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+      lens AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
+      totals AS (SELECT COUNT(*) AS n_train,
+                        CAST(SUM(len) AS BIGINT) AS tot_len FROM lens),
+      dft AS (
+        SELECT k.tok, k.df, t.n_train, t.tot_len,
+               ${Retrieval.bitLenSql("(t.n_train // k.df)")} AS idf
+        FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1) k
+          CROSS JOIN totals t
+        WHERE k.df * 1000000 <= 1000000 * t.n_train),
+      imp AS (
+        SELECT f.tok,
+               d.idf * CAST(
+                 (CAST(22 AS HUGEINT) * f.tf * d.tot_len * 1000000) //
+                 (CAST(10 AS HUGEINT) * f.tf * d.tot_len
+                  + CAST(3 AS HUGEINT) * d.tot_len
+                  + CAST(9 AS HUGEINT) * l.len * d.n_train)
+                 AS BIGINT) AS contrib
+        FROM tf f
+          JOIN dft d USING (tok)
+          JOIN lens l ON l.doc_id = f.doc_id)
+      SELECT ${TextOps.polyHashSql("tok")} %
+               ${Retrieval.PostingsBuckets} AS bk,
+             COUNT(*) AS n_impacts,
+             COUNT(DISTINCT tok) AS n_tokens,
+             CAST(SUM(contrib) AS BIGINT) AS sum_contrib
+      FROM imp
+      GROUP BY 1
+      ORDER BY bk"""))
+
   override val queries: Seq[Q] =
     Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15,
       c16, c17, c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29,
@@ -4908,5 +4979,6 @@ object PipelineSuite extends Suite {
       c70, c71, c72, c73, c74, c75, c76, c77, c78, c79, c80, c81, c82,
       c83, c84, c85, c86, c87, c88, c89, c90, c91, c92, c93, c94, c95,
       c96, c97, c98, c99, c100, c101, c102, c103, c104, c105, c106,
-      c107, c108, c109, c110, c111, c112, c113, c114, c115, c116)
+      c107, c108, c109, c110, c111, c112, c113, c114, c115, c116,
+      c117)
 }

@@ -107,10 +107,20 @@ object Retrieval {
     * seam is where the impact index PERSISTS to parquet (and what
     * the d51 streaming gate freezes). Barriered. */
   def bm25Impacts(train: DataFrame,
-                  maxDfPpm: Long = 1000000L): DataFrame = {
-    val tf = train.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val lens = train.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+                  maxDfPpm: Long = 1000000L): DataFrame =
+    bm25ImpactsFromPostings(train.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf")), maxDfPpm)
+
+  /** [[bm25Impacts]] derived from an ALREADY-AGGREGATED (doc, tok,
+    * tf) postings table — the refresh path c116's maintenance layer
+    * exists for: doc lengths are Σtf per doc and df is the posting
+    * count per token, so the whole impact table rebuilds from the
+    * at-rest postings WITHOUT re-tokenizing a byte of corpus text
+    * (c117 proves the equality against a from-scratch oracle). */
+  def bm25ImpactsFromPostings(tf: DataFrame,
+                              maxDfPpm: Long = 1000000L): DataFrame = {
+    val lens = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("len"))
     val totals = lens.agg(count(lit(1)).as("n_train"),
       sum(col("len")).as("tot_len"))
     val dfTok = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
