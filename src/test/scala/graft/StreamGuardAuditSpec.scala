@@ -98,7 +98,10 @@ class StreamGuardAuditSpec extends AnyFunSuite {
       "in a redelivery-safe class explicitly") {
     val (st, sl) = defs.partition { case (n, b) =>
       declared(n, b) == "stateful" }
-    assert(st.size === 21,
+    // 21 → 22 in r15: postingsIngestStreaming (d55, the live BM25
+    // postings ingest — gate-then-fold state = the known-token set,
+    // bid-guarded like its printAppendStreaming template)
+    assert(st.size === 22,
       s"stateful flavors changed: ${st.map(_._1).sorted}")
     assert(sl.size === 26,
       s"stateless flavors changed: ${sl.map(_._1).sorted}")
