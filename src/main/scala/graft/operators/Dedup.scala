@@ -1213,6 +1213,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** [[verifiedPairs]] served from the artifact store — the dedup
+    * service's SECOND at-rest layer (the band index persists
+    * candidates; this persists the tau-verified pairs a split/audit
+    * consumer probes). Deterministic per (corpus, tau, banding), so
+    * the persisted table equals an inline rebuild bit-for-bit
+    * (spec-pinned in IncrementalDedupSpec). BUILD-class ops
+    * (c16's deduplicate, c113's certificate) keep running the pass —
+    * the artifact serves the PROBE class (c109's split keying). */
+  def verifiedPairsCached(s: org.apache.spark.sql.SparkSession,
+                          dir: String, tag: String, docs: => DataFrame,
+                          id: String, text: String, tau: Double,
+                          k: Int = 48, bands: Int = 24): DataFrame =
+    graft.util.DiskCache.cached(s, "verified-pairs", "v1",
+      Seq(s"$dir/documents.parquet"), tag, Seq("pairs")) { tmp =>
+        verifiedPairs(docs, id, text, tau, k, bands)
+          .write.mode("overwrite").parquet(s"$tmp/pairs")
+    } { b => s.read.parquet(s"$b/pairs") }
+
   /** Apply dedup: MinHash-LSH candidates → exact-Jaccard verify on the
     * candidates only → transitive clusters via distributed connected
     * components, keeping the minimum id per cluster. Returns

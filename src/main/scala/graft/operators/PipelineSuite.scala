@@ -4377,9 +4377,15 @@ object PipelineSuite extends Suite {
     // is recomputed, not asserted (0 everywhere; nonzero = the split
     // was keyed wrong). One dedup pass + a keeper join + one audit
     // groupBy; leak audit joins the bounded pair list linearly.
-    (s, d) => Sampling.leakFreeSplit(Tables.documents(s, d),
-        "doc_id", "text")
-      .orderBy(col("split")),
+    // Since r15 the tau-verified pair table comes AT REST — the
+    // split keying probes the dedup service's artifact.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.leakFreeSplit(docs, "doc_id", "text",
+          pairsPre = Some(Dedup.verifiedPairsCached(s, d, "all-tau05",
+            docs, "doc_id", "text", 0.5)))
+        .orderBy(col("split"))
+    },
     Some(Sampling.leakFreeSplitSql("doc_id", "text")))
 
   val c110 = Q(

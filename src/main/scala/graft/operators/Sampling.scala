@@ -141,12 +141,16 @@ object Sampling {
     * the verified pair list (bounded by true near-dups) to the
     * |docs|-row split map on the two id keys — linear. */
   def leakFreeSplit(docs: DataFrame, id: String, text: String,
-                    tau: Double = 0.5): DataFrame = {
+                    tau: Double = 0.5,
+                    pairsPre: Option[DataFrame] = None): DataFrame = {
     import graft.util.Barriers.BarrierOps
     // one banded verify pass, reused by BOTH the CC clustering and
     // the leak audit (running deduplicate + a second exact pair pass
-    // measured 9.3 s vs 5.8 s at sf0.1)
-    val pairs = Dedup.verifiedPairs(docs, id, text, tau).barrier(true)
+    // measured 9.3 s vs 5.8 s at sf0.1); `pairsPre` = the
+    // tau-verified pair table AT REST (Dedup.verifiedPairsCached) —
+    // the split keying is a PROBE of the dedup service's artifact
+    val pairs = pairsPre.getOrElse(
+      Dedup.verifiedPairs(docs, id, text, tau).barrier(true))
     val m = graft.graph.GraphAlgo
       .connectedComponents(pairs.select(col("id_a"), col("id_b")))
       .select(col("node").as(id), col("component").as("keeper"))

@@ -13,6 +13,24 @@ class IncrementalDedupSpec extends SparkSpec {
 
   private val tau = 0.5
 
+  test("verified-pairs artifact equals an inline rebuild bit-for-bit " +
+      "and leakFreeSplit over it equals the inline path") {
+    val docs = Tables.documents(spark, sf)
+    val atRest = Dedup.verifiedPairsCached(spark, sf, "all-tau05",
+      docs, "doc_id", "text", 0.5)
+    val inline = Dedup.verifiedPairs(docs, "doc_id", "text", 0.5)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a".cast("long"), $"id_b".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    assert(pset(atRest) === pset(inline), "pairs: artifact != rebuild")
+    def split(pre: Option[org.apache.spark.sql.DataFrame]) =
+      graft.operators.Sampling
+        .leakFreeSplit(docs, "doc_id", "text", pairsPre = pre)
+        .orderBy($"split").collect().toSeq
+    assert(split(Some(atRest)) === split(None),
+      "leakFreeSplit over the artifact != inline path")
+  }
+
   test("incremental decisions equal from-scratch exact dedup on the batch") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.where(pmod($"doc_id", lit(10)) < 8)
