@@ -45,6 +45,36 @@ case class VoteTop1(
   override def nullable: Boolean = true
   override def dataType: DataType = child.dataType
 
+  /** Restrict the child to atomic orderable NON-BUFFER-BACKED types
+    * (r15-advice medium): the tally map stores first-sighted values,
+    * and only UTF8String gets a defensive copy in [[update]]. A
+    * BinaryType Array[Byte] (reference-hashed keys → miscounts even
+    * with copies) or a buffer-backed array/struct (stored by
+    * reference, corrupted when the input buffer is reused) must be
+    * rejected at ANALYSIS, not silently miscounted — GraphAggs
+    * .voteTop1 is a public generic wrapper, so the guard lives here.
+    * Note the null divergence vs the count+min_by composition this
+    * fuses: NULL labels are ignored entirely (never the plurality
+    * winner), matching count(*)'s group-by-label behavior where a
+    * null label group exists but min_by can still pick it — callers
+    * vote over non-null label relations, where the two agree. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    child.dataType match {
+      case _: StringType | _: NumericType | DateType | BooleanType |
+           TimestampType | TimestampNTZType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            "vote_top1 requires an atomic orderable non-binary child " +
+              s"(string/numeric/date/timestamp/boolean), got " +
+              dt.catalogString)
+    }
+  }
+
   private lazy val ord: Ordering[AnyRef] =
     org.apache.spark.sql.graft.ColumnBridge.orderingFor(child.dataType)
       .asInstanceOf[Ordering[AnyRef]]

@@ -642,16 +642,24 @@ object GraphAlgo {
       try {
       val rawAdj = und.select(col("a").as("node"), col("b").as("nbr"))
         .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+      val adjTbl = if (bucketedAdj)
+        Some("graft_lpa_adj_" + java.util.UUID.randomUUID()
+          .toString.replace("-", "").take(12))
+      else None
       val adj =
         if (bucketedAdj) {
           // 100 TB shape: the round-invariant adjacency goes ONCE to
           // a table bucketed on the vote-join key; every round reads
           // it exchange-free from (distributed) storage instead of
           // pinning 2|E| rows in executor blocks for the query's
-          // lifetime. Managed-table overwrite, with the orphaned-
-          // location guard (a leftover warehouse dir without a
-          // catalog entry fails saveAsTable otherwise).
-          val tbl = "graft_lpa_adj"
+          // lifetime. PER-INVOCATION table name (r15-advice low): a
+          // fixed name let two queries sharing a warehouse clobber
+          // each other's adjacency; each invocation now writes its
+          // own table and drops it after the final eager barrier
+          // detaches the result. Orphaned-location guard kept (a
+          // leftover warehouse dir without a catalog entry fails
+          // saveAsTable otherwise).
+          val tbl = adjTbl.get
           spark.sql(s"DROP TABLE IF EXISTS $tbl")
           val loc = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"), tbl)
@@ -717,7 +725,15 @@ object GraphAlgo {
         }
       }
       // in bucketedAdj mode the last round's EAGER barrier already
-      // materialized lab — the result is table-independent either way
+      // materialized lab — the result is table-independent, so the
+      // per-invocation adjacency table can drop NOW instead of
+      // lingering in the shared warehouse. rounds == 0 is the one
+      // case with no round barrier (r15-advice low): detach the
+      // initial lab frame eagerly before the drop.
+      if (bucketedAdj) {
+        if (rounds == 0) lab = lab.barrier(true)
+        adjTbl.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
       lab
       } finally spark.conf.set(
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",

@@ -1063,7 +1063,8 @@ object CorpusStats {
                      tag: String, train: => DataFrame,
                      text: String): BigramLm =
     graft.util.DiskCache.cached(s, "lm-bigram", "v1",
-      Seq(s"$dir/documents.parquet"), tag, Seq("uni", "big", "ctx")) {
+      Seq(s"$dir/documents.parquet"), tag, Seq("uni", "big", "ctx"),
+      params = Seq("text" -> text)) {
       tmp =>
         val lm = bigramLm(train, text)
         lm.uni.write.mode("overwrite").parquet(s"$tmp/uni")
@@ -1078,7 +1079,8 @@ object CorpusStats {
                       text: String): TrigramLm =
     graft.util.DiskCache.cached(s, "lm-trigram", "v1",
       Seq(s"$dir/documents.parquet"), tag,
-      Seq("uni", "big", "ctx2", "tri", "ctx3")) { tmp =>
+      Seq("uni", "big", "ctx2", "tri", "ctx3"),
+      params = Seq("text" -> text)) { tmp =>
         val lm = trigramLm(train, text)
         lm.uni.write.mode("overwrite").parquet(s"$tmp/uni")
         lm.big.write.mode("overwrite").parquet(s"$tmp/big")
@@ -1096,7 +1098,8 @@ object CorpusStats {
                       tag: String, train: => DataFrame, id: String,
                       text: String, k: Int): DataFrame =
     graft.util.DiskCache.cached(s, "bpe-merges", "v1",
-      Seq(s"$dir/documents.parquet"), tag, Seq("merges")) { tmp =>
+      Seq(s"$dir/documents.parquet"), tag, Seq("merges"),
+      params = Seq("id" -> id, "text" -> text, "k" -> k.toString)) { tmp =>
         bpeMerges(train, id, text, k)
           .write.mode("overwrite").parquet(s"$tmp/merges")
     } { b => s.read.parquet(s"$b/merges") }
@@ -1110,7 +1113,8 @@ object CorpusStats {
                                  text: String): (BigramLm, DataFrame) = {
     val lm = bigramLmCached(s, dir, tag, ref, text)
     val th = graft.util.DiskCache.cached(s, "lm-perp-th", "v1",
-      Seq(s"$dir/documents.parquet"), tag, Seq("th")) { tmp =>
+      Seq(s"$dir/documents.parquet"), tag, Seq("th"),
+      params = Seq("id" -> id, "text" -> text)) { tmp =>
         import org.apache.spark.sql.expressions.Window
         val binW = 10000L
         val hist = bigramScore(lm, ref, id, text)

@@ -192,14 +192,20 @@ object Dedup {
       .withColumn("bk", pmod(col("h"), lit(IndexBuckets)))
       .barrier(true)
     val touched = ap.select(col("bk")).distinct()
+    // Bootstrap detection is an EXPLICIT existence check (r15-advice
+    // medium): a missing path means first write → plain insert, but a
+    // PRESENT path that fails analysis (corrupt index, foreign
+    // parquet without did/bk) must fail here, not silently skip the
+    // idempotence probe and append duplicates.
+    val idxPath = new org.apache.hadoop.fs.Path(s"$base/prints")
+    val idxFs = idxPath.getFileSystem(
+      s.sparkContext.hadoopConfiguration)
     val existing =
-      try Some(s.read.parquet(s"$base/prints")
+      if (!idxFs.exists(idxPath)) None
+      else Some(s.read.parquet(s"$base/prints")
         .join(touched, Seq("bk"), "left_semi")
         .select(col("did")).distinct()
         .barrier(true)) // eager: probe read finishes before the append
-      catch { // no index at this path yet → bootstrap via plain insert
-        case _: org.apache.spark.sql.AnalysisException => None
-      }
     existing.fold(ap)(e => ap.join(e, Seq("did"), "left_anti"))
       .write.mode("append").partitionBy("bk")
       .parquet(s"$base/prints")
@@ -1226,7 +1232,9 @@ object Dedup {
                           id: String, text: String, tau: Double,
                           k: Int = 48, bands: Int = 24): DataFrame =
     graft.util.DiskCache.cached(s, "verified-pairs", "v1",
-      Seq(s"$dir/documents.parquet"), tag, Seq("pairs")) { tmp =>
+      Seq(s"$dir/documents.parquet"), tag, Seq("pairs"),
+      params = Seq("id" -> id, "text" -> text, "tau" -> tau.toString,
+        "k" -> k.toString, "bands" -> bands.toString)) { tmp =>
         verifiedPairs(docs, id, text, tau, k, bands)
           .write.mode("overwrite").parquet(s"$tmp/pairs")
     } { b => s.read.parquet(s"$b/pairs") }

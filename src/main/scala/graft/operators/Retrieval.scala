@@ -89,7 +89,9 @@ object Retrieval {
                         id: String, text: String,
                         maxDfPpm: Long = 1000000L): DataFrame =
     graft.util.DiskCache.cached(s, "bm25-impacts", "v1",
-      Seq(s"$dir/documents.parquet"), tag, Seq("impacts")) { tmp =>
+      Seq(s"$dir/documents.parquet"), tag, Seq("impacts"),
+      params = Seq("id" -> id, "text" -> text,
+        "maxDfPpm" -> maxDfPpm.toString)) { tmp =>
         bm25Impacts(train
             .select(col(id).as("doc_id"),
               explode(TextOps.tokens(col(text))).as("tok"))
@@ -274,14 +276,18 @@ object Retrieval {
     import graft.util.Barriers.BarrierOps
     val ap = withBk(postings(newDocs, id, text)).barrier(true)
     val touched = ap.select(col("bk")).distinct()
+    // Explicit bootstrap check (r15-advice medium), same contract as
+    // [[graft.operators.Dedup.appendToPrintIndexDir]]: only a MISSING
+    // path bootstraps; an unreadable present index fails loudly.
+    val idxPath = new org.apache.hadoop.fs.Path(s"$base/postings")
+    val idxFs = idxPath.getFileSystem(
+      s.sparkContext.hadoopConfiguration)
     val existing =
-      try Some(s.read.parquet(s"$base/postings")
+      if (!idxFs.exists(idxPath)) None
+      else Some(s.read.parquet(s"$base/postings")
         .join(touched, Seq("bk"), "left_semi")
         .select(col("doc_id")).distinct()
         .barrier(true))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => None
-      }
     existing.fold(ap)(e => ap.join(e, Seq("doc_id"), "left_anti"))
       .write.mode("append").partitionBy("bk")
       .parquet(s"$base/postings")
@@ -431,7 +437,8 @@ object Retrieval {
                                dim: Int = 16): ContamIndex =
     graft.util.DiskCache.cached(s, "contam-index", "v1",
       Seq(srcPath), tag,
-      Seq("trainh", "tsh", "tsz", "impacts", "temb")) { tmp =>
+      Seq("trainh", "tsh", "tsz", "impacts", "temb"),
+      params = Seq("dim" -> dim.toString)) { tmp =>
       val i = contaminationIndex(train, dim)
       i.trainH.write.mode("overwrite").parquet(s"$tmp/trainh")
       i.tsh.write.mode("overwrite").parquet(s"$tmp/tsh")
@@ -668,7 +675,9 @@ object Retrieval {
                        id: String, text: String, win: Long,
                        stride: Long, dim: Int): DataFrame =
     graft.util.DiskCache.cached(s, "chunk-embed", "v1",
-      Seq(s"$dir/documents.parquet"), tag, Seq("chunks")) { tmp =>
+      Seq(s"$dir/documents.parquet"), tag, Seq("chunks"),
+      params = Seq("id" -> id, "text" -> text, "win" -> win.toString,
+        "stride" -> stride.toString, "dim" -> dim.toString)) { tmp =>
         chunkEmbed(docs, id, text, win, stride, dim)
           .write.mode("overwrite").parquet(s"$tmp/chunks")
     } { b => s.read.parquet(s"$b/chunks") }

@@ -102,6 +102,66 @@ class BarrierSpec extends SparkSpec {
     assert(e.getMessage.contains("no complete winner"))
   }
 
+  test("sweepTransient frees unpinned barrier blocks; pinned frames " +
+      "survive and stay scannable") {
+    import graft.util.Barriers
+    import org.apache.spark.storage.StorageLevel
+    val a = spark.range(100).toDF("n")
+    val transient0 = Barriers.barrier(a.select(($"n" * 2).as("m")))
+    val pinned = Barriers.pin(
+      Barriers.barrier(a.select(($"n" + 1).as("p"))))
+    val freed = Barriers.sweepTransient(spark.sparkContext)
+    assert(freed >= 1, "sweep freed nothing")
+    def level(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+        .rdd.getStorageLevel
+    assert(level(transient0) === StorageLevel.NONE,
+      "unpinned barrier blocks survived the sweep")
+    assert(level(pinned) !== StorageLevel.NONE,
+      "pinned blocks were swept")
+    assert(pinned.count() === 100,
+      "pinned frame not scannable after sweep")
+    // swept ids leave the registry: a second sweep is a no-op
+    assert(Barriers.sweepTransient(spark.sparkContext) === 0)
+  }
+
+  test("DiskCache params key entries mechanically and a tampered " +
+      "manifest fails the read") {
+    import java.nio.file.{Files, Paths}
+    val kind = "testcache-p-" + System.nanoTime()
+    val src = Files.createTempDirectory("graft-dc-psrc")
+    Files.writeString(src.resolve("x.txt"), "hello")
+    def build(n: Long)(tmp: String): Unit =
+      spark.range(n).toDF("n").write.parquet(tmp + "/sub")
+    def readCnt(base: String): Long =
+      spark.read.parquet(base + "/sub").count()
+    // same caller tag, different params → DISTINCT artifacts (the
+    // r15-advice reused-tag hazard can no longer collide)
+    val c3 = graft.util.DiskCache.cached(spark, kind, "v1",
+      Seq(src.toString), "t", Seq("sub"),
+      params = Seq("n" -> "3"))(build(3))(readCnt)
+    val c5 = graft.util.DiskCache.cached(spark, kind, "v1",
+      Seq(src.toString), "t", Seq("sub"),
+      params = Seq("n" -> "5"))(build(5))(readCnt)
+    assert(c3 === 3L && c5 === 5L)
+    // tamper the n=3 entry's manifest to claim it was built with n=9:
+    // a fresh-memo read (new session) must fail loudly at the seam
+    val fp = graft.util.DiskCache.fingerprint(Seq(src.toString))
+    val dir = Paths.get(sys.props("user.dir"), "target", kind, "v1",
+      "t-" + fp + graft.util.DiskCache.paramsSuffix(Seq("n" -> "3")))
+    val mf = dir.resolve("_graft_manifest.json")
+    Files.writeString(mf,
+      Files.readString(mf).replace("\"n\":\"3\"", "\"n\":\"9\""))
+    val s2 = spark.newSession()
+    val e = intercept[IllegalStateException] {
+      graft.util.DiskCache.cached(s2, kind, "v1",
+        Seq(src.toString), "t", Seq("sub"),
+        params = Seq("n" -> "3"))(build(3))(readCnt)
+    }
+    assert(e.getMessage.contains("built with params"))
+  }
+
   test("reliable barriers leave deduplicate and kmeans bit-identical") {
     val docs = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)

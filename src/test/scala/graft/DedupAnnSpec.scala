@@ -1472,6 +1472,20 @@ class DedupAnnSpec extends SparkSpec {
       "re-append after bootstrap duplicated print rows")
   }
 
+  test("print index: append into a present-but-foreign path fails " +
+      "loudly instead of silently skipping the idempotence probe") {
+    // r15-advice medium: only a MISSING path bootstraps; a parquet
+    // table at the path that is not a print index (no did/bk) must
+    // fail the append, not disable the probe and insert duplicates
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prints-foreign").toString
+    spark.range(3).toDF("zzz").write.parquet(dir + "/prints")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Dedup.appendToPrintIndexDir(spark, dir,
+        docs.select($"doc_id", $"text").limit(5), "doc_id", "text", 4, 4)
+    }
+  }
+
   test("print index: append equals rebuild of corpus ∪ arrivals with " +
       "pre-existing files untouched; delete equals rebuild of the " +
       "survivors with untouched buckets byte-identical") {

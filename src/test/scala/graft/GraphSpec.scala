@@ -275,4 +275,33 @@ class GraphSpec extends SparkSpec {
       "spark.graft.lpa.fusedvote" -> "true")(lpa())
     assert(both === shipped, "composed scale shapes diverged")
   }
+
+  test("labelPropagation bucketedAdj: invocations can't clobber each " +
+      "other (rounds == 0 detaches too) and no adjacency tables linger") {
+    import graft.graph.GraphAlgo
+    spark.conf.set("spark.graft.graph.bucketedAdj", "true")
+    try {
+      val undA = GraphAlgo.undirectedSimple(
+        Seq(("a1", "a2"), ("a2", "a3")).toDF("src", "dst"))
+        .localCheckpoint(true)
+      val undB = GraphAlgo.undirectedSimple(
+        Seq(("b1", "b2"), ("b3", "b4")).toDF("src", "dst"))
+        .localCheckpoint(true)
+      // rounds == 0 is the no-round-barrier case (r15-advice low):
+      // the result must be usable AFTER a second invocation has
+      // dropped-and-rewritten whatever adjacency tables it owns
+      val r0 = GraphAlgo.labelPropagationUnd(undA, rounds = 0)
+      val r1 = GraphAlgo.labelPropagationUnd(undB, rounds = 1)
+      assert(r0.as[(String, String)].collect().toSet ===
+        Set("a1" -> "a1", "a2" -> "a2", "a3" -> "a3"),
+        "rounds == 0 result was clobbered by a later invocation")
+      // one round: every node adopts its (sole) neighbor's id
+      assert(r1.as[(String, String)].collect().toSet ===
+        Set("b1" -> "b2", "b2" -> "b1", "b3" -> "b4", "b4" -> "b3"))
+      // per-invocation tables drop after the final eager barrier
+      val linger = spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("graft_lpa_adj"))
+      assert(linger.isEmpty, s"lingering tables: ${linger.mkString(",")}")
+    } finally spark.conf.unset("spark.graft.graph.bucketedAdj")
+  }
 }

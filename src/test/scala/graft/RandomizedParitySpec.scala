@@ -39,6 +39,26 @@ class RandomizedParitySpec extends SparkSpec {
     }
   }
 
+  test("vote_top1 rejects buffer-backed child types at analysis " +
+      "(binary, array)") {
+    import graft.functions.expr.GraphAggs.voteTop1
+    // BinaryType: Array[Byte] tally keys hash by REFERENCE — silent
+    // miscounts; buffer-backed arrays/structs corrupt as input
+    // buffers are reused. Both must fail analysis, not miscount.
+    val bin = spark.range(4)
+      .select($"id".cast("string").cast("binary").as("b"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bin.agg(voteTop1($"b")).collect()
+    }
+    val arr = spark.range(4).select(array($"id").as("a"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      arr.agg(voteTop1($"a")).collect()
+    }
+    // the supported atomic types still work
+    assert(spark.range(9).select(($"id" % 3).as("l"))
+      .agg(voteTop1($"l")).as[Long].head() === 0L)
+  }
+
   test("ShingleHashes3 equals per-shingle string hashing on 300 random docs") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"

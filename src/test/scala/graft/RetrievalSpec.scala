@@ -144,6 +144,16 @@ class RetrievalSpec extends SparkSpec {
     assert(pset(Retrieval.readPostingsIndex(spark, fresh)) ===
       pset(Retrieval.postings(corpus, "doc_id", "text")),
       "bootstrap append != build")
+    // present-but-foreign path (r15-advice medium): a parquet table
+    // without doc_id/bk at the path must FAIL the append, not
+    // silently skip the idempotence probe and insert duplicates
+    val foreign = java.nio.file.Files
+      .createTempDirectory("graft-postings-foreign").toString
+    spark.range(3).toDF("zzz").write.parquet(foreign + "/postings")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Retrieval.appendToPostingsIndexDir(spark, foreign, arrivals,
+        "doc_id", "text")
+    }
   }
 
   test("bm25TopK: rare-term match outranks common-term match") {
