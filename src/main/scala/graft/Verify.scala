@@ -33,6 +33,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // query-boundary hygiene: this query's transient barrier blocks
+      // are garbage once its output is on disk (pinned session frames
+      // survive) — without the sweep, 223 queries' worth accumulate
+      graft.util.Barriers.sweepTransient(spark.sparkContext)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -161,13 +161,16 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
     semanticIndexes.getOrElseUpdate(dim, {
       import graft.functions.{TextOps, VectorOps}
       import graft.util.Barriers.BarrierOps
-      val emb = nodes.select(col("id"), col("ntype"),
+      // memoized across queries → PINNED: the harness' query-boundary
+      // sweep must not free blocks later probes will re-scan
+      val emb = graft.util.Barriers.pin(
+        nodes.select(col("id"), col("ntype"),
         transform(VectorOps.mockEmbedding(TextOps.polyHash(col("content")),
-          dim), _.cast("float")).as("emb")).barrier(true)
-      val cents = graft.operators.Ann
+          dim), _.cast("float")).as("emb")).barrier(true))
+      val cents = graft.util.Barriers.pin(graft.operators.Ann
         .kmeansFit(emb, "id", "emb", k = 16, iters = 2)
         .select(col("id").as("cid"), col("emb").as("cv"),
-          VectorOps.norm(col("emb")).as("cn")).barrier(true)
+          VectorOps.norm(col("emb")).as("cn")).barrier(true))
       // one corpus pass against the broadcast centroids = the
       // inverted lists; norms stored so probes pay only the dot
       val w = Window.partitionBy(col("id"))
@@ -180,7 +183,7 @@ final class MemoryGraph(val nodes: DataFrame, val edges: DataFrame) {
         .where(col("rk") === 1)
         .select(col("id"), col("ntype"), col("emb"), col("nrm"), col("cid"))
         .barrier(true)
-      (cents, assigned)
+      (cents, graft.util.Barriers.pin(assigned))
     })
 
   /** Batch ingestion (batcher.go:19-188 / bulk_store.go): append a
