@@ -27,4 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // SPARK_GRAFT_GC_LOG=<path>: JVM GC log for the forked run — the
+  // measurement knob behind the r16 heap-sizing A/B (multi-second
+  // single-pass spikes in the bench correlate with full-GC stalls
+  // when the 32-task local-mode driver runs tight at -Xmx8g).
+  sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq ++
+  // SPARK_GRAFT_JAVA_OPTS: extra JVM flags for the forked run —
+  // lets a replay inject session confs (e.g.
+  // -Dspark.graft.checkpoint.reliable=true for the r16 suite-wide
+  // reliable-checkpoint validation) without editing the mains.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

@@ -19,6 +19,8 @@ object DebugCC {
       .config("spark.locality.wait", "0s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_RPT").foreach(v =>
+      spark.conf.set("spark.graft.loop.rowsPerTask", v))
     val g = graft.graph.MemoryGraph.persisted(spark, sfDir)
     val edges = g.edges.where(col("etype") === "invalidates")
       .select(col("src"), col("dst"))

@@ -27,6 +27,60 @@ object GraphAlgo {
     finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  /** Rows per task for the CPU-bound iterative loops below (r16).
+    * AQE's coalescing is BYTE-based (parallelismFirst targets
+    * max(bytes/parallelism, 1 MB)): a graph round's few MB of shuffle
+    * coalesces to ONE partition, serializing the whole round's window
+    * sort / hash build on a single core (measured: every b14 CC round
+    * ran at parts=1 on local[32], 1.1-1.4 s per round of 92.5k
+    * edges). Per-ROW cost is what dominates these rounds, so the loop
+    * partition count derives from the round's row count instead:
+    * ceil(rows / 8k), clamped to the session shuffle parallelism — at
+    * cluster scale rows/8k exceeds the session setting, the clamp
+    * returns the session value, and behavior is unchanged (this is a
+    * size-derived floor on parallelism, not a local[32] constant). */
+  private def loopParts(spark: org.apache.spark.sql.SparkSession,
+                        rows: Long): Int = {
+    val rowsPerTask = spark.conf
+      .getOption("spark.graft.loop.rowsPerTask")
+      .map(_.toLong).getOrElse(32768L)
+    math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (rows + rowsPerTask - 1) / rowsPerTask)).toInt
+  }
+
+  /** Scoped (set/restore, under [[aqeScopeLock]]) shuffle parallelism
+    * + AQE byte-coalescing override for an iterative loop's plans and
+    * actions. `body` receives a setter the loop calls per round with
+    * the round's input row count. */
+  private def withLoopParts[T](spark: org.apache.spark.sql.SparkSession)
+      (body: (Long => Unit) => T): T = aqeScopeLock.synchronized {
+    val savedP = spark.conf.get("spark.sql.shuffle.partitions",
+      spark.sessionState.conf.numShufflePartitions.toString)
+    val savedC = spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    def set(rows: Long): Unit = spark.conf.set(
+      "spark.sql.shuffle.partitions", loopParts(spark, rows).toString)
+    try body(set)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedP)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        savedC)
+    }
+  }
+
+  /** Scoped size-derived loop parallelism for bounded-round join/agg
+    * dataflows OUTSIDE this file (b15 path centrality, b21 shortest
+    * paths): plans built and actions run inside `body` use
+    * [[loopParts]](rows) shuffle partitions with AQE byte-coalescing
+    * disabled — at cluster scale the clamp returns the session width
+    * and the scope is a no-op. */
+  def withSizedLoop[T](spark: org.apache.spark.sql.SparkSession,
+                       rows: Long)(body: => T): T =
+    withLoopParts(spark) { set => set(rows); body }
+
   /** [[connectedComponents]] with per-round stderr timing (scratch). */
   def connectedComponentsDebug(edgesIn: DataFrame, maxIter: Int = 20): DataFrame =
     connectedComponents(edgesIn, maxIter, debug = true)
@@ -53,11 +107,22 @@ object GraphAlgo {
     val nodes = dir.select(col("src").as("node"))
       .unionAll(dir.select(col("dst").as("node")))
       .distinct()
-    // orient every edge large→small; drop loops and duplicates
+    // orient every edge large→small; drop loops. NO initial distinct
+    // (r16, guide §2.4 "a distinct on data that is already unique"):
+    // every duplicate/reverse edge flows through round 1 unchanged —
+    // large-star's per-center window MIN is duplicate-insensitive and
+    // small-star's trailing distinct bounds the round's output — so
+    // round 1's OUTPUT SET (and every later round, and the
+    // convergence signature, which only ever hashes round outputs) is
+    // identical with or without the dedup, while the dedup itself
+    // cost a full |E|-row exchange in the round-1 job. Callers feed
+    // already-unique relations (verified pairs are id_a<id_b distinct,
+    // b14's invalidates edges are one row per event pair), so the
+    // exchange bought nothing; an input WITH duplicates just carries
+    // ≤2x rows through one round instead of paying the shuffle.
     var e = dir.where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .distinct()
 
     // Each phase is one min-window over the phase's center column;
     // duplicates flow through large-star untouched (window mins are
@@ -119,8 +184,16 @@ object GraphAlgo {
     var iter = 0
     var prev: (Long, BigDecimal) = (-1L, BigDecimal(-1))
     var done = false
+    // current edge count drives the loop's partition sizing (see
+    // loopParts — AQE's byte-based coalescing serialized every round
+    // onto one task): the input count is one cheap job over the
+    // already-materialized barrier blocks; each later round's count
+    // rides the convergence aggregate for free.
+    var curEdges = dir.count()
+    withLoopParts(edgesIn.sparkSession) { setParts =>
     while (iter < maxIter && !done) {
       val t0 = System.nanoTime()
+      setParts(2L * curEdges) // bid = both directions of the edge set
       // lazy checkpoint: the convergence agg below is the action that
       // materializes the blocks — one job per round, not two.
       // Measured round-5 alternatives, all SLOWER here than this
@@ -142,11 +215,13 @@ object GraphAlgo {
         if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
       if (debug) System.err.println(
         f"[cc] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
-          f"edges=${sig._1}")
+          f"edges=${sig._1}, parts=${next.rdd.getNumPartitions}")
       done = sig == prev
       prev = sig
+      curEdges = sig._1
       e = next
       iter += 1
+    }
     }
     // fixed point is a star forest u→root; roots map to themselves
     nodes.join(e, col("node") === col("u"), "left")
@@ -192,6 +267,18 @@ object GraphAlgo {
     val spark = edgesIn.sparkSession
     withAqeOff(spark) {
     val dir = edgesIn.toDF("src", "dst")
+    // r16: the whole chain (weighted edges, node set, every
+    // iteration) runs at a size-derived partition count instead of
+    // the static session width — with AQE off nothing coalesces, so
+    // 32 session partitions meant 32 tasks per stage for |V|-sized
+    // frames whose per-task row counts were in the low thousands
+    // (pure scheduling overhead; see loopParts). One cheap count of
+    // the edge input sizes the scope; at cluster scale the clamp
+    // returns the session width unchanged. Everything inside still
+    // materializes eagerly inside the AQE-off scope, and the
+    // per-iteration shapes are untouched.
+    withLoopParts(spark) { setParts =>
+    setParts(2L * dir.count())
     // out-degree folded into the edge relation via a window count —
     // ONE shuffle on src, and the materialized result STAYS
     // hash-partitioned on src, so the per-iteration rank join never
@@ -240,6 +327,7 @@ object GraphAlgo {
     // scope; the consumer reads the checkpointed per-node ranks
     rank.barrier(true).select(col("id"),
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
+    }
     }
   }
 
@@ -348,9 +436,15 @@ object GraphAlgo {
     * oracle-replayable as an unrolled CTE either way (the contract the
     * driver's hash compare needs — same trade as pageRank's fixed
     * iterations). Per round: one partial-aggregable degree groupBy
-    * plus two left-semi hash joins against the keep-set; the edge set
-    * only shrinks, so round cost is monotonically non-increasing —
-    * the 1000-executor shape for the standard peeling algorithm.
+    * plus two anti joins against the round's DROPPED frontier
+    * (deg < k — the complement of the keep-set over exactly the nodes
+    * in the edge frame, so the survivor set is identical to the
+    * keep-semi-join formulation): the frontier after round 1 is the
+    * handful of nodes that just fell below k (Σ over all rounds ≤
+    * |V|), AQE broadcasts it from its runtime size, and the big edge
+    * side is never re-exchanged; the edge set only shrinks, so round
+    * cost is monotonically non-increasing — the 1000-executor shape
+    * for the standard peeling algorithm.
     * Early exit: each round's barrier already materializes the edge
     * set, so its count is free — an unchanged count means no node
     * fell below k, every remaining round is the identity, and the
@@ -362,13 +456,30 @@ object GraphAlgo {
   /** [[kCore]] over a pre-built [[undirectedSimple]] view. */
   def kCoreUnd(und0: DataFrame, k: Int, rounds: Int): DataFrame = {
     var und = und0.barrier(true)
-    // -1 sentinel: round 1 always runs, so the input count is never
-    // needed — one less job
-    var prevCount = -1L
+    // input count: one cheap job over the just-materialized blocks —
+    // it sizes the loop's partitions (see loopParts) and seeds the
+    // early-exit comparison, so a graph that is already a k-core
+    // exits after round 1 instead of round 2 (identical output: an
+    // unchanged count means the round was the identity either way).
+    var prevCount = und.count()
     var r = 0
     var done = false
+    withLoopParts(und0.sparkSession) { setParts =>
     while (r < rounds && !done) {
-      val keep = undDegrees(und).where(col("deg") >= k).select(col("node"))
+      setParts(2L * prevCount)
+      // r16 FRONTIER reshape (guide §3.1): filter against the DROPPED
+      // set (deg < k) with anti joins instead of semi joins against
+      // the |V|-sized keep-set. Identical survivor set (keep is the
+      // complement of dropped over exactly the nodes present in und),
+      // but the build side is now the PEEL FRONTIER — after round 1
+      // it is the handful of nodes that just fell below k (Σ over all
+      // rounds ≤ |V|), which AQE broadcasts at runtime, so the big
+      // edge side is never re-exchanged; a heavy-tailed round-1
+      // frontier falls back to the shuffled join AQE picks from the
+      // REAL size (no hint — the old shuffle_hash hint pinned the
+      // worst case on every round).
+      val dropped = undDegrees(und).where(col("deg") < k)
+        .select(col("node"))
       // LAZY barrier (r15 GraphIterAB, 8-rep RANDOMIZED-order A/B at
       // sf0.1 — the r14 alternating-order arms tied on pure order
       // effects): the early-exit count below is the action that
@@ -376,15 +487,14 @@ object GraphAlgo {
       // two. lazy 3.24 s median / 3.09 min vs eager 3.46 / 3.17,
       // lazy ahead in 6 of 8 reps, bit-identical output (parity gate).
       und = und
-        .join(keep.select(col("node").as("a")).hint("shuffle_hash"),
-          Seq("a"), "left_semi")
-        .join(keep.select(col("node").as("b")).hint("shuffle_hash"),
-          Seq("b"), "left_semi")
+        .join(dropped.select(col("node").as("a")), Seq("a"), "left_anti")
+        .join(dropped.select(col("node").as("b")), Seq("b"), "left_anti")
         .barrier(false)
       val c = und.count()
       done = c == prevCount
       prevCount = c
       r += 1
+    }
     }
     undDegrees(und)
   }
@@ -443,8 +553,16 @@ object GraphAlgo {
       .join(deg.select(col("node").as("nb"), col("deg").as("dnb"))
         .hint("shuffle_hash"), Seq("nb"))
     val centers = deg.where(col("deg") <= maxCenterDeg).select(col("node"))
+    // r16: the capped adjacency is BARRIERED before the wedge
+    // self-join — without the materialization each self-join side
+    // recompiled the whole upstream (degree join + center semi-join,
+    // ~12 exchanges DUPLICATED in the before-plan; no ReusedExchange
+    // fires because the two sides carry different attribute ids). The
+    // barrier halves the upstream work and the self-join reads the
+    // checkpointed blocks twice (guide §2.4; the minHashCandidates
+    // two-step-materialization precedent).
     val cadj = adjD.join(centers.hint("shuffle_hash"), Seq("node"),
-      "left_semi")
+      "left_semi").barrier(true)
     cadj.select(col("node"), col("nb").as("p"), col("dnb").as("dp"))
       .join(cadj.select(col("node"), col("nb").as("q"),
         col("dnb").as("dq")), Seq("node"))
@@ -630,8 +748,13 @@ object GraphAlgo {
     //    AQE, were the loop's overhead). Lineage still truncates at
     //    every round. (Queries on this session run sequentially; the
     //    toggle is scoped try/finally.)
-    val labelParts = math.max(8,
-      spark.sessionState.conf.numShufflePartitions / 2)
+    // r16: labelParts derives from the ADJACENCY SIZE (2|E| rows,
+    // one cheap count of the input view) instead of half the session
+    // width — the same size-derived parallelism as loopParts, so a
+    // small graph stops paying 16 tasks per round for frames whose
+    // per-task row counts are in the low thousands, while at cluster
+    // scale the clamp returns the session width and nothing changes.
+    val labelParts = loopParts(spark, 2L * und.count())
     withAqeOff(spark) {
       val savedFb = spark.conf.get(
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",

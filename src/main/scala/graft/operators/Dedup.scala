@@ -335,8 +335,10 @@ object Dedup {
     * on the same (inter, na, nb) triple. */
   def containmentPairs(docs: DataFrame, id: String, text: String,
                        tauPpm: Long = 800000L): DataFrame = {
+    // r16: shingle table barriered once for its four consumers (see
+    // ngramJaccardPairs — same re-inlined-subtree fix).
     val sh = docs.select(col(id).as("did"),
-      explode(TextOps.shingleHashes(col(text))).as("s"))
+      explode(TextOps.shingleHashes(col(text))).as("s")).barrier(true)
     val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
     sh.alias("a")
       .join(sh.alias("b"),
@@ -561,8 +563,10 @@ object Dedup {
                      taus: Seq[Long] = Seq(300000L, 500000L, 700000L,
                        900000L)): DataFrame = {
     require(taus.nonEmpty, "thresholdSweep needs at least one tau")
+    // r16: shingle table barriered once for its four consumers (see
+    // ngramJaccardPairs — same re-inlined-subtree fix).
     val sh = docs.select(col(id).as("did"),
-      explode(TextOps.shingleHashes(col(text))).as("s"))
+      explode(TextOps.shingleHashes(col(text))).as("s")).barrier(true)
     val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
     val inter = sh.alias("a")
       .join(sh.alias("b"),
@@ -864,8 +868,14 @@ object Dedup {
                         tau: Double): DataFrame = {
     // Join on shingle *hashes* (longs), not strings: same pairs on both
     // engines (oracle joins the same hash values), ~3x cheaper shuffle.
+    // r16: the exploded shingle table is BARRIERED once — it feeds
+    // four consumers (both self-join sides + the sizes agg referenced
+    // twice), and without the materialization Catalyst re-inlines the
+    // scan+tokenize+hash pipeline into every reference (the c112
+    // before-plan shows 4 full Scan+Generate subtrees; guide §2.4 —
+    // verifiedPairs already does this).
     val sh = docs.select(col(id).as("did"),
-      explode(TextOps.shingleHashes(col(text))).as("sh"))
+      explode(TextOps.shingleHashes(col(text))).as("sh")).barrier(true)
     val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
     val inter = sh.alias("a")
       .join(sh.alias("b"),

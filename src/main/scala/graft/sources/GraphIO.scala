@@ -117,7 +117,13 @@ object GraphIO {
   def toDatalogCapped(g: MemoryGraph,
                       maxBytes: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val all = toDatalog(g)
+    import graft.util.Barriers.BarrierOps
+    // r16: the rendered line table feeds TWO consumers (the bounded
+    // head window and the per-relation byte-total agg for the
+    // truncation markers); without a barrier each consumer re-renders
+    // every line (concat + quote-escape regex over |V|+|E| rows,
+    // twice). One materialization, both consumers read blocks.
+    val all = toDatalog(g).barrier(true)
     // Only the lexicographic head of each relation can fall under the
     // cap: every rendered line is > 40 octets of fixed syntax alone,
     // so a line ranked past maxBytes/41 + 1 sits behind > maxBytes
