@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r17 (bench contract): the driver's BENCH_r{N}.json keeps only the
+// last ~2 KB of `sbt "runMain graft.Bench"` output and parses the
+// final line as JSON. sbt's default LoggedOutput prefixes every
+// forked-stdout line with "[info] " and appends a "[success] Total
+// time" footer, so the bench's compact JSON line was never a clean
+// last line (parsed:null since r10). Raw passthrough + no success
+// banner make the compact line the literal last thing printed.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

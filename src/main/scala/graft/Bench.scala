@@ -149,7 +149,7 @@ object Bench {
     println(line)
     // The driver's BENCH_r{N}.json keeps only the LAST ~2 KB of output
     // and the full line above outgrew that rounds ago (every
-    // BENCH_r*.json has parsed:null) — so ALSO print, last, a compact
+    // BENCH_r*.json has parsed:null) — so ALSO print, LAST, a compact
     // line that fits the tail intact: headline total + the top-20
     // slowest queries + a pointer to the committed full map.
     def r3(d: Double): Double = math.round(d * 1000) / 1000.0
@@ -165,9 +165,10 @@ object Bench {
     // "truncated":true marks this line's queries map as the top-20
     // subset so a parser scanning for "metric":"total" cannot mistake
     // it for the full per-query inventory printed above.
-    println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec",""" +
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec",""" +
       s""""queries":$top,"n_queries":${results.size},"truncated":true,""" +
-      s""""queries_note":"top-20 [median,min] sec; value_min = sum of per-query minima (load floor); full map in BENCH_local.json / SURVEY sec 8","runs":$runs,"sf":"$sfDir"}""")
+      s""""queries_note":"top-20 [median,min] sec; value_min = sum of per-query minima (load floor); full map in BENCH_local.json / SURVEY sec 8","runs":$runs,"sf":"$sfDir"}"""
     // The driver's BENCH_r{N}.json artifact retains only the tail of the
     // bench output, which truncates the per-query map once the inventory
     // outgrew ~2 KB of JSON. Persist the full line to a repo file as well
@@ -184,6 +185,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_local.json: ${e.getMessage}")
     }
+    // stop BEFORE the final println (r17 bench contract): Spark's own
+    // shutdown can log to stderr; stopping first guarantees nothing —
+    // prefix, footer or stray log line — prints after the compact JSON
+    // (build.sbt routes forked stdout raw and suppresses [success], so
+    // this IS the last line of the driver-captured output; the
+    // simulated-tail check lives in tools/check_tail.py).
     spark.stop()
+    println(compact)
   }
 }
