@@ -46,5 +46,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // lets a replay inject session confs (e.g.
   // -Dspark.graft.checkpoint.reliable=true for the r16 suite-wide
   // reliable-checkpoint validation) without editing the mains.
+  // Debug knob limitation (r16 advice): split on whitespace with no
+  // quoting support, so a flag VALUE cannot contain spaces.
   sys.env.get("SPARK_GRAFT_JAVA_OPTS")
     .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

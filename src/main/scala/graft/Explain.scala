@@ -12,9 +12,13 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("a2_filter_project", "a3_broadcast_join", "a4_star_join")
+    // honor SPARK_GRAFT_CPUS (r17): the r16 plan dumps were captured
+    // at the default 4, where loop partition sizing clamps to 4 and a
+    // 32-core fan-out regression is invisible in the dump.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

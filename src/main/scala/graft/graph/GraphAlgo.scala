@@ -39,30 +39,65 @@ object GraphAlgo {
     * cluster scale rows/8k exceeds the session setting, the clamp
     * returns the session value, and behavior is unchanged (this is a
     * size-derived floor on parallelism, not a local[32] constant). */
+  /** Default rows/task for the WINDOW-SORT loop family (CC's
+    * alternating stars, k-core's degree rounds): per-row work is a
+    * per-center sort, heavy enough that ~32k-row tasks amortize their
+    * scheduling cost (r16 partition sweep on b14's 185k-row rounds:
+    * 6 parts = 0.52 s/round, 1 part = 1.1-1.4, 23 parts = 2.3-5.4;
+    * re-confirmed r17: b14 at 32768 = 4.35 s vs 5.15 at 131072). */
+  private val SortLoopRowsPerTask = 32768L
+  /** Default rows/task for the JOIN/AGG loop family (PageRank, LPA,
+    * path centrality, shortest paths): per-row work is a codegen'd
+    * hash probe + partial agg — far cheaper per row, so tasks need
+    * ~4x more rows before parallelism beats scheduling overhead (r17
+    * isolated 3-pass sweep at CPUS=32, sf0.1: rowsPerTask
+    * 32768→131072→524288 gives b18 5.46→4.25→5.26 s, b15
+    * 4.43→3.33→4.46, b21 2.93→2.58→3.03, b28 6.74→5.53→8.25 — the
+    * mid setting wins every join/agg loop). The r16 default (32768
+    * everywhere) fanned b18's 1.9M-row loop to the full 32-way
+    * session width, which the driver's loaded-box window punished
+    * ~4x (r16 verdict #1); 131072 halves the fan-out (15 parts) AND
+    * is faster on a quiet box. */
+  private val JoinLoopRowsPerTask = 131072L
+
   private def loopParts(spark: org.apache.spark.sql.SparkSession,
-                        rows: Long): Int = {
+                        rows: Long, ceiling: Int,
+                        dfltRowsPerTask: Long): Int = {
     val rowsPerTask = spark.conf
       .getOption("spark.graft.loop.rowsPerTask")
-      .map(_.toLong).getOrElse(32768L)
-    math.max(1L, math.min(
-      spark.sessionState.conf.numShufflePartitions.toLong,
+      .map { v =>
+        try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.loop.rowsPerTask must be a positive long, got '$v'")
+        }
+      }.getOrElse(dfltRowsPerTask)
+    math.max(1L, math.min(ceiling.toLong,
       (rows + rowsPerTask - 1) / rowsPerTask)).toInt
   }
 
   /** Scoped (set/restore, under [[aqeScopeLock]]) shuffle parallelism
     * + AQE byte-coalescing override for an iterative loop's plans and
     * actions. `body` receives a setter the loop calls per round with
-    * the round's input row count. */
-  private def withLoopParts[T](spark: org.apache.spark.sql.SparkSession)
+    * the round's input row count. The clamp CEILING is the session
+    * shuffle width captured ONCE at scope entry (r16 advice: reading
+    * the live conf inside the loop re-read the previous round's own
+    * setting, so per-round parallelism could only ratchet down). At
+    * cluster scale rows/rowsPerTask far exceeds any session width, so
+    * the clamp returns the session value and the scope is a no-op —
+    * the sizing only bites where data is small relative to width. */
+  private def withLoopParts[T](spark: org.apache.spark.sql.SparkSession,
+                               dfltRowsPerTask: Long = SortLoopRowsPerTask)
       (body: (Long => Unit) => T): T = aqeScopeLock.synchronized {
+    val ceiling = spark.sessionState.conf.numShufflePartitions
     val savedP = spark.conf.get("spark.sql.shuffle.partitions",
-      spark.sessionState.conf.numShufflePartitions.toString)
+      ceiling.toString)
     val savedC = spark.conf.get(
       "spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
       "false")
     def set(rows: Long): Unit = spark.conf.set(
-      "spark.sql.shuffle.partitions", loopParts(spark, rows).toString)
+      "spark.sql.shuffle.partitions",
+      loopParts(spark, rows, ceiling, dfltRowsPerTask).toString)
     try body(set)
     finally {
       spark.conf.set("spark.sql.shuffle.partitions", savedP)
@@ -79,7 +114,7 @@ object GraphAlgo {
     * and the scope is a no-op. */
   def withSizedLoop[T](spark: org.apache.spark.sql.SparkSession,
                        rows: Long)(body: => T): T =
-    withLoopParts(spark) { set => set(rows); body }
+    withLoopParts(spark, JoinLoopRowsPerTask) { set => set(rows); body }
 
   /** [[connectedComponents]] with per-round stderr timing (scratch). */
   def connectedComponentsDebug(edgesIn: DataFrame, maxIter: Int = 20): DataFrame =
@@ -96,6 +131,12 @@ object GraphAlgo {
     * (node, component) for every node incident to an edge. */
   def connectedComponents(edgesIn: DataFrame, maxIter: Int = 30,
                           debug: Boolean = false): DataFrame = {
+    // precondition (r16 advice): with zero rounds the initial
+    // orientation is returned un-deduplicated — every caller runs at
+    // least one round, which small-star's distinct bounds.
+    require(maxIter > 0, s"connectedComponents needs maxIter > 0 " +
+      s"(got $maxIter): round 1's small-star dedup is what bounds " +
+      "duplicated input edges")
     // ONE materialization of the input edge frame: both the node set
     // (needed only by the final join) and the oriented edge set
     // derive from this checkpoint, so an expensive upstream (c16's
@@ -277,7 +318,7 @@ object GraphAlgo {
     // returns the session width unchanged. Everything inside still
     // materializes eagerly inside the AQE-off scope, and the
     // per-iteration shapes are untouched.
-    withLoopParts(spark) { setParts =>
+    withLoopParts(spark, JoinLoopRowsPerTask) { setParts =>
     setParts(2L * dir.count())
     // out-degree folded into the edge relation via a window count —
     // ONE shuffle on src, and the materialized result STAYS
@@ -754,7 +795,9 @@ object GraphAlgo {
     // small graph stops paying 16 tasks per round for frames whose
     // per-task row counts are in the low thousands, while at cluster
     // scale the clamp returns the session width and nothing changes.
-    val labelParts = loopParts(spark, 2L * und.count())
+    val labelParts = loopParts(spark, 2L * und.count(),
+      spark.sessionState.conf.numShufflePartitions,
+      JoinLoopRowsPerTask)
     withAqeOff(spark) {
       val savedFb = spark.conf.get(
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",

@@ -459,16 +459,28 @@ object Dedup {
     * cheaper than the first pass (fewer docs, no CC). */
   def dedupCertificate(docs: DataFrame, id: String, text: String,
                        tau: Double = 0.5): DataFrame = {
-    val pairs = verifiedPairs(docs, id, text, tau).barrier(true)
+    // r17: ONE tokenize+shingle-hash pass feeds BOTH banded passes —
+    // the residual re-verify runs over the survivor SUBSET of the
+    // already-materialized shingle arrays (a doc's text, hence its
+    // shingle array, is unchanged by surviving), instead of
+    // re-tokenizing the survivor corpus from scratch (r16 verdict #5).
+    val shhAll = shingleArrays(docs, id, text)
+    val pairs = verifiedPairsFromShh(shhAll, tau, 48, 24)
+      .select(col("id_a"), col("id_b")).barrier(true)
     val m = graft.graph.GraphAlgo
       .connectedComponents(pairs.select(col("id_a"), col("id_b")))
       .select(col("node").as(id), col("component").as("keeper"))
+      .barrier(true) // read twice: survivor filter + dropped-id set
     val survivors = docs
       .join(m, Seq(id), "left")
       .where(col("keeper").isNull || col("keeper") === col(id))
       .drop("keeper")
-      .barrier(true)
-    val residual = verifiedPairs(survivors, id, text, tau)
+    // survivor ids = all ids minus the dropped set (keeper != id), so
+    // the survivor shingle arrays are an anti-join on the SAME frame
+    val dropIds = m.where(col("keeper") =!= col(id))
+      .select(col(id).as("did"))
+    val shhSurv = shhAll.join(dropIds, Seq("did"), "left_anti")
+    val residual = verifiedPairsFromShh(shhSurv, tau, 48, 24)
       .agg(count(lit(1)).as("residual_pairs"))
     val stats = docs.select(
         size(TextOps.tokens(col(text))).cast("long").as("tok"))
@@ -999,14 +1011,8 @@ object Dedup {
     * banded equi-join candidates, verify touches candidates only. */
   def nearDupPairs(docs: DataFrame, id: String, text: String,
                    tau: Double, k: Int = 48,
-                   bands: Int = 24): DataFrame = {
-    val sh = docs.select(col(id).as("did"),
-      explode(TextOps.shingleHashes(col(text))).as("sh")).barrier(true)
-    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
-    val cand = minHashCandidates(docs, id, text, k, bands)
-      .select(col("id_a"), col("id_b"))
-    verifyJaccard(cand, sh, sizes, tau)
-  }
+                   bands: Int = 24): DataFrame =
+    verifiedPairsFromShh(shingleArrays(docs, id, text), tau, k, bands)
 
   /** Paraphrase-level decontamination detector: training docs that
     * are NEAR-duplicates of an eval doc — the leakage mode the exact
@@ -1213,21 +1219,51 @@ object Dedup {
     verifyJaccardPpm(cand, sh, sizes, tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** ONE tokenize+shingle-hash pass over the corpus, materialized as
+    * per-doc hash ARRAYS — the shared input of the LSH→verify family
+    * (r17): the exploded shingle table, the size table and the MinHash
+    * signatures all derive from this barrier, where previously each
+    * caller ran the text pass TWICE (once for its own explode, once
+    * inside minHashCandidates' bandBuckets — guide §2.4, the
+    * lshPrecision precedent generalized). */
+  private[graft] def shingleArrays(docs: DataFrame, id: String,
+                                   text: String): DataFrame =
+    docs.select(col(id).as("did"),
+      TextOps.shingleHashes(col(text)).as("shh")).barrier(true)
+
+  /** The LSH→exact-verify core over a pre-computed [[shingleArrays]]
+    * frame: banded MinHash candidates (distinct (id_a, id_b) — the
+    * signature columns never ride the candidate exchange), exact
+    * Jaccard verify at `tau` on candidates only. Identical pair set
+    * and scores to the pre-r17 per-caller pipelines — same hashes,
+    * same signatures, same banding, same verify. */
+  private[graft] def verifiedPairsFromShh(shh: DataFrame, tau: Double,
+                                          k: Int, bands: Int): DataFrame = {
+    val sh = shh.select(col("did"), explode(col("shh")).as("sh"))
+      .barrier(true)
+    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
+    val sigs = shh.select(col("did"),
+      TextOps.minHashSignature(col("shh"), k).as("sig")).barrier(true)
+    val banded = bandRows(sigs, k, bands)
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, sizes, tau)
+  }
+
   /** The banded verified near-dup PAIR SET alone — [[deduplicate]]'s
     * intermediate exposed for consumers that need both the clusters
     * and the pairs (c109's leak audit): one shingle pass, banded
     * candidates, exact verify on candidates only. Pair recall at tau
     * follows the banding analysis on [[deduplicate]]. */
   def verifiedPairs(docs: DataFrame, id: String, text: String,
-                    tau: Double, k: Int = 48, bands: Int = 24): DataFrame = {
-    val sh = docs.select(col(id).as("did"),
-      explode(TextOps.shingleHashes(col(text))).as("sh")).barrier(true)
-    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
-    val cand = minHashCandidates(docs, id, text, k, bands)
+                    tau: Double, k: Int = 48, bands: Int = 24): DataFrame =
+    verifiedPairsFromShh(shingleArrays(docs, id, text), tau, k, bands)
       .select(col("id_a"), col("id_b"))
-    verifyJaccard(cand, sh, sizes, tau)
-      .select(col("id_a"), col("id_b"))
-  }
 
   /** [[verifiedPairs]] served from the artifact store — the dedup
     * service's SECOND at-rest layer (the band index persists
@@ -1273,12 +1309,8 @@ object Dedup {
     * candidate-shuffle volume for near-exact recall. */
   def deduplicate(docs: DataFrame, id: String, text: String,
                   tau: Double, k: Int = 48, bands: Int = 24): DataFrame = {
-    val sh = docs.select(col(id).as("did"),
-      explode(TextOps.shingleHashes(col(text))).as("sh")).barrier(true)
-    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
-    val cand = minHashCandidates(docs, id, text, k, bands)
-      .select(col("id_a"), col("id_b"))
-    val pairs = verifyJaccard(cand, sh, sizes, tau)
+    val pairs = verifiedPairsFromShh(shingleArrays(docs, id, text),
+      tau, k, bands)
     graft.graph.GraphAlgo
       .connectedComponents(pairs.select(col("id_a"), col("id_b")))
       .select(col("node").as(id), col("component").as("keeper"))
