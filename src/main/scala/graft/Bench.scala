@@ -17,6 +17,19 @@ object Bench {
       // threshold so sf0.1 dims broadcast instead of shuffling
       .config("spark.locality.wait", "0s")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // ContextCleaner starvation fix (r17, guide §5): shuffle files,
+      // broadcasts and RDD state are cleaned only when the DRIVER GC
+      // collects their weak references, and a multi-query session
+      // with an 8 GiB heap can run entire suites without one Full GC
+      // — per-pass b25 samples climbed 6.8 → 21.2 s monotonically as
+      // dead shuffle state piled up, and System.gc() between passes
+      // flipped the curve to monotone-improving. periodicGC.interval
+      // (Spark's intended knob for exactly this; default 30 min) puts
+      // a bounded driver GC inside the run: measured b25 med 12.0 →
+      // 4.2 s, floor 4.7 → 3.7, with the GC pauses PAID inside timed
+      // queries. Env-overridable for A/B.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "15s"))
       .getOrCreate()
     // ERROR, not WARN: the query-boundary sweep unpersists
     // localCheckpointed RDDs, which logs a WARN per frame — hundreds

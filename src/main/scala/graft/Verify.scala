@@ -18,6 +18,11 @@ object Verify {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // ContextCleaner starvation fix — see Bench.scala: without
+      // periodic driver GC a 223-query session accumulates dead
+      // shuffle/broadcast state for its whole lifetime.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "15s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

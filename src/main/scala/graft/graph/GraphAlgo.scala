@@ -583,27 +583,42 @@ object GraphAlgo {
     val und = und0.barrier(true)
     val deg = undDegrees(und).barrier(true)
     // the NEIGHBOR's degree rides the adjacency INTO the wedge join
-    // (one extra 2|E|-row shuffle on nb) and out through the pair
-    // aggregation as max(dp)/max(dq) — functionally dependent on the
-    // group key, so max is just "the" value — which deletes the two
-    // pair-table degree joins scoreCommon would pay: at sf0.1 that
-    // was 2 × 12.5M-row shuffles for a 1.9M-row join instead
-    // (SizeProbe A/B: cold 15.2 s → 6.4 s, warm parity)
-    val adjD = und.select(col("a").as("node"), col("b").as("nb"))
-      .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
-      .join(deg.select(col("node").as("nb"), col("deg").as("dnb"))
-        .hint("shuffle_hash"), Seq("nb"))
-    val centers = deg.where(col("deg") <= maxCenterDeg).select(col("node"))
-    // r16: the capped adjacency is BARRIERED before the wedge
-    // self-join — without the materialization each self-join side
-    // recompiled the whole upstream (degree join + center semi-join,
-    // ~12 exchanges DUPLICATED in the before-plan; no ReusedExchange
-    // fires because the two sides carry different attribute ids). The
-    // barrier halves the upstream work and the self-join reads the
-    // checkpointed blocks twice (guide §2.4; the minHashCandidates
-    // two-step-materialization precedent).
-    val cadj = adjD.join(centers.hint("shuffle_hash"), Seq("node"),
-      "left_semi").barrier(true)
+    // and out through the pair aggregation as max(dp)/max(dq) —
+    // functionally dependent on the group key, so max is just "the"
+    // value — which deletes the two pair-table degree joins
+    // scoreCommon would pay: at sf0.1 that was 2 × 12.5M-row shuffles
+    // for a 1.9M-row join instead (SizeProbe A/B: cold 15.2 s → 6.4 s,
+    // warm parity).
+    // r17: BOTH endpoint degrees attach at the EDGE level (|E| rows,
+    // two shuffle-hash joins — per-node relations never broadcast at
+    // scale), then a 2-element posexplode emits the two orientations
+    // and the center cap is a plain FILTER on the carried center
+    // degree. This replaces the r16 shape's degree join + center
+    // semi-join over the 2|E|-row bidirectional union — half the join
+    // probe rows, one fewer exchange, and no shared subtree to
+    // re-inline (the explode is the union's single-consumer twin).
+    // Row set is identical: edge (a,b) contributes (node=a, nb=b,
+    // dnb=deg(b)) iff deg(a) <= cap and (node=b, nb=a, dnb=deg(a))
+    // iff deg(b) <= cap — exactly the old centers semi-join.
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db"))
+        .hint("shuffle_hash"), Seq("b"))
+    // r16 precedent kept: the capped adjacency is BARRIERED before
+    // the wedge self-join — without the materialization each
+    // self-join side recompiled the whole upstream (no ReusedExchange
+    // fires because the two sides carry different attribute ids).
+    val cadj = withDeg
+      .select(explode(array(
+        struct(col("a").as("node"), col("da").as("dn"),
+          col("b").as("nb"), col("db").as("dnb")),
+        struct(col("b").as("node"), col("db").as("dn"),
+          col("a").as("nb"), col("da").as("dnb")))).as("e"))
+      .where(col("e.dn") <= maxCenterDeg)
+      .select(col("e.node").as("node"), col("e.nb").as("nb"),
+        col("e.dnb").as("dnb"))
+      .barrier(true)
     cadj.select(col("node"), col("nb").as("p"), col("dnb").as("dp"))
       .join(cadj.select(col("node"), col("nb").as("q"),
         col("dnb").as("dq")), Seq("node"))
