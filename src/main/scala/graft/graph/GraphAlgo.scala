@@ -494,87 +494,50 @@ object GraphAlgo {
   def kCore(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame =
     kCoreUnd(undirected(edgesIn), k, rounds)
 
-  /** [[kCore]] over a pre-built [[undirectedSimple]] view.
-    *
-    * r17 DELTA PEEL: degrees are counted ONCE over the input (the
-    * only 2|E|-row aggregation in the whole peel); each round then
-    * (a) takes the frontier = surviving nodes with 1 ≤ deg < k,
-    * (b) finds the still-present edges incident to it, and (c)
-    * DECREMENTS the endpoint degrees — never a degree recount over
-    * the shrunk graph and never a rewrite/checkpoint of the edge set
-    * (the r16 shape paid a full 2|E|-row groupBy + a |E|-row
-    * materialization per round even when the frontier was a handful
-    * of nodes; at 100 TB that is rounds × full-graph passes vs one).
-    * Equivalence to the peel-by-rebuild semantics: every present
-    * edge is removed in exactly the first round one of its endpoints
-    * drops, decrementing both endpoints once, so after round r the
-    * (node, deg) table equals undDegrees of the rebuilt subgraph for
-    * every surviving node; zero-degree survivors carry deg 0 and are
-    * excluded by the final deg ≥ 1 filter exactly as undDegrees
-    * excludes edgeless nodes. Early exit when the frontier is empty
-    * = the rebuilt round would have been the identity (a dropped
-    * node with deg ≥ 1 always removes an edge). GraphSpec pins the
-    * pendant-chain/dense-core and deep-rounds convergence cases; the
-    * b24 oracle replays the rebuild formulation in DuckDB. */
+  /** [[kCore]] over a pre-built [[undirectedSimple]] view. */
   def kCoreUnd(und0: DataFrame, k: Int, rounds: Int): DataFrame = {
-    // LAZY input barrier (r17 A/B at CPUS=32: eager 5.64 med, none
-    // 7.18 — six consumers re-decoding the parquet view beat the
-    // copy's win back out — lazy keeps the blocks AND folds the
-    // materialization into the count job below).
-    val und = und0.barrier(false)
-    withLoopParts(und0.sparkSession, JoinLoopRowsPerTask) { setParts =>
-    setParts(2L * und.count())
-    // ALL barriers in the loop are LAZY (r15 GraphIterAB lesson,
-    // re-confirmed here: the eager flavor ran ~4 extra jobs per round
-    // and per-round JOB latency, not data, dominated at bench scale):
-    // each round's ONLY action is the frontier count, which
-    // materializes that round's lazy checkpoint chain in one job;
-    // every frame is still truncated to blocks once computed.
-    var degCur = undDegrees(und).barrier(false)
-    var nNodes = degCur.count()
-    var cum: DataFrame = null
+    var und = und0.barrier(true)
+    // input count: one cheap job over the just-materialized blocks —
+    // it sizes the loop's partitions (see loopParts) and seeds the
+    // early-exit comparison, so a graph that is already a k-core
+    // exits after round 1 instead of round 2 (identical output: an
+    // unchanged count means the round was the identity either way).
+    var prevCount = und.count()
     var r = 0
     var done = false
+    withLoopParts(und0.sparkSession) { setParts =>
     while (r < rounds && !done) {
-      setParts(nNodes)
-      val frontier = degCur
-        .where(col("deg") < k && col("deg") >= 1)
-        .select(col("node")).barrier(false)
-      val nDrop = frontier.count()
-      if (nDrop == 0L) done = true
-      else {
-        // present = input edges with neither endpoint already peeled;
-        // the frontier/cum sides are small after round 1, AQE picks
-        // the join strategy from their REAL size (no hint — the same
-        // argument as the r16 frontier reshape, guide §3.1).
-        val present = if (cum == null) und else und
-          .join(cum.select(col("node").as("a")), Seq("a"), "left_anti")
-          .join(cum.select(col("node").as("b")), Seq("b"), "left_anti")
-        val removed = present
-          .join(frontier.select(col("node").as("a"), lit(1).as("fa")),
-            Seq("a"), "left")
-          .join(frontier.select(col("node").as("b"), lit(1).as("fb")),
-            Seq("b"), "left")
-          .where(col("fa").isNotNull || col("fb").isNotNull)
-        val dec = removed
-          .select(explode(array(col("a"), col("b"))).as("node"))
-          .groupBy(col("node")).agg(count(lit(1)).as("d"))
-        degCur = degCur
-          .join(frontier.select(col("node"), lit(1).as("fr")),
-            Seq("node"), "left")
-          .where(col("fr").isNull)
-          .join(dec, Seq("node"), "left")
-          .select(col("node"),
-            (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
-          .barrier(false)
-        cum = if (cum == null) frontier
-          else cum.unionAll(frontier).barrier(false)
-        nNodes -= nDrop
-      }
+      setParts(2L * prevCount)
+      // r16 FRONTIER reshape (guide §3.1): filter against the DROPPED
+      // set (deg < k) with anti joins instead of semi joins against
+      // the |V|-sized keep-set. Identical survivor set (keep is the
+      // complement of dropped over exactly the nodes present in und),
+      // but the build side is now the PEEL FRONTIER — after round 1
+      // it is the handful of nodes that just fell below k (Σ over all
+      // rounds ≤ |V|), which AQE broadcasts at runtime, so the big
+      // edge side is never re-exchanged; a heavy-tailed round-1
+      // frontier falls back to the shuffled join AQE picks from the
+      // REAL size (no hint — the old shuffle_hash hint pinned the
+      // worst case on every round).
+      val dropped = undDegrees(und).where(col("deg") < k)
+        .select(col("node"))
+      // LAZY barrier (r15 GraphIterAB, 8-rep RANDOMIZED-order A/B at
+      // sf0.1 — the r14 alternating-order arms tied on pure order
+      // effects): the early-exit count below is the action that
+      // materializes the round's blocks, one job per round instead of
+      // two. lazy 3.24 s median / 3.09 min vs eager 3.46 / 3.17,
+      // lazy ahead in 6 of 8 reps, bit-identical output (parity gate).
+      und = und
+        .join(dropped.select(col("node").as("a")), Seq("a"), "left_anti")
+        .join(dropped.select(col("node").as("b")), Seq("b"), "left_anti")
+        .barrier(false)
+      val c = und.count()
+      done = c == prevCount
+      prevCount = c
       r += 1
     }
-    degCur.where(col("deg") >= 1)
     }
+    undDegrees(und)
   }
 
   /** Neighborhood-similarity top pairs: Jaccard over undirected
@@ -896,7 +859,11 @@ object GraphAlgo {
           // barrier — localCheckpoint preserves the output
           // partitioning through LogicalRDD, so every round's vote
           // join exchanges only the small label frame
-          rawAdj.repartition(labelParts, col("nbr")).barrier(true)
+          // r17: LAZY — the rounds are already lazy (r14), so the
+          // eager flavor's separate adjacency job only added a job
+          // boundary; the consumer's one action materializes the
+          // adjacency blocks first and every round reads them.
+          rawAdj.repartition(labelParts, col("nbr")).barrier(false)
       var lab = adj.select(col("node")).distinct()
         .withColumn("label", col("node"))
       for (r <- 1 to rounds) {
